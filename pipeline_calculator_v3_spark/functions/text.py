@@ -1,0 +1,54 @@
+"""Text-analysis Column expressions: tokenization, quality, fingerprinting.
+
+All JVM-side builtins (split/regexp/md5) — no Python in the hot path.  The
+tokenizer regex is shared verbatim with the DuckDB oracle SQL so both sides
+tokenize identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer — shared with oracle SQL (regexp_split semantics match
+# between Spark `split` and DuckDB `regexp_split_to_array`).
+TOKEN_SPLIT_RE = r"\s+"
+
+# Small English stopword list for the language-ID heuristic and quality score.
+EN_STOPWORDS = (
+    "the a an and or of to in is are was were be for on with as at by it "
+    "this that from not have has had but they you we he she his her its"
+).split()
+
+
+def tokens(text: Column) -> Column:
+    """Split on whitespace, drop empty tokens."""
+    return F.filter(F.split(text, TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def normalized_text(text: Column) -> Column:
+    """Whitespace-collapsed, lowercased — dedup canonical form."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Deterministic document fingerprint (md5 of normalized text).
+
+    MD5 is identical across Spark and DuckDB, so this is oracle-checkable,
+    unlike xxhash64 (Spark-specific seed/algorithm).
+    """
+    return F.md5(normalized_text(text))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (for MinHash/Jaccard)."""
+    toks = tokens(normalized_text(text))
+    # transform over sliding windows: indexes 0..size-n
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )

@@ -1,0 +1,262 @@
+"""Declared query registry — the engine's public correctness surface.
+
+Every entry is one row of SURVEY.md §2.B: a Spark implementation
+``(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible) a DuckDB oracle
+SQL string over the shared parquet views.  Column names/aliases match exactly
+on both sides (the driver sorts columns by name before hashing).
+
+Registration happens via the ``@query`` decorator; ``__spark_entry__`` just
+re-exports ``QUERIES`` / ``ORACLE_SQL``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.geodesy import (
+    US_SURVEY_MILE_M,
+    bearing_diff_sql,
+    haversine_sql,
+)
+from .plans import synth
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: per-pipeline geodesic length (SURVEY §2 ops 8-10,
+# src/pipeline_calculator_v3.py:216-252) — posexplode-shaped vertex table →
+# lag window → haversine → groupBy sum → survey-mile projection.
+# ---------------------------------------------------------------------------
+
+_HAV_HOP = haversine_sql("plat", "plon", "lat", "lon")
+
+@query(
+    "q_geodesic_length",
+    oracle=f"""
+WITH {synth.VERTICES_CTE},
+hops AS (
+    SELECT pipeline_id, lat, lon,
+           lag(lat) OVER (PARTITION BY pipeline_id ORDER BY pos) AS plat,
+           lag(lon) OVER (PARTITION BY pipeline_id ORDER BY pos) AS plon
+    FROM vertices
+)
+SELECT pipeline_id,
+       SUM({_HAV_HOP}) AS length_m,
+       SUM({_HAV_HOP}) / {US_SURVEY_MILE_M!r} AS length_mi,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM hops
+GROUP BY pipeline_id
+""",
+)
+def q_geodesic_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pipeline polyline length in meters + US Survey Miles.
+
+    Spark plan: window lag over (pipeline_id, pos) -> haversine column expr
+    (whole-stage codegen, no UDF) -> hash aggregate.  Partitioned by
+    pipeline_id: at 100 TB the window and the aggregate share one shuffle.
+    """
+    v = synth.vertices_df(spark, sf_dir)
+    w = Window.partitionBy("pipeline_id").orderBy("pos")
+    hops = v.select(
+        "pipeline_id", "lat", "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    )
+    return hops.groupBy("pipeline_id").agg(
+        F.sum(F.expr(_HAV_HOP)).alias("length_m"),
+        (F.sum(F.expr(_HAV_HOP)) / US_SURVEY_MILE_M).alias("length_mi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Core relational surface (SURVEY §2.B) — scans, filters, conditional
+# projection, joins, aggregates, sort/limit.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_scan_project",
+    oracle="""
+SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS revenue,
+       upper(l_returnflag) AS flag_u
+FROM lineitem
+""",
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + projection (ops 1,4,5): column pruning reaches the parquet
+    reader — ReadSchema carries only the 5 referenced columns."""
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("revenue"),
+        F.upper("l_returnflag").alias("flag_u"),
+    )
+
+
+@query(
+    "q_filter_pred",
+    oracle="""
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_quantity, l_discount
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 24
+  AND l_discount >= 0.05
+  AND l_returnflag <> 'R'
+""",
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate filter (ops 6,7): pushed to the parquet scan
+    (PushedFilters) — analog of the coordinate validity gate
+    src/pipeline_calculator_v3.py:208."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.where(
+        F.col("l_quantity").between(10, 24)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_returnflag") != "R")
+    ).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        "l_quantity", "l_discount",
+    )
+
+
+@query(
+    "q_case_dispatch",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 300000 THEN 'jumbo'
+            WHEN o_totalprice >= 100000 THEN 'large'
+            WHEN o_orderstatus = 'O' THEN 'open_small'
+            ELSE 'small' END AS bucket
+FROM orders
+""",
+)
+def q_case_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional projection (op 6's geometry-type dispatch,
+    src/pipeline_calculator_v3.py:110-128) as when/otherwise."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "jumbo")
+        .when(F.col("o_totalprice") >= 100000, "large")
+        .when(F.col("o_orderstatus") == "O", "open_small")
+        .otherwise("small")
+        .alias("bucket"),
+    )
+
+
+@query(
+    "q_join_inner_hash",
+    oracle="""
+SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash equi-join: customer is the small dim — broadcast it so
+    the fact side never shuffles (no exchange on orders at 100 TB)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_multi_way",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       SUM(c.c_acctbal) AS total_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q_join_multi_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way dim chain join + rollup: both dims broadcast; single shuffle for
+    the final aggregate."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "q_agg_hash",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(l_extendedprice) AS sum_base_price,
+       SUM(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+       AVG(l_discount) AS avg_disc,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate with partial (map-side) combine — TPC-H Q1 shape
+    (reference analog: ops 8,10 length rollups)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("sum_disc_price"),
+        F.avg("l_discount").alias("avg_disc"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("count_order"),
+    )
+
+
+@query(
+    "q_sort_limit",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 50
+""",
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (ops 19,27): Spark plans TakeOrderedAndProject — per-partition
+    heap + single-driver merge, no full sort at scale.  o_orderkey tiebreak
+    keeps the result set deterministic."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )

@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs ``local[32]``; the configs below are the ones that matter
+at cluster scale too: AQE (runtime re-plan, skew-join splitting, partition
+coalescing), Arrow for every pandas-UDF boundary, and explicit shuffle
+partitioning.  The driver harness supplies its own session to ``queries()``;
+this factory is used by tests, bench.py and any standalone run.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "pipeline_calculator_v3_spark",
+              shuffle_partitions: int | None = None,
+              master: str | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(max(cpus, 32))))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing, skew-join handling, plan re-opt.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow batches for every pandas UDF / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Deterministic timestamp semantics for oracle comparison.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Reasonable broadcast threshold; dims in the star schema are tiny.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,57 @@
+"""Driver-style comparison of a Spark result vs a DuckDB oracle result.
+
+Mirrors the driver's contract: row-count + column-name set + order-insensitive
+value comparison (columns sorted by name, rows sorted by all columns).  Floats
+compare with relative tolerance to absorb summation-order / libm-ulp noise.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    # Sort on exact-typed columns first; float columns participate via a
+    # rounded key so ulp-level noise cannot reorder rows across systems.
+    exact = [c for c in df.columns if not pd.api.types.is_float_dtype(df[c])]
+    floats = [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
+    for c in floats:
+        df[f"__r_{c}"] = df[c].round(4)
+    sort_cols = exact + [f"__r_{c}" for c in floats]
+    out = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    return out[[c for c in out.columns if not c.startswith("__r_")]]
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
+                        rel_tol: float = 1e-8, abs_tol: float = 1e-9) -> None:
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"column mismatch: spark={sorted(spark_pdf.columns)} "
+        f"oracle={sorted(oracle_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    )
+    a = _normalize(spark_pdf)
+    b = _normalize(oracle_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            for i, (x, y) in enumerate(zip(av.astype(float), bv.astype(float))):
+                nx, ny = pd.isna(x), pd.isna(y)
+                assert nx == ny, f"{c}[{i}]: NaN mismatch {x} vs {y}"
+                if not nx:
+                    assert math.isclose(x, y, rel_tol=rel_tol, abs_tol=abs_tol), (
+                        f"{c}[{i}]: {x} != {y}"
+                    )
+        else:
+            mism = (av != bv) & ~(av.isna() & bv.isna())
+            assert not mism.any(), (
+                f"{c}: first mismatch at row {mism.idxmax()}: "
+                f"{av[mism.idxmax()]!r} vs {bv[mism.idxmax()]!r}"
+            )

@@ -1,0 +1,27 @@
+"""Oracle-differential tests: every registry query with an oracle must match
+DuckDB on the shared tables (driver contract, CORRECTNESS_r{N}.json)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_calculator_v3_spark.queries import ORACLE_SQL, QUERIES
+
+from .compare import assert_frames_match
+
+ORACLE_NAMES = sorted(ORACLE_SQL)
+ROWS_ONLY_NAMES = sorted(set(QUERIES) - set(ORACLE_SQL))
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(name, spark, duck, sf_dir):
+    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+    oracle_pdf = duck.execute(ORACLE_SQL[name]).df()
+    assert_frames_match(spark_pdf, oracle_pdf)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_runs(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
