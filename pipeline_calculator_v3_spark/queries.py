@@ -40,6 +40,26 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` with its nanosecond parquet timestamp.
+
+    Spark 4 rejects TIMESTAMP(NANOS) parquet outright; the session-settable
+    legacy conf reads it as a BIGINT of epoch-nanos.  DuckDB 1.0 truncates the
+    same column to µs TIMESTAMP, so the cross-engine canonical form is
+    microseconds: ``ts_us`` (BIGINT, == DuckDB ``epoch_us(ts)``) for ordering
+    and gap arithmetic, and a µs-precision ``ts`` TIMESTAMP for
+    window()/session_window() operations.  ``ts_ns`` keeps full precision for
+    engine-internal use.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        df.withColumn("ts_ns", F.col("ts"))
+        .withColumn("ts_us", F.expr("CAST(ts_ns DIV 1000 AS BIGINT)"))
+        .withColumn("ts", F.expr("timestamp_micros(ts_us)"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship: per-pipeline geodesic length (SURVEY §2 ops 8-10,
 # src/pipeline_calculator_v3.py:216-252) — posexplode-shaped vertex table →
@@ -260,3 +280,10 @@ def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Register the rest of the surface (submodules use the @query decorator).
+# Imports live at the bottom so the registry/decorator exist first.
+# ---------------------------------------------------------------------------
+from . import queries_rel  # noqa: E402,F401

@@ -1,0 +1,443 @@
+"""Relational surface batch 2: join flavors, distinct/approx aggregates,
+grouping sets, windows, sessionization, set ops, pivot (SURVEY.md §2.B)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.asof import asof_join
+from .queries import events_t, query, t
+
+
+@query(
+    "q_join_left_semi",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_extendedprice > 40000)
+""",
+)
+def q_join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: existence probe without row multiplication — the
+    build side only ships keys, never payloads."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_extendedprice") > 40000)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_left_anti",
+    oracle="""
+SELECT o_orderkey, o_orderstatus
+FROM orders o
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+""",
+)
+def q_join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@query(
+    "q_join_outer",
+    oracle="""
+WITH c AS (
+    SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM customer GROUP BY c_nationkey
+),
+s AS (
+    SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+    FROM supplier GROUP BY s_nationkey
+)
+SELECT CAST(COALESCE(c.nk, s.nk) AS BIGINT) AS nationkey, c.n_cust, s.n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""",
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two aggregates; NULL sides preserved."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_supp"))
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.col("nk").cast("bigint").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "q_join_theta_range",
+    oracle="""
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       SUM(l.l_extendedprice) AS sum_price
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+           AND l.l_extendedprice BETWEEN p.p_retailprice * 10 AND p.p_retailprice * 40
+GROUP BY p.p_brand
+""",
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key + range residual (op 12's predicate class): the equi key does
+    the shuffle/broadcast, the BETWEEN stays a cheap post-filter — never a
+    cartesian range join."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    cond = (
+        (p.p_partkey == li.l_partkey)
+        & (li.l_extendedprice >= p.p_retailprice * 10)
+        & (li.l_extendedprice <= p.p_retailprice * 40)
+    )
+    return (
+        li.join(F.broadcast(p), cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+SELECT e1.event_id, MAX(epoch_us(e2.ts)) AS view_ts_us
+FROM events e1
+LEFT JOIN events e2
+  ON e2.user_id = e1.user_id AND e2.event_type = 'view' AND e2.ts <= e1.ts
+WHERE e1.event_type = 'purchase'
+GROUP BY e1.event_id
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the union+window operator (operators/asof.py): each
+    purchase paired with the user's most recent prior view.  Microsecond epoch
+    longs keep both engines at identical precision (DuckDB truncates the
+    ns parquet to us)."""
+    ev = events_t(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts_us", F.col("ts_us").alias("view_ts_us")
+    )
+    joined = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts_us", right_ts="ts_us",
+        payload=["view_ts_us"], suffix="",
+    )
+    return joined.select("event_id", "view_ts_us")
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part,
+       SUM(DISTINCT l_quantity) AS sum_dist_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (op 18's set semantics): Spark expands to a
+    two-phase partial-distinct plan — no driver-side sets."""
+    return t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_supp"),
+        F.countDistinct("l_partkey").cast("bigint").alias("n_part"),
+        F.sum_distinct(F.col("l_quantity")).alias("sum_dist_qty"),
+    )
+
+
+@query("q_agg_approx_distinct")  # rows-only: HLL sketch is engine-specific
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++): the 100 TB path for cardinality — fixed
+    sketch size instead of a distinct shuffle.  Oracle omitted (sketch values
+    are engine-specific); driver records rows-only."""
+    return t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count(F.lit(1)).cast("bigint").alias("exact_rows"),
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(o_totalprice) AS total,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_totalprice").alias("total"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_extendedprice) AS sum_price,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_extendedprice) AS sum_price,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        FROM parquet.`{sf_dir}/lineitem.parquet`
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(rank()       OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+QUALIFY rn <= 10
+""",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows + top-N-per-group (ops 19,27).  c_custkey tiebreak
+    makes row_number deterministic across engines."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey", "c_mktsegment", "c_acctbal",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        )
+        .where(F.col("rn") <= 10)
+    )
+
+
+@query(
+    "q_window_lag_lead",
+    oracle="""
+SELECT event_id, user_id, value,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       value - lag(value) OVER w AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+""",
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics (the op-8/op-14 window pattern)."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev = events_t(spark, sf_dir)
+    return ev.select(
+        "event_id", "user_id", "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@query(
+    "q_window_frame",
+    oracle="""
+SELECT event_id, user_id, value,
+       SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum,
+       AVG(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3,
+       MAX(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS peak3
+FROM events
+""",
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frames (op 15's running stats)."""
+    base = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev = events_t(spark, sf_dir)
+    return ev.select(
+        "event_id", "user_id", "value",
+        F.sum("value").over(base.rowsBetween(Window.unboundedPreceding, 0)).alias("running_sum"),
+        F.avg("value").over(base.rowsBetween(-2, 0)).alias("moving_avg3"),
+        F.max("value").over(base.rowsBetween(-1, 1)).alias("peak3"),
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                     > 1800000000
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+sess AS (
+    SELECT user_id, event_id, ts_us,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us
+FROM sess
+GROUP BY user_id, session_seq
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization — the exact pattern of the reference's
+    parallel-section grouping (src/pipeline_calculator_v3.py:412-430): lag →
+    new-session flag → running sum → groupBy.  30-min gap on events."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev = events_t(spark, sf_dir)
+    flagged = ev.select(
+        "user_id", "event_id", "ts_us",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > 1800000000)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", F.col("session_seq").cast("bigint").alias("session_seq")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+
+
+@query(
+    "q_set_union",
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+UNION
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+""",
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("bigint").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@query(
+    "q_set_intersect",
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+INTERSECT
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+""",
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("bigint").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "q_set_except",
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+EXCEPT
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+""",
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("bigint").alias("nationkey")
+    )
+    return c.subtract(s)
+
+
+@query(
+    "q_pivot",
+    oracle="""
+SELECT l_returnflag,
+       SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+       SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (the GUI's T3/T6 matrix views): explicit value list so the plan
+    is a single pass — no values-discovery job."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )

@@ -41,7 +41,21 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
     b = _normalize(oracle_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+        # Nullable int columns surface as float64 in pandas; if both sides are
+        # integral, compare exactly — tolerance on epoch-scale ints would hide
+        # real precision bugs (it did: ns-vs-us truncation).
+        if (
+            pd.api.types.is_float_dtype(av)
+            and pd.api.types.is_float_dtype(bv)
+            and av.dropna().apply(float.is_integer).all()
+            and bv.dropna().apply(float.is_integer).all()
+        ):
+            mism = (av != bv) & ~(av.isna() & bv.isna())
+            assert not mism.any(), (
+                f"{c}: integral mismatch at row {mism.idxmax()}: "
+                f"{av[mism.idxmax()]!r} vs {bv[mism.idxmax()]!r}"
+            )
+        elif pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             for i, (x, y) in enumerate(zip(av.astype(float), bv.astype(float))):
                 nx, ny = pd.isna(x), pd.isna(y)
                 assert nx == ny, f"{c}[{i}]: NaN mismatch {x} vs {y}"
