@@ -1,0 +1,121 @@
+"""Grid-bucket distance self-join — the 100 TB re-expression of the
+reference's KDTree radius query (src/pipeline_calculator_v3.py:313-331).
+
+The reference builds one global KDTree over every segment midpoint and runs a
+radius query per segment — inherently single-node.  Here the cheap prefilter
+(deg ≈ m/111000, src/pipeline_calculator_v3.py:329) becomes a *grid-cell
+equi-join*: bucket every midpoint into square cells of at least one search
+radius on a side, join each cell to its 3x3 neighborhood (one side of the
+join explodes its 9 neighbor offsets, keeping the join a pure equi-join that
+shuffles on the cell key), then apply the exact haversine predicate — exactly
+mirroring the reference's prefilter -> exact-geodesic-recheck structure
+(src/pipeline_calculator_v3.py:352-356).
+
+Scale properties: the equi-join on (cx, cy) hash-partitions uniformly as long
+as cells are near the search radius (bounded occupancy); AQE's skew-join
+splitting covers dense hotspots; no global index, no driver state.  The 9x
+duplication is on the *smaller* post-pruning side and is pure map-side work.
+
+Semantics preserved from the reference:
+- same-pipeline matches excluded (src/pipeline_calculator_v3.py:343)
+- symmetric pair emitted once, canonical (p1 < p2) ordering
+  (src/pipeline_calculator_v3.py:358-364)
+- optional parallel-bearing predicate min(|d|,360-|d|) <= tol
+  (src/pipeline_calculator_v3.py:347-350)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geodesy import haversine_m
+
+# deg-per-meter at the equator; the reference's flat constant
+# (src/pipeline_calculator_v3.py:329).
+_M_PER_DEG = 111000.0
+
+
+def cell_size_deg(radius_m: float, max_abs_lat_deg: float = 60.0) -> float:
+    """Grid cell edge in degrees: >= one search radius of longitude at the
+    highest latitude served (the reference's deg=m/111000 under-covers
+    longitude away from the equator — see SURVEY.md §7 'hard parts')."""
+    return radius_m / (_M_PER_DEG * math.cos(math.radians(max_abs_lat_deg)))
+
+
+def distance_self_join(
+    segments: DataFrame,
+    radius_m: float,
+    bearing_tol_deg: float | None = None,
+    max_abs_lat_deg: float = 60.0,
+) -> DataFrame:
+    """Self-join `segments` (pipeline_id, seg_index, mid_lon, mid_lat
+    [, bearing]) on haversine distance <= radius_m across distinct pipelines.
+
+    Returns (p1, p2, seg1, seg2, dist_m) with p1 < p2, each unordered pair
+    once.  With ``bearing_tol_deg``, also applies the reference's parallel
+    predicate and returns bearing columns.
+    """
+    cell = cell_size_deg(radius_m, max_abs_lat_deg)
+    has_bearing = bearing_tol_deg is not None and "bearing" in segments.columns
+
+    cols = ["pipeline_id", "seg_index", "mid_lon", "mid_lat"] + (
+        ["bearing"] if has_bearing else []
+    )
+    base = segments.select(
+        *cols,
+        F.floor(F.col("mid_lon") / cell).alias("cx"),
+        F.floor(F.col("mid_lat") / cell).alias("cy"),
+    )
+
+    # Explode the 3x3 neighborhood on one side only: the join stays a plain
+    # equi-join on (cx, cy) — shuffle-friendly, AQE-skew-splittable.
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    b = (
+        base.withColumn("o", F.explode(offsets))
+        .select(
+            *[F.col(c).alias(f"b_{c}") for c in cols],
+            (F.col("cx") + F.col("o.dx")).alias("cx"),
+            (F.col("cy") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    a = base.select(*[F.col(c).alias(f"a_{c}") for c in cols], "cx", "cy")
+
+    dist = haversine_m(
+        F.col("a_mid_lat"), F.col("a_mid_lon"),
+        F.col("b_mid_lat"), F.col("b_mid_lon"),
+    )
+    joined = (
+        a.join(b, ["cx", "cy"])
+        # each unordered cross-pipeline pair exactly once, canonical order
+        # (:343 same-entity skip, :358-364 symmetric dedup + sorted pair key)
+        .where(F.col("a_pipeline_id") < F.col("b_pipeline_id"))
+        .withColumn("dist_m", dist)
+        .where(F.col("dist_m") <= F.lit(radius_m))
+    )
+    if has_bearing:
+        bdiff = F.abs(F.col("a_bearing") - F.col("b_bearing"))
+        joined = joined.where(
+            F.least(bdiff, 360.0 - bdiff) <= F.lit(float(bearing_tol_deg))
+        )
+    out = joined.select(
+        F.col("a_pipeline_id").alias("p1"),
+        F.col("b_pipeline_id").alias("p2"),
+        F.col("a_seg_index").alias("seg1"),
+        F.col("b_seg_index").alias("seg2"),
+        "dist_m",
+        *(
+            [F.col("a_bearing").alias("bearing1"), F.col("b_bearing").alias("bearing2")]
+            if has_bearing
+            else []
+        ),
+    )
+    return out

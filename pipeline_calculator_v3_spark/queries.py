@@ -287,3 +287,5 @@ def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Imports live at the bottom so the registry/decorator exist first.
 # ---------------------------------------------------------------------------
 from . import queries_rel  # noqa: E402,F401
+from . import queries_scalar  # noqa: E402,F401
+from . import queries_spatial  # noqa: E402,F401

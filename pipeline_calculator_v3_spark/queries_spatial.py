@@ -1,0 +1,187 @@
+"""Spatial pipeline queries — the reference's core analysis re-expressed
+Spark-first (SURVEY.md §2 ops 11-21).
+
+Oracle ground truth is the *cross join* form at sf<=0.01 (tractable for
+DuckDB); the Spark plans use the grid-bucket distance join — different
+physical strategy, identical semantics, which is exactly what the gate
+should prove.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.geodesy import US_SURVEY_MILE_M, haversine_sql
+from .operators.segmentize import segmentize
+from .operators.spatial import distance_self_join
+from .plans import synth
+from .queries import query
+
+DETECTION_RANGE_M = 15.0  # src/pipeline_calculator_v3.py:38
+MIN_PARALLEL_M = 200.0    # src/pipeline_calculator_v3.py:39
+SEG_LEN_M = 5.0           # src/pipeline_calculator_v3.py:40
+
+_PAIR_DIST = haversine_sql("a.mid_lat", "a.mid_lon", "b.mid_lat", "b.mid_lon")
+
+# Cross-join ground truth for the distance self-join (the reference's exact
+# recheck, src/pipeline_calculator_v3.py:352-361, without the KDTree).
+_PAIRS_CTE = f"""
+pairs AS (
+    SELECT a.pipeline_id AS p1, b.pipeline_id AS p2,
+           a.seg_index AS seg1, b.seg_index AS seg2,
+           {_PAIR_DIST} AS dist_m
+    FROM segments a JOIN segments b
+      ON a.pipeline_id < b.pipeline_id
+    WHERE {_PAIR_DIST} <= {DETECTION_RANGE_M!r}
+)"""
+
+
+@query(
+    "q_spatial_distance_join",
+    oracle=f"""
+WITH {synth.SEGMENTS_CTE},
+{_PAIRS_CTE}
+SELECT p1, p2, seg1, seg2, dist_m FROM pairs
+""",
+)
+def q_spatial_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance self-join (op 12): grid-bucket equi-join + exact haversine
+    recheck vs the oracle's brute-force cross join."""
+    seg = synth.segments_df(spark, sf_dir)
+    return distance_self_join(seg, DETECTION_RANGE_M).select(
+        "p1", "p2", "seg1", "seg2", "dist_m"
+    )
+
+
+_SESSIONS_CTE = f"""
+ordered AS (
+    SELECT p1, p2, seg1, seg2, dist_m,
+           CASE WHEN seg1 - lag(seg1) OVER w > 2
+                  OR seg2 - lag(seg2) OVER w > 2
+                  OR lag(seg1) OVER w IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM pairs
+    WINDOW w AS (PARTITION BY p1, p2 ORDER BY seg1, seg2)
+),
+sessioned AS (
+    SELECT *, SUM(is_new) OVER (PARTITION BY p1, p2 ORDER BY seg1, seg2
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS section
+    FROM ordered
+),
+sections AS (
+    SELECT p1, p2, CAST(section AS BIGINT) AS section,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           COUNT(*) * {SEG_LEN_M!r} AS bundled_length_m,
+           COUNT(*) * {SEG_LEN_M!r} / {US_SURVEY_MILE_M!r} AS bundled_length_mi,
+           AVG(dist_m) AS avg_separation_m,
+           MIN(seg1) AS seg1_min, MAX(seg1) AS seg1_max
+    FROM sessioned
+    GROUP BY p1, p2, section
+    HAVING COUNT(*) * {SEG_LEN_M!r} >= {MIN_PARALLEL_M!r}
+)"""
+
+
+@query(
+    "q_parallel_overlap",
+    oracle=f"""
+WITH {synth.SEGMENTS_CTE},
+{_PAIRS_CTE},
+{_SESSIONS_CTE}
+SELECT * FROM sections
+""",
+)
+def q_parallel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 12-15,19 end-to-end: distance join -> 2-index gap sessionization
+    (signed deltas > 2 break a section, src/pipeline_calculator_v3.py:421-422)
+    -> per-section aggregates with the 200 m HAVING gate (:425,429).
+    """
+    pairs = distance_self_join(
+        synth.segments_df(spark, sf_dir), DETECTION_RANGE_M
+    )
+    w = Window.partitionBy("p1", "p2").orderBy("seg1", "seg2")
+    flagged = pairs.select(
+        "p1", "p2", "seg1", "seg2", "dist_m",
+        F.when(
+            (F.col("seg1") - F.lag("seg1").over(w) > 2)
+            | (F.col("seg2") - F.lag("seg2").over(w) > 2)
+            | F.lag("seg1").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    sessioned = flagged.withColumn(
+        "section",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessioned.groupBy("p1", "p2", F.col("section").cast("bigint").alias("section"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            (F.count(F.lit(1)) * SEG_LEN_M).alias("bundled_length_m"),
+            (F.count(F.lit(1)) * SEG_LEN_M / US_SURVEY_MILE_M).alias("bundled_length_mi"),
+            F.avg("dist_m").alias("avg_separation_m"),
+            F.min("seg1").alias("seg1_min"),
+            F.max("seg1").alias("seg1_max"),
+        )
+        .where(F.col("bundled_length_m") >= MIN_PARALLEL_M)
+    )
+
+
+@query(
+    "q_effective_length",
+    oracle=f"""
+WITH {synth.SEGMENTS_CTE},
+{_PAIRS_CTE},
+neighbors AS (
+    SELECT p1 AS p, seg1 AS i, p2 AS o FROM pairs
+    UNION ALL
+    SELECT p2 AS p, seg2 AS i, p1 AS o FROM pairs
+),
+k_per_seg AS (
+    SELECT p, i, CAST(COUNT(DISTINCT o) + 1 AS BIGINT) AS k
+    FROM neighbors GROUP BY p, i
+)
+SELECT s.pipeline_id,
+       CAST(COUNT(*) AS BIGINT) * {SEG_LEN_M!r} AS total_m,
+       SUM({SEG_LEN_M!r} / COALESCE(k.k, 1)) AS effective_m,
+       CAST(COUNT(*) AS BIGINT) * {SEG_LEN_M!r}
+         - SUM({SEG_LEN_M!r} / COALESCE(k.k, 1)) AS savings_m
+FROM segments s
+LEFT JOIN k_per_seg k ON k.p = s.pipeline_id AND k.i = s.seg_index
+GROUP BY s.pipeline_id
+""",
+)
+def q_effective_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 21 k-cluster effective length: per segment, k = distinct parallel
+    pipelines + 1 (src/pipeline_calculator_v3.py:824-833); attribute len/k
+    (:835-837); unmatched segments contribute full length (k=1)."""
+    seg = synth.segments_df(spark, sf_dir)
+    pairs = distance_self_join(seg, DETECTION_RANGE_M)
+    neighbors = pairs.select(
+        F.col("p1").alias("p"), F.col("seg1").alias("i"), F.col("p2").alias("o")
+    ).unionAll(
+        pairs.select(
+            F.col("p2").alias("p"), F.col("seg2").alias("i"), F.col("p1").alias("o")
+        )
+    )
+    k = neighbors.groupBy("p", "i").agg(
+        (F.countDistinct("o") + 1).cast("bigint").alias("k")
+    )
+    joined = seg.join(
+        k, (k.p == seg.pipeline_id) & (k.i == seg.seg_index), "left"
+    ).select("pipeline_id", F.coalesce("k", F.lit(1)).alias("k"))
+    return joined.groupBy("pipeline_id").agg(
+        (F.count(F.lit(1)) * SEG_LEN_M).cast("double").alias("total_m"),
+        F.sum(F.lit(SEG_LEN_M) / F.col("k")).alias("effective_m"),
+        (
+            F.count(F.lit(1)) * SEG_LEN_M - F.sum(F.lit(SEG_LEN_M) / F.col("k"))
+        ).alias("savings_m"),
+    )
+
+
+@query("q_segmentize")  # rows-only: UDTF resampler, oracle impractical
+def q_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 11: pandas-UDF polyline resampler over the synthetic vertex table
+    (rows-only check; unit-tested against closed-form geometry in
+    tests/test_segmentize.py)."""
+    return segmentize(synth.vertices_df(spark, sf_dir), SEG_LEN_M)
