@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q_...": sec, ...}, "sf": <sf>}
+
+Each query materializes through the noop sink — count() would let Catalyst
+prune the projections we mean to measure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pipeline_calculator_v3_spark.queries import QUERIES  # noqa: E402
+from pipeline_calculator_v3_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q_geodesic_length",
+    "q_agg_hash",
+    "q_join_inner_hash",
+    "q_join_multi_way",
+    "q_window_rank",
+    "q_sessionize",
+    "q_spatial_distance_join",
+    "q_parallel_overlap",
+    "q_effective_length",
+    "q_segmentize",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_similarity_topk",
+    "q_text_analysis",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("pcv3-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/readers on a trivial action so query 1 isn't charged
+    # session-startup cost.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -52,3 +52,21 @@ def shingles(text: Column, n: int = 3) -> Column:
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Word-3-gram shingle *hashes* as array<bigint>.
+
+    Hash each token once, then combine n consecutive token hashes with one
+    fixed-width xxhash64 — no per-position string slicing/concat, which is
+    ~3x cheaper than materializing string shingles.  Hash-set Jaccard equals
+    string-set Jaccard up to negligible 64-bit collisions.
+    """
+    assert n == 3, "combiner below is specialized to trigrams"
+    th = F.transform(tokens(normalized_text(text)), lambda t: F.xxhash64(t))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(th) - (n - 1), F.lit(0))),
+        lambda i: F.xxhash64(
+            F.element_at(th, i), F.element_at(th, i + 1), F.element_at(th, i + 2)
+        ),
+    )

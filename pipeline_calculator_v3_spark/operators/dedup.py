@@ -1,0 +1,165 @@
+"""Document deduplication operators — exact, MinHash+LSH, n-gram Jaccard.
+
+North-star extensions for LLM-training-data pipelines (BASELINE.json): all
+JVM-side Column expressions — signatures are computed with higher-order
+functions over the shingle array (no explode of doc x seed x shingle rows, no
+Python in the hot path).
+
+Scale notes:
+- exact dedup: one hash-groupBy on a 16-byte fingerprint, the cheapest
+  possible shuffle key for 100 TB of text.
+- MinHash: signatures are per-row map-side work (transform/aggregate HOFs);
+  only the (doc_id, band_key) pairs shuffle — bands x 8 bytes per doc, not
+  the text.  Candidate verification re-joins shingle arrays only for
+  bucket-colliding pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text, shingle_hashes, shingles
+
+
+def fingerprint_dedup(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized-text md5: keep the lowest id per group.
+
+    Deterministic winner (min id) — unlike dropDuplicates, whose survivor is
+    partition-order dependent and not oracle-checkable.
+    """
+    fp = F.md5(normalized_text(F.col(text_col))).alias("fp")
+    return (
+        docs.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+MAX_LONG = (1 << 63) - 1
+
+
+def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature (array<bigint>) from pre-hashed shingles.
+
+    One pass: carries a ``num_hashes``-wide running-min vector through a
+    single aggregate; per element the i-th hash variant is the cheap
+    fixed-width ``xxhash64(h, i)`` (string-hash each shingle ONCE upstream —
+    recomputing string hashes per seed was ~60x slower)."""
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(MAX_LONG).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(acc, seeds, lambda a, i: F.least(a, F.xxhash64(h, i))),
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<bigint> straight from a text column."""
+    hashes = F.transform(shingles(text, shingle_n), lambda s: F.xxhash64(s))
+    return minhash_signature_from_hashes(hashes, num_hashes)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH + exact Jaccard verify.
+
+    Plan: per-doc signature (map-side) -> explode `bands` band keys ->
+    self-join on (band, key) -> distinct candidate pairs -> exact Jaccard on
+    distinct shingle sets -> threshold.  Returns (id1, id2, jaccard).
+    """
+    rows = num_hashes // bands
+    # Materialize shingles -> hashes -> signature as real columns so each is
+    # computed once per row (band extraction references `sig` 8x; inlining
+    # the expression would re-run the whole signature per band).
+    staged = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingle_hashes(F.col(text_col), shingle_n)).alias("sh"),
+        )
+        .withColumn("sig", minhash_signature_from_hashes(F.col("sh"), num_hashes))
+        # reused three times downstream (bands + two shingle re-joins);
+        # without a cache the whole shingle/signature pipeline re-runs per use
+        .cache()
+    )
+    # Band join ships only (id, band, key) — never the shingle arrays (they
+    # would otherwise shuffle 8x, once per band).  Shingles re-join by id
+    # only for the deduped candidate pairs.
+    with_bands = staged.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows)))
+                    .alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = with_bands.alias("a")
+    b = with_bands.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    sh = staged.select("id", "sh")
+    cand_sh = (
+        cand.join(sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
+        .join(sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2")
+    )
+    jac = (
+        F.size(F.array_intersect("sh1", "sh2"))
+        / F.size(F.array_union("sh1", "sh2"))
+    ).alias("jaccard")
+    return cand_sh.select("id1", "id2", jac).where(F.col("jaccard") >= min_jaccard)
+
+
+def simhash64(text: Column, shingle_n: int = 3) -> Column:
+    """64-bit SimHash over word shingles, as a BIGINT column.
+
+    bit b of the result = sign of sum over shingles of (+1 if bit b of
+    xxhash64(shingle) else -1).  Pure HOF arithmetic — no UDF.
+    """
+    # Single pass over the shingle hashes: hash each shingle ONCE, then carry
+    # a 64-long vote vector through one aggregate (zip_with against a literal
+    # bit-mask array).  The per-bit-unrolled form re-hashed every shingle 64x
+    # and was ~60x slower.
+    masks = F.array(
+        *[F.lit(1 << b if b < 63 else -(1 << 63)).cast("long") for b in range(64)]
+    )
+    hashes = shingle_hashes(text, 3) if shingle_n == 3 else F.transform(
+        shingles(text, shingle_n), lambda s: F.xxhash64(s)
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )

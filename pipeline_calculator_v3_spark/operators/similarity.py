@@ -1,0 +1,219 @@
+"""Embedding similarity search: exact brute-force top-k and an LSH-bucketed
+approximate variant (north-star extension, BASELINE.json).
+
+All vector math is higher-order Column expressions in double precision
+(functions/vectors.py) — JVM-side, no Python, no MLlib dependency.
+
+Scale design:
+- exact top-k: the (small) query set broadcasts; the corpus streams through
+  map-side scoring; per-query top-k via window rank.  At 100 TB the corpus
+  never shuffles — only (qid, cid, score) survivor rows do.
+- LSH (sign-random-projection): K deterministic pseudo-random hyperplanes
+  derived from xxhash64 (no RNG state to ship); bucket key = packed sign
+  bits.  Query and corpus shuffle only on the bucket key; exact rescoring
+  runs inside buckets.  Recall/cost trades with n_bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+
+def _plane_weight(bit: Column | int, dim_idx: Column) -> Column:
+    """Deterministic pseudo-random weight in [-1, 1): hash the (plane, dim)
+    pair and scale.  Reproducible across runs and engines with no RNG."""
+    h = F.xxhash64(F.lit("plane"), bit, dim_idx)
+    return (h % 1000003).cast("double") / 1000003.0
+
+
+def simhash_bucket(vec: Column, n_bits: int = 12) -> Column:
+    """Sign-random-projection bucket id (BIGINT) for an array<float> vector.
+
+    Bits unrolled in Python (shiftleft needs literal counts); each bit is one
+    hyperplane dot product computed with zip_with/aggregate HOFs."""
+    idx = F.sequence(F.lit(1), F.size(vec))
+
+    def plane_dot(b: int):
+        # closure-captured b: HOF lambdas must keep exact arity (see dedup.py)
+        return F.aggregate(
+            F.zip_with(
+                F.transform(vec, lambda x: x.cast("double")),
+                F.transform(idx, lambda i: _plane_weight(F.lit(b), i)),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(n_bits):
+        out = out.bitwiseOR(
+            F.when(plane_dot(b) > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x streamed corpus -> window rank.
+    Returns (qid, cid, score, rank); qid != cid pairs only."""
+    q = queries.select(F.col(q_id).alias("qid"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(c_id).alias("cid"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _bucket_tables(vec: Column, n_tables: int, bits_per_table: int) -> Column:
+    """Array of ``n_tables`` bucket ids; table t uses planes
+    [t*bits, (t+1)*bits).  Bucket value includes the table id so different
+    tables never collide in a flat join key."""
+    buckets = []
+    for tab in range(n_tables):
+        idx = F.sequence(F.lit(1), F.size(vec))
+        out = F.lit(tab).cast("long")
+        for b in range(bits_per_table):
+            plane = tab * bits_per_table + b
+            dot = F.aggregate(
+                F.zip_with(
+                    F.transform(vec, lambda x: x.cast("double")),
+                    F.transform(idx, lambda i: _plane_weight(F.lit(plane), i)),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            out = out.bitwiseOR(
+                F.when(dot > 0, F.lit(1 << (b + 8)).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+        buckets.append(out)
+    return F.array(*buckets)
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 32,
+    nprobe: int = 3,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index.
+
+    Coarse quantizer: ``n_centroids`` deterministic sample vectors from the
+    corpus (first-N by id — stands in for k-means training, which would be an
+    iterative refinement of exactly this assignment join).  Every corpus
+    vector joins its nearest centroid's inverted list; queries probe their
+    ``nprobe`` nearest lists and rescore exactly.
+
+    Scale: centroids broadcast (tiny); assignment is one map-side pass over
+    the corpus (N x C dot products, no shuffle of vectors beyond the
+    list-id repartition); probe join is an equi-join on list id.
+    """
+    w_assign = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    cents = (
+        corpus.orderBy(c_id).limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy(c_id)).alias("centroid_id"),
+            F.col(vec_col).alias("cent_v"),
+        )
+    )
+
+    def assign(df, id_col, keep_n):
+        scored = (
+            df.crossJoin(F.broadcast(cents))
+            .select(
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).alias("v"),
+                "centroid_id",
+                cosine(F.col(vec_col), F.col("cent_v")).alias("csim"),
+            )
+        )
+        return (
+            scored.withColumn("r", F.row_number().over(w_assign))
+            .where(F.col("r") <= keep_n)
+            .select("vid", "v", "centroid_id")
+        )
+
+    c_assigned = assign(corpus, c_id, 1)          # inverted lists
+    q_assigned = assign(queries, q_id, nprobe)    # multi-probe
+    cand = (
+        q_assigned.select(F.col("vid").alias("qid"), F.col("v").alias("qv"), "centroid_id")
+        .join(
+            c_assigned.select(
+                F.col("vid").alias("cid"), F.col("v").alias("cv"), "centroid_id"
+            ),
+            "centroid_id",
+        )
+        .where(F.col("qid") != F.col("cid"))
+        .dropDuplicates(["qid", "cid"])
+    )
+    scored = cand.select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_tables: int = 8,
+    bits_per_table: int = 6,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: multi-table sign-random-projection LSH.
+
+    A single wide bucket has near-zero recall (neighbors rarely agree on all
+    bits); the standard fix is L narrower tables — a candidate only needs to
+    collide in ONE table.  Candidates = union over tables (explode + equi-join
+    + pair dedup), then exact rescoring.  Recall tunes with (L, bits)."""
+    q = queries.select(
+        F.col(q_id).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_bucket_tables(F.col(vec_col), n_tables, bits_per_table)).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(c_id).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        F.explode(_bucket_tables(F.col(vec_col), n_tables, bits_per_table)).alias("bucket"),
+    )
+    cand = (
+        q.join(c, "bucket")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "qv", "cid", "cv")
+        .dropDuplicates(["qid", "cid"])
+    )
+    scored = cand.select(
+        "qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )

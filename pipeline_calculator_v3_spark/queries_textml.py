@@ -1,0 +1,298 @@
+"""Text-analysis / dedup / similarity queries over `documents` and
+`embeddings` — the LLM-data-pipeline surface (BASELINE.json north star).
+
+Tokenization and all scoring formulas are written once and mirrored exactly
+in the DuckDB oracle SQL (same regex, same double-precision arithmetic)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import EN_STOPWORDS
+from .operators.dedup import fingerprint_dedup, minhash_lsh_pairs, simhash64
+from .operators.similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh
+from .queries import query, t
+
+
+def _spread(df, spark):
+    """Single-file parquet tables arrive as ONE partition — every HOF-heavy
+    per-row computation would run on one core.  Spread to the session's
+    parallelism before compute-bound stages (at real scale multi-file inputs
+    arrive pre-split and this is a no-op tradeoff)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+# SQL fragments shared by several oracles.
+_TOKENS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_STOPLIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+@query(
+    "q_dedup_exact",
+    oracle=f"""
+SELECT md5({_NORM}) AS fp,
+       MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY fp
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 of whitespace-normalized text, deterministic
+    min-doc_id winner (operators/dedup.py)."""
+    return fingerprint_dedup(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, list_distinct({_TOKENS}) AS tok,
+           list_aggregate({_TOKENS}[1:4], 'string_agg', ' ') AS prefix
+    FROM documents
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.tok, b.tok))) AS jaccard
+FROM toks a JOIN toks b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard over prefix-blocked candidate pairs: the
+    oracle-checkable face of near-dup detection (blocking = first 4 tokens;
+    the MinHash query covers the probabilistic path)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    )
+    prefix = F.concat_ws(
+        " ", F.slice(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""), 1, 4)
+    )
+    base = d.select(F.col("doc_id"), toks.alias("tok"), prefix.alias("prefix"))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, "prefix")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            (
+                F.size(F.array_intersect("a.tok", "b.tok")).cast("double")
+                / F.size(F.array_union("a.tok", "b.tok"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query("q_dedup_minhash")  # rows-only: xxhash64 signatures are Spark-specific
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) candidate pairs with exact Jaccard verify
+    (operators/dedup.py).  Signature math is all HOF Column expressions."""
+    return minhash_lsh_pairs(
+        _spread(t(spark, sf_dir, "documents"), spark), min_jaccard=0.2
+    )
+
+
+@query("q_dedup_simhash")  # rows-only: xxhash64-based
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document + hamming distance to each doc's nearest
+    bucket sibling (16-bit prefix blocking)."""
+    d = _spread(t(spark, sf_dir, "documents"), spark).select(
+        "doc_id", simhash64(F.col("text")).alias("sh")
+    )
+    block = F.shiftright("sh", 48)
+    base = d.select("doc_id", "sh", block.alias("block"))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, "block")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).cast("bigint")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= 16)
+    )
+
+
+@query(
+    "q_similarity_topk",
+    oracle="""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+scored AS (
+    SELECT q.vec_id AS qid, c.vec_id AS cid,
+           list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS score
+    FROM q, embeddings c
+    WHERE q.vec_id <> c.vec_id
+)
+SELECT qid, cid, score,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 8 query vectors: broadcast queries, stream the
+    corpus, window rank (operators/similarity.py).  Double-precision HOF dot
+    product on both engines."""
+    e = _spread(t(spark, sf_dir, "embeddings"), spark)
+    return cosine_topk(e.where(F.col("vec_id") < 8), e, k=10)
+
+
+@query("q_similarity_ann_lsh")  # rows-only: approximate by construction
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-random-projection LSH top-k (8 tables x 6 bits):
+    the 100 TB scale path — candidates only from bucket collisions."""
+    e = _spread(t(spark, sf_dir, "embeddings"), spark)
+    return cosine_topk_lsh(
+        e.where(F.col("vec_id") < 8), e, k=10, n_tables=8, bits_per_table=6
+    )
+
+
+@query("q_similarity_ann_ivf")  # rows-only: approximate by construction
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (32 inverted lists, nprobe=3): clustered-data
+    scale path; recall >> hyperplane LSH on weakly-separated vectors."""
+    e = _spread(t(spark, sf_dir, "embeddings"), spark)
+    return cosine_topk_ivf(
+        e.where(F.col("vec_id") < 8), e, k=10, n_centroids=32, nprobe=3
+    )
+
+
+@query(
+    "q_text_analysis",
+    oracle=f"""
+WITH words AS (
+    SELECT unnest({_TOKENS}) AS word FROM documents
+)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM words
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 100
+""",
+)
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequencies, top 100 (deterministic count-then-word
+    ordering)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         / length(text) AS punct_ratio,
+       CAST(len(list_filter({_TOKENS}, x -> list_contains({_STOPLIST}, x))) AS DOUBLE)
+         / len({_TOKENS}) AS stopword_ratio,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_TOKENS}) AS avg_token_len
+FROM documents
+WHERE len({_TOKENS}) > 0
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: token count, punctuation ratio,
+    stopword ratio, mean token length — the standard pre-training quality
+    filters, all as Column expressions."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.length("text").cast("bigint").alias("n_chars_measured"),
+            n_punct.cast("bigint").alias("n_punct"),
+            (n_punct.cast("double") / F.length("text")).alias("punct_ratio"),
+            (
+                F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+                .cast("double")
+                / F.size(toks)
+            ).alias("stopword_ratio"),
+            (
+                F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+                / F.size(toks)
+            ).alias("avg_token_len"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST(len(list_filter({_TOKENS}, x -> list_contains({_STOPLIST}, x))) AS DOUBLE)
+         / len({_TOKENS}) AS en_ratio,
+       CASE WHEN CAST(len(list_filter({_TOKENS}, x -> list_contains({_STOPLIST}, x))) AS DOUBLE)
+                 / len({_TOKENS}) >= 0.05
+            THEN 'en' ELSE 'other' END AS pred
+FROM documents
+WHERE len({_TOKENS}) > 0
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English stopword ratio >= 5% -> 'en'.
+    (The n-gram profile approach needs per-language profiles; the stopword
+    heuristic is the oracle-checkable baseline.)"""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / F.size(toks)
+    )
+    return (
+        d.select(
+            "doc_id", "lang",
+            ratio.alias("en_ratio"),
+            F.when(ratio >= 0.05, "en").otherwise("other").alias("pred"),
+        )
+        .where(F.size(toks) > 0)
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5({_NORM}) AS fp,
+       substring(md5({_NORM}), 1, 8) AS fp_prefix,
+       CAST(length({_NORM}) AS BIGINT) AS norm_len
+FROM documents
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprints (md5 of normalized text) —
+    cross-engine-stable, unlike xxhash64 (see q_dedup_simhash for the
+    Spark-native 64-bit variant)."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.substring(F.md5(norm), 1, 8).alias("fp_prefix"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
