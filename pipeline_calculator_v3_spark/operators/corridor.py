@@ -1,0 +1,182 @@
+"""Corridor polygon geometry — reference ops 15-17
+(src/pipeline_calculator_v3.py:432-712), re-implemented as an
+``applyInPandas`` kernel over bundled sections.
+
+Per section (grouped (p1, p2, section)) this computes, from the paired
+segment midpoints:
+- bbox over both midpoint sets + 0.001 deg buffer; center = bbox midpoint
+  (src/pipeline_calculator_v3.py:461-474)
+- centerline = per-hit average of the paired midpoints, ordered by seg1
+  (:479-482)
+- oriented rectangle (op 16): local ENU frame (m-per-deg lon scaled by
+  cos(lat), :495-496); principal axis first->last centerline point
+  (:513-524); (t, s) projection (:529-544); width = max separation + 10 m
+  margin clamped to 2 x detection range (:546-559); ends padded (:561-564);
+  closed 5-point ring (:567-579)
+- curved strip (op 17): centerline offset +-half-width with miter joins,
+  bevel fallback when near-parallel or miter length > 6 x half-width
+  (:620,651-658); ring = left forward + right reversed (:682); zig-zag
+  sanity check falls back to the rectangle (:684-712)
+
+Pure numpy math per group; groups are single corridor sections (bounded
+size), shuffled by their (p1, p2, section) key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+M_PER_DEG_LAT = 111320.0  # the reference's ENU constant (:495-496)
+WIDTH_MARGIN_M = 10.0     # (:546-559)
+MITER_LIMIT = 6.0         # (:620)
+BBOX_BUFFER_DEG = 0.001   # (:461-471)
+
+CORRIDOR_SCHEMA = (
+    "p1 bigint, p2 bigint, section bigint, n_hits bigint, "
+    "center_lon double, center_lat double, "
+    "min_lon double, max_lon double, min_lat double, max_lat double, "
+    "oriented_width_m double, "
+    "oriented_polygon array<struct<lon:double, lat:double>>, "
+    "corridor_polygon array<struct<lon:double, lat:double>>"
+)
+
+
+def _ring(points_xy: np.ndarray, lon0: float, lat0: float, m_lon: float):
+    """ENU meters -> [{lon, lat}] closed ring."""
+    lon = lon0 + points_xy[:, 0] / m_lon
+    lat = lat0 + points_xy[:, 1] / M_PER_DEG_LAT
+    return [{"lon": float(x), "lat": float(y)} for x, y in zip(lon, lat)]
+
+
+def _oriented_rect(cl_xy, half_w, pad):
+    """5-point closed rectangle around the principal axis (op 16)."""
+    axis = cl_xy[-1] - cl_xy[0]
+    norm = np.hypot(*axis)
+    if norm < 1e-9:
+        axis = np.array([1.0, 0.0])
+        norm = 1.0
+    u = axis / norm
+    v = np.array([-u[1], u[0]])
+    t = cl_xy @ u
+    t0, t1 = t.min() - pad, t.max() + pad
+    corners = np.array(
+        [
+            cl_xy[0] + u * (t0 - t[0]) + v * half_w,
+            cl_xy[0] + u * (t1 - t[0]) + v * half_w,
+            cl_xy[0] + u * (t1 - t[0]) - v * half_w,
+            cl_xy[0] + u * (t0 - t[0]) - v * half_w,
+        ]
+    )
+    return np.vstack([corners, corners[:1]])
+
+
+def _offset_polyline(cl_xy: np.ndarray, half_w: float) -> np.ndarray | None:
+    """Miter-joined one-sided offset (op 17); None -> degenerate."""
+    d = np.diff(cl_xy, axis=0)
+    lens = np.hypot(d[:, 0], d[:, 1])
+    keep = lens > 1e-9
+    if keep.sum() == 0:
+        return None
+    d = d[keep]
+    lens = lens[keep]
+    pts = np.vstack([cl_xy[:-1][keep], cl_xy[-1]])
+    dirs = d / lens[:, None]
+    normals = np.stack([-dirs[:, 1], dirs[:, 0]], axis=1)
+    out = [pts[0] + normals[0] * half_w]
+    for i in range(1, len(pts) - 1):
+        n_prev, n_next = normals[i - 1], normals[i]
+        m = n_prev + n_next
+        mn = np.hypot(*m)
+        cos_half = mn / 2.0
+        if cos_half < 1e-6:  # near-reversal: bevel (:651-658)
+            out.append(pts[i] + n_prev * half_w)
+            out.append(pts[i] + n_next * half_w)
+            continue
+        m = m / mn
+        miter_len = half_w / max(cos_half, 1e-9)
+        if miter_len > MITER_LIMIT * half_w:  # miter limit 6.0 (:620)
+            out.append(pts[i] + n_prev * half_w)
+            out.append(pts[i] + n_next * half_w)
+        else:
+            out.append(pts[i] + m * miter_len)
+    out.append(pts[-1] + normals[-1] * half_w)
+    return np.array(out)
+
+
+def _zigzag(ring_xy: np.ndarray, scale: float) -> bool:
+    """Sanity heuristic (:684-712): an offset ring whose edges jump far
+    beyond the corridor scale indicates a self-intersecting zig-zag."""
+    e = np.diff(ring_xy, axis=0)
+    lens = np.hypot(e[:, 0], e[:, 1])
+    return bool(len(lens) and lens.max() > 10.0 * max(scale, 1.0))
+
+
+def _corridor_group(pdf: pd.DataFrame, detection_range_m: float) -> pd.DataFrame:
+    pdf = pdf.sort_values(["seg1", "seg2"])
+    a = pdf[["a_mid_lon", "a_mid_lat"]].to_numpy(float)
+    b = pdf[["b_mid_lon", "b_mid_lat"]].to_numpy(float)
+    dist = pdf["dist_m"].to_numpy(float)
+
+    all_pts = np.vstack([a, b])
+    min_lon, min_lat = all_pts.min(axis=0) - BBOX_BUFFER_DEG
+    max_lon, max_lat = all_pts.max(axis=0) + BBOX_BUFFER_DEG
+    center_lon = (min_lon + max_lon) / 2.0
+    center_lat = (min_lat + max_lat) / 2.0
+
+    cl = (a + b) / 2.0  # centerline (:479-482)
+    # de-dup consecutive identical centerline points
+    keep = np.ones(len(cl), dtype=bool)
+    keep[1:] = np.any(np.abs(np.diff(cl, axis=0)) > 1e-12, axis=1)
+    cl = cl[keep]
+
+    m_lon = M_PER_DEG_LAT * max(np.cos(np.radians(center_lat)), 1e-6)
+    cl_xy = np.stack(
+        [(cl[:, 0] - center_lon) * m_lon, (cl[:, 1] - center_lat) * M_PER_DEG_LAT],
+        axis=1,
+    )
+    width = min(dist.max() + WIDTH_MARGIN_M, 2.0 * detection_range_m)  # (:546-559)
+    half_w = width / 2.0
+    pad = WIDTH_MARGIN_M / 2.0  # end padding (:561-564)
+
+    rect_xy = _oriented_rect(cl_xy, half_w, pad)
+    oriented = _ring(rect_xy, center_lon, center_lat, m_lon)
+
+    corridor = oriented  # fallback chain curved > oriented (:1358-1402)
+    if len(cl_xy) >= 2:
+        left = _offset_polyline(cl_xy, half_w)
+        right = _offset_polyline(cl_xy[::-1], half_w)
+        if left is not None and right is not None:
+            ring_xy = np.vstack([left, right, left[:1]])
+            if not _zigzag(ring_xy, width):
+                corridor = _ring(ring_xy, center_lon, center_lat, m_lon)
+
+    return pd.DataFrame(
+        {
+            "p1": [int(pdf["p1"].iloc[0])],
+            "p2": [int(pdf["p2"].iloc[0])],
+            "section": [int(pdf["section"].iloc[0])],
+            "n_hits": [len(pdf)],
+            "center_lon": [center_lon],
+            "center_lat": [center_lat],
+            "min_lon": [min_lon],
+            "max_lon": [max_lon],
+            "min_lat": [min_lat],
+            "max_lat": [max_lat],
+            "oriented_width_m": [width],
+            "oriented_polygon": [oriented],
+            "corridor_polygon": [corridor],
+        }
+    )
+
+
+def corridor_polygons(section_hits: DataFrame, detection_range_m: float = 15.0) -> DataFrame:
+    """(p1,p2,section,seg1,seg2,a_mid_*,b_mid_*,dist_m) hits -> one corridor
+    geometry row per section."""
+    from ..shipping import ensure_pkg_shipped
+
+    ensure_pkg_shipped(section_hits.sparkSession)
+    return section_hits.groupBy("p1", "p2", "section").applyInPandas(
+        lambda pdf: _corridor_group(pdf, detection_range_m), CORRIDOR_SCHEMA
+    )

@@ -50,6 +50,7 @@ def distance_self_join(
     radius_m: float,
     bearing_tol_deg: float | None = None,
     max_abs_lat_deg: float = 60.0,
+    keep_coords: bool = False,
 ) -> DataFrame:
     """Self-join `segments` (pipeline_id, seg_index, mid_lon, mid_lat
     [, bearing]) on haversine distance <= radius_m across distinct pipelines.
@@ -115,6 +116,16 @@ def distance_self_join(
         *(
             [F.col("a_bearing").alias("bearing1"), F.col("b_bearing").alias("bearing2")]
             if has_bearing
+            else []
+        ),
+        *(
+            [
+                F.col("a_mid_lon").alias("a_mid_lon"),
+                F.col("a_mid_lat").alias("a_mid_lat"),
+                F.col("b_mid_lon").alias("b_mid_lon"),
+                F.col("b_mid_lat").alias("b_mid_lat"),
+            ]
+            if keep_coords
             else []
         ),
     )

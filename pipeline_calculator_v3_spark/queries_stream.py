@@ -1,0 +1,84 @@
+"""Streaming-window queries, batch-checked (SURVEY.md §2.B q_stream_*).
+
+Each query applies the SAME transformation used by the readStream wrappers
+(streaming/windows.py) to the batch events table, so the oracle gate checks
+the streaming semantics without streaming nondeterminism (SURVEY.md §7).
+tests/test_streaming.py proves batch == readStream on identical input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .queries import events_t, query
+from .streaming import windows
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+SELECT epoch_us(time_bucket(INTERVAL 5 MINUTES, ts)) AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(value) AS sum_value
+FROM events
+GROUP BY window_start_us, event_type
+""",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window aggregation (epoch-aligned on both engines)."""
+    return windows.tumbling_counts(events_t(spark, sf_dir))
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+WITH shifted AS (
+    SELECT epoch_us(time_bucket(INTERVAL 5 MINUTES, ts)) - off.o AS window_start_us,
+           value
+    FROM events
+    CROSS JOIN (VALUES (0::BIGINT), (300000000::BIGINT)) AS off(o)
+)
+SELECT window_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       AVG(value) AS avg_value
+FROM shifted
+GROUP BY window_start_us
+""",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding by 5: every event belongs to exactly two
+    windows — the oracle replays that as two shifted tumbling buckets."""
+    return windows.sliding_counts(events_t(spark, sf_dir))
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 300000000
+                  OR lag(epoch_us(ts)) OVER w IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+    SELECT user_id, ts_us,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM sess
+GROUP BY user_id, sid
+""",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window with a 5-minute gap.  Spark merges events whose window
+    [ts, ts+gap) overlaps the previous one, i.e. a NEW session starts when
+    the inter-event gap is >= the gap duration — the oracle replays exactly
+    that rule as gaps-and-islands."""
+    return windows.session_counts(events_t(spark, sf_dir))

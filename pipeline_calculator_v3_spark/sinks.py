@@ -1,0 +1,111 @@
+"""Export sinks — reference ops 23-26 (src/pipeline_calculator_v3.py:1657-1701,
+1355-1473).
+
+The reference exports via pandas/json on the collected results; these sinks
+mirror that for single-file parity (small summaries) and use distributed
+``df.write`` where the data may be large.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+# KML template mirroring the reference's corridor writer structure
+# (style + placemark, src/pipeline_calculator_v3.py:1423-1457).
+_KML_DOC = """<?xml version="1.0" encoding="UTF-8"?>
+<kml xmlns="http://www.opengis.net/kml/2.2">
+<Document>
+  <name>{name}</name>
+  <Style id="corridorStyle">
+    <LineStyle><color>ff0000ff</color><width>2</width></LineStyle>
+    <PolyStyle><color>4d0000ff</color></PolyStyle>
+  </Style>
+  <Placemark>
+    <name>{name}</name>
+    <description>{description}</description>
+    <styleUrl>#corridorStyle</styleUrl>
+    <Polygon>
+      <outerBoundaryIs><LinearRing><coordinates>
+{coordinates}
+      </coordinates></LinearRing></outerBoundaryIs>
+    </Polygon>
+  </Placemark>
+</Document>
+</kml>
+"""
+
+
+def write_csv(results: dict[str, DataFrame], out_dir: str) -> None:
+    """Op 23: pipelines table CSV + sibling _overlaps.csv (:1679-1686)."""
+    os.makedirs(out_dir, exist_ok=True)
+    results["lengths"].toPandas().to_csv(
+        os.path.join(out_dir, "pipelines.csv"), index=False
+    )
+    results["sections"].drop("oriented_polygon", "corridor_polygon").toPandas().to_csv(
+        os.path.join(out_dir, "pipelines_overlaps.csv"), index=False
+    )
+
+
+def write_csv_distributed(df: DataFrame, out_dir: str) -> None:
+    """Scale path for large tables: parallel CSV part files."""
+    df.write.mode("overwrite").option("header", True).csv(out_dir)
+
+
+def write_json(results: dict[str, DataFrame], path: str) -> None:
+    """Op 24: whole result envelope as one JSON file (:1672-1675)."""
+    envelope = {
+        "pipelines": [r.asDict() for r in results["lengths"].collect()],
+        "summary": [r.asDict() for r in results["summary"].collect()],
+        "overlap_analysis": {
+            "bundled_sections": [
+                r.asDict(recursive=True)
+                for r in results["sections"].collect()
+            ],
+            "per_pipeline": [
+                r.asDict() for r in results["per_pipeline_overlap"].collect()
+            ],
+        },
+    }
+    with open(path, "w") as f:
+        json.dump(envelope, f, default=str, indent=2)
+
+
+def write_txt_summary(results: dict[str, DataFrame], path: str) -> None:
+    """Op 25: 4-line totals report (:1689-1696)."""
+    t = results["totals"].collect()[0]
+    s = results["summary"].collect()[0]
+    lines = [
+        f"Total pipelines: {t.n_pipelines}",
+        f"Total length (m): {t.total_m:.2f}",
+        f"Total length (US survey mi): {t.total_mi:.4f}",
+        f"Effective length (m): {s.effective_m:.2f} (savings {s.savings_pct:.1f}%)",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def write_corridor_kml(section_row, path: str) -> None:
+    """Op 26: one corridor polygon -> KML, preferring curved > oriented >
+    bbox (fallback chain :1358-1402); ring closed explicitly (:1373-1374)."""
+    poly = section_row.corridor_polygon or section_row.oriented_polygon
+    if not poly:
+        poly = [
+            {"lon": section_row.min_lon, "lat": section_row.min_lat},
+            {"lon": section_row.max_lon, "lat": section_row.min_lat},
+            {"lon": section_row.max_lon, "lat": section_row.max_lat},
+            {"lon": section_row.min_lon, "lat": section_row.max_lat},
+        ]
+    pts = [(p["lon"], p["lat"]) if isinstance(p, dict) else (p.lon, p.lat) for p in poly]
+    if pts[0] != pts[-1]:
+        pts.append(pts[0])
+    coords = "\n".join(f"        {lon},{lat},0" for lon, lat in pts)
+    name = f"Corridor {section_row.p1}-{section_row.p2} s{section_row.section}"
+    desc = (
+        f"bundled {section_row.bundled_length_m:.1f} m, "
+        f"avg separation {section_row.average_separation:.2f} m"
+    )
+    with open(path, "w") as f:
+        f.write(_KML_DOC.format(name=name, description=desc, coordinates=coords))

@@ -1,0 +1,93 @@
+"""KML/KMZ source tests — G3 fixture (PERMISSIVE path) + the reference's own
+synthetic fixture shape (generate_test_kml.py port, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+
+from pipeline_calculator_v3_spark.sources.kml import read_pipelines, read_placemarks
+
+KML = """<?xml version="1.0" encoding="UTF-8"?>
+<kml xmlns="http://www.opengis.net/kml/2.2">
+<Document>
+  <Placemark>
+    <name>Pipeline A</name>
+    <ExtendedData><Data name="OBJECTID"><value>101</value></Data>
+    <Data name="DIAMETER"><value>12</value></Data></ExtendedData>
+    <LineString><coordinates>
+      -100.0,40.0,0 -101.0,41.0,0
+    </coordinates></LineString>
+  </Placemark>
+  <Placemark>
+    <LineString><coordinates>-100.0,40.5 -101.0,41.5</coordinates></LineString>
+  </Placemark>
+  <Placemark>
+    <name>Marker</name>
+    <Point><coordinates>-100.5,40.2,0</coordinates></Point>
+  </Placemark>
+  <Placemark>
+    <name>Broken</name>
+    <LineString><coordinates>abc,def 200.0,40.0 -100.0,999.0</coordinates></LineString>
+  </Placemark>
+</Document>
+</kml>
+"""
+
+
+@pytest.fixture(scope="module")
+def kml_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("kml")
+    p = d / "test.kml"
+    p.write_text(KML)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def kmz_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("kmz")
+    p = d / "test.kmz"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("doc.kml", KML)
+    return str(p)
+
+
+def test_pipelines_parsed(spark, kml_file):
+    rows = read_pipelines(spark, kml_file).collect()
+    # 2 LineStrings with valid coords; the 'Broken' one has 0 valid coords ->
+    # dispatched to placemarks, not fatal (G3 / PERMISSIVE)
+    assert len(rows) == 2
+    by_name = {r.name: r for r in rows}
+    assert by_name["Pipeline A"].objectid == "101"
+    assert by_name["Pipeline A"].attrs["DIAMETER"] == "12"
+    assert len(by_name["Pipeline A"].geometry) == 2
+    # unnamed placemark gets the Item_{n} default (src :99-102)
+    assert any(n.startswith("Item_") for n in by_name)
+
+
+def test_placemarks_and_permissive(spark, kml_file):
+    rows = read_placemarks(spark, kml_file).collect()
+    names = {r.name for r in rows}
+    assert "Marker" in names   # Point feature -> placemark table
+    assert "Broken" in names   # malformed coords -> skipped as pipeline, kept as placemark
+    # NB: r.count is tuple.count — index the Row by name
+    assert all(r["count"] == 1 for r in rows)
+
+
+def test_kmz_matches_kml(spark, kml_file, kmz_file):
+    a = read_pipelines(spark, kml_file).drop("file").collect()
+    b = read_pipelines(spark, kmz_file).drop("file").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_end_to_end_from_kml(spark, kml_file):
+    # the reference's debug_analyze.py flow: file -> analysis
+    from pipeline_calculator_v3_spark.plans.overlap import analyze_pipelines
+
+    pipes = read_pipelines(spark, kml_file).select("pipeline_id", "name", "geometry")
+    res = analyze_pipelines(pipes)
+    lengths = res["lengths"].collect()
+    assert len(lengths) == 2
+    assert all(130_000 < r.length_m < 150_000 for r in lengths)
+    assert res["sections"].count() == 0  # 55 km apart

@@ -1,0 +1,76 @@
+"""Sink roundtrip tests (reference ops 23-26)."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+
+from pipeline_calculator_v3_spark.functions.geodesy import EARTH_RADIUS_M
+from pipeline_calculator_v3_spark.plans.overlap import analyze_pipelines
+from pipeline_calculator_v3_spark.sinks import (
+    write_corridor_kml,
+    write_csv,
+    write_json,
+    write_txt_summary,
+)
+
+DEG_PER_M_LAT = 180.0 / (math.pi * EARTH_RADIUS_M)
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    lon_off = 10.0 / (111320.0 * math.cos(math.radians(31.5)))
+    pipes = spark.createDataFrame(
+        [
+            (1, "A", [{"lon": -103.5, "lat": 31.5},
+                      {"lon": -103.5, "lat": 31.5 + 400.01 * DEG_PER_M_LAT}]),
+            (2, "B", [{"lon": -103.5 - lon_off, "lat": 31.5},
+                      {"lon": -103.5 - lon_off, "lat": 31.5 + 400.01 * DEG_PER_M_LAT}]),
+        ],
+        "pipeline_id bigint, name string, geometry array<struct<lon:double, lat:double>>",
+    )
+    return analyze_pipelines(pipes)
+
+
+def test_csv_sink(results, tmp_path):
+    write_csv(results, str(tmp_path))
+    assert os.path.exists(tmp_path / "pipelines.csv")
+    assert os.path.exists(tmp_path / "pipelines_overlaps.csv")
+    header = (tmp_path / "pipelines.csv").read_text().splitlines()[0]
+    assert "length_m" in header and "length_mi" in header
+
+
+def test_json_sink(results, tmp_path):
+    p = tmp_path / "results.json"
+    write_json(results, str(p))
+    env = json.loads(p.read_text())
+    assert len(env["pipelines"]) == 2
+    assert len(env["overlap_analysis"]["bundled_sections"]) == 1
+    sec = env["overlap_analysis"]["bundled_sections"][0]
+    assert len(sec["corridor_polygon"]) >= 4
+
+
+def test_txt_sink(results, tmp_path):
+    p = tmp_path / "summary.txt"
+    write_txt_summary(results, str(p))
+    lines = p.read_text().splitlines()
+    assert len(lines) == 4
+    assert lines[0] == "Total pipelines: 2"
+
+
+def test_kml_sink(results, tmp_path):
+    sec = results["sections"].collect()[0]
+    p = tmp_path / "corridor.kml"
+    write_corridor_kml(sec, str(p))
+    body = p.read_text()
+    assert "<Polygon>" in body and "<coordinates>" in body
+    # ring closed: first coordinate == last
+    coords = [
+        line.strip() for line in body.splitlines()
+        if line.strip() and "," in line and "<" not in line
+    ]
+    assert coords[0] == coords[-1]
+    assert len(coords) >= 5
