@@ -1,0 +1,165 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+The container has no image/audio libraries (brief: STUB the decode behind a
+clearly-marked gate and make the Spark-side plumbing real).  Everything here
+exercises the actual 100 TB mechanics — binary columns through Arrow batches,
+mapInPandas batch iteration, schema'd struct outputs, partition-preserving
+per-row transforms — against a deterministic synthetic media format:
+
+    PCV3 media blob = header ``<magic 4s><width I><height I><channels I>``
+    (little-endian) + payload bytes (one byte per "pixel", frames
+    concatenated for "video").
+
+``decode_with_real_codec`` is the marked stub: it attempts a real decoder
+(PIL) and raises NotImplementedError when absent — swap-in point for a real
+cluster image.  ``decode_media`` / ``byte_histogram_features`` /
+``sample_frames`` do real byte-level work and are fully tested.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..shipping import ensure_pkg_shipped
+
+MAGIC = b"PCV3"
+# plain format string + size: struct.Struct instances are not cloudpickle-able
+# and mapInPandas closures capture module globals by value
+HEADER_FMT = "<4sIII"
+HEADER_SIZE = struct.calcsize(HEADER_FMT)
+
+DECODE_SCHEMA = (
+    "media_id bigint, kind string, width bigint, height bigint, "
+    "channels bigint, n_frames bigint, payload_bytes bigint, "
+    "mean_byte double, valid boolean"
+)
+FEATURE_SCHEMA = "media_id bigint, features array<float>"
+FRAME_SCHEMA = "media_id bigint, frame_index bigint, frame_mean double"
+
+
+def pack_blob(width: int, height: int, channels: int, payload: bytes) -> bytes:
+    return struct.pack(HEADER_FMT, MAGIC, width, height, channels) + payload
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table from `documents`: the text bytes become the
+    payload; dimensions derive from n_chars.  (Stand-in for reading real
+    object-store blobs with spark.read.format('binaryFile').)"""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.concat(
+            F.lit(MAGIC),
+            # little-endian uint32 header fields via bit slicing
+            _le32(F.pmod(F.col("n_chars"), F.lit(64)) + 1),   # width
+            _le32(F.lit(8)),                                   # height
+            _le32(F.lit(1)),                                   # channels
+            F.encode("text", "utf-8"),
+        ).alias("content"),
+    )
+
+
+def _le32(col):
+    """uint32 -> 4 little-endian bytes as BINARY (JVM-side: hex + unhex)."""
+    bs = [
+        F.lpad(F.hex(F.pmod(F.shiftright(col.cast("long"), 8 * i), F.lit(256))), 2, "0")
+        for i in range(4)
+    ]
+    return F.unhex(F.concat(*bs))
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Parse headers + payload stats per blob (real byte work, mapInPandas)."""
+    ensure_pkg_shipped(media.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                blob = bytes(content)
+                ok = len(blob) >= HEADER_SIZE and blob[:4] == MAGIC
+                if ok:
+                    _, w, h, c = struct.unpack(HEADER_FMT, blob[:HEADER_SIZE])
+                    payload = np.frombuffer(blob[HEADER_SIZE:], dtype=np.uint8)
+                    frame = max(w * h * c, 1)
+                    rows.append(
+                        (int(mid), kind, w, h, c, len(payload) // frame,
+                         len(payload), float(payload.mean()) if len(payload) else 0.0,
+                         True)
+                    )
+                else:
+                    rows.append((int(mid), kind, 0, 0, 0, 0, len(blob), 0.0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "width", "height", "channels",
+                         "n_frames", "payload_bytes", "mean_byte", "valid"],
+            )
+
+    return media.mapInPandas(gen, DECODE_SCHEMA)
+
+
+def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
+    """Feature extraction: normalized byte histogram as array<float> — the
+    shape of an embedding pipeline (decode -> fixed-size vector)."""
+    ensure_pkg_shipped(media.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                payload = np.frombuffer(bytes(content)[HEADER_SIZE:], dtype=np.uint8)
+                hist, _ = np.histogram(payload, bins=bins, range=(0, 256))
+                total = max(hist.sum(), 1)
+                ids.append(int(mid))
+                feats.append((hist / total).astype(np.float32))
+            yield pd.DataFrame({"media_id": ids, "features": feats})
+
+    return media.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
+    """Video frame sampling: 1 row per k-th frame with its mean byte value
+    (1 blob -> N rows, the UDTF shape again)."""
+    ensure_pkg_shipped(media.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content)
+                if len(blob) < HEADER_SIZE or blob[:4] != MAGIC:
+                    continue
+                _, w, h, c = struct.unpack(HEADER_FMT, blob[:HEADER_SIZE])
+                payload = np.frombuffer(blob[HEADER_SIZE:], dtype=np.uint8)
+                frame = max(w * h * c, 1)
+                for fi in range(0, len(payload) // frame, every_k):
+                    rows.append(
+                        (int(mid), fi, float(payload[fi * frame:(fi + 1) * frame].mean()))
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_index", "frame_mean"])
+
+    return media.mapInPandas(gen, FRAME_SCHEMA)
+
+
+def decode_with_real_codec(media: DataFrame) -> DataFrame:
+    """Real image decode — STUB: requires PIL, absent in this container.
+
+    The Spark plumbing (schema, batching, partitioning) is identical to
+    decode_media; only the per-blob codec call differs."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decode requires Pillow on executors; use decode_media "
+            "(deterministic PCV3 format) in this environment"
+        ) from e
+    raise NotImplementedError("wire PIL decode here when the dependency lands")

@@ -290,5 +290,6 @@ from . import queries_rel  # noqa: E402,F401
 from . import queries_scalar  # noqa: E402,F401
 from . import queries_spatial  # noqa: E402,F401
 from . import queries_e2e  # noqa: E402,F401
+from . import queries_multimodal  # noqa: E402,F401
 from . import queries_stream  # noqa: E402,F401
 from . import queries_textml  # noqa: E402,F401

@@ -296,3 +296,37 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(norm), 1, 8).alias("fp_prefix"),
         F.length(norm).cast("bigint").alias("norm_len"),
     )
+
+
+# GPT-2-style pretokenizer regex, restricted to constructs shared by Java
+# regex (Spark) and RE2 (DuckDB): no lookarounds.
+_BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# SQL-literal form: the leading apostrophe must be doubled inside a
+# single-quoted SQL string
+_BPE_SQL = _BPE_RE.replace("'", "''")
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS DOUBLE)
+         / len(regexp_extract_all(text, '{_BPE_SQL}')) AS chars_per_bpe
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish pretokenizer
+    regex (GPT-2 pattern without lookarounds, identical in Java regex and
+    RE2) — the standard 'how many tokens is this corpus' pipeline stage."""
+    d = t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        (F.length("text").cast("double") / F.size(bpe)).alias("chars_per_bpe"),
+    )
