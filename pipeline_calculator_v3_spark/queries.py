@@ -293,3 +293,4 @@ from . import queries_e2e  # noqa: E402,F401
 from . import queries_multimodal  # noqa: E402,F401
 from . import queries_stream  # noqa: E402,F401
 from . import queries_textml  # noqa: E402,F401
+from . import queries_tpch  # noqa: E402,F401

@@ -1,0 +1,63 @@
+"""Physical-plan property tests — the 100 TB design rules asserted against
+what Catalyst actually planned (README 'Design for scale').
+
+These guard regressions: a future edit that silently turns a broadcast join
+into a cartesian product, or breaks parquet pushdown, fails here long before
+a benchmark would catch it.
+"""
+
+from __future__ import annotations
+
+from pipeline_calculator_v3_spark.queries import QUERIES
+
+
+def plan_of(spark, name, sf_dir):
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, "q_filter_pred", sf_dir)
+    # the plan string elides long filter lists with '...' — assert pushdown
+    # is non-empty and includes the quantity range start
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+    assert "GreaterThanOrEqual(l_quan" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, "q_scan_project", sf_dir)
+    # only the 5 referenced columns in ReadSchema — not the full 11-col table
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" not in rs and "l_shipdate" not in rs
+    assert "l_extendedprice" in rs
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, "q_join_multi_way", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_distance_join_is_equi_join(spark, sf_dir):
+    plan = plan_of(spark, "q_spatial_distance_join", sf_dir)
+    # grid-bucket join must plan as a hash equi-join on the cell key with the
+    # haversine as residual — NEVER a cartesian/BNL join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, "q_sort_limit", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_plan_shapes(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, "q_join_left_semi", sf_dir)
+    assert "LeftAnti" in plan_of(spark, "q_join_left_anti", sf_dir)
+
+
+def test_geodesic_window_and_agg_share_shuffle(spark, sf_dir):
+    # window partitionBy(pipeline_id) then groupBy(pipeline_id): the
+    # aggregate must reuse the window's hash partitioning — exactly one
+    # exchange on pipeline_id-derived keys in the whole plan
+    plan = plan_of(spark, "q_geodesic_length", sf_dir)
+    assert plan.count("Exchange hashpartitioning") <= 2  # pid for rownum + window
