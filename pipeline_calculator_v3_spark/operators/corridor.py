@@ -125,10 +125,19 @@ def _corridor_group(pdf: pd.DataFrame, detection_range_m: float) -> pd.DataFrame
     center_lon = (min_lon + max_lon) / 2.0
     center_lat = (min_lat + max_lat) / 2.0
 
-    cl = (a + b) / 2.0  # centerline (:479-482)
+    # centerline (:479-482): average of paired midpoints.  Each seg1 appears
+    # once per nearby seg2 (up to 5 diagonal hits at the same station) — one
+    # centerline point per seg1 station keeps the geometry identical while
+    # cutting the polygon ~5x.
+    mids = pd.DataFrame(
+        {"s": pdf["seg1"].to_numpy(), "x": (a[:, 0] + b[:, 0]) / 2.0,
+         "y": (a[:, 1] + b[:, 1]) / 2.0}
+    )
+    cl = mids.groupby("s", sort=True)[["x", "y"]].mean().to_numpy()
     # de-dup consecutive identical centerline points
     keep = np.ones(len(cl), dtype=bool)
-    keep[1:] = np.any(np.abs(np.diff(cl, axis=0)) > 1e-12, axis=1)
+    if len(cl) > 1:
+        keep[1:] = np.any(np.abs(np.diff(cl, axis=0)) > 1e-12, axis=1)
     cl = cl[keep]
 
     m_lon = M_PER_DEG_LAT * max(np.cos(np.radians(center_lat)), 1e-6)

@@ -82,3 +82,34 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inter-event gap is >= the gap duration — the oracle replays exactly
     that rule as gaps-and-islands."""
     return windows.session_counts(events_t(spark, sf_dir))
+
+
+_STATEFUL_RUNS = [0]
+
+
+@query(
+    "q_stream_stateful",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(value) AS total_value,
+       MAX(epoch_us(ts)) AS last_ts_us
+FROM events
+GROUP BY user_id
+""",
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): runs a REAL
+    Structured Streaming query over the events file inside the call (memory
+    sink, update mode) and returns the final per-user state — which must
+    equal the batch aggregate the oracle computes."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.stateful import run_stateful_to_memory
+
+    d = tempfile.mkdtemp(prefix="pcv3_stateful_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet"))
+    _STATEFUL_RUNS[0] += 1
+    return run_stateful_to_memory(spark, d, f"pcv3_stateful_{os.getpid()}_{_STATEFUL_RUNS[0]}")
