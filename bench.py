@@ -32,6 +32,8 @@ HEADLINE = [
     "q_sessionize",
     "q_spatial_distance_join",
     "q_parallel_overlap",
+    "q_spatial_distance_join_xl",
+    "q_parallel_overlap_xl",
     "q_effective_length",
     "q_segmentize",
     "q_dedup_exact",

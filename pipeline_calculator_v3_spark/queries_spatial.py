@@ -185,3 +185,63 @@ def q_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rows-only check; unit-tested against closed-form geometry in
     tests/test_segmentize.py)."""
     return segmentize(synth.vertices_df(spark, sf_dir), SEG_LEN_M)
+
+
+def _segments_xl(spark: SparkSession, sf_dir: str):
+    """Uncapped synthetic segment field: GROWS with sf (the oracle-checked
+    field caps at 4000 rows for cross-join tractability; this one is the
+    scale-stress surface — 150k segments at sf0.1)."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.select((F.col("o_orderkey") % 64).alias("pid"), "o_orderkey")
+    w = Window.partitionBy("pid").orderBy("o_orderkey")
+    return (
+        base.select("pid", (F.row_number().over(w) - 1).alias("idx"))
+        .selectExpr(
+            "CAST(pid AS BIGINT) AS pipeline_id",
+            "CAST(idx AS BIGINT) AS seg_index",
+            f"{synth.LON0} + pid * {synth.DLON} AS mid_lon",
+            f"{synth.LAT0} + idx * {synth.DLAT} AS mid_lat",
+        )
+    )
+
+
+@query("q_spatial_distance_join_xl")  # rows-only: scale-stress variant
+def q_spatial_distance_join_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance self-join over the full-sf segment field (64 parallel
+    pipelines, ~150k segments at sf0.1, ~700k pairs): proves the grid join
+    scales with data volume, unlike a driver-side KDTree."""
+    return distance_self_join(_segments_xl(spark, sf_dir), DETECTION_RANGE_M).select(
+        "p1", "p2", "seg1", "seg2", "dist_m"
+    )
+
+
+@query("q_parallel_overlap_xl")  # rows-only: scale-stress variant
+def q_parallel_overlap_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sessionized overlap over the uncapped field."""
+    from pyspark.sql import Window
+
+    pairs = distance_self_join(_segments_xl(spark, sf_dir), DETECTION_RANGE_M)
+    w = Window.partitionBy("p1", "p2").orderBy("seg1", "seg2")
+    flagged = pairs.select(
+        "p1", "p2", "seg1", "seg2", "dist_m",
+        F.when(
+            (F.col("seg1") - F.lag("seg1").over(w) > 2)
+            | (F.col("seg2") - F.lag("seg2").over(w) > 2)
+            | F.lag("seg1").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    sessioned = flagged.withColumn(
+        "section", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessioned.groupBy("p1", "p2", F.col("section").cast("bigint").alias("section"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            (F.count(F.lit(1)) * SEG_LEN_M).alias("bundled_length_m"),
+            F.avg("dist_m").alias("avg_separation_m"),
+        )
+        .where(F.col("bundled_length_m") >= MIN_PARALLEL_M)
+    )
