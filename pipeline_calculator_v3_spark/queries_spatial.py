@@ -245,3 +245,38 @@ def q_parallel_overlap_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("bundled_length_m") >= MIN_PARALLEL_M)
     )
+
+
+@query(
+    "q_overlap_rollup",
+    oracle=f"""
+WITH {synth.SEGMENTS_CTE},
+{_PAIRS_CTE},
+exploded AS (
+    SELECT p1 AS pipeline_id, seg1 AS seg FROM pairs
+    UNION ALL
+    SELECT p2 AS pipeline_id, seg2 AS seg FROM pairs
+)
+SELECT pipeline_id,
+       CAST(COUNT(DISTINCT seg) AS BIGINT) AS bundled_segments,
+       COUNT(DISTINCT seg) * {SEG_LEN_M!r} AS bundled_length_m,
+       COUNT(DISTINCT seg) * {SEG_LEN_M!r} / {US_SURVEY_MILE_M!r} AS bundled_length_mi
+FROM exploded
+GROUP BY pipeline_id
+""",
+)
+def q_overlap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 18: per-pipeline distinct bundled-segment rollup
+    (src/pipeline_calculator_v3.py:714-716,748-756) — the set-union of
+    bundled segment indices becomes explode + countDistinct."""
+    pairs = distance_self_join(synth.segments_df(spark, sf_dir), DETECTION_RANGE_M)
+    exploded = pairs.select(
+        F.col("p1").alias("pipeline_id"), F.col("seg1").alias("seg")
+    ).unionAll(
+        pairs.select(F.col("p2").alias("pipeline_id"), F.col("seg2").alias("seg"))
+    )
+    return exploded.groupBy("pipeline_id").agg(
+        F.countDistinct("seg").cast("bigint").alias("bundled_segments"),
+        (F.countDistinct("seg") * SEG_LEN_M).alias("bundled_length_m"),
+        (F.countDistinct("seg") * SEG_LEN_M / US_SURVEY_MILE_M).alias("bundled_length_mi"),
+    )
