@@ -441,3 +441,32 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_linestatus", ["F", "O"])
         .agg(F.sum("l_quantity"))
     )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       stddev_samp(l_extendedprice) AS sd_price,
+       var_samp(l_extendedprice) AS var_price,
+       corr(l_quantity, l_extendedprice) AS corr_qty_price,
+       covar_samp(l_quantity, l_extendedprice) AS covar_qty_price,
+       quantile_cont(l_extendedprice, 0.5) AS median_price,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/covar plus exact
+    interpolated percentiles (Spark `percentile` == DuckDB `quantile_cont`
+    semantics)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.stddev_samp("l_extendedprice").alias("sd_price"),
+        F.var_samp("l_extendedprice").alias("var_price"),
+        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("covar_qty_price"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+    )
