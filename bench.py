@@ -50,9 +50,10 @@ def main() -> None:
     spark = get_spark("pcv3-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/readers on a trivial action so query 1 isn't charged
-    # session-startup cost.
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm the JVM/readers/codegen so query 1 isn't charged session-startup
+    # cost: touch the big fact table and one windowed job.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.read.parquet(f"{sf_dir}/orders.parquet").groupBy("o_orderstatus").count().collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -470,3 +470,53 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
         F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
     )
+
+
+@query(
+    "q_window_dist",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(c_custkey) OVER w AS top_cust,
+       nth_value(c_custkey, 2) OVER w AS second_cust
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile/percent_rank/cume_dist +
+    first/nth value (deterministic tiebreak ordering)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("c_custkey").over(w).alias("top_cust"),
+        F.nth_value("c_custkey", 2).over(w).alias("second_cust"),
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+SELECT n_regionkey AS regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: sort-then-join makes collect_list
+    deterministic (collect_list alone is partition-order dependent)."""
+    return (
+        t(spark, sf_dir, "nation")
+        .groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
