@@ -181,3 +181,42 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_extendedprice").alias("volume"),
         )
     )
+
+
+# ONE SQL text, executed verbatim by BOTH Spark (spark.sql over registered
+# views) and DuckDB (oracle) — dialect-common ANSI SQL.
+_SHARED_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+       SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS sum_charge,
+       AVG(l_quantity) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_quantity < 45
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_SHARED_SQL_SUBQUERY = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+"""
+
+
+@query("q_sql_shared_pricing", oracle=_SHARED_SQL_PRICING)
+def q_sql_shared_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL surface (sql.py): the exact oracle text runs through
+    spark.sql — parser-level parity, not just semantic parity."""
+    from .sql import run_sql
+
+    return run_sql(spark, sf_dir, _SHARED_SQL_PRICING)
+
+
+@query("q_sql_shared_subquery", oracle=_SHARED_SQL_SUBQUERY)
+def q_sql_shared_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + IN subqueries through the shared-SQL path."""
+    from .sql import run_sql
+
+    return run_sql(spark, sf_dir, _SHARED_SQL_SUBQUERY)
