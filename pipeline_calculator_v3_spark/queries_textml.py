@@ -330,3 +330,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
         (F.length("text").cast("double") / F.size(bpe)).alias("chars_per_bpe"),
     )
+
+
+@query("q_dedup_clusters")  # rows-only: built on xxhash64 minhash pairs
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup decision: MinHash-LSH pairs -> connected components
+    (iterative label propagation, operators/clusters.py) -> one surviving
+    representative per near-dup cluster."""
+    from .operators.clusters import dedup_clusters
+
+    docs = _spread(t(spark, sf_dir, "documents"), spark)
+    pairs = minhash_lsh_pairs(docs, min_jaccard=0.5)
+    return dedup_clusters(docs, pairs)
