@@ -220,3 +220,24 @@ def q_sql_shared_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sql import run_sql
 
     return run_sql(spark, sf_dir, _SHARED_SQL_SUBQUERY)
+
+
+_SHARED_SQL_LATERAL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) o
+"""
+
+
+@query("q_sql_lateral_topn", oracle=_SHARED_SQL_LATERAL)
+def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer) — the same
+    text parses and plans on both engines; Spark rewrites it to a window
+    top-N under the hood."""
+    from .sql import run_sql
+
+    return run_sql(spark, sf_dir, _SHARED_SQL_LATERAL)
