@@ -39,7 +39,14 @@ HEADLINE = [
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_similarity_topk",
+    "q_similarity_ann_ivf",
+    "q_dedup_clusters",
     "q_text_analysis",
+    "q_tpch_q3_shipping_priority",
+    "q_tpch_q5_local_volume",
+    "q_join_big_sort_merge",
+    "q_stream_tumbling",
+    "q_multimodal_decode",
 ]
 
 

@@ -16,11 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.geodesy import (
-    US_SURVEY_MILE_M,
-    bearing_diff_sql,
-    haversine_sql,
-)
+from .functions.geodesy import US_SURVEY_MILE_M, haversine_sql
 from .plans import synth
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

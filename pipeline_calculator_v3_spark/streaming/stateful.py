@@ -69,8 +69,6 @@ def run_stateful_to_memory(spark, events_dir: str, name: str,
     """Drive the stateful operator over the event files; with
     ``max_files_per_trigger=1`` each file is its own micro-batch, proving
     state carries across batches.  Returns the LATEST row per user."""
-    from .windows import stream_events
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = (
         "event_id bigint, ts bigint, user_id bigint, event_type string, "
