@@ -38,6 +38,7 @@ HEADLINE = [
     "q_segmentize",
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_dedup_minhash_xl",
     "q_similarity_topk",
     "q_similarity_ann_ivf",
     "q_dedup_clusters",

@@ -54,19 +54,34 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def shingle_hashes(text: Column, n: int = 3) -> Column:
-    """Word-3-gram shingle *hashes* as array<bigint>.
+def token_hashes(text: Column) -> Column:
+    """xxhash64 of each normalized token, as array<bigint>."""
+    return F.transform(tokens(normalized_text(text)), lambda t: F.xxhash64(t))
 
-    Hash each token once, then combine n consecutive token hashes with one
-    fixed-width xxhash64 — no per-position string slicing/concat, which is
-    ~3x cheaper than materializing string shingles.  Hash-set Jaccard equals
-    string-set Jaccard up to negligible 64-bit collisions.
+
+def shingles_from_token_hashes(th: Column, n: int = 3) -> Column:
+    """Trigram shingle hashes from a MATERIALIZED token-hash column.
+
+    IMPORTANT: pass a real column reference, not an inline expression — each
+    of the 3 element_at calls per position re-evaluates its argument, so an
+    inline token-hash expression costs ~(3 x positions x tokens) hashes per
+    row (~40x) instead of (tokens + positions).
     """
     assert n == 3, "combiner below is specialized to trigrams"
-    th = F.transform(tokens(normalized_text(text)), lambda t: F.xxhash64(t))
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(th) - (n - 1), F.lit(0))),
         lambda i: F.xxhash64(
             F.element_at(th, i), F.element_at(th, i + 1), F.element_at(th, i + 2)
         ),
     )
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Word-3-gram shingle *hashes* as array<bigint>, straight from text.
+
+    Convenience form for small inputs; hot paths should stage
+    :func:`token_hashes` as a column first (see shingles_from_token_hashes).
+    Hash-set Jaccard equals string-set Jaccard up to negligible 64-bit
+    collisions.
+    """
+    return shingles_from_token_hashes(token_hashes(text), n)

