@@ -62,6 +62,12 @@ def main() -> None:
     # cost: touch the big fact table and one windowed job.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     spark.read.parquet(f"{sf_dir}/orders.parquet").groupBy("o_orderstatus").count().collect()
+    # window-exec codegen warmup (the flagship is a window-heavy query)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as _F
+    _w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        _F.lag("o_totalprice").over(_w)).limit(1).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

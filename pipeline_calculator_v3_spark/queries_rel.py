@@ -520,3 +520,60 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'l_quantity' AS metric, l_quantity AS value
+FROM lineitem WHERE l_orderkey < 1000
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'l_extendedprice' AS metric, l_extendedprice AS value
+FROM lineitem WHERE l_orderkey < 1000
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'l_discount' AS metric, l_discount AS value
+FROM lineitem WHERE l_orderkey < 1000
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long): Spark's native unpivot vs the oracle's
+    dialect-safe UNION ALL expansion."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric", "value",
+    )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+SELECT o_orderkey,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_mapped,
+       CASE WHEN NULLIF(o_totalprice, 0.0) IS NULL THEN -1.0
+            ELSE o_totalprice END AS price_guarded,
+       CAST(o_orderstatus IS NOT DISTINCT FROM 'F' AS INTEGER) AS is_f_nullsafe,
+       CAST(NULLIF(o_orderpriority, o_orderpriority) IS NULL AS INTEGER) AS self_nullif
+FROM orders
+""",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling corners: coalesce/nullif and null-safe equality
+    (Spark's <=> == SQL IS NOT DISTINCT FROM)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_mapped"),
+        F.when(F.nullif("o_totalprice", F.lit(0.0)).isNull(), -1.0)
+        .otherwise(F.col("o_totalprice")).alias("price_guarded"),
+        F.col("o_orderstatus").eqNullSafe("F").cast("int").alias("is_f_nullsafe"),
+        F.nullif("o_orderpriority", F.col("o_orderpriority")).isNull().cast("int").alias("self_nullif"),
+    )
