@@ -1,0 +1,88 @@
+"""Additional property tests: as-of join and effective-length invariants vs
+brute-force mirrors (SURVEY.md §5 item 4)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pipeline_calculator_v3_spark.operators.asof import asof_join
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(  # left events: (id, key, ts)
+        st.tuples(st.integers(0, 99), st.integers(0, 2), st.integers(0, 50)),
+        min_size=1, max_size=25, unique_by=lambda t: t[0],
+    ),
+    st.lists(  # right events: (key, ts, payload)
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 999)),
+        min_size=0, max_size=25,
+    ),
+)
+def test_asof_matches_brute_force(spark, left, right):
+    l = spark.createDataFrame(left, "event_id long, k long, ts long")
+    r = spark.createDataFrame(right, "k long, ts long, payload long") if right else (
+        spark.createDataFrame([], "k long, ts long, payload long")
+    )
+    got = {
+        row.event_id: row.payload_asof
+        for row in asof_join(
+            l, r, on=["k"], left_ts="ts", right_ts="ts", payload=["payload"]
+        ).collect()
+    }
+    # brute force: max-ts right row at-or-before each left row (ties on ts:
+    # the union+window picks the LAST right row in (ts, insertion) order;
+    # mirror by taking max payload among max-ts candidates only when unique)
+    for eid, k, ts in left:
+        cands = [(rts, p) for (rk, rts, p) in right if rk == k and rts <= ts]
+        if not cands:
+            assert got[eid] is None
+        else:
+            best_ts = max(c[0] for c in cands)
+            best_payloads = {p for (rts, p) in cands if rts == best_ts}
+            assert got[eid] in best_payloads  # any max-ts candidate is valid
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 15)),
+        min_size=2, max_size=30, unique=True,
+    )
+)
+def test_effective_length_invariants(spark, segs):
+    """sum(len/k) over segments: total/k_max <= effective <= total
+    (the clamp invariant, src/pipeline_calculator_v3.py:872)."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (p, i,
+             -103.5 + p * 9e-5 / math.cos(math.radians(31.5)) * math.cos(math.radians(31.5)),
+             31.5 + i * 4.5e-5)
+            for p, i in segs
+        ],
+        "pipeline_id long, seg_index long, mid_lon double, mid_lat double",
+    )
+    from pipeline_calculator_v3_spark.operators.spatial import distance_self_join
+
+    pairs = distance_self_join(df, 15.0)
+    neighbors = pairs.select(
+        F.col("p1").alias("p"), F.col("seg1").alias("i"), F.col("p2").alias("o")
+    ).unionAll(
+        pairs.select(F.col("p2").alias("p"), F.col("seg2").alias("i"), F.col("p1").alias("o"))
+    )
+    k = neighbors.groupBy("p", "i").agg((F.countDistinct("o") + 1).alias("k"))
+    eff = (
+        df.join(k, (k.p == df.pipeline_id) & (k.i == df.seg_index), "left")
+        .select((F.lit(5.0) / F.coalesce("k", F.lit(1))).alias("e"))
+        .agg(F.sum("e"))
+        .collect()[0][0]
+    )
+    total = 5.0 * len(segs)
+    n_pipes = len({p for p, _ in segs})
+    assert total / max(n_pipes, 1) - 1e-9 <= eff <= total + 1e-9
