@@ -48,6 +48,7 @@ HEADLINE = [
     "q_join_big_sort_merge",
     "q_stream_tumbling",
     "q_multimodal_decode",
+    "q_overlap_e2e",
 ]
 
 
