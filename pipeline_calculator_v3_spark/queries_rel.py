@@ -447,12 +447,12 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_stats",
     oracle="""
 SELECT l_returnflag,
-       stddev_samp(l_extendedprice) AS sd_price,
-       var_samp(l_extendedprice) AS var_price,
-       corr(l_quantity, l_extendedprice) AS corr_qty_price,
-       covar_samp(l_quantity, l_extendedprice) AS covar_qty_price,
-       quantile_cont(l_extendedprice, 0.5) AS median_price,
-       quantile_cont(l_extendedprice, 0.9) AS p90_price
+       ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+       ROUND(var_samp(l_extendedprice), 2) AS var_price,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 3) AS covar_qty_price,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -460,15 +460,20 @@ GROUP BY l_returnflag
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: stddev/variance/corr/covar plus exact
     interpolated percentiles (Spark `percentile` == DuckDB `quantile_cont`
-    semantics)."""
+    semantics).
+
+    Both sides ROUND each float aggregate — precision scaled to each
+    statistic's magnitude (variance ~5e6 coarser than corr ~1) — so engine
+    summation-order divergence stays inside the driver's value hash.
+    """
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.stddev_samp("l_extendedprice").alias("sd_price"),
-        F.var_samp("l_extendedprice").alias("var_price"),
-        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
-        F.covar_samp("l_quantity", "l_extendedprice").alias("covar_qty_price"),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
-        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias("covar_qty_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
     )
 
 
