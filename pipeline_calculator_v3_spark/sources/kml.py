@@ -11,10 +11,14 @@ elem.clear() (the reference's own technique, src/pipeline_calculator_v3.py:80-90
 Semantics preserved:
 - .kmz = zip, first inner .kml wins (src/pipeline_calculator_v3.py:58-68)
 - XML namespace sniffed from the root tag (:86-88)
-- feature dispatch: LineString with >=2 valid coords -> pipeline; Point (or
-  <2 coords) -> placemark (:110-128)
-- missing <name> -> Item_{n} (:99-102); OBJECTID from ExtendedData
-  Data/SimpleData with 'N/A' default (:148-165)
+- feature dispatch (:110-128): features with ZERO valid coords are skipped
+  entirely; LineString wins (`has_linestring or (>=2 coords and not
+  has_point)` -> pipeline, so a Placemark holding both a LineString and a
+  Point is a pipeline); `has_point or exactly 1 coord` -> placemark
+- missing <name> -> Item_{pipelines+placemarks+1} (the index counts
+  PROCESSED features, not every Placemark seen, :99-102); OBJECTID from
+  ExtendedData Data/SimpleData with 'N/A' default (:148-165); placemark id
+  defaults to PM_{placemark_count} when OBJECTID is absent (:125)
 - coordinate parse: whitespace-split "lon,lat[,alt]", malformed dropped,
   validity filter -180<=lon<=180, -90<=lat<=90 (:185-214)
 - malformed placemarks skipped, never fatal — PERMISSIVE (:129-132)
@@ -75,19 +79,21 @@ def _parse_kml(path: str, content: bytes):
         it = ET.iterparse(io.BytesIO(data), events=("end",))
     except ET.ParseError:
         return
-    n_item = 0
-    pipeline_id = 0
+    pipeline_count = 0
+    placemark_count = 0
     try:
         for _, elem in it:
             if elem.tag != f"{ns}Placemark":
                 continue
-            n_item += 1
             try:
+                # op 4: Item_{n} counts processed features (:98), so a
+                # skipped zero-coord feature does not consume an index
+                item_index = pipeline_count + placemark_count + 1
                 name_el = elem.find(f"{ns}name")
                 name = (
                     name_el.text.strip()
-                    if name_el is not None and name_el.text
-                    else f"Item_{n_item}"  # default-name projection (op 4)
+                    if name_el is not None and name_el.text and name_el.text.strip()
+                    else f"Item_{item_index}"  # default-name projection (op 4)
                 )
                 attrs: dict[str, str] = {}
                 objectid = "N/A"
@@ -106,6 +112,7 @@ def _parse_kml(path: str, content: bytes):
                         break
 
                 has_point = elem.find(f".//{ns}Point") is not None
+                has_linestring = elem.find(f".//{ns}LineString") is not None
                 coords_el = elem.find(f".//{ns}coordinates")
                 coords: list[tuple[float, float]] = []
                 if coords_el is not None and coords_el.text:
@@ -119,14 +126,17 @@ def _parse_kml(path: str, content: bytes):
                             continue
                         if -180.0 <= lon <= 180.0 and -90.0 <= lat <= 90.0:
                             coords.append((lon, lat))
-                # dispatch (op 6, :110-128)
-                if not has_point and len(coords) >= 2:
-                    pipeline_id += 1
+                # dispatch (op 6, :110-128): zero valid coords -> skipped
+                # entirely; LineString takes precedence over Point
+                if not coords:
+                    continue
+                if has_linestring or (len(coords) >= 2 and not has_point):
+                    pipeline_count += 1
                     yield (
                         "pipeline",
                         {
                             "file": path,
-                            "pipeline_id": pipeline_id,
+                            "pipeline_id": pipeline_count - 1,  # 0-based (:117)
                             "objectid": objectid,
                             "name": name,
                             "attrs": attrs,
@@ -135,12 +145,17 @@ def _parse_kml(path: str, content: bytes):
                             ],
                         },
                     )
-                else:
+                elif has_point or len(coords) == 1:
+                    placemark_count += 1
                     yield (
                         "placemark",
                         {
                             "file": path,
-                            "placemark_id": objectid if objectid != "N/A" else name,
+                            "placemark_id": (
+                                objectid
+                                if objectid != "N/A"
+                                else f"PM_{placemark_count}"  # (:125)
+                            ),
                             "name": name,
                             "count": 1,
                         },

@@ -31,6 +31,11 @@ KML = """<?xml version="1.0" encoding="UTF-8"?>
     <name>Broken</name>
     <LineString><coordinates>abc,def 200.0,40.0 -100.0,999.0</coordinates></LineString>
   </Placemark>
+  <Placemark>
+    <name>Mixed</name>
+    <LineString><coordinates>-102.0,42.0 -103.0,43.0</coordinates></LineString>
+    <Point><coordinates>-102.0,42.0</coordinates></Point>
+  </Placemark>
 </Document>
 </kml>
 """
@@ -55,22 +60,29 @@ def kmz_file(tmp_path_factory):
 
 def test_pipelines_parsed(spark, kml_file):
     rows = read_pipelines(spark, kml_file).collect()
-    # 2 LineStrings with valid coords; the 'Broken' one has 0 valid coords ->
-    # dispatched to placemarks, not fatal (G3 / PERMISSIVE)
-    assert len(rows) == 2
+    # 3 pipelines: Pipeline A, the unnamed LineString, and Mixed
+    # (LineString+Point -> LineString wins, src :114).  'Broken' has 0 valid
+    # coords -> skipped entirely (src :110), not fatal (G3 / PERMISSIVE).
+    assert len(rows) == 3
     by_name = {r.name: r for r in rows}
     assert by_name["Pipeline A"].objectid == "101"
     assert by_name["Pipeline A"].attrs["DIAMETER"] == "12"
     assert len(by_name["Pipeline A"].geometry) == 2
-    # unnamed placemark gets the Item_{n} default (src :99-102)
-    assert any(n.startswith("Item_") for n in by_name)
+    assert "Mixed" in by_name
+    # unnamed placemark gets the Item_{n} default over PROCESSED features:
+    # it is the 2nd processed feature (src :98) -> Item_2
+    assert "Item_2" in by_name
+    # ids are 0-based in file order (src :117)
+    assert sorted(r.pipeline_id for r in rows) == [0, 1, 2]
 
 
 def test_placemarks_and_permissive(spark, kml_file):
     rows = read_placemarks(spark, kml_file).collect()
     names = {r.name for r in rows}
-    assert "Marker" in names   # Point feature -> placemark table
-    assert "Broken" in names   # malformed coords -> skipped as pipeline, kept as placemark
+    assert "Marker" in names       # Point feature -> placemark table
+    assert "Broken" not in names   # 0 valid coords -> skipped entirely
+    # no OBJECTID -> PM_{placemark_count} default (src :125)
+    assert [r.placemark_id for r in rows] == ["PM_1"]
     # NB: r.count is tuple.count — index the Row by name
     assert all(r["count"] == 1 for r in rows)
 
@@ -88,6 +100,6 @@ def test_end_to_end_from_kml(spark, kml_file):
     pipes = read_pipelines(spark, kml_file).select("pipeline_id", "name", "geometry")
     res = analyze_pipelines(pipes)
     lengths = res["lengths"].collect()
-    assert len(lengths) == 2
+    assert len(lengths) == 3
     assert all(130_000 < r.length_m < 150_000 for r in lengths)
-    assert res["sections"].count() == 0  # 55 km apart
+    assert res["sections"].count() == 0  # pipelines are >= 55 km apart
