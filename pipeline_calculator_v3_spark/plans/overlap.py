@@ -45,6 +45,46 @@ def _clamp_params(detection_range, min_parallel, segment_length, angular_tol):
     )
 
 
+def overlap_summary(
+    effective: DataFrame,
+    detection_range_m: float,
+    min_parallel_m: float,
+    segment_length_m: float,
+    angular_tolerance_deg: float,
+) -> DataFrame:
+    """Op 22 result envelope over an ``effective`` table (pipeline_id,
+    length_m, effective_m): totals, effective clamped to [0, total], savings
+    with div-0 guard, analysis-parameter echo
+    (src/pipeline_calculator_v3.py:872-896)."""
+    return (
+        effective.agg(
+            F.sum("length_m").alias("total_m"),
+            F.sum("effective_m").alias("raw_effective_m"),
+        )
+        .select(
+            "total_m",
+            F.least(F.greatest("raw_effective_m", F.lit(0.0)), F.col("total_m")).alias(
+                "effective_m"
+            ),  # clamp eff in [0, total] (:872)
+        )
+        .select(
+            "total_m",
+            "effective_m",
+            F.greatest(F.col("total_m") - F.col("effective_m"), F.lit(0.0)).alias(
+                "savings_m"
+            ),  # (:873)
+            F.when(
+                F.col("total_m") > 0,
+                (F.col("total_m") - F.col("effective_m")) / F.col("total_m") * 100.0,
+            ).otherwise(0.0).alias("savings_pct"),  # div-0 guard (:879)
+            F.lit(detection_range_m).alias("param_detection_range_m"),
+            F.lit(min_parallel_m).alias("param_min_parallel_m"),
+            F.lit(segment_length_m).alias("param_segment_length_m"),
+            F.lit(angular_tolerance_deg).alias("param_angular_tolerance_deg"),
+        )
+    )
+
+
 def analyze_pipelines(
     pipelines: DataFrame,
     detection_range_m: float = DEFAULT_DETECTION_RANGE_M,
@@ -200,32 +240,12 @@ def analyze_pipelines(
     )
 
     # op 22 envelope: clamps + savings + parameter echo (:872-896)
-    summary = (
-        effective.agg(
-            F.sum("length_m").alias("total_m"),
-            F.sum("effective_m").alias("raw_effective_m"),
-        )
-        .select(
-            "total_m",
-            F.least(F.greatest("raw_effective_m", F.lit(0.0)), F.col("total_m")).alias(
-                "effective_m"
-            ),  # clamp eff in [0, total] (:872)
-        )
-        .select(
-            "total_m",
-            "effective_m",
-            F.greatest(F.col("total_m") - F.col("effective_m"), F.lit(0.0)).alias(
-                "savings_m"
-            ),  # (:873)
-            F.when(
-                F.col("total_m") > 0,
-                (F.col("total_m") - F.col("effective_m")) / F.col("total_m") * 100.0,
-            ).otherwise(0.0).alias("savings_pct"),  # div-0 guard (:879)
-            F.lit(detection_range_m).alias("param_detection_range_m"),
-            F.lit(min_parallel_m).alias("param_min_parallel_m"),
-            F.lit(segment_length_m).alias("param_segment_length_m"),
-            F.lit(angular_tolerance_deg).alias("param_angular_tolerance_deg"),
-        )
+    summary = overlap_summary(
+        effective,
+        detection_range_m,
+        min_parallel_m,
+        segment_length_m,
+        angular_tolerance_deg,
     )
 
     return {

@@ -8,9 +8,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from . import ANGULAR_TOLERANCE_DEG
+from .operators.spatial import distance_self_join
 from .plans import synth
-from .plans.overlap import analyze_pipelines
+from .plans.overlap import analyze_pipelines, overlap_summary
 from .queries import query
+from .queries_spatial import _PAIRS_CTE, DETECTION_RANGE_M, MIN_PARALLEL_M, SEG_LEN_M
 
 
 @query("q_overlap_e2e")  # rows-only: corridor polygons are output-only geometry
@@ -29,11 +32,95 @@ def q_overlap_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_overlap_summary")  # rows-only (clamps + parameter echo)
+@query(
+    "q_overlap_summary",
+    oracle=f"""
+WITH {synth.SEGMENTS_CTE},
+{_PAIRS_CTE},
+neighbors AS (
+    SELECT p1 AS p, seg1 AS i, p2 AS o FROM pairs
+    UNION ALL
+    SELECT p2 AS p, seg2 AS i, p1 AS o FROM pairs
+),
+k_per_seg AS (
+    SELECT p, i, CAST(COUNT(DISTINCT o) + 1 AS BIGINT) AS k
+    FROM neighbors GROUP BY p, i
+),
+eff AS (
+    SELECT s.pipeline_id,
+           COUNT(*) * {SEG_LEN_M!r} AS length_m,
+           SUM({SEG_LEN_M!r} / COALESCE(k.k, 1)) AS effective_m
+    FROM segments s
+    LEFT JOIN k_per_seg k ON k.p = s.pipeline_id AND k.i = s.seg_index
+    GROUP BY s.pipeline_id
+),
+tot AS (
+    SELECT SUM(length_m) AS total_m, SUM(effective_m) AS raw_effective_m FROM eff
+),
+clamped AS (
+    SELECT total_m,
+           LEAST(GREATEST(raw_effective_m, 0.0), total_m) AS effective_m
+    FROM tot
+)
+SELECT ROUND(total_m, 6) AS total_m,
+       ROUND(effective_m, 6) AS effective_m,
+       ROUND(GREATEST(total_m - effective_m, 0.0), 6) AS savings_m,
+       ROUND(CASE WHEN total_m > 0
+                  THEN (total_m - effective_m) / total_m * 100.0
+                  ELSE 0.0 END, 6) AS savings_pct,
+       {DETECTION_RANGE_M!r} AS param_detection_range_m,
+       {MIN_PARALLEL_M!r} AS param_min_parallel_m,
+       {SEG_LEN_M!r} AS param_segment_length_m,
+       {ANGULAR_TOLERANCE_DEG!r} AS param_angular_tolerance_deg
+FROM clamped
+""",
+)
 def q_overlap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Op 22's result envelope: totals, clamped effective length, savings,
-    analysis-parameter echo (src/pipeline_calculator_v3.py:872-896)."""
-    return analyze_pipelines(synth.pipelines_df(spark, sf_dir))["summary"]
+    """Op 22's result envelope — totals, effective clamped to [0, total],
+    savings with div-0 guard, parameter echo
+    (src/pipeline_calculator_v3.py:872-896) — driven through the SAME
+    ``overlap_summary`` code ``analyze_pipelines`` uses, over the
+    oracle-shared synthetic segment field (the full-DAG twin with
+    pandas-UDF resampling stays rows-only as q_overlap_e2e).  Float sums
+    round to 6 dp on both sides for hash stability."""
+    seg = synth.segments_df(spark, sf_dir)
+    pairs = distance_self_join(seg, DETECTION_RANGE_M)
+    neighbors = pairs.select(
+        F.col("p1").alias("p"), F.col("seg1").alias("i"), F.col("p2").alias("o")
+    ).unionAll(
+        pairs.select(
+            F.col("p2").alias("p"), F.col("seg2").alias("i"), F.col("p1").alias("o")
+        )
+    )
+    k = neighbors.groupBy("p", "i").agg(
+        (F.countDistinct("o") + 1).cast("bigint").alias("k")
+    )
+    effective = (
+        seg.join(k, (k.p == seg.pipeline_id) & (k.i == seg.seg_index), "left")
+        .select("pipeline_id", F.coalesce("k", F.lit(1)).alias("k"))
+        .groupBy("pipeline_id")
+        .agg(
+            (F.count(F.lit(1)) * SEG_LEN_M).alias("length_m"),
+            F.sum(F.lit(SEG_LEN_M) / F.col("k")).alias("effective_m"),
+        )
+    )
+    summary = overlap_summary(
+        effective,
+        DETECTION_RANGE_M,
+        MIN_PARALLEL_M,
+        SEG_LEN_M,
+        ANGULAR_TOLERANCE_DEG,
+    )
+    return summary.select(
+        F.round("total_m", 6).alias("total_m"),
+        F.round("effective_m", 6).alias("effective_m"),
+        F.round("savings_m", 6).alias("savings_m"),
+        F.round("savings_pct", 6).alias("savings_pct"),
+        "param_detection_range_m",
+        "param_min_parallel_m",
+        "param_segment_length_m",
+        "param_angular_tolerance_deg",
+    )
 
 
 @query("q_udf_surface")  # rows-only: scalar pandas UDF demo surface
