@@ -6,8 +6,11 @@ so the engine standardizes on spherical haversine / initial-bearing formulas
 expressed as SQL text that is *shared verbatim* between the Spark plan
 (``F.expr``) and the DuckDB oracle — identical formula text means identical
 semantics, with only libm-ulp differences.  Haversine vs GRS80 geodesic
-differs by <=~0.5% (SURVEY.md §4); all correctness gates use the same formula
-on both sides, so the gate is self-consistent.
+differs by <=~0.56% (worst case: meridian arcs at the equator — bound tested
+in tests/test_geodesy_grs80.py); all correctness gates use the same formula
+on both sides, so the gate is self-consistent.  For digit-for-digit parity
+with the reference app use ``functions.geodesy_exact`` (vectorized Vincenty
+on GRS80, pandas-UDF path).
 
 Everything in this module stays inside whole-stage codegen: no Python UDFs.
 """

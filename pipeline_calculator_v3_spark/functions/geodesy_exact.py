@@ -1,0 +1,162 @@
+"""Exact ellipsoidal geodesics — the GRS80 parity path (SURVEY.md §7).
+
+The reference measures every distance with ``pyproj.Geod(ellps='GRS80')``
+(src/pipeline_calculator_v3.py:48); the engine's hot path standardizes on
+spherical haversine (``functions/geodesy.py``, <=~0.56% divergence).  This
+module closes that gap for users comparing mile totals against the desktop
+app digit-for-digit: a fully vectorized numpy implementation of Vincenty's
+inverse formula (Vincenty 1975, public) on the GRS80 ellipsoid, exposed as
+an Arrow-batched pandas UDF.
+
+Design notes
+------------
+- Vectorized iteration with a convergence mask: every numpy op applies to
+  the whole batch; converged lanes freeze.  No per-row Python.
+- Accuracy: Vincenty inverse is accurate to ~0.5 mm on the ellipsoid for
+  non-near-antipodal pairs — far tighter than the 0.01 mi display rounding
+  of the reference app.  Near-antipodal pairs (lambda iteration divergence,
+  ~0.002% of the sphere) keep the last iterate; error there can reach the
+  meter scale.  Pipeline vertices are meters-to-kilometers apart, nowhere
+  near the antipodal regime.
+- Parameterized by (a, f) so tests can set f=0: with zero flattening the
+  formula must collapse to the great-circle distance on a sphere of radius
+  a, which machine-checks the sigma/lambda machinery against the
+  independent haversine implementation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+
+# GRS80 ellipsoid (Moritz 2000, "Geodetic Reference System 1980").
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+
+_MAX_ITER = 200
+_LAMBDA_TOL = 1e-13  # rad; ~6e-7 m of longitude
+
+
+def vincenty_inverse_m(
+    lat1: np.ndarray,
+    lon1: np.ndarray,
+    lat2: np.ndarray,
+    lon2: np.ndarray,
+    a: float = GRS80_A,
+    f: float = GRS80_F,
+) -> np.ndarray:
+    """Geodesic distance in meters between (lat1,lon1) and (lat2,lon2),
+    degrees, on the (a, f) ellipsoid.  NaN-in -> NaN-out; coincident
+    points -> 0."""
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    lon1 = np.asarray(lon1, dtype=np.float64)
+    lat2 = np.asarray(lat2, dtype=np.float64)
+    lon2 = np.asarray(lon2, dtype=np.float64)
+
+    b = a * (1.0 - f)
+    phi1, phi2 = np.radians(lat1), np.radians(lat2)
+    L = np.radians(lon2 - lon1)
+
+    U1 = np.arctan((1.0 - f) * np.tan(phi1))
+    U2 = np.arctan((1.0 - f) * np.tan(phi2))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+
+    lam = L.copy()
+    # Lanes still iterating (converged lanes freeze to keep results stable).
+    active = np.isfinite(lam) & np.isfinite(U1) & np.isfinite(U2)
+
+    sin_sigma = np.zeros_like(lam)
+    cos_sigma = np.ones_like(lam)
+    sigma = np.zeros_like(lam)
+    cos2_alpha = np.ones_like(lam)
+    cos_2sigma_m = np.ones_like(lam)
+
+    for _ in range(_MAX_ITER):
+        if not active.any():
+            break
+        sin_lam, cos_lam = np.sin(lam), np.cos(lam)
+        ss = np.sqrt(
+            (cosU2 * sin_lam) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cos_lam) ** 2
+        )
+        cs = sinU1 * sinU2 + cosU1 * cosU2 * cos_lam
+        sig = np.arctan2(ss, cs)
+        # coincident points: sin_sigma == 0 -> distance 0; avoid 0/0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_alpha = np.where(ss > 0.0, cosU1 * cosU2 * sin_lam / ss, 0.0)
+        c2a = 1.0 - sin_alpha**2
+        # equatorial geodesic: cos2_alpha == 0 -> cos_2sigma_m term drops
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c2sm = np.where(c2a > 0.0, cs - 2.0 * sinU1 * sinU2 / c2a, 0.0)
+        C = f / 16.0 * c2a * (4.0 + f * (4.0 - 3.0 * c2a))
+        lam_new = L + (1.0 - C) * f * sin_alpha * (
+            sig
+            + C * ss * (c2sm + C * cs * (-1.0 + 2.0 * c2sm**2))
+        )
+
+        sin_sigma = np.where(active, ss, sin_sigma)
+        cos_sigma = np.where(active, cs, cos_sigma)
+        sigma = np.where(active, sig, sigma)
+        cos2_alpha = np.where(active, c2a, cos2_alpha)
+        cos_2sigma_m = np.where(active, c2sm, cos_2sigma_m)
+
+        delta = np.abs(lam_new - lam)
+        lam = np.where(active, lam_new, lam)
+        # near-antipodal pairs may never meet the tolerance: they exit via
+        # the iteration cap with the last iterate (documented above)
+        active = active & (delta > _LAMBDA_TOL)
+
+    u2 = cos2_alpha * (a**2 - b**2) / b**2
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    delta_sigma = (
+        B
+        * sin_sigma
+        * (
+            cos_2sigma_m
+            + B
+            / 4.0
+            * (
+                cos_sigma * (-1.0 + 2.0 * cos_2sigma_m**2)
+                - B
+                / 6.0
+                * cos_2sigma_m
+                * (-3.0 + 4.0 * sin_sigma**2)
+                * (-3.0 + 4.0 * cos_2sigma_m**2)
+            )
+        )
+    )
+    s = b * A * (sigma - delta_sigma)
+    # propagate NaN inputs (np.where above computed with finite defaults)
+    nan_in = ~(
+        np.isfinite(lat1) & np.isfinite(lon1) & np.isfinite(lat2) & np.isfinite(lon2)
+    )
+    return np.where(nan_in, np.nan, s)
+
+
+def geodesic_udf_grs80():
+    """GRS80 exact geodesic distance (meters) as an Arrow-batched pandas UDF
+    — the drop-in exact twin of ``functions.geodesy.haversine_m``.  Built
+    lazily: ``pandas_udf`` parses its DDL schema against the active session,
+    so the decorator cannot run at import time."""
+
+    @pandas_udf("double")
+    def _geodesic_m_grs80(
+        lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series
+    ) -> pd.Series:
+        from pipeline_calculator_v3_spark.functions.geodesy_exact import (
+            vincenty_inverse_m as _inv,
+        )
+
+        return pd.Series(
+            _inv(lat1.to_numpy(), lon1.to_numpy(), lat2.to_numpy(), lon2.to_numpy())
+        )
+
+    return _geodesic_m_grs80
+
+
+def geodesic_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Column form of the exact GRS80 kernel (pandas-UDF backed)."""
+    return geodesic_udf_grs80()(lat1, lon1, lat2, lon2)

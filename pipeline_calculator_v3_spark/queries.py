@@ -103,6 +103,44 @@ def q_geodesic_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_geodesic_length_exact")  # rows-only: GRS80 kernel is a pandas UDF
+def q_geodesic_length_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship in GRS80-exact mode: same window-lag plan with the Vincenty
+    pandas-UDF kernel replacing the haversine column expression — the
+    digit-for-digit parity path against the reference's
+    ``pyproj.Geod(ellps='GRS80')`` (src/pipeline_calculator_v3.py:48).
+    ``delta_pct`` exposes the spherical-vs-ellipsoidal divergence (bounded
+    at ~0.56%, tests/test_geodesy_grs80.py)."""
+    from .functions.geodesy_exact import geodesic_m
+    from .shipping import ensure_pkg_shipped
+
+    ensure_pkg_shipped(spark)
+    v = synth.vertices_df(spark, sf_dir)
+    w = Window.partitionBy("pipeline_id").orderBy("pos")
+    hops = v.select(
+        "pipeline_id", "lat", "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    )
+    agg = hops.groupBy("pipeline_id").agg(
+        F.sum(
+            geodesic_m(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon"))
+        ).alias("length_m"),
+        F.sum(F.expr(_HAV_HOP)).alias("length_hav_m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+    )
+    return agg.select(
+        "pipeline_id",
+        "length_m",
+        (F.col("length_m") / US_SURVEY_MILE_M).alias("length_mi"),
+        (
+            F.abs(F.col("length_hav_m") - F.col("length_m"))
+            / F.col("length_m") * 100.0
+        ).alias("delta_pct"),
+        "n_vertices",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Core relational surface (SURVEY §2.B) — scans, filters, conditional
 # projection, joins, aggregates, sort/limit.
