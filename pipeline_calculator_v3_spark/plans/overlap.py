@@ -18,6 +18,7 @@ the explicit-DAG equivalent (SURVEY.md §7 'hard parts').
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -128,8 +129,13 @@ def analyze_pipelines(
         F.count(F.lit(1)).cast("bigint").alias("n_pipelines"),
     )
 
-    # op 11: 5 m segments — cached: reused by ops 12, 18 and 21
-    segments = segmentize(vertices, segment_length_m).cache()
+    # op 11: 5 m segments — persisted: reused by ops 12, 18 and 21.
+    # Explicit MEMORY_AND_DISK_DESER (== DataFrame cache()): corpus-scale
+    # segment state spills to disk instead of evicting and re-running the
+    # pandas-UDF resampler; deserialized storage keeps re-reads cheap.
+    segments = segmentize(vertices, segment_length_m).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER
+    )
 
     # op 12: distance + bearing self-join
     pairs = distance_self_join(
@@ -163,7 +169,7 @@ def analyze_pipelines(
         hits.withColumn("sec_n", F.count(F.lit(1)).over(wsec))
         .where(F.col("sec_n") * segment_length_m >= min_parallel_m)
         .drop("sec_n", "is_new")
-        .cache()
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
 
     # op 15 aggregates + ops 16-17 corridor geometry

@@ -350,19 +350,35 @@ def q_dedup_minhash_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
     5000 rows): one ~40-token synthetic doc per lineitem order (150k at
     sf0.1), with planted dup families wherever (l_partkey, l_suppkey)
     repeats.  Proves signature + banding cost scales linearly with corpus
-    size (10x data measured ~2.3x wall clock on local[32])."""
-    li = t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("doc_id"),
+    size (10x data measured ~2.3x wall clock on local[32]).
+
+    16 hashes x 4 bands (r=4): for the planted families (jaccard ~1.0)
+    band-collision probability is ~1; for jaccard 0.9 pairs it is
+    1-(1-0.9^4)^4 ~= 0.986 — recall gated by tests/test_minhash_recall.py.
+    Half the signature width of the default halves the dominant per-token
+    xxhash64 work."""
+    # Aggregate BEFORE synthesizing: one (partkey, suppkey) survivor struct
+    # per order shuffles 16 bytes/row; synthesizing the 40-token text first
+    # would build 4x the strings and push them all through the shuffle.
+    keys = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("doc_id"))
+        .agg(F.min(F.struct("l_partkey", "l_suppkey")).alias("ps"))
+    )
+    docs = keys.select(
+        "doc_id",
         F.concat_ws(
             " ",
             F.transform(
                 F.sequence(F.lit(1), F.lit(40)),
                 lambda i: F.concat(
                     F.lit("w"),
-                    F.pmod(F.col("l_partkey") + i * F.col("l_suppkey"), F.lit(5000)),
+                    F.pmod(
+                        F.col("ps.l_partkey") + i * F.col("ps.l_suppkey"),
+                        F.lit(5000),
+                    ),
                 ),
             ),
         ).alias("text"),
     )
-    docs = li.groupBy("doc_id").agg(F.min("text").alias("text"))
-    return minhash_lsh_pairs(docs, min_jaccard=0.8)
+    return minhash_lsh_pairs(docs, num_hashes=16, bands=4, min_jaccard=0.8)
