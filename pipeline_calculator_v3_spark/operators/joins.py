@@ -55,3 +55,55 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return l.join(r, [key, "__salt"], how).drop("__salt")
+
+
+def salted_self_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str,
+    n_groups: int = 8,
+) -> DataFrame:
+    """Skew-safe within-block pair generation for self-joins on a blocking
+    key (the LSH-band / prefix-block / simhash-block pattern).
+
+    A plain self-join on ``block_col`` sends a hot block's entire quadratic
+    workload to ONE reducer (every '"the quick ..." document' lands in the
+    same task on a natural-language corpus).  Here every row gets a
+    deterministic group g = xxhash64(id) % n_groups, and both sides replicate
+    n_groups ways so the physical join key is (block, g_left, g_right): each
+    ordered pair of rows meets exactly once, and a block of B rows becomes
+    n_groups^2 independent tasks of ~(B/n_groups)^2 pairs instead of one B^2
+    task.  Shuffle volume grows n_groups-fold on the (small) blocked
+    projections — the price of bounding the largest task.
+
+    Returns all ordered pairs with left columns prefixed ``a_`` and right
+    columns prefixed ``b_`` (callers keep one orientation with
+    ``a_id < b_id``).  Output is identical to the unsalted self-join — only
+    the physical distribution changes — so oracle-gated callers stay exact.
+    """
+    g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int")
+    partner = F.explode(F.array(*[F.lit(i) for i in range(n_groups)]))
+    cols = df.columns
+    left = (
+        df.withColumn("__g", g)
+        .withColumn("__pj", partner)
+        .select(
+            *[F.col(c).alias(f"a_{c}") for c in cols],
+            F.col(f"a_{block_col}").alias("__block"),
+            F.col("__g").alias("__gi"),
+            F.col("__pj").alias("__gj"),
+        )
+    )
+    right = (
+        df.withColumn("__g", g)
+        .withColumn("__pi", partner)
+        .select(
+            *[F.col(c).alias(f"b_{c}") for c in cols],
+            F.col(f"b_{block_col}").alias("__block"),
+            F.col("__pi").alias("__gi"),
+            F.col("__g").alias("__gj"),
+        )
+    )
+    return left.join(right, ["__block", "__gi", "__gj"]).drop(
+        "__block", "__gi", "__gj"
+    )

@@ -61,7 +61,14 @@ FROM toks a JOIN toks b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard over prefix-blocked candidate pairs: the
     oracle-checkable face of near-dup detection (blocking = first 4 tokens;
-    the MinHash query covers the probabilistic path)."""
+    the MinHash query covers the probabilistic path).
+
+    Pair generation goes through ``salted_self_pairs``: on a natural-language
+    corpus a hot prefix ("the quick ...") would otherwise serialize one
+    reducer; group-salting splits each block's quadratic work across
+    n_groups^2 tasks with IDENTICAL output, so the oracle stays exact."""
+    from .operators.joins import salted_self_pairs
+
     d = t(spark, sf_dir, "documents")
     toks = F.array_distinct(
         F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
@@ -70,16 +77,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ", F.slice(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""), 1, 4)
     )
     base = d.select(F.col("doc_id"), toks.alias("tok"), prefix.alias("prefix"))
-    a, b = base.alias("a"), base.alias("b")
     return (
-        a.join(b, "prefix")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        salted_self_pairs(base, "prefix", "doc_id", n_groups=8)
+        .where(F.col("a_doc_id") < F.col("b_doc_id"))
         .select(
-            F.col("a.doc_id").alias("id1"),
-            F.col("b.doc_id").alias("id2"),
+            F.col("a_doc_id").alias("id1"),
+            F.col("b_doc_id").alias("id2"),
             (
-                F.size(F.array_intersect("a.tok", "b.tok")).cast("double")
-                / F.size(F.array_union("a.tok", "b.tok"))
+                F.size(F.array_intersect("a_tok", "b_tok")).cast("double")
+                / F.size(F.array_union("a_tok", "b_tok"))
             ).alias("jaccard"),
         )
     )
@@ -97,20 +103,25 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_dedup_simhash")  # rows-only: xxhash64-based
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document + hamming distance to each doc's nearest
-    bucket sibling (16-bit prefix blocking)."""
+    bucket sibling (16-bit prefix blocking).
+
+    Blocking tops out at 65k buckets, so real corpora WILL concentrate:
+    pair generation goes through ``salted_self_pairs`` (same output,
+    n_groups^2-way split of each bucket's quadratic work)."""
+    from .operators.joins import salted_self_pairs
+
     d = _spread(t(spark, sf_dir, "documents"), spark).select(
         "doc_id", simhash64(F.col("text")).alias("sh")
     )
     block = F.shiftright("sh", 48)
     base = d.select("doc_id", "sh", block.alias("block"))
-    a, b = base.alias("a"), base.alias("b")
     return (
-        a.join(b, "block")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        salted_self_pairs(base, "block", "doc_id", n_groups=8)
+        .where(F.col("a_doc_id") < F.col("b_doc_id"))
         .select(
-            F.col("a.doc_id").alias("id1"),
-            F.col("b.doc_id").alias("id2"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).cast("bigint")
+            F.col("a_doc_id").alias("id1"),
+            F.col("b_doc_id").alias("id2"),
+            F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).cast("bigint")
             .alias("hamming"),
         )
         .where(F.col("hamming") <= 16)
