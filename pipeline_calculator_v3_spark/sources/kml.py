@@ -37,6 +37,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..shipping import ensure_pkg_shipped
 
@@ -170,6 +171,89 @@ def _parse_kml(path: str, content: bytes):
 
 def _read_binary(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     return spark.read.format("binaryFile").load(paths).select("path", "content")
+
+
+# KML <SimpleField> types (OGC KML 2.2 §9.9) -> Spark SQL types.
+_KML_TYPE_TO_SPARK = {
+    "string": "string",
+    "double": "double",
+    "float": "double",
+    "int": "bigint",
+    "uint": "bigint",
+    "short": "bigint",
+    "ushort": "bigint",
+    "long": "bigint",
+    "bool": "boolean",
+}
+
+
+def schema_fields(spark: SparkSession, paths: str | list[str]) -> list[tuple[str, str]]:
+    """Discover declared ``<Schema><SimpleField type= name=>`` fields across
+    KML/KMZ file(s), in declaration order (SURVEY.md §1.2: the fixture
+    declares 48- and 52-field typed schemas that the reference throws away).
+
+    Distributed like Spark's own schema inference: files parse on executors,
+    only the (name, type) metadata reaches the driver.  First declaration of
+    a name wins (the fixture's two schemas agree on every shared name)."""
+    ensure_pkg_shipped(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import xml.etree.ElementTree as ET
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = _open_kml_bytes(path, bytes(content))
+                if data is None:
+                    continue
+                head = data[:200].decode("utf-8", errors="ignore")
+                m = re.search(r'xmlns="([^"]+)"', head)
+                ns = f"{{{m.group(1)}}}" if m else ""
+                try:
+                    pos = 0
+                    for _, elem in ET.iterparse(io.BytesIO(data), events=("end",)):
+                        if elem.tag == f"{ns}SimpleField":
+                            name, ftype = elem.get("name"), elem.get("type")
+                            if name and ftype:
+                                rows.append(
+                                    {"name": name, "ftype": ftype, "pos": pos}
+                                )
+                                pos += 1
+                        elem.clear()
+                except ET.ParseError:
+                    pass
+            yield pd.DataFrame(rows, columns=["name", "ftype", "pos"])
+
+    collected = (
+        _read_binary(spark, paths)
+        .mapInPandas(gen, "name string, ftype string, pos long")
+        .groupBy("name")
+        .agg(F.min("pos").alias("pos"), F.first("ftype").alias("ftype"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [(r.name, r.ftype) for r in collected]
+
+
+def attrs_to_columns(
+    df: DataFrame, fields: list[tuple[str, str]]
+) -> DataFrame:
+    """Pivot declared ExtendedData fields out of the ``attrs`` map into typed
+    top-level columns (SURVEY.md §1.2 'optionally pivot known fields').
+
+    Pure Column expressions — ``element_at`` + ``cast`` stay in whole-stage
+    codegen; unparseable values become NULL (Spark cast semantics), matching
+    permissive source behavior.  Names already present on ``df`` are skipped.
+    """
+    existing = set(df.columns)
+    typed = [
+        F.element_at(F.col("attrs"), F.lit(name))
+        .cast(_KML_TYPE_TO_SPARK.get(ftype, "string"))
+        .alias(name)
+        for name, ftype in fields
+        if name not in existing
+    ]
+    return df.select("*", *typed)
 
 
 def read_pipelines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
