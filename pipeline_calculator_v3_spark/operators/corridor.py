@@ -32,6 +32,7 @@ M_PER_DEG_LAT = 111320.0  # the reference's ENU constant (:495-496)
 WIDTH_MARGIN_M = 10.0     # (:546-559)
 MITER_LIMIT = 6.0         # (:620)
 BBOX_BUFFER_DEG = 0.001   # (:461-471)
+DECIMATION_TOL_M = 0.25   # centerline simplification; << half-width (>= 5.5 m)
 
 CORRIDOR_SCHEMA = (
     "p1 bigint, p2 bigint, section bigint, n_hits bigint, "
@@ -41,6 +42,43 @@ CORRIDOR_SCHEMA = (
     "oriented_polygon array<struct<lon:double, lat:double>>, "
     "corridor_polygon array<struct<lon:double, lat:double>>"
 )
+
+
+def _douglas_peucker(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Iterative (stack-based) Douglas-Peucker polyline simplification.
+
+    The 5 m stations put ~2 ring points per station on dead-straight
+    corridors; a sub-width tolerance collapses collinear runs so a straight
+    section's curved ring drops from ~2N points to ~5 while any real bend
+    (deviation > tol) is preserved exactly.
+    """
+    n = len(pts)
+    if n <= 2 or tol <= 0.0:
+        return pts
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 - i0 < 2:
+            continue
+        seg = pts[i1] - pts[i0]
+        seg_len = np.hypot(*seg)
+        mid = pts[i0 + 1 : i1]
+        if seg_len < 1e-12:
+            dev = np.hypot(*(mid - pts[i0]).T)
+        else:
+            # perpendicular distance via 2D cross product
+            dev = np.abs(
+                (mid[:, 0] - pts[i0, 0]) * seg[1] - (mid[:, 1] - pts[i0, 1]) * seg[0]
+            ) / seg_len
+        k = int(np.argmax(dev))
+        if dev[k] > tol:
+            split = i0 + 1 + k
+            keep[split] = True
+            stack.append((i0, split))
+            stack.append((split, i1))
+    return pts[keep]
 
 
 def _ring(points_xy: np.ndarray, lon0: float, lat0: float, m_lon: float):
@@ -105,12 +143,14 @@ def _offset_polyline(cl_xy: np.ndarray, half_w: float) -> np.ndarray | None:
     return np.array(out)
 
 
-def _zigzag(ring_xy: np.ndarray, scale: float) -> bool:
+def _zigzag(ring_xy: np.ndarray, scale: float, cl_edge_max: float = 0.0) -> bool:
     """Sanity heuristic (:684-712): an offset ring whose edges jump far
-    beyond the corridor scale indicates a self-intersecting zig-zag."""
+    beyond the corridor scale indicates a self-intersecting zig-zag.
+    A decimated centerline legitimately has long straight edges, so the
+    threshold is relative to the longest centerline edge."""
     e = np.diff(ring_xy, axis=0)
     lens = np.hypot(e[:, 0], e[:, 1])
-    return bool(len(lens) and lens.max() > 10.0 * max(scale, 1.0))
+    return bool(len(lens) and lens.max() > cl_edge_max + 10.0 * max(scale, 1.0))
 
 
 def _corridor_group(pdf: pd.DataFrame, detection_range_m: float) -> pd.DataFrame:
@@ -145,6 +185,7 @@ def _corridor_group(pdf: pd.DataFrame, detection_range_m: float) -> pd.DataFrame
         [(cl[:, 0] - center_lon) * m_lon, (cl[:, 1] - center_lat) * M_PER_DEG_LAT],
         axis=1,
     )
+    cl_xy = _douglas_peucker(cl_xy, DECIMATION_TOL_M)
     width = min(dist.max() + WIDTH_MARGIN_M, 2.0 * detection_range_m)  # (:546-559)
     half_w = width / 2.0
     pad = WIDTH_MARGIN_M / 2.0  # end padding (:561-564)
@@ -154,11 +195,13 @@ def _corridor_group(pdf: pd.DataFrame, detection_range_m: float) -> pd.DataFrame
 
     corridor = oriented  # fallback chain curved > oriented (:1358-1402)
     if len(cl_xy) >= 2:
+        cl_d = np.diff(cl_xy, axis=0)
+        cl_edge_max = float(np.hypot(cl_d[:, 0], cl_d[:, 1]).max())
         left = _offset_polyline(cl_xy, half_w)
         right = _offset_polyline(cl_xy[::-1], half_w)
         if left is not None and right is not None:
             ring_xy = np.vstack([left, right, left[:1]])
-            if not _zigzag(ring_xy, width):
+            if not _zigzag(ring_xy, width, cl_edge_max):
                 corridor = _ring(ring_xy, center_lon, center_lat, m_lon)
 
     return pd.DataFrame(

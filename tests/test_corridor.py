@@ -1,0 +1,134 @@
+"""Corridor polygon kernel unit tests (reference ops 16-17,
+src/pipeline_calculator_v3.py:432-712) — Douglas-Peucker centerline
+decimation keeps straight-corridor rings tiny without moving any bend."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pipeline_calculator_v3_spark.operators.corridor import (
+    DECIMATION_TOL_M,
+    _douglas_peucker,
+    corridor_polygons,
+)
+
+DEG_PER_M_LAT = 1.0 / 111320.0
+
+
+def test_dp_collapses_collinear():
+    pts = np.stack([np.zeros(100), np.arange(100.0) * 5.0], axis=1)
+    out = _douglas_peucker(pts, 0.25)
+    assert len(out) == 2
+    assert (out[0] == pts[0]).all() and (out[-1] == pts[-1]).all()
+
+
+def test_dp_preserves_bends_within_tol():
+    rng = np.random.default_rng(7)
+    pts = np.cumsum(rng.normal(scale=3.0, size=(200, 2)), axis=0)
+    tol = 0.5
+    out = _douglas_peucker(pts, tol)
+    assert 2 <= len(out) < len(pts)
+    # every dropped point is within tol of the simplified polyline
+    kept_idx = {tuple(p) for p in out}
+    seg_starts, seg_ends = out[:-1], out[1:]
+    for p in pts:
+        if tuple(p) in kept_idx:
+            continue
+        d = seg_ends - seg_starts
+        t = np.clip(
+            np.einsum("ij,ij->i", p - seg_starts, d)
+            / np.maximum(np.einsum("ij,ij->i", d, d), 1e-12),
+            0.0,
+            1.0,
+        )
+        proj = seg_starts + t[:, None] * d
+        assert np.hypot(*(proj - p).T).min() <= tol + 1e-9
+
+
+def test_dp_keeps_right_angle_corner():
+    leg1 = np.stack([np.zeros(50), np.arange(50.0) * 5.0], axis=1)
+    leg2 = np.stack([np.arange(1.0, 50.0) * 5.0, np.full(49, 245.0)], axis=1)
+    pts = np.vstack([leg1, leg2])
+    out = _douglas_peucker(pts, 0.25)
+    assert len(out) == 3  # two endpoints + the corner
+    assert (out[1] == np.array([0.0, 245.0])).all()
+
+
+def _straight_hits(spark, n_stations=80, sep_m=10.0, lat0=31.5):
+    """Synthetic section hits: two parallel north-running lines."""
+    lon_off = sep_m / (111320.0 * math.cos(math.radians(lat0)))
+    rows = [
+        (
+            1, 2, 0, i, i,
+            -103.5, lat0 + i * 5.0 * DEG_PER_M_LAT,
+            -103.5 - lon_off, lat0 + i * 5.0 * DEG_PER_M_LAT,
+            sep_m,
+        )
+        for i in range(n_stations)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "p1 bigint, p2 bigint, section bigint, seg1 bigint, seg2 bigint, "
+        "a_mid_lon double, a_mid_lat double, b_mid_lon double, "
+        "b_mid_lat double, dist_m double",
+    )
+
+
+def test_straight_corridor_ring_is_decimated(spark):
+    sec = corridor_polygons(_straight_hits(spark)).collect()
+    assert len(sec) == 1
+    ring = sec[0].corridor_polygon
+    # 80 stations -> ~162 ring points undecimated; collinear centerline
+    # collapses to 2 points -> 5-point closed ring
+    assert len(ring) <= 7
+    assert ring[0] == ring[-1]
+    # geometry survives: ring spans the full section length (~400 m)
+    lat_span_m = (
+        max(p["lat"] for p in ring) - min(p["lat"] for p in ring)
+    ) / DEG_PER_M_LAT
+    assert 390.0 <= lat_span_m <= 430.0
+
+
+def test_bent_corridor_keeps_corner(spark):
+    lat0 = 31.5
+    lon_m = 111320.0 * math.cos(math.radians(lat0))
+    # L-shape: 40 stations north, then 40 east
+    pts = [(-103.5, lat0 + i * 5.0 * DEG_PER_M_LAT) for i in range(40)]
+    pts += [
+        (-103.5 + j * 5.0 / lon_m, lat0 + 39 * 5.0 * DEG_PER_M_LAT)
+        for j in range(1, 41)
+    ]
+    lon_off = 10.0 / lon_m
+    rows = [
+        (1, 2, 0, i, i, lon, lat, lon - lon_off, lat, 10.0)
+        for i, (lon, lat) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "p1 bigint, p2 bigint, section bigint, seg1 bigint, seg2 bigint, "
+        "a_mid_lon double, a_mid_lat double, b_mid_lon double, "
+        "b_mid_lat double, dist_m double",
+    )
+    sec = corridor_polygons(df).collect()[0]
+    ring = sec.corridor_polygon
+    assert ring[0] == ring[-1]
+    # corner preserved: some ring point lies near the inside elbow
+    elbow_lon, elbow_lat = pts[39]
+    near = [
+        p
+        for p in ring
+        if abs((p["lon"] - elbow_lon) * lon_m) < 25.0
+        and abs(p["lat"] - elbow_lat) / DEG_PER_M_LAT < 25.0
+    ]
+    assert near, "no ring vertex near the corridor elbow"
+    # still far fewer points than stations
+    assert len(ring) < 30
+
+
+def test_decimation_tol_is_sub_width():
+    # invariant the kernel relies on: tolerance far below any half-width
+    # (min width = 2 * clamped detection range 1 m -> half_w >= 1 m)
+    assert DECIMATION_TOL_M <= 0.5
