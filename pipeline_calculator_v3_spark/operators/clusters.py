@@ -2,16 +2,17 @@
 
 Pair detection (MinHash/SimHash/Jaccard) yields EDGES; what a training-data
 pipeline actually needs is CLUSTERS (transitive closure) and one surviving
-representative per cluster.  This is an iterative label-propagation in pure
-DataFrame ops: every node repeatedly adopts the minimum label in its
-neighborhood until a fixpoint.  Converges in O(diameter) rounds; each round
-is one shuffle on the node id.  (The large-star/small-star optimization
-halves rounds for pathological chains; plain propagation is the clear
-baseline and near-dup clusters are tiny in practice.)
+representative per cluster.  This is iterative label-propagation in pure
+DataFrame ops, accelerated by pointer-jumping: each round every node adopts
+the minimum label in its neighborhood (one hop), then adopts its label's
+own label (the Shiloach-Vishkin / large-star shortcut).  The jump doubles
+the distance a minimum travels per round, so a diameter-D component
+converges in O(log D) rounds instead of O(D) — the difference between 14
+and 10,000 driver round-trips on a 10k-node chain.
 
-Driver-side iteration with localCheckpoint per round: keeps the plan from
-growing unboundedly (lineage cut), which is what makes iterative DataFrame
-algorithms viable at scale.
+Driver-side iteration with localCheckpoint per round keeps the plan from
+growing unboundedly (lineage cut); the convergence count() runs every
+second round to halve driver actions.
 """
 
 from __future__ import annotations
@@ -24,10 +25,14 @@ def connected_components(
     edges: DataFrame,
     src: str = "id1",
     dst: str = "id2",
-    max_iter: int = 20,
+    max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) undirected edges -> (id, component) with component = min
-    node id in the component."""
+    node id in the component.
+
+    Converges in O(log diameter) rounds via pointer-jumping; pass ``stats``
+    to receive ``{"rounds": n}`` back for round-budget assertions."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -40,33 +45,53 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        # candidate label per node: min over its own label and neighbors'
+    rounds = 0
+    for i in range(max_iter):
+        rounds = i + 1
+        # 1-hop: candidate label = min over own label and neighbors'
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy("a")
             .agg(F.min("component").alias("nmin"))
         )
+        cand = labels.join(neighbor_min, labels.id == neighbor_min.a, "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("nmin", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer-jump: adopt the current label OF one's label (two-hop
+        # shortcut) — doubles propagation distance per round
+        lmap = cand.select(
+            F.col("id").alias("lid"), F.col("component").alias("lcomp")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            cand.join(lmap, cand.component == lmap.lid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                    F.col("component"), F.coalesce("lcomp", F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        # convergence check every 2nd round (and on the last): halves the
+        # driver count() actions on still-converging graphs
+        if i % 2 == 1 or i == max_iter - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
 
 

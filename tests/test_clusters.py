@@ -38,6 +38,18 @@ def test_chain_converges(spark):
     assert got == {i: 0 for i in range(16)}
 
 
+def test_10k_chain_round_budget(spark):
+    """Pointer-jumping makes a diameter-10k chain converge in O(log D)
+    rounds — plain one-hop propagation would need ~10,000."""
+    n = 10_000
+    df = spark.range(n - 1).selectExpr("id AS id1", "id + 1 AS id2")
+    stats = {}
+    labels = connected_components(df, stats=stats)
+    assert stats["rounds"] <= 16
+    assert labels.where("component != 0").count() == 0
+    assert labels.count() == n
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
