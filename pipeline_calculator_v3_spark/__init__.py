@@ -32,3 +32,10 @@ ANGULAR_TOLERANCE_DEG = 15.0       # src/pipeline_calculator_v3.py:41
 # GAP_TOLERANCE (:42) is dead in the reference; real gap rule is
 # "segment-index delta <= 2" (src/pipeline_calculator_v3.py:421-422).
 SESSION_GAP_SEGMENTS = 2
+
+
+def release_caches(spark=None, blocking=False):
+    """Free every cache/checkpoint the engine pinned (see ``caching``)."""
+    from .caching import release_caches as _release
+
+    _release(spark, blocking)

@@ -1,0 +1,101 @@
+"""Cache/checkpoint lifecycle tracking — nothing this package persists may
+outlive the query that needed it.
+
+Two kinds of pinned executor state exist in the engine:
+
+- ``DataFrame.persist`` (dedup staging, overlap segments/hits): released by
+  ``DataFrame.unpersist`` — but only if someone remembers the handle.
+- ``DataFrame.localCheckpoint`` (connected-components lineage cuts): its
+  backing blocks belong to an *internal* RDD that ``df.unpersist()`` /
+  ``df.rdd.unpersist()`` cannot reach; the only handle is the RDD id in
+  ``SparkContext.getPersistentRDDs`` (measured: the id delta around the
+  checkpoint call identifies exactly the new blocks).
+
+Operators register everything they pin here; ``release_caches(spark)``
+frees it all.  Call it strictly AFTER the final materialization of a
+query's result — a localCheckpoint's lineage is cut, so once its blocks
+are dropped the checkpointed frame is unreadable (CHECKPOINT_RDD_BLOCK_ID_
+NOT_FOUND), it does not recompute.  bench.py releases between queries;
+long-lived apps should release per analysis run.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+
+_TRACKED_DFS: list[DataFrame] = []
+_TRACKED_IDS: list[int] = []
+
+
+def persist_tracked(
+    df: DataFrame,
+    level: StorageLevel = StorageLevel.MEMORY_AND_DISK_DESER,
+) -> DataFrame:
+    """``df.persist(level)`` + register the handle for ``release_caches``."""
+    df.persist(level)
+    _TRACKED_DFS.append(df)
+    return df
+
+
+def _persistent_ids(spark: SparkSession) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    it = jmap.keySet().iterator()
+    ids: set[int] = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def local_checkpoint_tracked(
+    df: DataFrame, ids_sink: list[int] | None = None
+) -> DataFrame:
+    """Eager localCheckpoint whose blocks ``release_caches`` can free.
+
+    The new RDD id is recorded globally, or into ``ids_sink`` when the caller
+    manages the lifetime itself (the connected-components loop frees each
+    round's checkpoint as soon as the next round supersedes it).
+    """
+    spark = df.sparkSession
+    before = _persistent_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    new = _persistent_ids(spark) - before
+    (ids_sink if ids_sink is not None else _TRACKED_IDS).extend(new)
+    return out
+
+
+def track_ids(ids: list[int]) -> None:
+    """Hand caller-managed checkpoint ids over to ``release_caches``."""
+    _TRACKED_IDS.extend(ids)
+
+
+def unpersist_ids(spark: SparkSession, ids: list[int], blocking: bool = False) -> None:
+    """Drop the cached blocks of specific RDD ids (localCheckpoint storage)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        rdd = jmap.get(i)
+        if rdd is not None:
+            rdd.unpersist(blocking)
+
+
+def release_caches(spark: SparkSession | None = None, blocking: bool = False) -> None:
+    """Unpersist every cache/checkpoint the package registered.
+
+    Safe to call repeatedly; only call after the final materialization of the
+    DataFrames built on those caches (checkpointed frames do NOT recompute).
+    """
+    global _TRACKED_DFS, _TRACKED_IDS
+    for df in _TRACKED_DFS:
+        try:
+            df.unpersist(blocking)
+        except Exception:
+            pass  # session already stopped — nothing to release
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is not None and _TRACKED_IDS:
+        try:
+            unpersist_ids(spark, _TRACKED_IDS, blocking)
+        except Exception:
+            pass
+    _TRACKED_DFS = []
+    _TRACKED_IDS = []

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import local_checkpoint_tracked, track_ids, unpersist_ids
+
 
 def connected_components(
     edges: DataFrame,
@@ -32,18 +34,27 @@ def connected_components(
     node id in the component.
 
     Converges in O(log diameter) rounds via pointer-jumping; pass ``stats``
-    to receive ``{"rounds": n}`` back for round-budget assertions."""
-    sym = (
+    to receive ``{"rounds": n}`` back for round-budget assertions.
+
+    Checkpoint lifecycle: each round's labels checkpoint is freed as soon as
+    the next round supersedes it (peak pinned state = 2 label tables + the
+    edge table, not O(rounds)); the edge checkpoint is freed on return.  The
+    FINAL labels checkpoint backs the returned frame, so it stays pinned
+    until the caller materializes and calls ``caching.release_caches``."""
+    spark = edges.sparkSession
+    sym_ids: list[int] = []
+    sym = local_checkpoint_tracked(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        ids_sink=sym_ids,
     )
-    labels = (
+    labels_ids: list[int] = []
+    labels = local_checkpoint_tracked(
         sym.select(F.col("a").alias("id"))
         .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
+        .withColumn("component", F.col("id")),
+        ids_sink=labels_ids,
     )
     rounds = 0
     for i in range(max_iter):
@@ -65,18 +76,20 @@ def connected_components(
         lmap = cand.select(
             F.col("id").alias("lid"), F.col("component").alias("lcomp")
         )
-        new_labels = (
+        new_ids: list[int] = []
+        new_labels = local_checkpoint_tracked(
             cand.join(lmap, cand.component == lmap.lid, "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("lcomp", F.col("component"))
                 ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            ids_sink=new_ids,
         )
         # convergence check every 2nd round (and on the last): halves the
         # driver count() actions on still-converging graphs
+        converged = False
         if i % 2 == 1 or i == max_iter - 1:
             changed = (
                 new_labels.alias("n")
@@ -85,11 +98,15 @@ def connected_components(
                 .limit(1)
                 .count()
             )
-            labels = new_labels
-            if changed == 0:
-                break
-        else:
-            labels = new_labels
+            converged = changed == 0
+        # new_labels is fully materialized (eager) and the convergence join
+        # above was the old checkpoint's last read — free it now
+        unpersist_ids(spark, labels_ids)
+        labels, labels_ids = new_labels, new_ids
+        if converged:
+            break
+    unpersist_ids(spark, sym_ids)
+    track_ids(labels_ids)  # final labels: freed by release_caches()
     if stats is not None:
         stats["rounds"] = rounds
     return labels

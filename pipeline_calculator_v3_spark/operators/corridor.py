@@ -32,7 +32,12 @@ M_PER_DEG_LAT = 111320.0  # the reference's ENU constant (:495-496)
 WIDTH_MARGIN_M = 10.0     # (:546-559)
 MITER_LIMIT = 6.0         # (:620)
 BBOX_BUFFER_DEG = 0.001   # (:461-471)
-DECIMATION_TOL_M = 0.25   # centerline simplification; << half-width (>= 5.5 m)
+# centerline simplification tolerance; sub-width by construction: under the
+# clamped params width = min(dist + 10, 2 * detection_range) with
+# detection_range >= 1, so width >= 2 m and half-width >= 1 m — 0.25 m stays
+# below the tightest possible half-width (the >= 5.5 m figure only holds for
+# the default 15 m range).
+DECIMATION_TOL_M = 0.25
 
 CORRIDOR_SCHEMA = (
     "p1 bigint, p2 bigint, section bigint, n_hits bigint, "
@@ -110,8 +115,16 @@ def _oriented_rect(cl_xy, half_w, pad):
     return np.vstack([corners, corners[:1]])
 
 
-def _offset_polyline(cl_xy: np.ndarray, half_w: float) -> np.ndarray | None:
-    """Miter-joined one-sided offset (op 17); None -> degenerate."""
+def _offset_polyline(
+    cl_xy: np.ndarray, half_w: float
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Miter-joined one-sided offset (op 17); None -> degenerate.
+
+    Returns ``(points, edge_cl_len)`` where ``edge_cl_len[j]`` is the length
+    of the centerline edge that offset edge ``j`` parallels — a legitimate
+    offset edge is bounded by it (+ miter deviation) by construction — or
+    0.0 for bevel-join edges (which have no centerline counterpart and are
+    bounded by the corridor width)."""
     d = np.diff(cl_xy, axis=0)
     lens = np.hypot(d[:, 0], d[:, 1])
     keep = lens > 1e-9
@@ -123,6 +136,7 @@ def _offset_polyline(cl_xy: np.ndarray, half_w: float) -> np.ndarray | None:
     dirs = d / lens[:, None]
     normals = np.stack([-dirs[:, 1], dirs[:, 0]], axis=1)
     out = [pts[0] + normals[0] * half_w]
+    edge_cl = []  # per output edge: paralleled centerline edge length
     for i in range(1, len(pts) - 1):
         n_prev, n_next = normals[i - 1], normals[i]
         m = n_prev + n_next
@@ -130,27 +144,41 @@ def _offset_polyline(cl_xy: np.ndarray, half_w: float) -> np.ndarray | None:
         cos_half = mn / 2.0
         if cos_half < 1e-6:  # near-reversal: bevel (:651-658)
             out.append(pts[i] + n_prev * half_w)
+            edge_cl.append(lens[i - 1])
             out.append(pts[i] + n_next * half_w)
+            edge_cl.append(0.0)  # join edge
             continue
         m = m / mn
         miter_len = half_w / max(cos_half, 1e-9)
         if miter_len > MITER_LIMIT * half_w:  # miter limit 6.0 (:620)
             out.append(pts[i] + n_prev * half_w)
+            edge_cl.append(lens[i - 1])
             out.append(pts[i] + n_next * half_w)
+            edge_cl.append(0.0)  # join edge
         else:
             out.append(pts[i] + m * miter_len)
+            edge_cl.append(lens[i - 1])
     out.append(pts[-1] + normals[-1] * half_w)
-    return np.array(out)
+    edge_cl.append(lens[-1])
+    return np.array(out), np.array(edge_cl)
 
 
-def _zigzag(ring_xy: np.ndarray, scale: float, cl_edge_max: float = 0.0) -> bool:
+def _zigzag(ring_xy: np.ndarray, scale: float, edge_cl_len: np.ndarray) -> bool:
     """Sanity heuristic (:684-712): an offset ring whose edges jump far
     beyond the corridor scale indicates a self-intersecting zig-zag.
-    A decimated centerline legitimately has long straight edges, so the
-    threshold is relative to the longest centerline edge."""
+
+    Checked PER EDGE against the centerline edge each offset edge parallels
+    (``edge_cl_len``, 0 for join/cap edges): a decimated centerline
+    legitimately has long straight edges, but only the edge that parallels
+    them may be long — join and cap edges keep the original absolute
+    10 x scale bound, so a genuine spike shorter than the longest centerline
+    edge still trips the check (r02 ADVICE: the global
+    ``max > cl_edge_max + 10 x scale`` form masked those)."""
     e = np.diff(ring_xy, axis=0)
     lens = np.hypot(e[:, 0], e[:, 1])
-    return bool(len(lens) and lens.max() > cl_edge_max + 10.0 * max(scale, 1.0))
+    if not len(lens):
+        return False
+    return bool(np.any(lens > edge_cl_len + 10.0 * max(scale, 1.0)))
 
 
 def _corridor_group(pdf: pd.DataFrame, detection_range_m: float) -> pd.DataFrame:
@@ -195,13 +223,16 @@ def _corridor_group(pdf: pd.DataFrame, detection_range_m: float) -> pd.DataFrame
 
     corridor = oriented  # fallback chain curved > oriented (:1358-1402)
     if len(cl_xy) >= 2:
-        cl_d = np.diff(cl_xy, axis=0)
-        cl_edge_max = float(np.hypot(cl_d[:, 0], cl_d[:, 1]).max())
         left = _offset_polyline(cl_xy, half_w)
         right = _offset_polyline(cl_xy[::-1], half_w)
         if left is not None and right is not None:
-            ring_xy = np.vstack([left, right, left[:1]])
-            if not _zigzag(ring_xy, width, cl_edge_max):
+            left_pts, left_cl = left
+            right_pts, right_cl = right
+            ring_xy = np.vstack([left_pts, right_pts, left_pts[:1]])
+            # ring edge -> centerline-edge bound: left edges, far-end cap
+            # (0: bounded by width), right edges, closing cap (0)
+            ring_cl = np.concatenate([left_cl, [0.0], right_cl, [0.0]])
+            if not _zigzag(ring_xy, width, ring_cl):
                 corridor = _ring(ring_xy, center_lon, center_lat, m_lon)
 
     return pd.DataFrame(

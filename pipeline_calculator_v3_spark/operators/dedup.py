@@ -16,10 +16,10 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..functions.text import (
     normalized_text,
     shingle_hashes,
@@ -102,16 +102,17 @@ def minhash_lsh_pairs(
         )
         .drop("th")
         .withColumn("sig", minhash_signature_from_hashes(F.col("sh"), num_hashes))
-        # reused three times downstream (bands + two shingle re-joins);
-        # without persistence the whole shingle/signature pipeline re-runs
-        # per use.  Explicit MEMORY_AND_DISK_DESER (what cache() means for
-        # DataFrames): the staged rows carry full shingle arrays —
-        # corpus-scale state that must SPILL to disk, not evict-and-recompute
-        # (or OOM), on a 100 TB run.  NOT the serialized MEMORY_AND_DISK
-        # level: columnar-deser reads are ~4x faster here (measured on the
-        # clusters query: 2.1 s vs 8.2 s at sf0.1).
-        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    # reused three times downstream (bands + two shingle re-joins); without
+    # persistence the whole shingle/signature pipeline re-runs per use.
+    # MEMORY_AND_DISK_DESER (what cache() means for DataFrames): the staged
+    # rows carry full shingle arrays — corpus-scale state that must SPILL to
+    # disk, not evict-and-recompute (or OOM), on a 100 TB run.  NOT the
+    # serialized MEMORY_AND_DISK level: columnar-deser reads are ~4x faster
+    # here (measured on the clusters query: 2.1 s vs 8.2 s at sf0.1).
+    # Tracked so release_caches() can unpersist after the last
+    # materialization — a long-lived app must not pin shingle state forever.
+    staged = persist_tracked(staged)
     # Band join ships only (id, band, key) — never the shingle arrays (they
     # would otherwise shuffle 8x, once per band).  Shingles re-join by id
     # only for the deduped candidate pairs.

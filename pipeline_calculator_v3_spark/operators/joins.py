@@ -84,12 +84,16 @@ def salted_self_pairs(
     g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int")
     partner = F.explode(F.array(*[F.lit(i) for i in range(n_groups)]))
     cols = df.columns
+    # __block references the INPUT column, not the a_/b_ alias defined in the
+    # same select: lateral column alias resolution is a Spark 3.4+ behavior
+    # behind spark.sql.lateralColumnAlias.enableImplicitResolution — relying
+    # on it would break analysis on sessions with the conf disabled.
     left = (
         df.withColumn("__g", g)
         .withColumn("__pj", partner)
         .select(
             *[F.col(c).alias(f"a_{c}") for c in cols],
-            F.col(f"a_{block_col}").alias("__block"),
+            F.col(block_col).alias("__block"),
             F.col("__g").alias("__gi"),
             F.col("__pj").alias("__gj"),
         )
@@ -99,7 +103,7 @@ def salted_self_pairs(
         .withColumn("__pi", partner)
         .select(
             *[F.col(c).alias(f"b_{c}") for c in cols],
-            F.col(f"b_{block_col}").alias("__block"),
+            F.col(block_col).alias("__block"),
             F.col("__pi").alias("__gi"),
             F.col("__g").alias("__gj"),
         )

@@ -18,7 +18,6 @@ the explicit-DAG equivalent (SURVEY.md §7 'hard parts').
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -29,6 +28,7 @@ from .. import (
     SEGMENT_LENGTH_M,
     US_SURVEY_MILE_M,
 )
+from ..caching import persist_tracked
 from ..functions.geodesy import haversine_m
 from ..operators.corridor import corridor_polygons
 from ..operators.segmentize import segmentize
@@ -130,12 +130,11 @@ def analyze_pipelines(
     )
 
     # op 11: 5 m segments — persisted: reused by ops 12, 18 and 21.
-    # Explicit MEMORY_AND_DISK_DESER (== DataFrame cache()): corpus-scale
-    # segment state spills to disk instead of evicting and re-running the
-    # pandas-UDF resampler; deserialized storage keeps re-reads cheap.
-    segments = segmentize(vertices, segment_length_m).persist(
-        StorageLevel.MEMORY_AND_DISK_DESER
-    )
+    # MEMORY_AND_DISK_DESER (== DataFrame cache()): corpus-scale segment
+    # state spills to disk instead of evicting and re-running the pandas-UDF
+    # resampler; deserialized storage keeps re-reads cheap.  Tracked so
+    # release_caches() frees it once the result envelope is materialized.
+    segments = persist_tracked(segmentize(vertices, segment_length_m))
 
     # op 12: distance + bearing self-join
     pairs = distance_self_join(
@@ -165,11 +164,10 @@ def analyze_pipelines(
     # HAVING: sections >= min_parallel (:425,429); keep hit rows of kept
     # sections for corridor geometry + rollups
     wsec = Window.partitionBy("p1", "p2", "section")
-    kept_hits = (
+    kept_hits = persist_tracked(
         hits.withColumn("sec_n", F.count(F.lit(1)).over(wsec))
         .where(F.col("sec_n") * segment_length_m >= min_parallel_m)
         .drop("sec_n", "is_new")
-        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
 
     # op 15 aggregates + ops 16-17 corridor geometry

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from .functions.geodesy import US_SURVEY_MILE_M, haversine_sql
 from .plans import synth
+from .session import scoped_conf
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -36,6 +37,8 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+
+
 def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` with its nanosecond parquet timestamp.
 
@@ -46,9 +49,15 @@ def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     and gap arithmetic, and a µs-precision ``ts`` TIMESTAMP for
     window()/session_window() operations.  ``ts_ns`` keeps full precision for
     engine-internal use.
+
+    The legacy conf is SCOPED to this read (save/restore): parquet schema
+    conversion consults it during ``spark.read.parquet`` (footer inference),
+    so restoring immediately after keeps later nanos-parquet reads on the
+    shared session at their default behavior (verified: the returned frame
+    still collects as BIGINT after restore — tests/test_queries_rel.py).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         df.withColumn("ts_ns", F.col("ts"))
         .withColumn("ts_us", F.expr("CAST(ts_ns DIV 1000 AS BIGINT)"))

@@ -109,7 +109,20 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.stateful import run_stateful_to_memory
 
+    # Harness-only driver-side copy: the file stream source needs a directory
+    # it can list; at real scale the events land in their own object-store
+    # prefix and this copy does not exist.
     d = tempfile.mkdtemp(prefix="pcv3_stateful_")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet"))
-    _STATEFUL_RUNS[0] += 1
-    return run_stateful_to_memory(spark, d, f"pcv3_stateful_{os.getpid()}_{_STATEFUL_RUNS[0]}")
+    try:
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+        )
+        _STATEFUL_RUNS[0] += 1
+        return run_stateful_to_memory(
+            spark, d, f"pcv3_stateful_{os.getpid()}_{_STATEFUL_RUNS[0]}"
+        )
+    finally:
+        # the memory sink holds the results; the source dir is disposable as
+        # soon as the bounded stream has drained (run_stateful_to_memory
+        # returns only after processAllAvailable + stop)
+        shutil.rmtree(d, ignore_errors=True)

@@ -10,8 +10,28 @@ this factory is used by tests, bench.py and any standalone run.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of the block, then restore the
+    previous value (or unset if it had none) — session-mutating reads must
+    not leak behavior changes into unrelated queries on a shared session."""
+    # get(key, None) is None when the key was never explicitly set (plain
+    # get(key) would return the DEFAULT, making restore pin the default as an
+    # explicit setting)
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def get_spark(app_name: str = "pipeline_calculator_v3_spark",

@@ -216,20 +216,27 @@ def schema_fields(spark: SparkSession, paths: str | list[str]) -> list[tuple[str
                             name, ftype = elem.get("name"), elem.get("type")
                             if name and ftype:
                                 rows.append(
-                                    {"name": name, "ftype": ftype, "pos": pos}
+                                    {"name": name, "ftype": ftype,
+                                     "pos": pos, "path": path}
                                 )
                                 pos += 1
                         elem.clear()
                 except ET.ParseError:
                     pass
-            yield pd.DataFrame(rows, columns=["name", "ftype", "pos"])
+            yield pd.DataFrame(rows, columns=["name", "ftype", "pos", "path"])
 
+    # Deterministic winner per field name: min over (pos, path, ftype) — NOT
+    # F.first, whose pick is partition-order dependent.  ``pos`` resets per
+    # file, so the contract is: within one file, declaration order; across
+    # files, a name's type and rank come from its EARLIEST per-file position,
+    # ties broken by lexicographic path.
     collected = (
         _read_binary(spark, paths)
-        .mapInPandas(gen, "name string, ftype string, pos long")
+        .mapInPandas(gen, "name string, ftype string, pos long, path string")
         .groupBy("name")
-        .agg(F.min("pos").alias("pos"), F.first("ftype").alias("ftype"))
-        .orderBy("pos")
+        .agg(F.min(F.struct("pos", "path", "ftype")).alias("w"))
+        .select("name", "w.pos", "w.path", "w.ftype")
+        .orderBy("pos", "path", "name")
         .collect()
     )
     return [(r.name, r.ftype) for r in collected]

@@ -61,3 +61,24 @@ def test_geodesic_window_and_agg_share_shuffle(spark, sf_dir):
     # exchange on pipeline_id-derived keys in the whole plan
     plan = plan_of(spark, "q_geodesic_length", sf_dir)
     assert plan.count("Exchange hashpartitioning") <= 2  # pid for rownum + window
+
+
+def test_segments_xl_has_no_window(spark, sf_dir):
+    # the xl stress field derives its station index arithmetically from the
+    # contiguous orderkeys (VERDICT r02 #9): a 64-partition row_number window
+    # would funnel ~2.3 M rows/partition through single tasks at sf1
+    from pipeline_calculator_v3_spark.queries_spatial import _segments_xl
+
+    seg = _segments_xl(spark, sf_dir)
+    plan = seg._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Exchange" not in plan
+    # index must stay dense per pipeline (contract of the derivation)
+    from pyspark.sql import functions as F
+
+    chk = seg.groupBy("pipeline_id").agg(
+        F.count("*").alias("n"), F.max("seg_index").alias("mx"),
+        F.countDistinct("seg_index").alias("nd"),
+    )
+    bad = chk.where((F.col("mx") != F.col("n") - 1) | (F.col("nd") != F.col("n")))
+    assert bad.count() == 0
