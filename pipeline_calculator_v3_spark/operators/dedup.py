@@ -150,6 +150,91 @@ def minhash_lsh_pairs(
     return cand_sh.select("id1", "id2", jac).where(F.col("jaccard") >= min_jaccard)
 
 
+def minhash_signature_md5(sh: Column, num_hashes: int = 16) -> Column:
+    """Cross-engine MinHash signature (array<string>) from string shingles.
+
+    Element i = lexicographic MIN over shingles of ``md5(shingle || '|' || i)``
+    — md5 hex is identical in Spark and DuckDB and uniformly distributed, so
+    ordering hex strings is as good a random permutation as ordering ints.
+    This is the ORACLE-CHECKABLE path; the xxhash64 signature
+    (:func:`minhash_signature_from_hashes`) stays the scale path (fixed-width
+    ints through the shuffle instead of 32-char strings, one string-hash per
+    shingle instead of ``num_hashes``).
+    """
+    seeds = F.array(*[F.lit(str(i)) for i in range(num_hashes)])
+    return F.aggregate(
+        sh,
+        # '~' > any hex char: a valid MIN identity for md5 strings
+        F.array_repeat(F.lit("~"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc, seeds, lambda a, i: F.least(a, F.md5(F.concat(s, F.lit("|"), i)))
+        ),
+    )
+
+
+def minhash_lsh_pairs_md5(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via md5-based banded MinHash-LSH — deterministic
+    AND reproducible in ANSI SQL, so the whole probabilistic pipeline
+    (signatures -> band keys -> candidate set -> exact-Jaccard verify) gets a
+    value-level oracle verdict, not a rows-only pass.
+
+    Same plan shape as :func:`minhash_lsh_pairs`: per-doc signature
+    (map-side) -> band-key explode -> self-join on the key -> distinct pairs
+    -> exact Jaccard on the distinct shingle sets -> threshold.  Docs with
+    fewer than ``shingle_n`` tokens have no shingles and are excluded
+    (both engines; an empty-set signature would otherwise collide globally).
+    """
+    rows = num_hashes // bands
+    staged = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .withColumn("sig", minhash_signature_md5(F.col("sh"), num_hashes))
+    )
+    staged = persist_tracked(staged)  # reused: bands + two shingle re-joins
+    with_bands = staged.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(
+                    ":",
+                    b.cast("string"),
+                    F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows)),
+                ),
+            )
+        ).alias("key"),
+    )
+    a = with_bands.alias("a")
+    b = with_bands.alias("b")
+    cand = (
+        a.join(b, "key")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    sh = staged.select("id", "sh")
+    cand_sh = (
+        cand.join(sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
+        .join(sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2")
+    )
+    jac = (
+        F.size(F.array_intersect("sh1", "sh2")).cast("double")
+        / F.size(F.array_union("sh1", "sh2"))
+    ).alias("jaccard")
+    return cand_sh.select("id1", "id2", jac).where(F.col("jaccard") >= min_jaccard)
+
+
 def simhash64(text: Column, shingle_n: int = 3) -> Column:
     """64-bit SimHash over word shingles, as a BIGINT column.
 

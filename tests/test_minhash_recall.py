@@ -97,3 +97,32 @@ def test_exact_dups_always_found(spark):
     per_group = 10
     expected = n_groups * per_group * (per_group - 1) // 2
     assert pairs.count() == expected
+
+
+def test_md5_variant_recall(spark, corpus):
+    """The oracle-checkable md5 signature path must clear the same recall
+    gate as the xxhash64 path: different hash family, same 16x4 banding
+    theory, same planted families."""
+    from pipeline_calculator_v3_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    pairs = minhash_lsh_pairs_md5(
+        corpus, num_hashes=16, bands=4, min_jaccard=0.7
+    ).collect()
+    got = {(r.id1, r.id2) for r in pairs}
+
+    fam = corpus.where(F.col("family") >= 0).select("doc_id", "family").collect()
+    by_family: dict[int, list[int]] = {}
+    for r in fam:
+        by_family.setdefault(r.family, []).append(r.doc_id)
+    expected = {
+        (a, b)
+        for ids in by_family.values()
+        for i, a in enumerate(sorted(ids))
+        for b in sorted(ids)[i + 1 :]
+    }
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.93, f"recall {recall:.3f} over {len(expected)} planted pairs"
+    # verified threshold also kills cross-family candidates here
+    fam_of = {r.doc_id: r.family for r in fam}
+    for a, b in got:
+        assert fam_of.get(a, -2) == fam_of.get(b, -3), (a, b)

