@@ -54,8 +54,30 @@ def write_csv_distributed(df: DataFrame, out_dir: str) -> None:
     df.write.mode("overwrite").option("header", True).csv(out_dir)
 
 
+def write_json_distributed(results: dict[str, DataFrame], out_dir: str) -> None:
+    """Op 24 scale path: the potentially-large tables (sections, per-pipeline
+    rollups, lengths) go out as parallel JSON-lines part files via
+    ``df.write.json`` — no driver collect, any table size.  Only the
+    one-row ``summary`` stays a single driver-written file (it IS small by
+    construction).  ``write_json`` keeps the reference's single-envelope
+    format (src/pipeline_calculator_v3.py:1672-1675) for small-result parity;
+    this is what a 100 TB run must use instead.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    for name in ("lengths", "sections", "per_pipeline_overlap", "effective"):
+        results[name].write.mode("overwrite").json(os.path.join(out_dir, name))
+    summary = [r.asDict() for r in results["summary"].collect()]
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, default=str, indent=2)
+
+
 def write_json(results: dict[str, DataFrame], path: str) -> None:
-    """Op 24: whole result envelope as one JSON file (:1672-1675)."""
+    """Op 24: whole result envelope as one JSON file (:1672-1675).
+
+    Driver-side collect by design — single-file envelope parity with the
+    reference's export for human-sized results.  Use
+    :func:`write_json_distributed` when the section/rollup tables may be
+    large (collecting them here would be a driver OOM at scale)."""
     envelope = {
         "pipelines": [r.asDict() for r in results["lengths"].collect()],
         "summary": [r.asDict() for r in results["summary"].collect()],

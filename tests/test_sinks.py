@@ -74,3 +74,21 @@ def test_kml_sink(results, tmp_path):
     ]
     assert coords[0] == coords[-1]
     assert len(coords) >= 5
+
+
+def test_json_distributed_sink(results, tmp_path, spark):
+    from pipeline_calculator_v3_spark.sinks import write_json_distributed
+
+    out = str(tmp_path / "dist")
+    write_json_distributed(results, out)
+    # per-table JSONL directories written by executors, not the driver
+    lengths = spark.read.json(os.path.join(out, "lengths"))
+    assert lengths.count() == 2
+    assert {"pipeline_id", "name", "length_m", "length_mi"} <= set(lengths.columns)
+    sections = spark.read.json(os.path.join(out, "sections"))
+    assert sections.count() == 1
+    row = sections.collect()[0]
+    assert len(row.corridor_polygon) >= 4  # nested geometry survives JSON
+    # small summary stays a single driver file, same values as the envelope
+    summary = json.loads((tmp_path / "dist" / "summary.json").read_text())
+    assert len(summary) == 1 and summary[0]["total_m"] > 0
