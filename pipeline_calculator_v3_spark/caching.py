@@ -39,12 +39,13 @@ def persist_tracked(
 
 
 def _persistent_ids(spark: SparkSession) -> set[int]:
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    it = jmap.keySet().iterator()
-    ids: set[int] = set()
-    while it.hasNext():
-        ids.add(it.next())
-    return ids
+    # ONE py4j round-trip: iterating the java keySet element-wise costs 2
+    # JVM calls per id, and this runs twice per localCheckpoint — measured
+    # +25% warm wall-clock on the connected-components loop (~30 checkpoints
+    # x ~10 ids).  java.util.AbstractCollection.toString is "[1, 3, 7]".
+    s = spark.sparkContext._jsc.getPersistentRDDs().keySet().toString()
+    s = s.strip("[]").strip()
+    return {int(x) for x in s.split(",")} if s else set()
 
 
 def local_checkpoint_tracked(
@@ -55,11 +56,19 @@ def local_checkpoint_tracked(
     The new RDD id is recorded globally, or into ``ids_sink`` when the caller
     manages the lifetime itself (the connected-components loop frees each
     round's checkpoint as soon as the next round supersedes it).
+
+    The id comes straight off the checkpointed frame's LogicalRDD (one py4j
+    call) — diffing ``getPersistentRDDs`` before/after costs measurable
+    driver time in checkpoint-per-round loops; the diff remains only as the
+    fallback for plan shapes that don't expose the RDD.
     """
     spark = df.sparkSession
-    before = _persistent_ids(spark)
+    before = _persistent_ids(spark)  # single toString round-trip
     out = df.localCheckpoint(eager=True)
-    new = _persistent_ids(spark) - before
+    try:
+        new = {out._jdf.queryExecution().analyzed().rdd().id()}
+    except Exception:
+        new = _persistent_ids(spark) - before
     (ids_sink if ids_sink is not None else _TRACKED_IDS).extend(new)
     return out
 
@@ -70,12 +79,13 @@ def track_ids(ids: list[int]) -> None:
 
 
 def unpersist_ids(spark: SparkSession, ids: list[int], blocking: bool = False) -> None:
-    """Drop the cached blocks of specific RDD ids (localCheckpoint storage)."""
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    """Drop the cached blocks of specific RDD ids (localCheckpoint storage).
+
+    ``SparkContext.unpersistRDD`` is Scala package-private, which compiles
+    to a public JVM method — one py4j call per id, no jmap round-trips."""
+    jsc = spark.sparkContext._jsc.sc()
     for i in ids:
-        rdd = jmap.get(i)
-        if rdd is not None:
-            rdd.unpersist(blocking)
+        jsc.unpersistRDD(i, blocking)
 
 
 def release_caches(spark: SparkSession | None = None, blocking: bool = False) -> None:
