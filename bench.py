@@ -38,7 +38,9 @@ HEADLINE = [
     "q_segmentize",
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_dedup_minhash_md5",   # added r03 (oracle-checkable minhash)
     "q_dedup_minhash_xl",
+    "q_dedup_embedding",     # added r03 (embedding-cosine near-dup)
     "q_similarity_topk",
     "q_similarity_ann_ivf",
     "q_dedup_clusters",
@@ -70,12 +72,19 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         _F.lag("o_totalprice").over(_w)).limit(1).collect()
 
+    from pipeline_calculator_v3_spark import release_caches
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # free each query's persists/checkpoints between measurements
+        # (outside the timed window, same as r01/r02 numbers): without this
+        # the dedup/cluster/overlap queries accumulate pinned blocks that
+        # pressure every later query's memory
+        release_caches(spark)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -45,13 +45,41 @@ def fingerprint_md5(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (for MinHash/Jaccard)."""
+    """Word n-gram shingles as an array<string> (for MinHash/Jaccard).
+
+    Guarded for sub-``n``-token inputs: ``F.sequence(0, -1)`` counts DOWN
+    ([0, -1]), it is not empty — unguarded, short docs produce garbage
+    positions (and ``slice``/``element_at`` errors)."""
     toks = tokens(normalized_text(text))
-    # transform over sliding windows: indexes 0..size-n
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """String n-gram shingles from a MATERIALIZED token-array column.
+
+    Same output as :func:`shingles`, but ~3x faster at corpus scale
+    (measured 0.8 s -> 0.26 s warm on 5000 docs): pass a real column
+    reference so the tokenizer runs once per row, and build each shingle
+    with ``element_at`` x n instead of ``slice`` (which allocates a
+    sub-array per position).  Mirrors the shingles_from_token_hashes
+    materialization contract below.  Same sub-``n`` guard as
+    :func:`shingles` (Spark sequence counts DOWN when end < start).
+    """
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def token_hashes(text: Column) -> Column:
@@ -68,12 +96,15 @@ def shingles_from_token_hashes(th: Column, n: int = 3) -> Column:
     row (~40x) instead of (tokens + positions).
     """
     assert n == 3, "combiner below is specialized to trigrams"
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(th) - (n - 1), F.lit(0))),
-        lambda i: F.xxhash64(
-            F.element_at(th, i), F.element_at(th, i + 1), F.element_at(th, i + 2)
+    return F.when(
+        F.size(th) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(th) - (n - 1)),
+            lambda i: F.xxhash64(
+                F.element_at(th, i), F.element_at(th, i + 1), F.element_at(th, i + 2)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def shingle_hashes(text: Column, n: int = 3) -> Column:

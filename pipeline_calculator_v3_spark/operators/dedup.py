@@ -25,7 +25,9 @@ from ..functions.text import (
     shingle_hashes,
     shingles,
     shingles_from_token_hashes,
+    shingles_from_tokens,
     token_hashes,
+    tokens,
 )
 
 
@@ -97,6 +99,10 @@ def minhash_lsh_pairs(
             # re-evaluate per element_at reference (~40x hash work)
             token_hashes(F.col(text_col)).alias("th"),
         )
+        # sub-shingle docs OUT before signatures: an empty shingle set keeps
+        # the all-MAX_LONG init signature, so every short doc would band-
+        # collide with every other and the Jaccard verify divides by zero
+        .where(F.size("th") >= shingle_n)
         .withColumn(
             "sh", F.array_distinct(shingles_from_token_hashes(F.col("th"), shingle_n))
         )
@@ -150,28 +156,6 @@ def minhash_lsh_pairs(
     return cand_sh.select("id1", "id2", jac).where(F.col("jaccard") >= min_jaccard)
 
 
-def minhash_signature_md5(sh: Column, num_hashes: int = 16) -> Column:
-    """Cross-engine MinHash signature (array<string>) from string shingles.
-
-    Element i = lexicographic MIN over shingles of ``md5(shingle || '|' || i)``
-    — md5 hex is identical in Spark and DuckDB and uniformly distributed, so
-    ordering hex strings is as good a random permutation as ordering ints.
-    This is the ORACLE-CHECKABLE path; the xxhash64 signature
-    (:func:`minhash_signature_from_hashes`) stays the scale path (fixed-width
-    ints through the shuffle instead of 32-char strings, one string-hash per
-    shingle instead of ``num_hashes``).
-    """
-    seeds = F.array(*[F.lit(str(i)) for i in range(num_hashes)])
-    return F.aggregate(
-        sh,
-        # '~' > any hex char: a valid MIN identity for md5 strings
-        F.array_repeat(F.lit("~"), num_hashes),
-        lambda acc, s: F.zip_with(
-            acc, seeds, lambda a, i: F.least(a, F.md5(F.concat(s, F.lit("|"), i)))
-        ),
-    )
-
-
 def minhash_lsh_pairs_md5(
     docs: DataFrame,
     text_col: str = "text",
@@ -186,32 +170,67 @@ def minhash_lsh_pairs_md5(
     (signatures -> band keys -> candidate set -> exact-Jaccard verify) gets a
     value-level oracle verdict, not a rows-only pass.
 
-    Same plan shape as :func:`minhash_lsh_pairs`: per-doc signature
-    (map-side) -> band-key explode -> self-join on the key -> distinct pairs
-    -> exact Jaccard on the distinct shingle sets -> threshold.  Docs with
-    fewer than ``shingle_n`` tokens have no shingles and are excluded
-    (both engines; an empty-set signature would otherwise collide globally).
+    Signature element i = lexicographic MIN over shingles of
+    ``md5(shingle || '|' || i)`` — md5 hex is identical in Spark and DuckDB
+    and uniformly distributed, so ordering hex strings is as good a random
+    permutation as ordering ints.  Computed as explode + ``num_hashes``
+    parallel min() aggregates: md5 and min stay inside whole-stage codegen
+    with map-side partial aggregation, vs an interpreted HOF aggregate
+    re-allocating a 16-wide array per shingle (measured 7.7 s -> ~2 s at
+    sf0.1).  The xxhash64 path (:func:`minhash_lsh_pairs`) stays the scale
+    throughput variant (fixed-width ints, one string-hash per shingle).
+
+    Same downstream shape: band-key explode -> self-join on the key ->
+    distinct pairs -> exact Jaccard on the distinct shingle sets ->
+    threshold.  Docs with fewer than ``shingle_n`` tokens have no shingles
+    and are excluded (both engines; an empty-set signature would otherwise
+    collide globally).
     """
     rows = num_hashes // bands
     staged = (
         docs.select(
             F.col(id_col).alias("id"),
-            F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
+            # tokens MATERIALIZED before shingling (see shingles_from_tokens)
+            tokens(normalized_text(F.col(text_col))).alias("t"),
         )
-        .where(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature_md5(F.col("sh"), num_hashes))
+        # short-doc filter on the CHEAP column: written as size(sh) > 0, the
+        # optimizer pushes the predicate below the projection with the whole
+        # shingle pipeline inlined, and every element_at reference inside the
+        # HOF lambda re-runs the tokenizer (~50x/row; measured 0.25 s ->
+        # 16.6 s).  size(t) >= n is the same predicate (shingles are empty
+        # iff tokens < n) over one tokenizer pass.
+        .where(F.size("t") >= shingle_n)
+        .select(
+            "id",
+            F.array_distinct(shingles_from_tokens(F.col("t"), shingle_n)).alias("sh"),
+        )
     )
-    staged = persist_tracked(staged)  # reused: bands + two shingle re-joins
-    with_bands = staged.select(
+    staged = persist_tracked(staged)  # reused: signature + two shingle re-joins
+    sig = persist_tracked(
+        staged.select("id", F.explode("sh").alias("s"))
+        .groupBy("id")
+        .agg(
+            *[
+                F.min(F.md5(F.concat(F.col("s"), F.lit(f"|{i}")))).alias(f"m{i}")
+                for i in range(num_hashes)
+            ]
+        )
+    )  # the band self-join reads both sides from this (id x 16 hex) table;
+    # unpersisted, the explode+aggregate signature pass would run twice
+    with_bands = sig.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat_ws(
-                    ":",
-                    b.cast("string"),
-                    F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows)),
-                ),
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        F.concat_ws(
+                            ",", *[F.col(f"m{b * rows + j}") for j in range(rows)]
+                        ),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("key"),
     )

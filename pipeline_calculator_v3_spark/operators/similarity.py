@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import local_checkpoint_tracked
 from ..functions.vectors import cosine
 
 
@@ -176,7 +177,7 @@ def cosine_topk_ivf(
         )
 
     for _ in range(kmeans_iters):
-        cents = refine(cents).localCheckpoint(eager=True)
+        cents = local_checkpoint_tracked(refine(cents))
 
     def assign(df, id_col, keep_n):
         scored = (
@@ -254,4 +255,57 @@ def cosine_topk_lsh(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
+    )
+
+
+def sign_prefix_block(vec: Column, sign_dims: int = 8) -> Column:
+    """Deterministic LSH block key: the sign pattern of the first
+    ``sign_dims`` dimensions, as a bit-string.
+
+    Axis-aligned hyperplanes instead of pseudo-random ones: NO hash function
+    involved, so the exact same blocking is expressible in ANSI SQL — this is
+    what makes embedding-cosine dedup oracle-checkable end-to-end.  Geometry:
+    vectors with cosine -> 1 agree on every dimension's sign except those
+    near zero; for near-dup thresholds (>= 0.95) sign flips on 8 of 64 dims
+    are rare, and a multi-probe or multi-table variant covers the tail at
+    scale (same trade as cosine_topk_lsh)."""
+    bits = [
+        F.when(F.element_at(vec, d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in range(sign_dims)
+    ]
+    return F.concat(*bits)
+
+
+def embedding_dedup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_dims: int = 8,
+    min_cosine: float = 0.99,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space face of
+    dedup (brief north star: 'embedding-cosine near-dup').
+
+    Plan: sign-prefix block (map-side, 2^sign_dims buckets) -> skew-safe
+    within-block pair generation (salted_self_pairs: a dense region's hot
+    bucket splits n_groups^2 ways) -> exact double-precision cosine ->
+    threshold.  Returns (id1, id2, cos_sim).  Never all-pairs: candidate
+    count is sum of per-bucket quadratic terms, not N^2."""
+    from .joins import salted_self_pairs
+
+    base = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        sign_prefix_block(F.col(vec_col), sign_dims).alias("blk"),
+    )
+    pairs = salted_self_pairs(base, "blk", "vid", n_groups=4).where(
+        F.col("a_vid") < F.col("b_vid")
+    )
+    return (
+        pairs.select(
+            F.col("a_vid").alias("id1"),
+            F.col("b_vid").alias("id2"),
+            cosine(F.col("a_v"), F.col("b_v")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min_cosine)
     )

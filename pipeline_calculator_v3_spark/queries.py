@@ -354,6 +354,7 @@ from . import queries_tpch  # noqa: E402,F401
 # surface is unchecked by definition and must land inside the window.
 # ---------------------------------------------------------------------------
 _NEVER_CHECKED_FIRST = [
+    "q_dedup_embedding",
     "q_dedup_minhash", "q_dedup_minhash_md5", "q_dedup_simhash",
     "q_similarity_topk", "q_similarity_ann_lsh", "q_similarity_ann_ivf",
     "q_text_analysis", "q_text_quality", "q_lang_id", "q_fingerprint",
@@ -372,9 +373,10 @@ _KEEP_IN_WINDOW = [
     "q_sessionize", "q_dedup_exact", "q_ngram_jaccard", "q_scan_project",
     "q_filter_pred", "q_case_dispatch", "q_join_inner_hash", "q_agg_hash",
     "q_sort_limit", "q_join_asof", "q_spatial_distance_join_xl",
-    "q_parallel_overlap_xl", "q_udf_surface",
+    "q_parallel_overlap_xl",
 ]
 _ROTATED_OUT = [
+    "q_udf_surface",  # rows-only by nature, driver-ran twice — lowest signal
     "q_join_multi_way", "q_join_left_semi", "q_join_left_anti",
     "q_join_outer", "q_join_theta_range", "q_agg_distinct",
     "q_agg_approx_distinct", "q_rollup", "q_cube", "q_grouping_sets",

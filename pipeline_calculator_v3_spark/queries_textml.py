@@ -56,6 +56,7 @@ WITH toks AS (
     SELECT doc_id, list_distinct({_TOKENS}) AS tok,
            list_aggregate({_TOKENS}[1:4], 'string_agg', ' ') AS prefix
     FROM documents
+    WHERE len({_TOKENS}) > 0
 )
 SELECT a.doc_id AS id1, b.doc_id AS id2,
        CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
@@ -81,7 +82,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = F.concat_ws(
         " ", F.slice(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""), 1, 4)
     )
-    base = d.select(F.col("doc_id"), toks.alias("tok"), prefix.alias("prefix"))
+    # empty-token docs out on BOTH engines: Spark's concat_ws prefix for an
+    # empty doc is '' (joins other empties -> 0/0 Jaccard) while DuckDB's
+    # string_agg is NULL (never joins) — a latent cross-engine divergence
+    # with no effect on the current corpus, closed explicitly
+    base = d.select(F.col("doc_id"), toks.alias("tok"), prefix.alias("prefix")).where(
+        F.size(toks) > 0
+    )
     return (
         salted_self_pairs(base, "prefix", "doc_id", n_groups=8)
         .where(F.col("a_doc_id") < F.col("b_doc_id"))
@@ -234,6 +241,67 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         e.where(F.col("vec_id") < 8), e, k=10, n_centroids=32, nprobe=3
     )
+
+
+# Embedding-cosine near-dup (brief north star, the one dedup modality the
+# registry lacked).  The real embeddings table has NO near-dups (max all-pairs
+# cosine 0.513 at sf0.01), so the query plants deterministic perturbed copies
+# — same engine-portable-synthesis pattern as q_dedup_minhash_xl — and must
+# recover exactly the planted (v, v+100000) pairs.  Sign-prefix blocking uses
+# axis-aligned hyperplanes (no hash), so the ENTIRE pipeline — perturbation,
+# blocking, candidates, cosine — replays in ANSI SQL for a value-level
+# verdict.  Positive perturbation factors (1 +- 0.006) cannot flip a sign,
+# so planted recall is exactly 1.0 by construction.
+@query(
+    "q_dedup_embedding",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+planted AS (
+    SELECT vec_id + 100000 AS vec_id,
+           list_transform(list_zip(embedding, range(0, 64)),
+                          z -> CAST(z[1] AS DOUBLE) * (1.0 + 0.002 * (z[2] % 7 - 3))) AS v
+    FROM embeddings WHERE vec_id < 50
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+blocked AS (
+    SELECT vec_id, v,
+           list_aggregate(list_transform(v[1:8],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '') AS blk
+    FROM corpus
+),
+scored AS (
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos_sim
+    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.vec_id < b.vec_id
+)
+SELECT id1, id2, cos_sim FROM scored WHERE cos_sim >= 0.99
+""",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the embeddings corpus + planted
+    perturbed copies: sign-prefix blocked (never all-pairs), skew-salted,
+    exact double-precision cosine >= 0.99 (operators/similarity.py)."""
+    from .operators.similarity import embedding_dedup_pairs
+
+    e = t(spark, sf_dir, "embeddings")
+    planted = e.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * (F.lit(1.0) + 0.002 * ((i % 7) - 3).cast("double")),
+        ).alias("embedding"),
+    )
+    corpus = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionAll(planted)
+    return embedding_dedup_pairs(_spread(corpus, spark), min_cosine=0.99)
 
 
 @query(

@@ -126,3 +126,21 @@ def test_md5_variant_recall(spark, corpus):
     fam_of = {r.doc_id: r.family for r in fam}
     for a, b in got:
         assert fam_of.get(a, -2) == fam_of.get(b, -3), (a, b)
+
+
+def test_short_doc_edge_cases(spark):
+    """0/1/2-token docs must be excluded cleanly, not crash or band-collide:
+    Spark's sequence(a, b) counts DOWN when b < a, so unguarded shingle
+    generators produce element_at(t, 0) errors or garbage positions; and an
+    empty shingle set would keep the all-MAX init signature, band-colliding
+    every short doc with every other (0/0 Jaccard)."""
+    from pipeline_calculator_v3_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"),
+         (4, "three words here"), (5, "three words here"), (6, "   ")],
+        "doc_id long, text string",
+    )
+    for fn in (minhash_lsh_pairs, minhash_lsh_pairs_md5):
+        pairs = fn(edge, min_jaccard=0.5).collect()
+        assert [(r.id1, r.id2, r.jaccard) for r in pairs] == [(4, 5, 1.0)], fn.__name__

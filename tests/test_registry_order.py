@@ -53,6 +53,10 @@ def test_window_is_full_when_registry_overflows():
 
 def test_rotated_out_remain_pytest_gated():
     # rotating out of the driver window is only sound because the in-repo
-    # parity suite still value-checks them every run
+    # parity suite still value-checks them every run; the two exceptions are
+    # rows-only BY NATURE (HLL sketch, pandas-UDF-vs-JVM delta probe) and
+    # both already ran driver-green twice
     for name in _ROTATED_OUT:
-        assert name in ORACLE_SQL or name == "q_agg_approx_distinct", name
+        assert name in ORACLE_SQL or name in (
+            "q_agg_approx_distinct", "q_udf_surface",
+        ), name
