@@ -41,6 +41,8 @@ HEADLINE = [
     "q_dedup_minhash_md5",   # added r03 (oracle-checkable minhash)
     "q_dedup_minhash_xl",
     "q_dedup_embedding",     # added r03 (embedding-cosine near-dup)
+    "q_vocab_topk",          # added r03 (vocabulary statistics)
+    "q_contamination",       # added r03 (benchmark decontamination)
     "q_similarity_topk",
     "q_similarity_ann_ivf",
     "q_dedup_clusters",

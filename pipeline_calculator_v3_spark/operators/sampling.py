@@ -1,0 +1,48 @@
+"""Deterministic hash-based sampling — the reproducible subsetting primitive
+a training-data pipeline needs (seeded holdout splits, cheap profiling,
+ablation subsets).
+
+``df.sample()`` draws from a partition-seeded RNG: the selected row set
+changes with partitioning, task retries, and engine — useless as a stable
+split at 100 TB and impossible to oracle-check.  Hash-threshold selection
+(md5 of a key column compared against a rate-scaled hex threshold) fixes all
+three: no RNG state, identical row set on every run/partitioning/engine, and
+the predicate is a scan-side filter — the unsampled 90% of a 100 TB corpus
+is dropped before any shuffle or materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_sample_predicate(key: Column, rate: float) -> Column:
+    """Boolean Column selecting ~``rate`` of rows, keyed on ``md5(key)``.
+
+    The threshold is ``rate`` scaled into the first 8 hex chars of the
+    digest; lexicographic comparison on the lowercase hex string is
+    equivalent to numeric comparison on the 32-bit digest prefix and
+    behaves identically in Spark and DuckDB, so sampling queries are
+    oracle-checkable value-for-value.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return F.lit(True)
+    if rate <= 0.0:
+        return F.lit(False)
+    threshold = format(int(rate * 16**8), "08x")
+    return F.md5(key.cast("string")) < F.lit(threshold)
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Deterministic ~``rate`` sample of ``df`` keyed on ``key_col``.
+
+    Rows satisfy ``md5(cast(key AS string)) < hex(rate * 2^32)`` — stable
+    across runs, partitionings, and engines.  Mirrors the reference's use of
+    reproducible subset selection for display/debug flows
+    (src/pipeline_calculator_v3.py keeps deterministic ordering for its
+    result tables); generalized here to corpus-scale splits.
+    """
+    return df.where(hash_sample_predicate(F.col(key_col), rate))

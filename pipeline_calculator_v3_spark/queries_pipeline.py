@@ -1,0 +1,201 @@
+"""Training-data pipeline queries: deterministic sampling, vocabulary
+statistics, benchmark decontamination, and corpus profiling.
+
+These four cover the curation steps between raw corpus and training shard
+that the dedup/similarity/quality modules (queries_textml.py) don't:
+reproducible subsetting, token-frequency vocabularies, train/test-overlap
+detection, and distributional profiling.  Every query is oracle-checkable —
+the hash function (md5), tokenizer regex, shingle construction, and
+quantile interpolation are all written once and replayed exactly in the
+DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import shingles_from_tokens, tokens
+from .operators.sampling import hash_sample_predicate
+from .queries import query, t
+
+# Tokenizer fragment shared with queries_textml oracles (same regex).
+_TOKENS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+@query(
+    "q_sample_hash",
+    oracle="""
+WITH s AS (
+    SELECT lang, md5(CAST(doc_id AS VARCHAR)) < '19999999' AS picked
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM s
+GROUP BY lang
+""",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample (operators/sampling.py), verified per
+    language stratum: the oracle replays the exact md5-threshold predicate,
+    so the *row-level* selection (not just the rate) is value-checked.
+
+    Scale shape: the predicate is a scan-side filter — zero shuffle for the
+    sampling itself; the only exchange is the tiny per-lang rollup."""
+    d = t(spark, sf_dir, "documents")
+    picked = hash_sample_predicate(F.col("doc_id"), 0.1)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(picked.cast("bigint")).alias("n_sampled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary statistics
+# ---------------------------------------------------------------------------
+@query(
+    "q_vocab_topk",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM tok
+GROUP BY token
+ORDER BY tf DESC, token
+LIMIT 100
+""",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by term frequency with document
+    frequency — the tokenizer-fitting / stopword-discovery primitive.
+
+    Scale shape: explode feeds a two-level hash aggregate (map-side partial
+    combine collapses each partition's token counts before the shuffle — the
+    exchange carries one row per distinct token per partition, not one per
+    token occurrence), and the top-k is TakeOrderedAndProject, never a full
+    sort.  Ties at the k-boundary are broken by token text so the result set
+    is deterministic."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+@query(
+    "q_contamination",
+    oracle=f"""
+WITH tk AS (
+    SELECT doc_id, source, {_TOKENS} AS t FROM documents
+),
+sh AS (
+    SELECT doc_id, source,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 7, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                 || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                 || ' ' || t[i+7]))) AS s
+    FROM tk
+),
+bench AS (
+    SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0
+),
+flagged AS (
+    SELECT DISTINCT doc_id FROM sh
+    WHERE doc_id % 10 <> 0 AND s IN (SELECT s FROM bench)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM flagged)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM documents
+WHERE doc_id % 10 <> 0
+GROUP BY source
+""",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark overlap detection via 8-token shingle collision — the
+    standard n-gram decontamination check (a train document is contaminated
+    if ANY of its 8-gram shingles appears in the benchmark set).  Benchmark
+    = ``doc_id % 10 == 0`` holdout, flagged counts rolled up per source.
+
+    Scale shape: the benchmark shingle set is small by construction
+    (benchmarks are thousands of docs against a 100 TB corpus), so it
+    BROADCASTS — the train-side shingles stream past it map-side with no
+    shuffle of corpus text; only (doc_id, flag) pairs reach the rollup."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(shingles_from_tokens(tokens(F.col("text")), 8))
+        ).alias("s"),
+    )
+    bench = sh.where(F.col("doc_id") % 10 == 0).select("s").distinct()
+    flagged = (
+        sh.where(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(bench), "s")
+        .select("doc_id")
+        .distinct()
+        .withColumn("flag", F.lit(1))
+    )
+    train = d.where(F.col("doc_id") % 10 != 0).select("doc_id", "source")
+    return (
+        train.join(F.broadcast(flagged), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum(F.coalesce(F.col("flag"), F.lit(0))).alias("n_flagged"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus profiling
+# ---------------------------------------------------------------------------
+@query(
+    "q_quantile_profile",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+       ROUND(quantile_cont(n_chars, 0.99), 6) AS p99_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-distribution profile: exact linear-interpolation
+    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``,
+    cross-checked to 6 decimals).
+
+    Scale note: exact percentile shuffles the grouped values; at 100 TB the
+    drop-in scale path is ``percentile_approx`` (t-digest sketch, map-side
+    mergeable, bounded memory) — kept exact here because exactness is what
+    makes the query oracle-checkable, and the group count (languages) is
+    tiny either way."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.99)), 6).alias("p99_chars"),
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries import query, t
+from .queries import events_t, query, t
 
 
 @query(
@@ -166,8 +166,12 @@ FROM events
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-attribute map projection — the KML ExtendedData model
     (src/pipeline_calculator_v3.py:148-165, SURVEY.md §1.2): parse the props
-    JSON into MAP<STRING,BIGINT>, project with element_at/map_keys."""
-    ev = t(spark, sf_dir, "events")
+    JSON into MAP<STRING,BIGINT>, project with element_at/map_keys.
+
+    Reads via events_t: a raw ``t(...)`` read of the nanos-timestamp parquet
+    only worked while another query had leaked the session-wide legacy conf
+    (fixed r03 — every events read now carries its own nanosAsLong option)."""
+    ev = events_t(spark, sf_dir)
     m = F.from_json("props", "map<string,bigint>")
     return ev.select(
         "event_id",
@@ -187,8 +191,9 @@ FROM events
 """,
 )
 def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON scalars on events.props (reference op 24's JSON envelope)."""
-    ev = t(spark, sf_dir, "events")
+    """JSON scalars on events.props (reference op 24's JSON envelope).
+    Reads via events_t (see q_map_funcs on why raw reads are wrong here)."""
+    ev = events_t(spark, sf_dir)
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),

@@ -70,34 +70,31 @@ def run_stateful_to_memory(spark, events_dir: str, name: str,
     ``max_files_per_trigger=1`` each file is its own micro-batch, proving
     state carries across batches.  Returns the LATEST row per user.
 
-    The nanos legacy conf is scoped to the whole bounded run (micro-batches
-    read parquet asynchronously until ``processAllAvailable`` returns), then
-    restored — the shared session keeps its default parquet behavior."""
-    from ..session import scoped_conf
-
+    The explicit user schema (``ts bigint``) makes the legacy nanos conf
+    unnecessary (see streaming/windows.py) — zero session mutation, so
+    async micro-batches can't race a conf restore."""
     schema = (
         "event_id bigint, ts bigint, user_id bigint, event_type string, "
         "value double, props string"
     )
-    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
-        reader = spark.readStream.schema(schema)
-        if max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        raw = reader.parquet(events_dir)
-        from pyspark.sql import functions as F
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(events_dir)
+    from pyspark.sql import functions as F
 
-        ev = raw.withColumn("ts_us", F.expr("CAST(ts DIV 1000 AS BIGINT)"))
-        q = (
-            running_user_totals(ev)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    ev = raw.withColumn("ts_us", F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+    q = (
+        running_user_totals(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     # update mode appends one row per (user, batch); latest batch wins
     from pyspark.sql import Window
 

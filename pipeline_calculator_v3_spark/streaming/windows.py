@@ -66,8 +66,13 @@ def session_counts(events: DataFrame) -> DataFrame:
 
 def stream_events(spark, events_dir: str, watermark: str = "30 minutes") -> DataFrame:
     """readStream twin of queries.events_t: ns-parquet -> µs timestamp +
-    watermark for state eviction."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    watermark for state eviction.
+
+    The explicit user schema (``ts bigint``) makes the legacy nanos conf
+    unnecessary — only footer INFERENCE rejects TIMESTAMP(NANOS); a
+    requested bigint reads the physical INT64 directly.  The conf-set this
+    replaced leaked session-wide and masked raw `events` reads elsewhere
+    into depending on it (same leak class as VERDICT r02 #4)."""
     schema = (
         "event_id bigint, ts bigint, user_id bigint, event_type string, "
         "value double, props string"

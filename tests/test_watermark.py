@@ -47,7 +47,6 @@ def test_late_event_dropped_by_watermark(spark, tmp_path):
         now,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = (
         "event_id bigint, ts bigint, user_id bigint, event_type string, "
         "value double, props string"
