@@ -1,0 +1,61 @@
+"""Columnar/text interchange formats beyond parquet: ORC and raw-text corpus
+ingestion.
+
+The reference consumes only KMZ/KML + its GUI state (SURVEY.md §2.A ops 1-5);
+a pipeline engine feeding a training run additionally ingests whatever the
+upstream lake holds.  Spark reads/writes ORC natively (same Catalyst
+datasource path as parquet: predicate pushdown, column pruning, vectorized
+reader), and raw text via the `text` source (one row per line, or
+``wholetext`` for one row per file — the raw-corpus shape before document
+parsing).  Both are thin, deliberately: the value is the round-trip contract
+tests (tests/test_formats.py), not wrapper code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Distributed ORC write; ``partition_by`` produces hive-style dirs so
+    downstream reads get partition pruning."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """ORC scan; pass ``schema`` to skip footer inference (the explicit-schema
+    rule that matters at millions of files — see queries.EVENTS_SCHEMA)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """One row per line (column ``value``), with the source file and the
+    line's position within it — the stable document identity a line-oriented
+    corpus ingest needs (input_file_name + a per-file monotonic id would NOT
+    be stable across partitionings; the (file, line_no) pair is computed
+    per-partition on data that arrives file-contiguous from the text source)."""
+    lines = spark.read.text(path).select(
+        F.input_file_name().alias("path"), F.col("value")
+    )
+    # Line number within file: text-source splits are file-contiguous, so a
+    # window over (path) ordered by the split-local id is deterministic for
+    # files below maxPartitionBytes; large single files should carry their
+    # own ids upstream.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("path").orderBy(F.monotonically_increasing_id())
+    return lines.withColumn("line_no", F.row_number().over(w))
+
+
+def read_text_whole(spark: SparkSession, path: str) -> DataFrame:
+    """One row per FILE (``path``, ``value``) — document-per-file corpora."""
+    return spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("path"), F.col("value")
+    )

@@ -1,0 +1,83 @@
+"""ORC + raw-text source round-trip contracts (sources/formats.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pipeline_calculator_v3_spark.sources.formats import (
+    read_orc,
+    read_text_lines,
+    read_text_whole,
+    write_orc,
+)
+
+
+def test_orc_round_trip_exact(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dest = str(tmp_path / "orders_orc")
+    write_orc(src, dest)
+    back = read_orc(spark, dest)
+    assert back.schema == src.schema
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_orc_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dest = str(tmp_path / "orders_part")
+    write_orc(src, dest, partition_by=["o_orderstatus"])
+    statuses = [r[0] for r in src.select("o_orderstatus").distinct().collect()]
+    assert all(
+        os.path.isdir(os.path.join(dest, f"o_orderstatus={s}")) for s in statuses
+    )
+    back = read_orc(spark, dest)
+    one = back.where(F.col("o_orderstatus") == statuses[0])
+    # partition pruning: the filtered physical plan reads only one dir
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == src.count()
+    expected = src.where(F.col("o_orderstatus") == statuses[0]).count()
+    assert one.count() == expected
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or (
+        "o_orderstatus" in plan
+    )
+
+
+def test_orc_predicate_pushdown(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dest = str(tmp_path / "orders_push")
+    write_orc(src, dest)
+    q = read_orc(spark, dest).where(F.col("o_orderkey") < 100).select("o_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)]" in plan
+    # column pruning reaches the scan
+    assert "ReadSchema: struct<o_orderkey:bigint>" in plan
+
+
+def test_text_lines_identity_is_partitioning_stable(spark, tmp_path):
+    docs = tmp_path / "corpus"
+    docs.mkdir()
+    for i in range(3):
+        (docs / f"doc{i}.txt").write_text(
+            "\n".join(f"file{i} line{j}" for j in range(50)) + "\n"
+        )
+    df = read_text_lines(spark, str(docs))
+    assert df.count() == 150
+    rows = df.collect()
+    for r in rows:
+        fi = int(r.value.split()[0][4:])
+        lj = int(r.value.split()[1][4:])
+        assert r.path.endswith(f"doc{fi}.txt")
+        assert r.line_no == lj + 1, (r.value, r.line_no)
+
+
+def test_text_whole_one_row_per_file(spark, tmp_path):
+    docs = tmp_path / "whole"
+    docs.mkdir()
+    (docs / "a.txt").write_text("alpha\nbeta\n")
+    (docs / "b.txt").write_text("gamma\n")
+    df = read_text_whole(spark, str(docs))
+    got = {os.path.basename(r.path): r.value for r in df.collect()}
+    assert got == {"a.txt": "alpha\nbeta\n", "b.txt": "gamma\n"}
