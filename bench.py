@@ -73,6 +73,14 @@ def main() -> None:
     _w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
     spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         _F.lag("o_totalprice").over(_w)).limit(1).collect()
+    # Python-worker fork + Arrow serializer warmup: the overlap/segmentize
+    # queries run applyInPandas kernels, and the FIRST pandas-UDF job in a
+    # session pays daemon fork + numpy import on every executor thread —
+    # session-startup cost, not query cost, so pay it here like the JVM warm.
+    import pandas as _pd
+    spark.createDataFrame(_pd.DataFrame({"g": [0, 1] * 16, "x": range(32)})) \
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
+        .groupBy("g").applyInPandas(lambda p: p, "g long, x long").count()
 
     from pipeline_calculator_v3_spark import release_caches
 

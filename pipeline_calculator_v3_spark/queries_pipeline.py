@@ -15,9 +15,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .caching import persist_tracked
 from .functions.text import shingles_from_tokens, tokens
 from .operators.sampling import hash_sample_predicate
 from .queries import query, t
+
+
+def _spread(df, spark):
+    """Single-file parquet arrives as ONE partition; spread compute-bound
+    stages to the session's parallelism (no-op at real multi-file scale)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 # Tokenizer fragment shared with queries_textml oracles (same regex).
 _TOKENS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
@@ -83,7 +90,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     token occurrence), and the top-k is TakeOrderedAndProject, never a full
     sort.  Ties at the k-boundary are broken by token text so the result set
     is deterministic."""
-    d = t(spark, sf_dir, "documents")
+    d = _spread(t(spark, sf_dir, "documents"), spark)
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     return (
         tok.groupBy("token")
@@ -139,24 +146,39 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the benchmark shingle set is small by construction
     (benchmarks are thousands of docs against a 100 TB corpus), so it
     BROADCASTS — the train-side shingles stream past it map-side with no
-    shuffle of corpus text; only (doc_id, flag) pairs reach the rollup."""
+    shuffle of corpus text; only (doc_id, flag) pairs reach the rollup.
+
+    Staging contract (same trap as operators/dedup.py): the token array must
+    be a PERSISTED column before the 8-reference shingle lambda — inlined,
+    every ``element_at`` re-runs the tokenizer (measured 31 s -> 2.2 s at
+    sf0.1).  Persisting also lets bench/train shingle their DISJOINT halves
+    once each instead of both filtering a full-corpus shingle pass."""
     d = t(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array_distinct(shingles_from_tokens(tokens(F.col("text")), 8))
-        ).alias("s"),
+    staged = persist_tracked(
+        _spread(
+            d.select("doc_id", "source", tokens(F.col("text")).alias("t")),
+            spark,
+        )
     )
-    bench = sh.where(F.col("doc_id") % 10 == 0).select("s").distinct()
+
+    def shingled(frame):
+        return frame.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("t"), 8))
+            ).alias("s"),
+        )
+
+    is_bench = F.col("doc_id") % 10 == 0
+    bench = shingled(staged.where(is_bench)).select("s").distinct()
     flagged = (
-        sh.where(F.col("doc_id") % 10 != 0)
+        shingled(staged.where(~is_bench))
         .join(F.broadcast(bench), "s")
         .select("doc_id")
         .distinct()
         .withColumn("flag", F.lit(1))
     )
-    train = d.where(F.col("doc_id") % 10 != 0).select("doc_id", "source")
+    train = staged.where(~is_bench).select("doc_id", "source")
     return (
         train.join(F.broadcast(flagged), "doc_id", "left")
         .groupBy("source")
