@@ -126,3 +126,42 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         # soon as the bounded stream has drained (run_stateful_to_memory
         # returns only after processAllAvailable + stop)
         shutil.rmtree(d, ignore_errors=True)
+
+
+_DEDUP_RUNS = [0]
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-on-ingest (streaming/dedup.py): the events file is
+    delivered TWICE as separate micro-batches; dropDuplicatesWithinWatermark
+    keeps each event_id's first arrival, so the per-type counts of the
+    append output equal the batch counts of the single file — which is the
+    oracle.  State is watermark-bounded (the 100 TB-stream-safe form;
+    unbounded dropDuplicates state would OOM)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.dedup import run_dedup_to_memory
+
+    # Harness-only driver-side copies (see q_stream_stateful): two identical
+    # files simulate at-least-once redelivery across micro-batches.
+    d = tempfile.mkdtemp(prefix="pcv3_dedup_")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        shutil.copy(src, os.path.join(d, "events_a.parquet"))
+        shutil.copy(src, os.path.join(d, "events_b.parquet"))
+        _DEDUP_RUNS[0] += 1
+        return run_dedup_to_memory(
+            spark, d, f"pcv3_dedup_{os.getpid()}_{_DEDUP_RUNS[0]}"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

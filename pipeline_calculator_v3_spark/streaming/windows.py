@@ -64,7 +64,8 @@ def session_counts(events: DataFrame) -> DataFrame:
     )
 
 
-def stream_events(spark, events_dir: str, watermark: str = "30 minutes") -> DataFrame:
+def stream_events(spark, events_dir: str, watermark: str = "30 minutes",
+                  max_files_per_trigger: int | None = None) -> DataFrame:
     """readStream twin of queries.events_t: ns-parquet -> µs timestamp +
     watermark for state eviction.
 
@@ -77,7 +78,10 @@ def stream_events(spark, events_dir: str, watermark: str = "30 minutes") -> Data
         "event_id bigint, ts bigint, user_id bigint, event_type string, "
         "value double, props string"
     )
-    raw = spark.readStream.schema(schema).parquet(events_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(events_dir)
     return (
         raw.withColumn("ts_us", F.expr("CAST(ts DIV 1000 AS BIGINT)"))
         .withColumn("ts", F.expr("timestamp_micros(ts_us)"))

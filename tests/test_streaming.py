@@ -35,3 +35,31 @@ def test_stream_matches_batch(spark, sf_dir, events_stream_dir, transform, name)
         spark, events_stream_dir, transform, name
     ).toPandas()
     assert_frames_match(streamed, batch)
+
+
+def test_stream_dedup_across_batches(spark, sf_dir, tmp_path):
+    """Duplicate file deliveries in SEPARATE micro-batches collapse to one
+    copy per event_id (cross-batch state), not just within-batch dedup."""
+    import shutil
+
+    from pipeline_calculator_v3_spark.streaming.dedup import run_dedup_to_memory
+
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")
+    out = run_dedup_to_memory(spark, str(d), "t_dedup_batches")
+    got = {r.event_type: r.n_events for r in out.collect()}
+    expect = {
+        r.event_type: r.n
+        for r in spark.read.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert got == expect  # 2x delivery, 1x output
