@@ -82,3 +82,26 @@ def test_segments_xl_has_no_window(spark, sf_dir):
     )
     bad = chk.where((F.col("mx") != F.col("n") - 1) | (F.col("nd") != F.col("n")))
     assert bad.count() == 0
+
+
+def test_contamination_joins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, "q_contamination", sf_dir)
+    # benchmark shingle set and flagged-id set both broadcast; corpus text
+    # never shuffles through a sort-merge join
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_hash_filter_is_scan_side(spark, sf_dir):
+    plan = plan_of(spark, "q_sample_hash", sf_dir)
+    # the md5-threshold predicate must evaluate below the (single) aggregate
+    # exchange: no join, no extra shuffle for the sampling itself
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg only
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, "q_vocab_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan or "Sort" not in plan.split("GlobalLimit")[0]
