@@ -221,3 +221,20 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90_chars"),
         F.round(F.percentile("n_chars", F.lit(0.99)), 6).alias("p99_chars"),
     )
+
+
+@query("q_quantile_approx")  # rows-only: GK-sketch result depends on merge
+def q_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of q_quantile_profile: ``percentile_approx``
+    (Greenwald-Khanna sketch — map-side mergeable, bounded memory per
+    group regardless of group size) over the lineitem prices.  Exact
+    percentile shuffles every value of a group to one reducer; the sketch
+    ships O(accuracy) summaries instead.  Accuracy 1000 bounds rank error
+    at ~0.1% — tests/test_quantile_approx.py pins the delta against the
+    exact path."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)).alias("p99_price"),
+    )
