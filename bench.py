@@ -47,6 +47,7 @@ HEADLINE = [
     "q_similarity_ann_ivf",
     "q_dedup_clusters",
     "q_text_analysis",
+    "q_tpch_q1_pricing_summary",  # added r03
     "q_tpch_q3_shipping_priority",
     "q_tpch_q5_local_volume",
     "q_join_big_sort_merge",

@@ -241,3 +241,70 @@ def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sql import run_sql
 
     return run_sql(spark, sf_dir, _SHARED_SQL_LATERAL)
+
+
+@query(
+    "q_tpch_q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       ROUND(SUM(l_quantity), 3) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 3) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 3) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 3)
+           AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — THE scan-dominated aggregation benchmark:
+    one pass over the fact table, map-side partial agg collapses to 4-6
+    groups, the exchange carries grouped partials only.  Float sums rounded
+    to 3 decimals on both engines (double addition order differs; magnitude
+    ~1e8 leaves >= 1e-7 absolute precision, so millis-rounding is stable)."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
+        F.round(F.sum(disc), 3).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1.0 + F.col("l_tax"))), 3).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).cast("bigint").alias("count_order"),
+    )
+
+
+@query(
+    "q_tpch_q6_forecast_revenue",
+    oracle="""
+SELECT ROUND(SUM(l_extendedprice * l_discount), 3) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+""",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast revenue — pure predicate-pushdown showcase: all
+    three filters reach the parquet scan (min/max row-group skipping at
+    scale), zero joins, single scalar result."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 3).alias("revenue"))
+    )
