@@ -165,3 +165,31 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS tu, event_type FROM events
+)
+SELECT a.event_type AS a_type,
+       b.event_type AS b_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM e a
+JOIN e b ON a.user_id = b.user_id
+        AND b.tu > a.tu
+        AND b.tu <= a.tu + 300000000
+GROUP BY a_type, b_type
+""",
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join semantics (streaming/joins.py), batch-
+    checked: same-user follow-up events within 5 minutes, rolled up to
+    transition counts.  tests/test_streaming.py proves the REAL two-source
+    stream-stream join (watermarked both sides, state bounded by
+    watermark + interval) produces identical counts."""
+    from .streaming.joins import followup_pairs, pair_type_counts
+
+    ev = events_t(spark, sf_dir)
+    return pair_type_counts(followup_pairs(ev, ev))

@@ -1,0 +1,78 @@
+"""Stream-stream interval join: correlate two live event streams by key
+within an event-time window.
+
+The canonical training-telemetry shape: match each event with the SAME
+user's follow-up events inside 5 minutes (click→conversion, request→error,
+doc-ingest→dedup-verdict).  Spark's stream-stream inner join emits a pair
+as soon as both sides arrive; the per-side WATERMARKS plus the time-interval
+predicate bound the join state (each side retains only rows younger than
+watermark + interval) — without the interval bound, stream-stream join
+state grows forever, the same unbounded-state failure class as streaming
+dropDuplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FOLLOWUP_WINDOW = "5 minutes"
+FOLLOWUP_US = 5 * 60 * 1_000_000
+
+
+def followup_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Pairs (a, b) with a.user_id == b.user_id and a.ts < b.ts <= a.ts+5min.
+
+    Works identically on batch frames and on watermarked streaming frames —
+    the streaming test proves batch == stream on identical input.  Inputs
+    must carry (user_id, ts, event_type); sides are renamed to a_*/b_* so
+    the self-join is unambiguous.
+    """
+    a = left.select(
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_type").alias("a_type"),
+    )
+    b = right.select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_type").alias("b_type"),
+    )
+    return a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {FOLLOWUP_WINDOW}")),
+    )
+
+
+def pair_type_counts(pairs: DataFrame) -> DataFrame:
+    """Stable rollup of the join output: transitions by (a_type, b_type)."""
+    return pairs.groupBy("a_type", "b_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+
+
+def run_stream_join_to_memory(spark, events_dir: str, name: str) -> DataFrame:
+    """Drive the interval join as a REAL stream-stream join (two readStream
+    sources over the same files, both watermarked) and return the
+    transition counts of the append output."""
+    from .windows import stream_events
+
+    left = stream_events(spark, events_dir, watermark="30 minutes")
+    right = stream_events(spark, events_dir, watermark="30 minutes")
+    # stream-stream joins emit in APPEND mode only: sink the raw pairs, roll
+    # up batch-side from the memory table (inner-join pairs emit as soon as
+    # both sides arrive, so the bounded drain holds every pair)
+    q = (
+        followup_pairs(left, right)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return pair_type_counts(spark.table(name))

@@ -63,3 +63,27 @@ def test_stream_dedup_across_batches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expect  # 2x delivery, 1x output
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """REAL stream-stream join (two readStream sources, watermarks both
+    sides) must equal the batch interval join on identical input."""
+    import shutil
+
+    from pipeline_calculator_v3_spark.queries import QUERIES
+    from pipeline_calculator_v3_spark.streaming.joins import (
+        run_stream_join_to_memory,
+    )
+
+    d = tmp_path / "join_events"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    got = {
+        (r.a_type, r.b_type): r.n_pairs
+        for r in run_stream_join_to_memory(spark, str(d), "t_ssjoin").collect()
+    }
+    expect = {
+        (r.a_type, r.b_type): r.n_pairs
+        for r in QUERIES["q_stream_join"](spark, sf_dir).collect()
+    }
+    assert got == expect and sum(expect.values()) > 0
