@@ -379,22 +379,23 @@ _NEVER_CHECKED_FIRST = [
     "q_sample_hash", "q_vocab_topk", "q_contamination", "q_quantile_profile",
     "q_stream_dedup", "q_quantile_approx",
     "q_tpch_q1_pricing_summary", "q_tpch_q6_forecast_revenue",
-    "q_stream_join",
+    "q_stream_join", "q_tfidf",
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length", "q_geodesic_length_exact", "q_overlap_summary",
     "q_overlap_e2e", "q_overlap_rollup", "q_spatial_distance_join",
     "q_parallel_overlap", "q_effective_length", "q_segmentize",
-    "q_dedup_exact", "q_ngram_jaccard",
+    "q_ngram_jaccard",
     "q_spatial_distance_join_xl", "q_parallel_overlap_xl",
 ]
 _ROTATED_OUT = [
-    # Displaced by the 9 new r03 queries: trivial oracle-backed
+    # Displaced by the 10 new r03 queries: trivial oracle-backed
     # scans/filters/aggs/joins, all r01+r02 driver-green and still
     # pytest-value-gated.  (The rows-only xl perf twins stay IN-window —
     # rotating them out would drop their only driver signal.)
     "q_scan_project", "q_filter_pred", "q_case_dispatch", "q_sort_limit",
     "q_agg_hash", "q_join_inner_hash", "q_join_asof", "q_sessionize",
+    "q_dedup_exact",
     "q_udf_surface",  # rows-only by nature, driver-ran twice — lowest signal
     "q_join_multi_way", "q_join_left_semi", "q_join_left_anti",
     "q_join_outer", "q_join_theta_range", "q_agg_distinct",

@@ -238,3 +238,74 @@ def q_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_price"),
         F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)).alias("p99_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term scoring
+# ---------------------------------------------------------------------------
+@query(
+    "q_tfidf",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+),
+tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, token
+),
+dfq AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+),
+n AS (
+    SELECT COUNT(*) AS nd FROM documents
+),
+scored AS (
+    SELECT doc_id, token, tf * ln((nd + 1.0) / (df + 1.0)) AS score
+    FROM tf JOIN dfq USING (token) CROSS JOIN n
+),
+top AS (
+    SELECT doc_id, token, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, token) AS rn
+    FROM scored
+)
+SELECT doc_id, token AS top_term, ROUND(score, 6) AS tfidf
+FROM top WHERE rn = 1
+""",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top TF-IDF term — the IR-standard salience score
+    (smoothed idf = ln((N+1)/(df+1))), fully oracle-checked: term
+    frequencies, document frequencies, corpus size, scoring and the
+    deterministic (score desc, token asc) argmax all replay in SQL.
+
+    Scale shape: tf is a two-level hash agg on (doc_id, token); df derives
+    from tf (already one row per doc-term) with map-side combine; the
+    df-side join is left to AQE — broadcast while the vocabulary fits,
+    shuffle-hash beyond (a noisy 100 TB corpus has an unbounded token
+    vocabulary, so forcing broadcast here would be a scale bug).  N rides a
+    1-row broadcast cross join, never a driver-side collect."""
+    d = _spread(t(spark, sf_dir, "documents"), spark)
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("nd"))
+    scored = (
+        tf.join(dfq, "token")
+        .join(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log((F.col("nd") + 1.0) / (F.col("df") + 1.0)),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("top_term"),
+                F.round("score", 6).alias("tfidf"))
+    )
