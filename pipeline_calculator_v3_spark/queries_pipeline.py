@@ -153,13 +153,28 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     every ``element_at`` re-runs the tokenizer (measured 31 s -> 2.2 s at
     sf0.1).  Persisting also lets bench/train shingle their DISJOINT halves
     once each instead of both filtering a full-corpus shingle pass."""
-    d = t(spark, sf_dir, "documents")
-    staged = persist_tracked(
-        _spread(
-            d.select("doc_id", "source", tokens(F.col("text")).alias("t")),
-            spark,
+    return _contamination_counts(t(spark, sf_dir, "documents"), spark)
+
+
+def _contamination_counts(
+    docs, spark, group_col: str = "source", pre_tokenized: bool = False
+) -> DataFrame:
+    """The decontamination dataflow over any (doc_id, text|t, group) corpus —
+    shared by q_contamination (oracle face) and q_contamination_xl (scale
+    stress).  See q_contamination's docstring for the plan shape.
+    ``pre_tokenized`` inputs carry a token-array column ``t`` already
+    distributed across partitions (skips tokenize + repartition)."""
+    if pre_tokenized:
+        staged = persist_tracked(docs.select("doc_id", group_col, "t"))
+    else:
+        staged = persist_tracked(
+            _spread(
+                docs.select(
+                    "doc_id", group_col, tokens(F.col("text")).alias("t")
+                ),
+                spark,
+            )
         )
-    )
 
     def shingled(frame):
         return frame.select(
@@ -178,14 +193,34 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("flag", F.lit(1))
     )
-    train = staged.where(~is_bench).select("doc_id", "source")
+    train = staged.where(~is_bench).select("doc_id", group_col)
     return (
         train.join(F.broadcast(flagged), "doc_id", "left")
-        .groupBy("source")
+        .groupBy(group_col)
         .agg(
             F.count("*").alias("n_train"),
             F.sum(F.coalesce(F.col("flag"), F.lit(0))).alias("n_flagged"),
         )
+    )
+
+
+@query("q_contamination_xl")  # rows-only: synthetic growing corpus
+def q_contamination_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination over a corpus that GROWS with sf (the documents table
+    is fixed-size): the same one-doc-per-order synthetic corpus as
+    q_dedup_minhash_xl (150k docs at sf0.1; planted families wherever
+    (l_partkey, l_suppkey) repeats guarantee real cross-split collisions).
+    Proves the broadcast-benchmark design scales with TRAIN size: the
+    benchmark shingle set stays ~10% of corpus here, but at 100 TB it is
+    fixed-size while train grows — train-side cost is one scan + map-side
+    broadcast probe, no corpus shuffle."""
+    from .queries_textml import _synth_docs_from_lineitem
+
+    docs = _synth_docs_from_lineitem(
+        t(spark, sf_dir, "lineitem"), as_tokens=True
+    ).withColumn("bucket", F.concat(F.lit("b"), F.pmod("doc_id", F.lit(16))))
+    return _contamination_counts(
+        docs, spark, group_col="bucket", pre_tokenized=True
     )
 
 

@@ -499,25 +499,36 @@ def q_dedup_minhash_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Aggregate BEFORE synthesizing: one (partkey, suppkey) survivor struct
     # per order shuffles 16 bytes/row; synthesizing the 40-token text first
     # would build 4x the strings and push them all through the shuffle.
-    keys = (
-        t(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_orderkey").alias("doc_id"))
-        .agg(F.min(F.struct("l_partkey", "l_suppkey")).alias("ps"))
-    )
-    docs = keys.select(
-        "doc_id",
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sequence(F.lit(1), F.lit(40)),
-                lambda i: F.concat(
-                    F.lit("w"),
-                    F.pmod(
-                        F.col("ps.l_partkey") + i * F.col("ps.l_suppkey"),
-                        F.lit(5000),
-                    ),
-                ),
-            ),
-        ).alias("text"),
-    )
+    docs = _synth_docs_from_lineitem(t(spark, sf_dir, "lineitem"))
     return minhash_lsh_pairs(docs, num_hashes=16, bands=4, min_jaccard=0.8)
+
+
+def _synth_docs_from_lineitem(lineitem, as_tokens: bool = False) -> DataFrame:
+    """One ~40-token synthetic doc per order — the growing-corpus generator
+    shared by the xl dedup/decontamination stress queries.  Aggregates keys
+    BEFORE synthesizing text: one (partkey, suppkey) survivor struct per
+    order shuffles 16 bytes/row; synthesizing first would push 4x the
+    strings through the shuffle.  Repeated (partkey, suppkey) pairs plant
+    exact-dup families.
+
+    ``as_tokens=True`` returns the token ARRAY column ``t`` directly —
+    consumers that tokenize anyway (decontamination) skip the
+    concat_ws->split round-trip (measured 5.3 s -> sub-second staging at
+    sf0.1), and the groupBy has already distributed the rows so no
+    re-partition is needed."""
+    keys = lineitem.groupBy(F.col("l_orderkey").alias("doc_id")).agg(
+        F.min(F.struct("l_partkey", "l_suppkey")).alias("ps")
+    )
+    toks = F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(
+                F.col("ps.l_partkey") + i * F.col("ps.l_suppkey"),
+                F.lit(5000),
+            ),
+        ),
+    )
+    if as_tokens:
+        return keys.select("doc_id", toks.alias("t"))
+    return keys.select("doc_id", F.concat_ws(" ", toks).alias("text"))

@@ -53,10 +53,16 @@ def test_window_is_full_when_registry_overflows():
 
 def test_rotated_out_remain_pytest_gated():
     # rotating out of the driver window is only sound because the in-repo
-    # parity suite still value-checks them every run; the two exceptions are
-    # rows-only BY NATURE (HLL sketch, pandas-UDF-vs-JVM delta probe) and
-    # both already ran driver-green twice
+    # parity suite still value-checks them every run; the exceptions are
+    # rows-only BY NATURE (HLL sketch, pandas-UDF-vs-JVM delta probe, and
+    # the xl perf twins whose oracle-checked non-xl siblings stay in-window)
+    # — every exception ran driver-clean in both r01 and r02
     for name in _ROTATED_OUT:
         assert name in ORACLE_SQL or name in (
             "q_agg_approx_distinct", "q_udf_surface",
+            "q_spatial_distance_join_xl", "q_parallel_overlap_xl",
         ), name
+
+
+def test_window_lists_sum_to_exactly_fifty():
+    assert len(_NEVER_CHECKED_FIRST) + len(_KEEP_IN_WINDOW) == DRIVER_WINDOW
