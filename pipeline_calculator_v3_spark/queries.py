@@ -50,8 +50,9 @@ EVENTS_SCHEMA = (
 def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` with its nanosecond parquet timestamp.
 
-    Spark 4 rejects TIMESTAMP(NANOS) parquet outright; the session-settable
-    legacy conf reads it as a BIGINT of epoch-nanos.  DuckDB 1.0 truncates the
+    Spark 4.1 infers TIMESTAMP(NANOS) parquet as a micro-truncated
+    TimestampNTZ (losing sub-µs precision); the session-settable legacy conf
+    instead reads it as a BIGINT of epoch-nanos.  DuckDB 1.0 truncates the
     same column to µs TIMESTAMP, so the cross-engine canonical form is
     microseconds: ``ts_us`` (BIGINT, == DuckDB ``epoch_us(ts)``) for ordering
     and gap arithmetic, and a µs-precision ``ts`` TIMESTAMP for
