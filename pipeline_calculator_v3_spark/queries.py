@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions import timeutil
 from .functions.geodesy import US_SURVEY_MILE_M, haversine_sql
 from .plans import synth
 
@@ -38,40 +39,38 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 
-# The events table's fixed schema (ts is physically TIMESTAMP(NANOS) INT64;
-# reading it as bigint = epoch-nanos).  Shared by batch (events_t) and
+# The events table's fixed schema.  The parquet stores ts as
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) — i.e. a wall-clock timestamp,
+# Spark's TIMESTAMP_NTZ — verified against all three SF dirs via DuckDB
+# parquet_schema (r04; FIXTURES.md).  Shared by batch (events_t) and
 # streaming (streaming/windows.py, streaming/stateful.py) readers.
 EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
     "value double, props string"
 )
 
+# Timezone-independent epoch-micros from the NTZ ts column (see
+# functions/timeutil.py for why unix_micros is wrong here).
+EPOCH_US_EXPR = timeutil.epoch_us_sql("ts")
+
 
 def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events` with its nanosecond parquet timestamp.
+    """`events` with its microsecond parquet timestamp.
 
-    Spark 4.1 infers TIMESTAMP(NANOS) parquet as a micro-truncated
-    TimestampNTZ (losing sub-µs precision); the session-settable legacy conf
-    instead reads it as a BIGINT of epoch-nanos.  DuckDB 1.0 truncates the
-    same column to µs TIMESTAMP, so the cross-engine canonical form is
-    microseconds: ``ts_us`` (BIGINT, == DuckDB ``epoch_us(ts)``) for ordering
-    and gap arithmetic, and a µs-precision ``ts`` TIMESTAMP for
-    window()/session_window() operations.  ``ts_ns`` keeps full precision for
-    engine-internal use.
+    ``ts`` reads natively as TIMESTAMP_NTZ (exactly the parquet logical
+    type — no unit arithmetic to get wrong, which is how the r03 regression
+    happened: an explicit ``ts bigint`` schema assumed epoch-NANOS and
+    divided by 1000, shrinking 30 days of events into 43 minutes).
+    ``ts_us`` (BIGINT, == DuckDB ``epoch_us(ts)``) is the canonical form for
+    ordering and gap arithmetic; ``ts`` itself feeds
+    window()/session_window().
 
-    Nanos handling: an EXPLICIT user schema (``ts bigint``) sidesteps footer
-    schema inference entirely — the reader maps the physical INT64 straight
-    to the requested bigint, no legacy conf, no session mutation (VERDICT
-    r02 #4; stronger than the save/restore scoping this replaced, which
-    could race async readers — and explicit schemas are the right pattern
-    at 100 TB anyway: no inference job over a million files).
+    The explicit schema is still the right pattern at 100 TB (no inference
+    job over a million files, no session-conf mutation) — it just has to
+    state the type the footer actually declares.
     """
     df = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    return (
-        df.withColumn("ts_ns", F.col("ts"))
-        .withColumn("ts_us", F.expr("CAST(ts_ns DIV 1000 AS BIGINT)"))
-        .withColumn("ts", F.expr("timestamp_micros(ts_us)"))
-    )
+    return df.withColumn("ts_us", F.expr(EPOCH_US_EXPR))
 
 
 # ---------------------------------------------------------------------------

@@ -168,9 +168,9 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/pipeline_calculator_v3.py:148-165, SURVEY.md §1.2): parse the props
     JSON into MAP<STRING,BIGINT>, project with element_at/map_keys.
 
-    Reads via events_t: a raw ``t(...)`` read of the nanos-timestamp parquet
-    only worked while another query had leaked the session-wide legacy conf
-    (fixed r03 — every events read now carries its own nanosAsLong option)."""
+    Reads via events_t: the shared explicit-schema reader is the single
+    place that knows the events timestamp encoding (TIMESTAMP(MICROS) ntz —
+    see queries.EVENTS_SCHEMA), so unit bugs can't fork per query."""
     ev = events_t(spark, sf_dir)
     m = F.from_json("props", "map<string,bigint>")
     return ev.select(

@@ -70,20 +70,18 @@ def run_stateful_to_memory(spark, events_dir: str, name: str,
     ``max_files_per_trigger=1`` each file is its own micro-batch, proving
     state carries across batches.  Returns the LATEST row per user.
 
-    The explicit user schema (``ts bigint``) makes the legacy nanos conf
-    unnecessary (see streaming/windows.py) — zero session mutation, so
-    async micro-batches can't race a conf restore."""
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    reader = spark.readStream.schema(schema)
+    Shares queries.EVENTS_SCHEMA (native TIMESTAMP_NTZ) so batch and
+    streaming readers agree on the timestamp unit — zero session mutation,
+    so async micro-batches can't race a conf restore."""
+    from pyspark.sql import functions as F
+
+    from ..queries import EPOCH_US_EXPR, EVENTS_SCHEMA
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(events_dir)
-    from pyspark.sql import functions as F
-
-    ev = raw.withColumn("ts_us", F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+    ev = raw.withColumn("ts_us", F.expr(EPOCH_US_EXPR))
     q = (
         running_user_totals(ev)
         .writeStream.format("memory")

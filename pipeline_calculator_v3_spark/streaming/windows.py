@@ -6,14 +6,17 @@ either a batch DataFrame (oracle-checkable by DuckDB) or a readStream
 DataFrame (with watermark) — the same code path, which is the whole point of
 the Spark unified model.
 
-Timestamps: events.ts is ns-parquet; the batch reader maps it to epoch-µs
-(queries.events_t).  Outputs are epoch-µs longs for cross-engine parity.
+Timestamps: events.ts is TIMESTAMP(MICROS) parquet, read natively as
+TIMESTAMP_NTZ (queries.events_t).  Outputs are epoch-µs longs for
+cross-engine parity.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.timeutil import epoch_us_extractor
 
 TUMBLE = "5 minutes"
 SLIDE_SIZE = "10 minutes"
@@ -23,6 +26,7 @@ SESSION_GAP = "5 minutes"
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
     """5-minute tumbling windows per event_type: count + sum(value)."""
+    ep = epoch_us_extractor(events)
     return (
         events.groupBy(F.window("ts", TUMBLE).alias("w"), F.col("event_type"))
         .agg(
@@ -30,7 +34,7 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
             F.sum("value").alias("sum_value"),
         )
         .select(
-            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            ep("w.start").alias("window_start_us"),
             "event_type", "n", "sum_value",
         )
     )
@@ -38,6 +42,7 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
 
 def sliding_counts(events: DataFrame) -> DataFrame:
     """10-minute windows sliding every 5: each event lands in 2 windows."""
+    ep = epoch_us_extractor(events)
     return (
         events.groupBy(F.window("ts", SLIDE_SIZE, SLIDE_STEP).alias("w"))
         .agg(
@@ -45,7 +50,7 @@ def sliding_counts(events: DataFrame) -> DataFrame:
             F.avg("value").alias("avg_value"),
         )
         .select(
-            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            ep("w.start").alias("window_start_us"),
             "n", "avg_value",
         )
     )
@@ -53,12 +58,13 @@ def sliding_counts(events: DataFrame) -> DataFrame:
 
 def session_counts(events: DataFrame) -> DataFrame:
     """Per-user session windows with a 5-minute inactivity gap."""
+    ep = epoch_us_extractor(events)
     return (
         events.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), F.col("user_id"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .select(
             "user_id",
-            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            ep("w.start").alias("session_start_us"),
             "n",
         )
     )
@@ -66,25 +72,26 @@ def session_counts(events: DataFrame) -> DataFrame:
 
 def stream_events(spark, events_dir: str, watermark: str = "30 minutes",
                   max_files_per_trigger: int | None = None) -> DataFrame:
-    """readStream twin of queries.events_t: ns-parquet -> µs timestamp +
-    watermark for state eviction.
+    """readStream twin of queries.events_t: native TIMESTAMP_NTZ read +
+    epoch-µs column + watermark for state eviction.
 
-    The explicit user schema (``ts bigint``) makes the legacy nanos conf
-    unnecessary — only footer INFERENCE rejects TIMESTAMP(NANOS); a
-    requested bigint reads the physical INT64 directly.  The conf-set this
-    replaced leaked session-wide and masked raw `events` reads elsewhere
-    into depending on it (same leak class as VERDICT r02 #4)."""
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    reader = spark.readStream.schema(schema)
+    Shares queries.EVENTS_SCHEMA so the batch and streaming readers can
+    never disagree on the timestamp unit again (the r03 regression was
+    exactly such a disagreement with the physical data: an explicit bigint
+    schema assuming nanos over a MICROS file)."""
+    from ..queries import EPOCH_US_EXPR, EVENTS_SCHEMA
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(events_dir)
+    # Watermarks reject TIMESTAMP_NTZ, so rebuild ts as a TIMESTAMP whose
+    # UTC instant encodes the same wall clock (timestamp_micros of the naive
+    # epoch-µs) — window bucketing and epoch extraction stay bit-identical
+    # to the batch NTZ path on any session timezone.
     return (
-        raw.withColumn("ts_us", F.expr("CAST(ts DIV 1000 AS BIGINT)"))
-        .withColumn("ts", F.expr("timestamp_micros(ts_us)"))
+        raw.withColumn("ts_us", F.expr(EPOCH_US_EXPR))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
         .withWatermark("ts", watermark)
     )
 

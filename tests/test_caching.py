@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from pipeline_calculator_v3_spark import release_caches
 from pipeline_calculator_v3_spark.caching import _persistent_ids
 from pipeline_calculator_v3_spark.functions.geodesy import EARTH_RADIUS_M
@@ -57,19 +59,30 @@ def test_minhash_releases_staged(spark, sf_dir):
     assert _persistent_ids(spark) == set()
 
 
-def test_nanos_conf_scoped(spark, sf_dir):
+def test_events_ts_unit(spark, sf_dir):
+    """Guards the r03 regression class: events_t must decode the parquet's
+    TIMESTAMP(MICROS) at the right unit, timezone-independently, with no
+    session-conf mutation."""
+    import datetime
+
     key = "spark.sql.legacy.parquet.nanosAsLong"
     before = spark.conf.get(key, None)
     ev = events_t(spark, sf_dir)
     assert spark.conf.get(key, None) == before, "events_t leaked the conf"
-    # the frame still reads nanos-as-long after the conf was restored
-    row = ev.select("ts_ns", "ts_us").limit(1).collect()[0]
-    assert isinstance(row.ts_ns, int) and row.ts_us == row.ts_ns // 1000
-    # a fresh inference-based read on the same session keeps default
-    # behavior: without the legacy nanosAsLong conf, Spark 4.1 infers
-    # TIMESTAMP(NANOS) as a (micro-truncated) timestamp type; with the conf
-    # leaked it would come back LongType.
+    # ts_us is the exact epoch-micros of the naive (NTZ) timestamp
+    row = ev.select("ts", "ts_us").limit(1).collect()[0]
+    epoch = datetime.datetime(1970, 1, 1)
+    assert (row.ts - epoch) // datetime.timedelta(microseconds=1) == row.ts_us
+    # the event timeline spans weeks — a wrong unit collapses it 1000x
+    # (the r03 bug turned 30 days into 43 minutes)
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    assert hi - lo > 20 * 24 * 3600 * 1_000_000, (
+        f"events span {(hi - lo) / 86400e6:.3f} days — timestamp unit bug?"
+    )
+    # positive inference assert (ADVICE r03): the session-default read of the
+    # same file must land on a timestamp type — catches both conf leaks and
+    # unexpected inference changes (PySpark 4.1.2 infers TimestampNTZType).
     inferred = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
-    assert inferred.typeName() != "long", (
-        f"post-events_t session infers nanos as {inferred} — legacy conf leaked"
+    assert inferred.typeName() in ("timestamp_ntz", "timestamp"), (
+        f"post-events_t session infers events.ts as {inferred}"
     )

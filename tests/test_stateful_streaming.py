@@ -25,12 +25,13 @@ def split_events_dir(spark, sf_dir, tmp_path):
     other = ev.where(F.col("event_id") % 2 == 1)
     d = str(tmp_path / "ev")
     os.makedirs(d, exist_ok=True)
-    # write raw-shaped files (ts as long ns like the source data)
+    # write raw-shaped files (ts as TIMESTAMP(MICROS) ntz like the source data)
     for i, part in enumerate([half, other]):
-        part.select(
-            "event_id", F.col("ts_ns").alias("ts"), "user_id",
-            "event_type", "value", "props",
-        ).toPandas().to_parquet(os.path.join(d, f"part{i}.parquet"), index=False)
+        pdf = part.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props",
+        ).toPandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(os.path.join(d, f"part{i}.parquet"), index=False)
     return d
 
 
