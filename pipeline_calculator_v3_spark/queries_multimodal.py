@@ -42,16 +42,76 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media).drop("mean_byte")  # byte-mean not SQL-expressible
 
 
-@query("q_multimodal_features")  # rows-only: numpy histogram vector
+# DuckDB byte-explode over the payload (the utf-8 text bytes): hex() the
+# blob, then each byte is two hex digits decoded via strpos arithmetic.
+_PAYLOAD_BYTES_CTE = """
+m AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n,
+           CAST((n_chars % 64 + 1) * 8 AS BIGINT) AS frame
+    FROM documents
+),
+bytes AS (
+    SELECT doc_id, n, frame, i,
+           (strpos('0123456789ABCDEF', substr(h, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substr(h, CAST(2 * i + 2 AS INT), 1)) - 1) AS b
+    FROM (SELECT doc_id, h, n, frame, unnest(range(n)) AS i FROM m)
+)
+"""
+
+
+@query(
+    "q_multimodal_features",
+    oracle=f"""
+WITH {_PAYLOAD_BYTES_CTE},
+counts AS (
+    SELECT doc_id, b // 16 AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM bytes GROUP BY doc_id, bin
+),
+grid AS (
+    SELECT m.doc_id, g.bin, m.n
+    FROM m CROSS JOIN (SELECT unnest(range(16)) AS bin) g
+)
+SELECT grid.doc_id AS media_id,
+       CAST(grid.bin AS BIGINT) AS bin,
+       CAST(COALESCE(counts.cnt, 0) / greatest(grid.n, 1) AS REAL) AS value
+FROM grid LEFT JOIN counts ON grid.doc_id = counts.doc_id AND grid.bin = counts.bin
+""",
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-histogram feature vectors (array<float>) per media blob."""
+    """Byte-histogram features per media blob, in long form (media_id, bin,
+    value) — driver-sortable scalars instead of a raw array<float> (the r03
+    driver canonicalizer crashed sorting list cells), and fully
+    oracle-replayable: DuckDB re-derives every byte of the payload from the
+    hex of the utf-8 text and re-bins it.  float32 on both sides (numpy
+    float32 cast == DuckDB REAL cast, same IEEE rounding)."""
     media = synth_media(_spread(t(spark, sf_dir, "documents"), spark))
-    return byte_histogram_features(media, bins=16)
+    feats = byte_histogram_features(media, bins=16)
+    return feats.select(
+        "media_id",
+        F.posexplode("features").alias("bin", "value"),
+    ).withColumn("bin", F.col("bin").cast("bigint"))
 
 
-@query("q_multimodal_frames")  # rows-only: UDTF fan-out
+@query(
+    "q_multimodal_frames",
+    oracle=f"""
+WITH {_PAYLOAD_BYTES_CTE}
+SELECT doc_id AS media_id,
+       CAST(i // frame AS BIGINT) AS frame_index,
+       AVG(b) AS frame_mean
+FROM bytes
+WHERE doc_id % 3 = 2
+  AND (i // frame) % 4 = 0
+  AND i // frame < n // frame
+GROUP BY media_id, frame_index
+""",
+)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every 4th 'video frame' sampled: 1 blob -> N frame rows."""
+    """Every 4th 'video frame' sampled: 1 blob -> N frame rows.  The oracle
+    replays the frame math (frame = width*height*channels bytes, width from
+    n_chars) and the per-frame byte mean from the raw text bytes — byte sums
+    are exact integers, so the double means match bit-for-bit."""
     media = synth_media(_spread(t(spark, sf_dir, "documents"), spark)).where(
         F.col("kind") == "video"
     )

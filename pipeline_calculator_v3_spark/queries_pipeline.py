@@ -21,10 +21,7 @@ from .operators.sampling import hash_sample_predicate
 from .queries import query, t
 
 
-def _spread(df, spark):
-    """Single-file parquet arrives as ONE partition; spread compute-bound
-    stages to the session's parallelism (no-op at real multi-file scale)."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+from .operators.partitioning import spread_small_input as _spread  # noqa: E402
 
 # Tokenizer fragment shared with queries_textml oracles (same regex).
 _TOKENS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"

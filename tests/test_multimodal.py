@@ -101,6 +101,44 @@ def test_synth_media_header_matches_pack_blob(spark):
     assert blob[:HEADER_SIZE] == pack_blob(width, 8, 1, b"")
 
 
+def test_codec_seam_edge_variants(spark):
+    """Contract for the real-codec swap-in seam (VERDICT r03 'Next round' #8):
+    every header/payload shape a real decoder would see must flow through the
+    synthetic path without crashing and with defined semantics — so replacing
+    the per-blob kernel cannot silently change the operator envelope."""
+    frame8 = bytes(range(8))
+    variants = [
+        # (id, blob, valid, n_frames) — defined semantics per shape
+        (1, pack_blob(4, 2, 1, b""), True, 0),              # header, empty payload
+        (2, pack_blob(4, 2, 1, frame8 + b"\x01"), True, 1), # truncated mid-frame
+        (3, pack_blob(0, 0, 0, frame8), True, 8),           # zero dims -> frame=1
+        (4, pack_blob(100, 100, 3, frame8), True, 0),       # payload < one frame
+        (5, pack_blob(4, 2, 1, frame8)[: HEADER_SIZE - 2], False, 0),  # cut header
+        (6, b"", False, 0),                                  # empty blob
+    ]
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(b)) for i, b, _, _ in variants], MEDIA_SCHEMA
+    )
+    decoded = {r.media_id: r for r in decode_media(media).collect()}
+    for i, _, valid, n_frames in variants:
+        assert decoded[i].valid == valid, f"blob {i} validity"
+        if valid:
+            assert decoded[i].n_frames == n_frames, f"blob {i} frame count"
+    # features: never crash; invalid/empty payloads yield the zero vector
+    feats = {r.media_id: np.array(r.features)
+             for r in byte_histogram_features(media, bins=16).collect()}
+    assert feats[1].sum() == 0.0 and feats[6].sum() == 0.0
+    assert feats[2].sum() == pytest.approx(1.0)  # 9 payload bytes histogrammed
+    # frames: partial trailing frame dropped, invalid blobs skipped
+    frames = sample_frames(media, every_k=1).collect()
+    by_id: dict[int, list] = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r.frame_index)
+    assert sorted(by_id.get(2, [])) == [0]      # the one complete frame
+    assert sorted(by_id.get(3, [])) == list(range(8))
+    assert 4 not in by_id and 5 not in by_id and 6 not in by_id
+
+
 def test_real_codec_stub_contract(golden_media):
     """The PIL-gated decode must fail loudly and informatively when the
     dependency is absent — never silently fall back."""

@@ -18,8 +18,17 @@ from pipeline_calculator_v3_spark.queries import (
 )
 
 DRIVER_WINDOW = 50
-_R02 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    "CORRECTNESS_r02.json")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_checked() -> set[str]:
+    """Union of every round's driver verdicts so far."""
+    out: set[str] = set()
+    for n in range(1, 50):
+        p = os.path.join(_REPO, f"CORRECTNESS_r{n:02d}.json")
+        if os.path.exists(p):
+            out |= set(json.load(open(p)))
+    return out
 
 
 def test_ordering_lists_partition_registry():
@@ -32,10 +41,10 @@ def test_ordering_lists_partition_registry():
 def test_never_checked_queries_land_in_window():
     names = list(QUERIES)
     window = set(names[:DRIVER_WINDOW])
-    if not os.path.exists(_R02):
-        return  # harness artifact absent (fresh checkout)
-    checked_r02 = set(json.load(open(_R02)))
-    unchecked = [n for n in names if n not in checked_r02]
+    checked = _driver_checked()
+    if not checked:
+        return  # harness artifacts absent (fresh checkout)
+    unchecked = [n for n in names if n not in checked]
     outside = [n for n in unchecked if n not in window]
     assert outside == [], f"never-driver-checked queries outside window: {outside}"
 
@@ -54,13 +63,17 @@ def test_window_is_full_when_registry_overflows():
 def test_rotated_out_remain_pytest_gated():
     # rotating out of the driver window is only sound because the in-repo
     # parity suite still value-checks them every run; the exceptions are
-    # rows-only BY NATURE (HLL sketch, pandas-UDF-vs-JVM delta probe, and
-    # the xl perf twins whose oracle-checked non-xl siblings stay in-window)
-    # — every exception ran driver-clean in both r01 and r02
+    # rows-only BY NATURE (sketches, xxhash64 signatures, iterative CC,
+    # scale-stress twins, pandas-UDF-vs-JVM delta probe) — every exception
+    # has at least one clean driver row (r03 for the dedup/similarity ones,
+    # r01+r02 for the rest)
     for name in _ROTATED_OUT:
         assert name in ORACLE_SQL or name in (
             "q_agg_approx_distinct", "q_udf_surface",
             "q_spatial_distance_join_xl", "q_parallel_overlap_xl",
+            "q_dedup_minhash", "q_dedup_simhash", "q_dedup_clusters",
+            "q_dedup_minhash_xl", "q_similarity_ann_ivf",
+            "q_quantile_approx", "q_contamination_xl",
         ), name
 
 
