@@ -167,6 +167,95 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+_LATE_RUNS = [0]
+
+# The late/on-time split point and the watermark delay — shared by the query
+# and its oracle.  Events before the cutoff arrive in a SECOND micro-batch,
+# after the first batch has pushed the watermark ~27 days past them.
+_LATE_CUTOFF = "2024-01-03"
+_LATE_WATERMARK = "30 minutes"
+
+
+@query(
+    "q_stream_late_data",
+    oracle="""
+WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+SELECT epoch_us(time_bucket(INTERVAL 5 MINUTES, ts)) AS window_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events, wm
+WHERE time_bucket(INTERVAL 5 MINUTES, ts) + INTERVAL 5 MINUTES <= wm.w
+GROUP BY window_start_us
+""",
+)
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics in append-mode aggregation, value-checked against
+    what Spark 4.1 ACTUALLY does (measured, tests/test_watermark.py): the
+    events table is delivered as TWO micro-batches — everything from the
+    cutoff onward first, then the ~27-days-older rows.
+
+    Empirical Spark 4.1 contract this encodes: late input rows are ADMITTED
+    into aggregation state (even when their window was never in state) and
+    finalize at the next watermark check with complete counts; the
+    watermark's append-mode role is FINALIZATION — windows whose end is
+    still above max(event time) - delay are withheld.  The oracle replays
+    that exactly: all events, windows with end <= max(ts) - 30min (the
+    trailing on-time windows are the withheld ones; every late window sits
+    far below the watermark and emits).  Hard input REJECTION by watermark
+    lives in the bounded-state operators — dropDuplicatesWithinWatermark
+    (q_stream_dedup) and the interval-bounded stream-stream join
+    (q_stream_join)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from .streaming.windows import stream_events
+
+    ev = events_t(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="pcv3_late_")
+    try:
+        now = _time.time()
+        for fname, frame, mtime in [
+            ("a_ontime.parquet", ev.where(F.col("ts") >= _LATE_CUTOFF), now - 60),
+            ("b_late.parquet", ev.where(F.col("ts") < _LATE_CUTOFF), now),
+        ]:
+            pdf = frame.select(
+                "event_id", "ts", "user_id", "event_type", "value", "props"
+            ).toPandas()
+            pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+            path = os.path.join(d, fname)
+            pdf.to_parquet(path, index=False)
+            os.utime(path, (mtime, mtime))  # file source orders by mtime
+
+        src = stream_events(
+            spark, d, watermark=_LATE_WATERMARK, max_files_per_trigger=1
+        )
+        agg = (
+            src.groupBy(F.window("ts", windows.TUMBLE).alias("w"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(
+                F.unix_micros(F.col("w.start")).alias("window_start_us"), "n"
+            )
+        )
+        _LATE_RUNS[0] += 1
+        name = f"pcv3_late_{os.getpid()}_{_LATE_RUNS[0]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @query(
     "q_stream_join",
     oracle="""
