@@ -374,7 +374,7 @@ _NEVER_CHECKED_FIRST = [
     "q_tpch_q4_order_priority", "q_tpch_q7_nation_volume",
     "q_tpch_q13_order_distribution", "q_tpch_q14_promo_share",
     "q_tpch_q15_top_supplier", "q_tpch_q18_large_orders",
-    "q_stream_late_data",
+    "q_stream_late_data", "q_chunk_documents", "q_shard_stats",
     # refresh pool: oracle-backed queries whose last driver verdict is
     # r01/r02 (they sat in the r03 tail) — oldest signal gets the slots
     "q_agg_hash", "q_join_inner_hash", "q_dedup_exact", "q_join_multi_way",
@@ -382,7 +382,7 @@ _NEVER_CHECKED_FIRST = [
     "q_join_theta_range", "q_agg_distinct", "q_agg_approx_distinct",
     "q_rollup", "q_cube", "q_grouping_sets", "q_window_rank",
     "q_window_lag_lead", "q_window_frame", "q_pivot", "q_agg_stats",
-    "q_window_dist", "q_string_agg", "q_unpivot", "q_null_semantics",
+    "q_window_dist", "q_null_semantics",
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length", "q_geodesic_length_exact", "q_overlap_summary",
@@ -409,10 +409,11 @@ _ROTATED_OUT = [
     "q_scan_project", "q_filter_pred", "q_case_dispatch", "q_sort_limit",
     "q_string_funcs", "q_math_funcs",
     "q_spatial_distance_join_xl", "q_parallel_overlap_xl", "q_udf_surface",
-    # r01+r02 double-green, displaced from the r04 refresh pool by the seven
+    # r01+r02 double-green, displaced from the r04 refresh pool by the nine
     # new queries (pytest-gated like every rotated row)
     "q_set_union", "q_set_intersect", "q_set_except", "q_date_funcs",
-    "q_array_funcs", "q_map_funcs", "q_json_funcs",
+    "q_array_funcs", "q_map_funcs", "q_json_funcs", "q_string_agg",
+    "q_unpivot",
 ]
 
 

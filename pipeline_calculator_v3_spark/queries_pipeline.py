@@ -341,3 +341,88 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("token").alias("top_term"),
                 F.round("score", 6).alias("tfidf"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking + sharding (training-shard packing)
+# ---------------------------------------------------------------------------
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKENS} AS tk FROM documents
+),
+starts AS (
+    SELECT doc_id, tk, unnest(range(0, len(tk), 16)) AS s
+    FROM toks WHERE len(tk) > 0
+)
+SELECT doc_id,
+       CAST(s // 16 AS BIGINT) AS chunk_idx,
+       CAST(least(32, len(tk) - s) AS BIGINT) AS n_tokens,
+       tk[CAST(s + 1 AS INT)] AS first_token,
+       tk[CAST(least(s + 32, len(tk)) AS INT)] AS last_token
+FROM starts
+""",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (operators/chunking.py): max_len=32,
+    stride=16 — every document becomes overlapping training-sized chunks,
+    the standard long-document packing step.  The oracle replays window
+    starts, lengths and boundary tokens exactly, so the chunk GEOMETRY is
+    value-checked, not just row counts.
+
+    Scale shape: tokenize once below the generator, sequence+posexplode
+    fan-out, slice per chunk — all Column HOFs, zero Python, zero shuffle
+    (the fan-out is map-side; output partitioning inherits the scan)."""
+    from .operators.chunking import chunk_tokens
+
+    return chunk_tokens(
+        _spread(t(spark, sf_dir, "documents"), spark), max_len=32, stride=16
+    )
+
+
+@query(
+    "q_shard_stats",
+    oracle=f"""
+WITH s AS (
+    SELECT (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hv,
+           len({_TOKENS}) AS ntok,
+           n_chars
+    FROM documents
+)
+SELECT CAST(hv % 16 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY shard
+""",
+)
+def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way shard assignment + per-shard balance stats
+    (operators/chunking.py::shard_of — md5-prefix idiom shared with
+    operators/sampling.py).  The oracle recomputes every document's shard
+    from the same digest arithmetic, so the ASSIGNMENT is value-checked
+    row-for-row, not just the aggregate balance.
+
+    Scale shape: shard id is a scan-side projection (no RNG, no shuffle);
+    a real shard writer would partitionBy(shard) on write — this query's
+    only exchange is the 16-group stats rollup."""
+    from .operators.chunking import shard_of
+
+    d = _spread(t(spark, sf_dir, "documents"), spark)
+    return (
+        d.select(
+            shard_of(F.col("doc_id"), 16),
+            F.size(tokens(F.col("text"))).cast("bigint").alias("ntok"),
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

@@ -1,0 +1,73 @@
+"""Chunk-geometry and shard-assignment invariants (operators/chunking.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipeline_calculator_v3_spark.operators.chunking import chunk_tokens, shard_of
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def test_chunk_geometry_golden(spark):
+    # 40 tokens, max_len 32, stride 16 -> starts 0/16/32, lengths 32/24/8
+    text = " ".join(f"w{i}" for i in range(40))
+    rows = sorted(
+        chunk_tokens(_docs(spark, [text]), max_len=32, stride=16).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [(r.chunk_idx, r.n_tokens, r.first_token, r.last_token) for r in rows] == [
+        (0, 32, "w0", "w31"),
+        (1, 24, "w16", "w39"),
+        (2, 8, "w32", "w39"),
+    ]
+
+
+def test_chunk_edge_cases(spark):
+    got = chunk_tokens(
+        _docs(spark, ["", "   ", "single", " ".join(["x"] * 16)]),
+        max_len=32,
+        stride=16,
+    ).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 0 not in by_doc and 1 not in by_doc  # empty/whitespace: no chunks
+    assert [(r.n_tokens, r.first_token) for r in by_doc[2]] == [(1, "single")]
+    # exactly max_len=stride boundary: one chunk, no degenerate second
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_tokens == 16
+
+
+def test_chunks_cover_every_token(spark, sf_dir):
+    """Union of [start, start+len) windows covers [0, n_tokens) per doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = chunk_tokens(docs, max_len=32, stride=16)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.max(F.col("chunk_idx") * 16 + F.col("n_tokens")).alias("covered"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(F.expr(r"filter(split(lower(text), '\\s+'), x -> x <> '')")).alias("n"),
+    ).where(F.col("n") > 0)
+    joined = toks.join(per_doc, "doc_id", "left")
+    bad = joined.where(
+        F.col("covered").isNull() | (F.col("covered") != F.col("n"))
+    )
+    assert bad.count() == 0
+
+
+def test_shard_of_range_and_determinism(spark):
+    df = spark.range(0, 1000).select(F.col("id"), shard_of(F.col("id"), 16))
+    stats = df.agg(
+        F.min("shard"), F.max("shard"), F.countDistinct("shard")
+    ).collect()[0]
+    assert stats[0] >= 0 and stats[1] <= 15 and stats[2] == 16
+    # repartitioning must not change any assignment
+    a = {r.id: r.shard for r in df.collect()}
+    b = {r.id: r.shard for r in df.repartition(7).collect()}
+    assert a == b

@@ -105,3 +105,32 @@ def test_vocab_topk_is_take_ordered(spark, sf_dir):
     plan = plan_of(spark, "q_vocab_topk", sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert "GlobalLimit" not in plan or "Sort" not in plan.split("GlobalLimit")[0]
+
+
+def test_tpch_q4_plans_semi_join(spark, sf_dir):
+    plan = plan_of(spark, "q_tpch_q4_order_priority", sf_dir)
+    # EXISTS must become a semi join: orders rows never multiply
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q7_dims_broadcast(spark, sf_dir):
+    plan = plan_of(spark, "q_tpch_q7_nation_volume", sf_dir)
+    # supplier/customer/nation x2 all broadcast; only lineitem⋈orders may
+    # shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q14_single_pass_ratio(spark, sf_dir):
+    plan = plan_of(spark, "q_tpch_q14_promo_share", sf_dir)
+    # numerator and denominator in ONE aggregation over ONE scan of the
+    # filtered lineitem — a second scan would double the 100 TB read
+    assert plan.count("FileScan parquet") == 2  # lineitem + part, once each
+    assert plan.count("BroadcastHashJoin") == 1
+
+
+def test_tpch_q18_semi_then_broadcast(spark, sf_dir):
+    plan = plan_of(spark, "q_tpch_q18_large_orders", sf_dir)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
