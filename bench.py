@@ -50,9 +50,11 @@ HEADLINE = [
     "q_tpch_q1_pricing_summary",  # added r03
     "q_tpch_q3_shipping_priority",
     "q_tpch_q5_local_volume",
+    "q_tpch_q18_large_orders",    # added r04 (semi-join + exchange reuse)
     "q_join_big_sort_merge",
     "q_stream_tumbling",
     "q_multimodal_decode",
+    "q_chunk_documents",          # added r04 (HOF fan-out, zero-shuffle)
     "q_overlap_e2e",
 ]
 
