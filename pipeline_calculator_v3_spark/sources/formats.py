@@ -59,3 +59,39 @@ def read_text_whole(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("path"), F.col("value")
     )
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str, corrupt_col: str = "_corrupt"
+) -> DataFrame:
+    """JSONL corpus scan with an EXPLICIT schema and PERMISSIVE bad-row
+    capture — the dominant training-corpus interchange format.
+
+    Two non-negotiables at 100 TB, both encoded here:
+    - explicit schema: json schema inference is a full extra pass over the
+      data (and nondeterministic under sampling); a corpus reader states its
+      contract up front (same rule as queries.EVENTS_SCHEMA).
+    - PERMISSIVE + corrupt-record column: a million-file crawl always
+      contains malformed lines; failing the job (FAILFAST) or silently
+      dropping (DROPMALFORMED) both lose information — landing bad lines in
+      ``corrupt_col`` keeps them countable/quarantinable downstream, the
+      same skip-don't-crash semantics as the reference's KML parser
+      (src/pipeline_calculator_v3.py:129-132).
+
+    Spark restriction worth knowing: a query that references ONLY the
+    corrupt column on the raw files is disallowed
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache or
+    otherwise materialize the parsed frame before bad-row-only audits.
+    """
+    full = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """Distributed JSONL write (one JSON object per line, N part files)."""
+    df.write.mode("overwrite").json(path)
