@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Regenerate PLANS.md: formatted physical plans of representative queries
+with the 100 TB rationale for each — the `.explain` audit the scale rules
+demand, kept re-runnable so the doc can't silently drift from the code.
+
+Usage:  python scripts/dump_plans.py   (writes PLANS.md at the repo root)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# (query, why this plan is the one you'd want at 100 TB)
+AUDIT: list[tuple[str, str]] = [
+    (
+        "q_geodesic_length",
+        "Window lag and the final aggregate both key on pipeline_id: ONE hash"
+        " exchange feeds both (the window sort reuses it), and the haversine"
+        " is a pure codegen expression — no Python anywhere.",
+    ),
+    (
+        "q_tpch_q1_pricing_summary",
+        "Scan-dominated aggregation: the shipdate filter is in PushedFilters,"
+        " ReadSchema carries only the 7 referenced columns, and the partial"
+        " HashAggregate collapses ~6e6 rows/TB to 4-6 groups map-side — the"
+        " exchange ships grouped partials, not rows.",
+    ),
+    (
+        "q_join_inner_hash",
+        "The customer dim broadcasts (BroadcastHashJoin, BuildRight): the"
+        " orders fact never shuffles.  At 1000 executors this is the"
+        " difference between a dim-table-sized broadcast and a fact-table"
+        " shuffle.",
+    ),
+    (
+        "q_tpch_q18_large_orders",
+        "The HAVING subquery and the outer aggregation both hash-partition"
+        " lineitem on l_orderkey — AQE can reuse the exchange; qualifying"
+        " keys flow through a LeftSemi (no row multiplication) and customer"
+        " broadcasts.",
+    ),
+    (
+        "q_spatial_distance_join",
+        "The reference's KDTree radius query becomes a grid-cell equi-join:"
+        " SortMergeJoin/ShuffledHashJoin on the cell key with the exact"
+        " haversine as residual filter — shuffle keyed on a dense integer"
+        " cell id, NEVER CartesianProduct/BroadcastNestedLoop.",
+    ),
+    (
+        "q_contamination",
+        "Both the benchmark shingle set and the flagged-id set broadcast:"
+        " the 100 TB corpus side streams through two BroadcastHashJoins"
+        " without ever shuffling its text.",
+    ),
+    (
+        "q_tfidf",
+        "tf is a two-level hash agg; the df join is left to AQE on purpose —"
+        " an unbounded vocabulary makes forced broadcast a scale bug; N"
+        " rides a 1-row broadcast, never a driver collect.",
+    ),
+    (
+        "q_chunk_documents",
+        "UDTF-shaped fan-out with zero Python and zero shuffle: tokenize"
+        " once in the projection below Generate(posexplode), slice per"
+        " chunk above it.  Output partitioning inherits the scan.",
+    ),
+]
+
+
+def main() -> None:
+    from pipeline_calculator_v3_spark.queries import QUERIES
+    from pipeline_calculator_v3_spark.session import get_spark
+
+    spark = get_spark("pcv3-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = [
+        "# PLANS — physical-plan audit of representative queries",
+        "",
+        f"Regenerate with `python scripts/dump_plans.py` (sf dir: `{SF_DIR}`).",
+        "Each section: why the plan is the right one at 100 TB, then the",
+        "formatted plan Catalyst actually produced (AQE initial plan; stage",
+        "re-optimization can only improve it at runtime).",
+        "",
+    ]
+    for name, why in AUDIT:
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out.append(f"## {name}")
+        out.append("")
+        out.append(why)
+        out.append("")
+        out.append("```")
+        out.append(plan.rstrip())
+        out.append("```")
+        out.append("")
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"PLANS.md written ({len(AUDIT)} plans)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
