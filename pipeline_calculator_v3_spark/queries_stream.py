@@ -167,6 +167,92 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+_SESS_RUNS = [0]
+
+
+@query(
+    "q_stream_session_timeout",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 300000000
+                  OR lag(epoch_us(ts)) OVER w IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+    SELECT user_id, ts_us,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+),
+agg AS (
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM sess GROUP BY user_id, sid
+),
+wm AS (SELECT epoch_us(max(ts)) - 1800000000 AS w FROM events),
+marked AS (
+    SELECT a.*,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY session_start_us DESC) AS rn
+    FROM agg a
+)
+SELECT user_id, session_start_us, session_end_us, n
+FROM marked, wm
+WHERE rn > 1 OR session_end_us + 300000000 <= wm.w
+""",
+)
+def q_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful session windows closed by EVENT-TIME TIMEOUT
+    (streaming/sessions.py, applyInPandasWithState + EventTimeTimeout) —
+    the pattern built-in session_window cannot express: a session must
+    finalize by TIMER when its user goes quiet, not only when a later event
+    closes the gap.  The events file is split at 2024-01-16 into two
+    micro-batches, so open sessions carry across the batch boundary through
+    the state store before the timer closes them.
+
+    The emitted set is exactly SQL-replayable: every gaps-and-islands
+    session except each user's last, plus the last where its end + gap is
+    at or below the final watermark (max event time - 30min) — closed
+    in-batch by a gap-exceeding successor, or closed by the timer once the
+    watermark passed.  State is bounded: one (start, last, n) triple per
+    ACTIVE user, evicted on every close — the 100 TB-stream-safe shape."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from .streaming.sessions import run_sessions_to_memory
+
+    ev = events_t(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="pcv3_sess_")
+    try:
+        now = _time.time()
+        for fname, frame, mtime in [
+            ("a_first.parquet", ev.where(F.col("ts") < "2024-01-16"), now - 60),
+            ("b_second.parquet", ev.where(F.col("ts") >= "2024-01-16"), now),
+        ]:
+            pdf = frame.select(
+                "event_id", "ts", "user_id", "event_type", "value", "props"
+            ).toPandas()
+            pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+            path = os.path.join(d, fname)
+            pdf.to_parquet(path, index=False)
+            os.utime(path, (mtime, mtime))
+        _SESS_RUNS[0] += 1
+        return run_sessions_to_memory(
+            spark, d, f"pcv3_sess_{os.getpid()}_{_SESS_RUNS[0]}"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 _LATE_RUNS = [0]
 
 # The late/on-time split point and the watermark delay — shared by the query

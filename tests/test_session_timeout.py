@@ -1,0 +1,70 @@
+"""Event-time-timeout session operator (streaming/sessions.py): cross-batch
+session continuation, timer-fired closes, and watermark-withheld tails —
+asserted on a hand-built two-batch scenario with exact expected sessions."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+
+from pipeline_calculator_v3_spark.streaming.sessions import run_sessions_to_memory
+
+US = 1_000_000
+MIN = 60 * US
+T0 = 1_704_067_200 * US  # 2024-01-01 00:00:00 UTC, aligned for readability
+
+
+def _write(path, rows, mtime):
+    """rows: list of (user_id, ts_us)."""
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.to_datetime(
+                [t for _, t in rows], unit="us"
+            ).astype("datetime64[us]"),
+            "user_id": [u for u, _ in rows],
+            "event_type": ["click"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(path, index=False)
+    os.utime(path, (mtime, mtime))
+
+
+def test_sessions_span_batches_and_close_by_timer(spark, tmp_path):
+    d = str(tmp_path / "sess")
+    os.makedirs(d)
+    HOUR = 60 * MIN
+    split = T0 + 3 * HOUR
+    # u1: session SPANNING the batch boundary (4 events, gaps < 5min),
+    #     then nothing -> must close by TIMER as ONE session of 4
+    u1 = [(1, split - 4 * MIN), (1, split - 1 * MIN),
+          (1, split + 2 * MIN), (1, split + 4 * MIN)]
+    # u2: batch-1-only session, quiet forever -> closed by timer
+    u2 = [(2, T0), (2, T0 + 3 * MIN)]
+    # u3: three sessions in batch 2 — {30,32min} closes IN-BATCH (20min gap),
+    #     {52min} closes by timer, {end} is withheld by the final watermark
+    end = split + 2 * HOUR
+    u3 = [(3, split + 30 * MIN), (3, split + 32 * MIN),
+          (3, split + 52 * MIN), (3, end)]
+    now = time.time()
+    _write(f"{d}/a.parquet", [r for r in u1 + u2 if r[1] < split], now - 60)
+    _write(f"{d}/b.parquet", [r for r in u1 + u3 if r[1] >= split], now)
+
+    got = sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n)
+        for r in run_sessions_to_memory(spark, d, "sess_unit").collect()
+    )
+    # final watermark = end - 30min; u3's last session (ends at `end`)
+    # cannot time out; everything else closes (in-batch or by timer)
+    expected = sorted(
+        [
+            (1, split - 4 * MIN, split + 4 * MIN, 4),
+            (2, T0, T0 + 3 * MIN, 2),
+            (3, split + 30 * MIN, split + 32 * MIN, 2),
+            (3, split + 52 * MIN, split + 52 * MIN, 1),
+        ]
+    )
+    assert got == expected, (got, expected)
