@@ -46,3 +46,38 @@ def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
     result tables); generalized here to corpus-scale splits.
     """
     return df.where(hash_sample_predicate(F.col(key_col), rate))
+
+
+def _rate_hex(rate: float) -> str:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(int(rate * 16**8), "08x")
+
+
+def stratified_sample_predicate(
+    key: Column, stratum: Column, rates: dict[str, float], default_rate: float
+) -> Column:
+    """Per-stratum hash-threshold selection: stratum s keeps ~rates[s] of its
+    rows (default_rate otherwise), all from ONE md5 evaluation per row.
+
+    Same determinism/oracle properties as hash_sample_predicate; this is the
+    corpus-curation shape (keep 50% of English, 10% of everything else)
+    where df.sampleBy's RNG would be unreproducible and unverifiable."""
+    thr = None
+    for s, r in sorted(rates.items()):
+        cond = stratum == s
+        thr = F.when(cond, _rate_hex(r)) if thr is None else thr.when(cond, _rate_hex(r))
+    thr = thr.otherwise(_rate_hex(default_rate)) if thr is not None else F.lit(_rate_hex(default_rate))
+    return F.md5(key.cast("string")) < thr
+
+
+def split_assign(key: Column, train: float = 0.8, val: float = 0.1) -> Column:
+    """Deterministic train/val/test assignment from the md5 digest prefix:
+    u < train -> 'train', u < train+val -> 'val', else 'test'.  Stable under
+    repartitioning/retries/engines — the reproducible-holdout contract."""
+    h = F.md5(key.cast("string"))
+    return (
+        F.when(h < _rate_hex(train), "train")
+        .when(h < _rate_hex(train + val), "val")
+        .otherwise("test")
+    )

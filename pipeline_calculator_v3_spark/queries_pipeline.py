@@ -426,3 +426,76 @@ def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling + reproducible train/val/test split
+# ---------------------------------------------------------------------------
+@query(
+    "q_sample_stratified",
+    oracle="""
+WITH s AS (
+    SELECT lang,
+           md5(CAST(doc_id AS VARCHAR)) <
+             CASE lang WHEN 'en' THEN '80000000'
+                       WHEN 'de' THEN '33333333'
+                       ELSE '19999999' END AS picked
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM s
+GROUP BY lang
+""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates (en 50%, de 20%, rest 10%) from ONE md5
+    per row (operators/sampling.py::stratified_sample_predicate) — the
+    curation shape where df.sampleBy's partition-seeded RNG would be
+    unreproducible; here the exact row membership replays in the oracle."""
+    from .operators.sampling import stratified_sample_predicate
+
+    d = t(spark, sf_dir, "documents")
+    picked = stratified_sample_predicate(
+        F.col("doc_id"), F.col("lang"), {"en": 0.5, "de": 0.2}, 0.1
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(picked.cast("bigint")).alias("n_sampled"),
+    )
+
+
+@query(
+    "q_split_train_eval",
+    oracle="""
+WITH s AS (
+    SELECT n_chars,
+           CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccccc' THEN 'train'
+                WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY split
+""",
+)
+def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test split
+    (operators/sampling.py::split_assign): assignment is a pure function of
+    doc_id — stable under repartitioning, retries, and engines — and the
+    oracle recomputes it per row, so the MEMBERSHIP is value-checked.
+    Scan-side projection, single tiny rollup exchange."""
+    from .operators.sampling import split_assign
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(split_assign(F.col("doc_id")).alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
