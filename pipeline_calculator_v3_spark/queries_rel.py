@@ -582,3 +582,86 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").eqNullSafe("F").cast("int").alias("is_f_nullsafe"),
         F.nullif("o_orderpriority", F.col("o_orderpriority")).isNull().cast("int").alias("self_nullif"),
     )
+
+
+@query(
+    "q_join_range_binned",
+    oracle="""
+SELECT n.n_nationkey AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(SUM(l.l_extendedprice), 3) AS sum_price
+FROM lineitem l
+JOIN nation n
+  ON l.l_extendedprice >= n.n_nationkey * 2500.0
+ AND l.l_extendedprice <= n.n_nationkey * 2500.0 + 3000.0
+GROUP BY band
+""",
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE interval join (no equi key) via the binned plan
+    (operators/intervals.py): price points ⋈ overlapping price bands.  The
+    naive plan is a broadcast-nested-loop scanning every (point, interval)
+    pair; binning turns it into an EQUI-join on a dense integer — the 1-D
+    version of the spatial grid join, and the shape that survives when BOTH
+    sides are too big to broadcast.  The oracle is the naive BETWEEN join,
+    so the rewrite is value-checked equivalent."""
+    from .operators.intervals import interval_bin_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bands = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band"),
+        (F.col("n_nationkey") * 2500.0).alias("lo"),
+        (F.col("n_nationkey") * 2500.0 + 3000.0).alias("hi"),
+    )
+    joined = interval_bin_join(li, bands, "l_extendedprice", "lo", "hi", 1000.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(F.sum("l_extendedprice"), 3).alias("sum_price"),
+    )
+
+
+@query(
+    "q_cdc_upsert",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, 1 AS version, 0 AS seq FROM orders
+),
+updates AS (
+    SELECT o_orderkey, 'X' AS o_orderstatus, 2 AS version, 1 AS seq
+    FROM orders WHERE o_orderkey % 7 = 0
+),
+merged AS (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY version DESC, seq DESC) AS rn
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM merged WHERE rn = 1
+GROUP BY o_orderstatus
+""",
+)
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins merge (operators/cdc.py::upsert_latest): a change
+    stream (every 7th order flips to status 'X' at version 2) upserts into
+    the base snapshot; exactly one row per key survives, highest version
+    wins, ties deterministic.  The engine-portable MERGE INTO: union +
+    window rank, one shuffle on the key."""
+    from .operators.cdc import upsert_latest
+
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus",
+        F.lit(1).alias("version"), F.lit(0).alias("seq"),
+    )
+    updates = (
+        o.where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey", F.lit("X").alias("o_orderstatus"),
+            F.lit(2).alias("version"), F.lit(1).alias("seq"),
+        )
+    )
+    merged = upsert_latest(base, updates, "o_orderkey", "version", "seq")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )

@@ -71,3 +71,44 @@ def test_shard_of_range_and_determinism(spark):
     a = {r.id: r.shard for r in df.collect()}
     b = {r.id: r.shard for r in df.repartition(7).collect()}
     assert a == b
+
+
+def test_interval_bin_join_matches_naive(spark):
+    from pyspark.sql import functions as F
+
+    from pipeline_calculator_v3_spark.operators.intervals import interval_bin_join
+
+    pts = spark.range(0, 500).select((F.col("id") * 7.3).alias("v"))
+    iv = spark.range(0, 30).select(
+        F.col("id").alias("ivid"),
+        (F.col("id") * 111.0).alias("lo"),
+        (F.col("id") * 111.0 + 130.0).alias("hi"),
+    )
+    got = sorted(
+        (r.v, r.ivid)
+        for r in interval_bin_join(pts, iv, "v", "lo", "hi", 50.0).collect()
+    )
+    naive = sorted(
+        (r.v, r.ivid)
+        for r in pts.join(
+            iv, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+        ).collect()
+    )
+    assert got == naive and len(got) > 0
+
+
+def test_upsert_latest_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from pipeline_calculator_v3_spark.operators.cdc import upsert_latest
+
+    base = spark.createDataFrame(
+        [(1, "a", 1, 0), (2, "b", 1, 0)], "k int, val string, version int, seq int"
+    )
+    ups = spark.createDataFrame(
+        [(1, "a2", 2, 1), (1, "a3", 2, 2), (3, "c", 1, 0)],
+        "k int, val string, version int, seq int",
+    )
+    got = {r.k: r.val for r in upsert_latest(base, ups, "k", "version", "seq").collect()}
+    # same version twice for k=1: higher seq wins deterministically
+    assert got == {1: "a3", 2: "b", 3: "c"}

@@ -134,3 +134,16 @@ def test_tpch_q18_semi_then_broadcast(spark, sf_dir):
     plan = plan_of(spark, "q_tpch_q18_large_orders", sf_dir)
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_binned_join_is_equi(spark, sf_dir):
+    plan = plan_of(spark, "q_join_range_binned", sf_dir)
+    # the whole point: a pure interval join planned WITHOUT nested-loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_upsert_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "q_cdc_upsert", sf_dir)
+    # union + window + final rollup: the merge itself costs ONE key shuffle
+    assert plan.count("Exchange hashpartitioning") <= 2  # key window + rollup
