@@ -222,20 +222,40 @@ def cosine_topk_lsh(
     k: int = 10,
     n_tables: int = 8,
     bits_per_table: int = 6,
+    n_probes: int = 1,
     q_id: str = "vec_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k: multi-table sign-random-projection LSH.
+    """Approximate cosine top-k: multi-table sign-random-projection LSH,
+    optionally MULTI-PROBE.
 
     A single wide bucket has near-zero recall (neighbors rarely agree on all
     bits); the standard fix is L narrower tables — a candidate only needs to
     collide in ONE table.  Candidates = union over tables (explode + equi-join
-    + pair dedup), then exact rescoring.  Recall tunes with (L, bits)."""
+    + pair dedup), then exact rescoring.  Recall tunes with (L, bits).
+
+    ``n_probes`` > 1 additionally probes the query's Hamming-neighbor
+    buckets (single-bit flips, up to n_probes-1 of them) in every table —
+    the standard trade that buys coarse-table recall WITHOUT corpus-side
+    cost: the corpus still stores one bucket per table; only the (small)
+    query side fans out.  At 100 TB that asymmetry is the whole point —
+    corpus bucket size (shuffle + rescoring volume) is set by bits_per_table
+    alone, while recall scales with probes x tables."""
+    def probed(vec: Column) -> Column:
+        base = _bucket_tables(vec, n_tables, bits_per_table)
+        if n_probes <= 1:
+            return base
+        variants = [base]
+        for b in range(min(n_probes - 1, bits_per_table)):
+            flip = F.lit(1 << (b + 8)).cast("long")
+            variants.append(F.transform(base, lambda x: x.bitwiseXOR(flip)))
+        return F.flatten(F.array(*variants))
+
     q = queries.select(
         F.col(q_id).alias("qid"),
         F.col(vec_col).alias("qv"),
-        F.explode(_bucket_tables(F.col(vec_col), n_tables, bits_per_table)).alias("bucket"),
+        F.explode(probed(F.col(vec_col))).alias("bucket"),
     )
     c = corpus.select(
         F.col(c_id).alias("cid"),

@@ -220,18 +220,21 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_similarity_ann_lsh")  # rows-only: approximate by construction
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table sign-random-projection LSH top-k (16 tables x 4 bits):
-    the 100 TB scale path — candidates only from bucket collisions.
+    """Multi-table, MULTI-PROBE sign-random-projection LSH top-k
+    (8 tables x 6 bits, 7 probes): the 100 TB scale path — candidates only
+    from bucket collisions, and only the tiny query side fans out to the
+    Hamming-neighbor probes.
 
-    Parameters are corpus-sized: bits_per_table ~ log2(N / target_bucket)
-    (4 bits = 16 buckets/table fits the 500-vector test corpus; a 1e9-vector
-    corpus wants ~20 bits and proportionally more tables).  r04 sweep on
-    this corpus: 8x6 recall@10 0.25, 16x4 0.825 at the SAME wall cost —
-    fewer bits per table beats more bits when vectors are weakly separated
-    (max pairwise cosine 0.513)."""
+    r04 sweeps on this corpus (recall@10 vs exact, candidate pairs):
+    8x6x1 0.25; 16x4x1 0.825 but 16 corpus buckets/vector; 8x6x7 0.812 with
+    HALF the corpus-side fan-out and ~27% fewer rescored candidates than
+    16x4 — multi-probe buys coarse-table recall without corpus-side cost,
+    which is the asymmetry that matters when the corpus is the 100 TB side.
+    bits_per_table still scales ~log2(N / target_bucket) with corpus size."""
     e = _spread(t(spark, sf_dir, "embeddings"), spark)
     return cosine_topk_lsh(
-        e.where(F.col("vec_id") < 8), e, k=10, n_tables=16, bits_per_table=4
+        e.where(F.col("vec_id") < 8), e, k=10,
+        n_tables=8, bits_per_table=6, n_probes=7,
     )
 
 
@@ -265,7 +268,8 @@ def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < 8)
     exact = cosine_topk(q, e, k=10).select("qid", "cid")
     approx = {
-        "lsh": cosine_topk_lsh(q, e, k=10, n_tables=16, bits_per_table=4),
+        "lsh": cosine_topk_lsh(q, e, k=10, n_tables=8, bits_per_table=6,
+                               n_probes=7),
         "ivf": cosine_topk_ivf(q, e, k=10, n_centroids=32, nprobe=3),
     }
 
