@@ -5,10 +5,11 @@ Chunking: overlapping sliding windows over the token sequence (max_len /
 stride), the standard long-document treatment before tokenizer-budgeted
 training.  One row per chunk, UDTF-shaped, but expressed entirely in Column
 HOFs: sequence() generates the window starts, posexplode fans out, slice()
-takes each window — no Python in the path, and the token array is computed
-in a projection BELOW the generator so the tokenizer runs once per document
-(the HOF-inlining trap documented in functions/text.py cannot re-trigger
-across a Generate boundary).
+takes each window — no Python in the path, and the token array (from
+functions/text.py's ``tokens``, the ONE tokenizer definition shared with
+every text oracle) is computed in a projection BELOW the generator so it
+runs once per document (the HOF-inlining trap documented in
+functions/text.py cannot re-trigger across a Generate boundary).
 
 Sharding: deterministic md5-prefix assignment (same engine-portable idiom as
 operators/sampling.py) — identical shard sets on every run, partitioning,
@@ -22,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-TOKENIZE = r"filter(split(lower(%s), '\\s+'), x -> x <> '')"
+from ..functions.text import tokens
 
 
 def chunk_tokens(
@@ -39,7 +40,7 @@ def chunk_tokens(
     if stride <= 0 or max_len <= 0:
         raise ValueError("max_len and stride must be positive")
     base = docs.select(
-        F.col(id_col), F.expr(TOKENIZE % text_col).alias("toks")
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("toks")
     ).where(F.size("toks") > 0)
     ex = base.select(
         id_col,

@@ -51,6 +51,11 @@ def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
 def _rate_hex(rate: float) -> str:
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        # format(16**8) would be the NINE-char '100000000', which compares
+        # BELOW any digest starting '1'..'f' — i.e. ~6% selected instead of
+        # all.  'g' sorts above every hex digit, selecting everything.
+        return "g"
     return format(int(rate * 16**8), "08x")
 
 

@@ -174,7 +174,7 @@ _SESS_RUNS = [0]
     "q_stream_session_timeout",
     oracle="""
 WITH flagged AS (
-    SELECT user_id, epoch_us(ts) AS ts_us,
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 300000000
                   OR lag(epoch_us(ts)) OVER w IS NULL
                 THEN 1 ELSE 0 END AS is_new
@@ -183,7 +183,7 @@ WITH flagged AS (
 ),
 sess AS (
     SELECT user_id, ts_us,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
     FROM flagged
 ),
@@ -194,7 +194,11 @@ agg AS (
            CAST(COUNT(*) AS BIGINT) AS n
     FROM sess GROUP BY user_id, sid
 ),
-wm AS (SELECT epoch_us(max(ts)) - 1800000000 AS w FROM events),
+wm AS (
+    -- final watermark in MILLISECONDS (Spark tracks event-time stats at ms):
+    -- floor(max_us/1000) - 30min
+    SELECT epoch_us(max(ts)) // 1000 - 1800000 AS wms FROM events
+),
 marked AS (
     SELECT a.*,
            row_number() OVER (PARTITION BY user_id
@@ -203,7 +207,9 @@ marked AS (
 )
 SELECT user_id, session_start_us, session_end_us, n
 FROM marked, wm
-WHERE rn > 1 OR session_end_us + 300000000 <= wm.w
+-- timer fires only when the watermark STRICTLY exceeds the ms-truncated
+-- timeout timestamp (measured, see docstring): floor(end/1000)+gap < wm
+WHERE rn > 1 OR session_end_us // 1000 + 300000 < wm.wms
 """,
 )
 def q_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,11 +222,14 @@ def q_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     the state store before the timer closes them.
 
     The emitted set is exactly SQL-replayable: every gaps-and-islands
-    session except each user's last, plus the last where its end + gap is
-    at or below the final watermark (max event time - 30min) — closed
-    in-batch by a gap-exceeding successor, or closed by the timer once the
-    watermark passed.  State is bounded: one (start, last, n) triple per
-    ACTIVE user, evicted on every close — the 100 TB-stream-safe shape."""
+    session except each user's last, plus the last where the timer fired —
+    closed in-batch by a gap-exceeding successor, or closed by the timeout
+    once the watermark passed.  Timer semantics measured empirically on
+    this Spark build (r04): the timeout fires only when the watermark is
+    STRICTLY greater than the ms-truncated timeout timestamp (equality does
+    NOT fire) — the oracle replays that comparison at ms precision.  State
+    is bounded: one (start, last, n) triple per ACTIVE user, evicted on
+    every close — the 100 TB-stream-safe shape."""
     import os
     import shutil
     import tempfile

@@ -264,9 +264,13 @@ def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     meets_floor).  The exact side is the oracle-green q_similarity_topk plan;
     hits counted by (qid, cid) membership, so ties broken differently by the
     approximate rank cannot inflate the score."""
+    from .caching import persist_tracked
+
     e = _spread(t(spark, sf_dir, "embeddings"), spark)
     q = e.where(F.col("vec_id") < 8)
-    exact = cosine_topk(q, e, k=10).select("qid", "cid")
+    # persist: the exact all-pairs top-k (the expensive subtree) feeds BOTH
+    # methods' branches — unpersisted it would recompute per method
+    exact = persist_tracked(cosine_topk(q, e, k=10).select("qid", "cid"))
     approx = {
         "lsh": cosine_topk_lsh(q, e, k=10, n_tables=8, bits_per_table=6,
                                n_probes=7),

@@ -65,7 +65,11 @@ def _session_update(
         if start is None:
             start, last, n = ts, ts, 1
         elif ts - last < GAP_US:
-            last, n = ts, n + 1
+            # min/max guards: a cross-batch out-of-order event (admitted —
+            # it is above the watermark) must never move the session END
+            # backwards (that would split the session on the next event and
+            # arm the timeout timer too early) nor leave the START after it
+            start, last, n = min(start, ts), max(last, ts), n + 1
         else:
             closed.append((uid, start, last, n))
             start, last, n = ts, ts, 1

@@ -58,3 +58,29 @@ def test_subsample_nesting(spark, sf_dir):
     small = {r.doc_id for r in hash_sample(d, "doc_id", 0.05).collect()}
     big = {r.doc_id for r in hash_sample(d, "doc_id", 0.2).collect()}
     assert small <= big
+
+
+def test_rate_one_selects_everything(spark, sf_dir):
+    """Regression: rate >= 1.0 must select ALL rows — format(16**8) is the
+    9-char '100000000' which lexicographically selects only ~6% (digests
+    starting '0'); the 'g' sentinel sorts above every hex digit."""
+    from pyspark.sql import functions as F
+
+    from pipeline_calculator_v3_spark.operators.sampling import (
+        split_assign,
+        stratified_sample_predicate,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = d.count()
+    picked = stratified_sample_predicate(
+        F.col("doc_id"), F.col("lang"), {"en": 1.0}, 1.0
+    )
+    assert d.where(picked).count() == n
+    # train+val == 1.0 exactly: the test bucket must be EMPTY
+    splits = {
+        r.s: r.c
+        for r in d.select(split_assign(F.col("doc_id"), 0.5, 0.5).alias("s"))
+        .groupBy("s").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert splits.get("test", 0) == 0 and splits["train"] + splits["val"] == n

@@ -68,3 +68,32 @@ def test_sessions_span_batches_and_close_by_timer(spark, tmp_path):
         ]
     )
     assert got == expected, (got, expected)
+
+
+def test_out_of_order_event_does_not_split_session(spark, tmp_path):
+    """Regression: a cross-batch out-of-order event (above the watermark,
+    within the gap) must extend the session backwards — never regress its
+    END (which would split the session on the next event and arm the timer
+    too early)."""
+    d = str(tmp_path / "ooo")
+    os.makedirs(d)
+    now = time.time()
+    HOUR = 60 * MIN
+    # batch 1: u1 at T+100s
+    _write(f"{d}/a.parquet", [(1, T0 + 100 * US)], now - 60)
+    # batch 2: u1 at T+90s (out-of-order, within gap of 100s) and T+395s
+    # (within gap of the TRUE last=100s: 295s < 300s) + a bump event that
+    # advances the watermark far enough to time the session out
+    _write(
+        f"{d}/b.parquet",
+        [(1, T0 + 90 * US), (1, T0 + 395 * US), (2, T0 + 2 * HOUR)],
+        now,
+    )
+    got = [
+        (r.user_id, r.session_start_us, r.session_end_us, r.n)
+        for r in run_sessions_to_memory(spark, d, "sess_ooo").collect()
+        if r.user_id == 1
+    ]
+    # ONE session covering all three events — a last-regression bug would
+    # emit two (one ending at T+90s, before its own start)
+    assert got == [(1, T0 + 90 * US, T0 + 395 * US, 3)], got
