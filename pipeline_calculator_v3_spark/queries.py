@@ -378,12 +378,13 @@ _NEVER_CHECKED_FIRST = [
     "q_stream_session_timeout", "q_sample_stratified", "q_split_train_eval",
     "q_join_range_binned", "q_cdc_upsert",
     "q_tpch_q8_market_share", "q_tpch_q19_disjunctive",
+    "q_chunk_documents_xl", "q_embed_centroids",
     # refresh pool: oracle-backed queries whose last driver verdict is
     # r01/r02 (they sat in the r03 tail) — oldest signal gets the slots
     "q_agg_hash", "q_join_inner_hash", "q_dedup_exact", "q_join_multi_way",
     "q_join_left_semi", "q_join_left_anti", "q_join_outer",
     "q_join_theta_range", "q_agg_distinct", "q_agg_approx_distinct",
-    "q_rollup", "q_cube", "q_grouping_sets",
+    "q_rollup",
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length", "q_geodesic_length_exact", "q_overlap_summary",
@@ -416,7 +417,7 @@ _ROTATED_OUT = [
     "q_array_funcs", "q_map_funcs", "q_json_funcs", "q_string_agg",
     "q_unpivot", "q_window_dist", "q_pivot", "q_agg_stats",
     "q_null_semantics", "q_window_frame", "q_window_rank",
-    "q_window_lag_lead",
+    "q_window_lag_lead", "q_cube", "q_grouping_sets",
 ]
 
 

@@ -499,3 +499,64 @@ def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+@query("q_chunk_documents_xl")  # rows-only: synthetic growing corpus
+def q_chunk_documents_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking over a corpus that GROWS with sf (same one-doc-per-order
+    synthetic corpus as the other _xl stress twins; 150k docs at sf0.1) —
+    proves the sliding-window fan-out stays a zero-shuffle map-side explode
+    at corpus scale: rolled up to per-bucket chunk statistics so the output
+    stays small while the full fan-out materializes."""
+    from .operators.chunking import chunk_tokens
+    from .queries_textml import _synth_docs_from_lineitem
+
+    docs = _synth_docs_from_lineitem(t(spark, sf_dir, "lineitem"))
+    chunks = chunk_tokens(docs, max_len=32, stride=16)
+    return (
+        chunks.groupBy(F.pmod("doc_id", F.lit(16)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.max("chunk_idx").cast("bigint").alias("max_chunk_idx"),
+        )
+    )
+
+
+@query(
+    "q_embed_centroids",
+    oracle="""
+WITH idx AS (
+    SELECT vec_id % 10 AS grp, embedding,
+           unnest(range(len(embedding))) AS d
+    FROM embeddings
+)
+SELECT grp, CAST(d AS BIGINT) AS dim,
+       ROUND(AVG(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)), 9) AS mean_val,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM idx
+GROUP BY grp, dim
+""",
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding centroids (mean pooling) in long form — the
+    clustering/summarization primitive over a vector column, zero Python:
+    posexplode to (group, dim, x), one hash aggregate.  The oracle replays
+    the element-wise mean per dimension exactly (both engines average the
+    same doubles; ROUND(9) absorbs summation-order noise).
+
+    Scale shape: the explode is map-side (64 rows per vector), the single
+    shuffle carries (group, dim) partial sums — map-side combine collapses
+    each partition to |groups| x 64 rows regardless of corpus size."""
+    e = _spread(t(spark, sf_dir, "embeddings"), spark)
+    return (
+        e.select(
+            F.pmod("vec_id", F.lit(10)).alias("grp"),
+            F.posexplode(F.col("embedding")).alias("dim", "x"),
+        )
+        .groupBy("grp", F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 9).alias("mean_val"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        )
+    )
