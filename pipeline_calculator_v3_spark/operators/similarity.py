@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..caching import local_checkpoint_tracked
+from ..caching import local_checkpoint_tracked, persist_tracked
 from ..functions.vectors import cosine
 
 
@@ -242,20 +242,31 @@ def cosine_topk_lsh(
     query side fans out.  At 100 TB that asymmetry is the whole point —
     corpus bucket size (shuffle + rescoring volume) is set by bits_per_table
     alone, while recall scales with probes x tables."""
-    def probed(vec: Column) -> Column:
-        base = _bucket_tables(vec, n_tables, bits_per_table)
-        if n_probes <= 1:
-            return base
-        variants = [base]
-        for b in range(min(n_probes - 1, bits_per_table)):
-            flip = F.lit(1 << (b + 8)).cast("long")
-            variants.append(F.transform(base, lambda x: x.bitwiseXOR(flip)))
-        return F.flatten(F.array(*variants))
-
-    q = queries.select(
+    # Stage the base bucket array through a persisted projection before
+    # building probe variants: each variant references the array, and
+    # Catalyst's project-collapse would otherwise inline the FULL
+    # n_tables x bits plane-dot computation once per probe (HOF
+    # subexpressions are excluded from reuse — the repo's documented
+    # inlining trap).  The query side is the small side, so the persist is
+    # cheap; the corpus side computes its buckets exactly once either way.
+    q_base = queries.select(
         F.col(q_id).alias("qid"),
         F.col(vec_col).alias("qv"),
-        F.explode(probed(F.col(vec_col))).alias("bucket"),
+        _bucket_tables(F.col(vec_col), n_tables, bits_per_table).alias("_buckets"),
+    )
+    if n_probes > 1:
+        q_base = persist_tracked(q_base)
+        variants = [F.col("_buckets")]
+        for b in range(min(n_probes - 1, bits_per_table)):
+            flip = F.lit(1 << (b + 8)).cast("long")
+            variants.append(
+                F.transform(F.col("_buckets"), lambda x: x.bitwiseXOR(flip))
+            )
+        probe_col = F.flatten(F.array(*variants))
+    else:
+        probe_col = F.col("_buckets")
+    q = q_base.select(
+        "qid", "qv", F.explode(probe_col).alias("bucket")
     )
     c = corpus.select(
         F.col(c_id).alias("cid"),

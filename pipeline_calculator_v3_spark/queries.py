@@ -365,7 +365,8 @@ _NEVER_CHECKED_FIRST = [
     # r04 must-recheck: the 7 queries red in r03 (events timestamp-unit bug,
     # fixed this round) + the two multimodal rows (features was a driver
     # canonicalizer crash, frames gained an oracle) + the two ANN rows
-    # (LSH re-parameterized 8x6 -> 16x4; recall query is NEW).
+    # (LSH re-parameterized to 8 tables x 6 bits x 7 probes — multi-probe,
+    # added this round; recall query is NEW).
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
     "q_stream_stateful", "q_stream_join", "q_join_asof", "q_sessionize",
     "q_multimodal_features", "q_multimodal_frames",

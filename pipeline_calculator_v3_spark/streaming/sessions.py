@@ -11,13 +11,24 @@ Operator contract (applyInPandasWithState, GroupStateTimeout.EventTimeTimeout):
   last_us + GAP, and Spark invokes the function with hasTimedOut once the
   event-time watermark passes it — bounded state with no poison-pill keys.
 
-Determinism: within a batch events are sorted by (ts_us, event_id); across
-batches the harness splits the file by time, so state continuation across
-the batch boundary is exercised (a session spanning the split stays one
-session).  The emitted set is exactly SQL-expressible: every gaps-and-
-islands session EXCEPT each user's last, plus the last where
-last_us + GAP <= final watermark — which is the DuckDB oracle in
+Determinism: within a batch events are sorted; across batches the harness
+splits the file by time, so state continuation across the batch boundary is
+exercised (a session spanning the split stays one session).  The emitted
+set is exactly SQL-expressible: every gaps-and-islands session EXCEPT each
+user's last, plus the last where the timer fired — the DuckDB oracle in
 queries_stream.q_stream_session_timeout.
+
+Out-of-order contract (r04): each batch merges its events with the open
+session by interval gaps-and-islands, so an admitted straggler lands
+correctly before, inside, or after the open session.  Sessions separated
+from the open one by >= GAP finalize at arrival time; a LATER batch whose
+stragglers would retroactively bridge an already-finalized session into the
+open one is out of contract (exact replay there requires deferring every
+emission until the watermark passes it — the production extension would
+keep a pending-session list in state and emit on timer only).  Spark does
+NOT pre-filter late input for stateful functions (measured in r04 for
+aggregations too); callers needing a hard lateness gate filter
+``ts < watermark`` themselves before the groupBy.
 """
 
 from __future__ import annotations
@@ -55,25 +66,30 @@ def _session_update(
         )
         return
 
-    ts_all: list[int] = []
-    for pdf in pdfs:
-        ts_all.extend(int(v) for v in pdf["ts_us"])
-    ts_all.sort()
+    # Gaps-and-islands over intervals: each new event is a [ts, ts] point;
+    # the open session from state is an opaque [start, last] interval whose
+    # INTERIOR gaps are already < GAP (invariant of how it was built), so
+    # two sorted items merge iff next.start - cur.end < GAP.  This is
+    # correct for ANY admitted out-of-order arrival — before the open
+    # session, inside it, or after it (the r04 review found the naive
+    # `ts - last < GAP` comparison merged arbitrarily-early stragglers).
+    items: list[list[int]] = [[int(v), int(v), 1] for pdf in pdfs
+                              for v in pdf["ts_us"]]
+    if state.exists:
+        s0, l0, n0 = state.get
+        items.append([s0, l0, n0])
+    items.sort()
 
-    start, last, n = state.get if state.exists else (None, None, 0)
-    for ts in ts_all:
-        if start is None:
-            start, last, n = ts, ts, 1
-        elif ts - last < GAP_US:
-            # min/max guards: a cross-batch out-of-order event (admitted —
-            # it is above the watermark) must never move the session END
-            # backwards (that would split the session on the next event and
-            # arm the timeout timer too early) nor leave the START after it
-            start, last, n = min(start, ts), max(last, ts), n + 1
+    merged: list[list[int]] = []
+    for it in items:
+        if merged and it[0] - merged[-1][1] < GAP_US:
+            merged[-1][1] = max(merged[-1][1], it[1])
+            merged[-1][2] += it[2]
         else:
-            closed.append((uid, start, last, n))
-            start, last, n = ts, ts, 1
-    if start is not None:
+            merged.append(it)
+    closed.extend((uid, s, l, n) for s, l, n in merged[:-1])
+    if merged:
+        start, last, n = merged[-1]
         state.update((start, last, n))
         # arm the event-time timer: fires once the watermark passes the gap
         state.setTimeoutTimestamp(last // 1000 + GAP_US // 1000)

@@ -97,3 +97,28 @@ def test_out_of_order_event_does_not_split_session(spark, tmp_path):
     # ONE session covering all three events — a last-regression bug would
     # emit two (one ending at T+90s, before its own start)
     assert got == [(1, T0 + 90 * US, T0 + 395 * US, 3)], got
+
+
+def test_straggler_beyond_gap_forms_own_session(spark, tmp_path):
+    """Regression (r04 review): an admitted out-of-order event more than GAP
+    BEFORE the open session must form its own earlier session — the naive
+    `ts - last < GAP` comparison is true for ANY earlier timestamp and
+    merged it."""
+    d = str(tmp_path / "straggle")
+    os.makedirs(d)
+    now = time.time()
+    HOUR = 60 * MIN
+    # batch 1: u1 at T+2000s (opens the session; watermark still low)
+    _write(f"{d}/a.parquet", [(1, T0 + 2000 * US)], now - 60)
+    # batch 2: u1 straggler at T+1000s (1000s before start, >= 300s gap)
+    #          + bump to advance the watermark so both sessions time out
+    _write(f"{d}/b.parquet", [(1, T0 + 1000 * US), (2, T0 + 2 * HOUR)], now)
+    got = sorted(
+        (r.session_start_us, r.session_end_us, r.n)
+        for r in run_sessions_to_memory(spark, d, "sess_straggle").collect()
+        if r.user_id == 1
+    )
+    assert got == [
+        (T0 + 1000 * US, T0 + 1000 * US, 1),
+        (T0 + 2000 * US, T0 + 2000 * US, 1),
+    ], got
