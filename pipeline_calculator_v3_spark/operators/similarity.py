@@ -83,10 +83,22 @@ def cosine_topk(
     )
 
 
+# Bucket-id bit layout shared by _bucket_tables and the multi-probe loop in
+# cosine_topk_lsh: table id in the low _TABLE_ID_BITS bits, hash bits from
+# bit _TABLE_ID_BITS up.  Keeping it a named constant (r04 advice) makes the
+# coupling explicit and lets both sites assert n_tables fits the field.
+_TABLE_ID_BITS = 8
+
+
 def _bucket_tables(vec: Column, n_tables: int, bits_per_table: int) -> Column:
     """Array of ``n_tables`` bucket ids; table t uses planes
-    [t*bits, (t+1)*bits).  Bucket value includes the table id so different
-    tables never collide in a flat join key."""
+    [t*bits, (t+1)*bits).  Bucket value includes the table id (low
+    ``_TABLE_ID_BITS`` bits) so different tables never collide in a flat
+    join key."""
+    assert n_tables < (1 << _TABLE_ID_BITS), (
+        f"n_tables={n_tables} overflows the {_TABLE_ID_BITS}-bit table-id "
+        "field into hash bits"
+    )
     buckets = []
     for tab in range(n_tables):
         idx = F.sequence(F.lit(1), F.size(vec))
@@ -103,7 +115,7 @@ def _bucket_tables(vec: Column, n_tables: int, bits_per_table: int) -> Column:
                 lambda acc, x: acc + x,
             )
             out = out.bitwiseOR(
-                F.when(dot > 0, F.lit(1 << (b + 8)).cast("long"))
+                F.when(dot > 0, F.lit(1 << (b + _TABLE_ID_BITS)).cast("long"))
                 .otherwise(F.lit(0).cast("long"))
             )
         buckets.append(out)
@@ -258,7 +270,8 @@ def cosine_topk_lsh(
         q_base = persist_tracked(q_base)
         variants = [F.col("_buckets")]
         for b in range(min(n_probes - 1, bits_per_table)):
-            flip = F.lit(1 << (b + 8)).cast("long")
+            # flip hash bit b — above the _TABLE_ID_BITS table-id field
+            flip = F.lit(1 << (b + _TABLE_ID_BITS)).cast("long")
             variants.append(
                 F.transform(F.col("_buckets"), lambda x: x.bitwiseXOR(flip))
             )

@@ -14,6 +14,31 @@ from .queries import events_t, query
 from .streaming import windows
 
 
+def _stage_batch_file(frame: DataFrame, path: str, mtime: float) -> None:
+    """Stage one replay micro-batch as a single parquet file WITHOUT
+    driver-side materialization (the r04 ``toPandas()`` here was the one
+    full-table driver collect left in the repo — at 100x sf it OOMs the
+    driver; the write below stays executor-side).  The single part file is
+    moved to ``path`` and given a controlled mtime because the file stream
+    source orders micro-batches by mtime.
+
+    ``coalesce(1)`` is harness-correct, not a scale anti-pattern: the file
+    stream source replays ONE file per trigger, so one output file per
+    split is the contract.  Real deployments read an object-store prefix
+    where each micro-batch is already its own file set."""
+    import glob
+    import os
+    import shutil
+
+    stage = path + ".stage"
+    frame.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))
+    assert len(part) == 1, part
+    shutil.move(part[0], path)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.utime(path, (mtime, mtime))
+
+
 @query(
     "q_stream_tumbling",
     oracle="""
@@ -247,13 +272,13 @@ def q_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("a_first.parquet", ev.where(F.col("ts") < "2024-01-16"), now - 60),
             ("b_second.parquet", ev.where(F.col("ts") >= "2024-01-16"), now),
         ]:
-            pdf = frame.select(
-                "event_id", "ts", "user_id", "event_type", "value", "props"
-            ).toPandas()
-            pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-            path = os.path.join(d, fname)
-            pdf.to_parquet(path, index=False)
-            os.utime(path, (mtime, mtime))
+            _stage_batch_file(
+                frame.select(
+                    "event_id", "ts", "user_id", "event_type", "value", "props"
+                ),
+                os.path.join(d, fname),
+                mtime,
+            )
         _SESS_RUNS[0] += 1
         return run_sessions_to_memory(
             spark, d, f"pcv3_sess_{os.getpid()}_{_SESS_RUNS[0]}"
@@ -316,13 +341,13 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("a_ontime.parquet", ev.where(F.col("ts") >= _LATE_CUTOFF), now - 60),
             ("b_late.parquet", ev.where(F.col("ts") < _LATE_CUTOFF), now),
         ]:
-            pdf = frame.select(
-                "event_id", "ts", "user_id", "event_type", "value", "props"
-            ).toPandas()
-            pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-            path = os.path.join(d, fname)
-            pdf.to_parquet(path, index=False)
-            os.utime(path, (mtime, mtime))  # file source orders by mtime
+            _stage_batch_file(
+                frame.select(
+                    "event_id", "ts", "user_id", "event_type", "value", "props"
+                ),
+                os.path.join(d, fname),
+                mtime,
+            )
 
         src = stream_events(
             spark, d, watermark=_LATE_WATERMARK, max_files_per_trigger=1

@@ -90,9 +90,20 @@ def _session_update(
     closed.extend((uid, s, l, n) for s, l, n in merged[:-1])
     if merged:
         start, last, n = merged[-1]
-        state.update((start, last, n))
-        # arm the event-time timer: fires once the watermark passes the gap
-        state.setTimeoutTimestamp(last // 1000 + GAP_US // 1000)
+        timeout_ms = last // 1000 + GAP_US // 1000
+        # An admitted straggler can merge into a session whose end already
+        # trails the watermark by more than GAP.  Spark rejects timer
+        # timestamps <= watermark with IllegalArgumentException (failing the
+        # whole query), so such a session closes immediately instead —
+        # exactly when its timer would have fired had it been armable.
+        if timeout_ms <= state.getCurrentWatermarkMs():
+            closed.append((uid, start, last, n))
+            if state.exists:
+                state.remove()
+        else:
+            state.update((start, last, n))
+            # arm the event-time timer: fires once the watermark passes it
+            state.setTimeoutTimestamp(timeout_ms)
     yield pd.DataFrame(
         closed, columns=["user_id", "session_start_us", "session_end_us", "n"]
     )

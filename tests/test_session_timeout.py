@@ -99,6 +99,29 @@ def test_out_of_order_event_does_not_split_session(spark, tmp_path):
     assert got == [(1, T0 + 90 * US, T0 + 395 * US, 3)], got
 
 
+def test_straggler_behind_watermark_closes_immediately(spark, tmp_path):
+    """Regression (r04 advice, medium): Spark rejects timer timestamps at or
+    below the current watermark with IllegalArgumentException, failing the
+    whole query.  A straggler whose session end already trails the watermark
+    by more than GAP therefore cannot arm a timer — the session must close
+    immediately (exactly when its timer would have fired)."""
+    d = str(tmp_path / "clamp")
+    os.makedirs(d)
+    now = time.time()
+    HOUR = 60 * MIN
+    # batch 1: watermark bump only -> wm for batch 2 = T0+90min
+    _write(f"{d}/a.parquet", [(2, T0 + 2 * HOUR)], now - 60)
+    # batch 2: u1 straggler at T0+1min — its timeout (T0+6min) is far behind
+    # the T0+90min watermark, so the timer is un-armable by contract
+    _write(f"{d}/b.parquet", [(1, T0 + 1 * MIN)], now)
+    got = [
+        (r.session_start_us, r.session_end_us, r.n)
+        for r in run_sessions_to_memory(spark, d, "sess_clamp").collect()
+        if r.user_id == 1
+    ]
+    assert got == [(T0 + 1 * MIN, T0 + 1 * MIN, 1)], got
+
+
 def test_straggler_beyond_gap_forms_own_session(spark, tmp_path):
     """Regression (r04 review): an admitted out-of-order event more than GAP
     BEFORE the open session must form its own earlier session — the naive

@@ -35,12 +35,28 @@ def results(spark):
     return analyze_pipelines(pipes)
 
 
-def test_csv_sink(results, tmp_path):
-    write_csv(results, str(tmp_path))
+def test_csv_sink_single_file(results, tmp_path):
+    write_csv(results, str(tmp_path), single_file=True)
     assert os.path.exists(tmp_path / "pipelines.csv")
     assert os.path.exists(tmp_path / "pipelines_overlaps.csv")
     header = (tmp_path / "pipelines.csv").read_text().splitlines()[0]
     assert "length_m" in header and "length_mi" in header
+
+
+def test_csv_sink_distributed_default(results, tmp_path, spark):
+    """The DEFAULT path writes executor-side part files per table."""
+    write_csv(results, str(tmp_path))
+    lengths = spark.read.option("header", True).csv(
+        str(tmp_path / "pipelines")
+    )
+    assert lengths.count() == 2
+    assert {"pipeline_id", "name", "length_m", "length_mi"} <= set(
+        lengths.columns
+    )
+    overlaps = spark.read.option("header", True).csv(
+        str(tmp_path / "pipelines_overlaps")
+    )
+    assert overlaps.count() == 1
 
 
 def test_json_sink(results, tmp_path):
