@@ -649,3 +649,217 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 3
         ).alias("revenue"),
     )
+
+
+@query(
+    "q_tpch_q17_small_qty",
+    oracle="""
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 3) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (
+      SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): THE correlated scalar
+    subquery planner stressor.  Spark plans it decorrelated by hand here —
+    the per-part AVG is a self-aggregation of the fact table joined back on
+    l_partkey.  Both the filtered fact side and the avg side shuffle on
+    l_partkey, so AQE can reuse the exchange; the brand filter pushes into
+    the part scan and semi-restricts the fact AFTER the avg join (matching
+    the spec: the average is over ALL lineitems of the part, not just the
+    brand-filtered ones — a classic decorrelation trap).  (p_container is
+    absent from the testdata schema; the brand filter alone selects the
+    part subset.)"""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .join(part_avg, li.l_partkey == F.col("pk"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 3).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q_tpch_q20_excess_supply",
+    oracle="""
+WITH supply AS (
+    SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+),
+part_total AS (
+    SELECT l_partkey, SUM(qty) AS total_qty FROM supply GROUP BY l_partkey
+),
+dominant AS (
+    SELECT s.l_suppkey
+    FROM supply s
+    JOIN part_total pt ON pt.l_partkey = s.l_partkey
+    WHERE s.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND s.qty > 0.5 * pt.total_qty
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+""",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): nested semi-join chain —
+    supplier SEMI (supply-share SEMI part-name-subset).  The testdata has no
+    partsupp, so the spec's `ps_availqty > 0.5 * shipped qty` becomes
+    share-of-part dominance (a supplier shipping >50% of a part's 1996
+    volume), preserving the planner shape: a correlated aggregate
+    decorrelated into two stacked aggregations over the SAME shuffle key
+    (l_partkey partials reuse the (l_suppkey, l_partkey) exchange), a
+    broadcast semi on the name-filtered part list, then a final semi into
+    supplier so no supplier row ever duplicates."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    red = t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    supply = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    part_total = supply.groupBy("l_partkey").agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = (
+        supply.join(F.broadcast(red), supply.l_partkey == red.p_partkey, "left_semi")
+        .join(part_total, "l_partkey")
+        .where(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier")
+    return s.join(
+        dominant, s.s_suppkey == dominant.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q_tpch_q21_waiting_supplier",
+    oracle="""
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+""",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the EXISTS +
+    NOT EXISTS chain — a left-SEMI then left-ANTI join of the fact table
+    against itself, each with a non-equi residual (same order, DIFFERENT
+    supplier).  All three lineitem branches shuffle on l_orderkey, the
+    orders filter semi-restricts, supplier broadcasts at the end.  (The
+    spec's receipt-after-commit lateness marker is adapted to
+    l_returnflag='R' — the testdata schema carries no commit/receipt
+    dates; the sole-failing-supplier logic is unchanged.)"""
+    li = t(spark, sf_dir, "lineitem")
+    l1 = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    s = t(spark, sf_dir, "supplier")
+    waiting = (
+        l1.join(o, l1.l_orderkey == o.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+
+
+@query(
+    "q_tpch_q22_global_sales",
+    oracle="""
+WITH avg_bal AS (
+    SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+),
+eligible AS (
+    SELECT c.c_custkey, c.c_acctbal, n.n_name AS cntrycode
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey, avg_bal
+    WHERE n.n_name IN ('NATION_1','NATION_3','NATION_5','NATION_7',
+                       'NATION_11','NATION_13','NATION_17')
+      AND c.c_acctbal > avg_bal.ab
+)
+SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 3) AS totacctbal
+FROM eligible e
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = e.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY cntrycode
+""",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): an uncorrelated scalar
+    aggregate (global avg balance — one row, broadcast into the filter) +
+    an ANTI join against orders.  Every synthetic customer has at least one
+    order, so the spec's never-ordered predicate is adapted to LAPSED
+    customers (no order since 2000-06-01, non-empty at every SF) — the
+    date filter pushes into the orders scan before the anti join; the
+    country-code grouping uses the nation name (the schema has no
+    c_phone)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(
+            "NATION_1", "NATION_3", "NATION_5", "NATION_7",
+            "NATION_11", "NATION_13", "NATION_17",
+        )
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    recent = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-06-01"
+    )
+    eligible = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .select("c_custkey", "c_acctbal", F.col("n_name").alias("cntrycode"))
+    )
+    return (
+        eligible.join(recent, eligible.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 3).alias("totacctbal"),
+        )
+    )
