@@ -10,10 +10,10 @@ per-row transforms — against a deterministic synthetic media format:
     (little-endian) + payload bytes (one byte per "pixel", frames
     concatenated for "video").
 
-``decode_with_real_codec`` is the marked stub: it attempts a real decoder
-(PIL) and raises NotImplementedError when absent — swap-in point for a real
-cluster image.  ``decode_media`` / ``byte_histogram_features`` /
-``sample_frames`` do real byte-level work and are fully tested.
+``decode_with_real_codec`` decodes a REAL format — PNG, via the pure-stdlib
+codec in operators/pngcodec.py (the r04 stub is gone; no PIL needed).
+``decode_media`` / ``byte_histogram_features`` / ``sample_frames`` do real
+byte-level work over the synthetic PCV3 format and are fully tested.
 """
 
 from __future__ import annotations
@@ -150,16 +150,68 @@ def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
     return media.mapInPandas(gen, FRAME_SCHEMA)
 
 
-def decode_with_real_codec(media: DataFrame) -> DataFrame:
-    """Real image decode — STUB: requires PIL, absent in this container.
+PNG_DECODE_SCHEMA = (
+    "media_id bigint, width bigint, height bigint, channels bigint, "
+    "mean_px double, valid boolean"
+)
 
-    The Spark plumbing (schema, batching, partitioning) is identical to
-    decode_media; only the per-blob codec call differs."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "real image decode requires Pillow on executors; use decode_media "
-            "(deterministic PCV3 format) in this environment"
-        ) from e
-    raise NotImplementedError("wire PIL decode here when the dependency lands")
+
+def synth_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-format media table from `documents`: each doc's
+    utf-8 bytes become the pixels of an 8-row grayscale PNG (width from
+    n_chars, truncated/zero-padded to fill), encoded executor-side with the
+    stdlib codec (operators/pngcodec.py).  PNG packing needs zlib, so unlike
+    synth_media's JVM-side header concat this runs through mapInPandas —
+    which is exactly how a real pipeline would transcode blobs anyway."""
+    from .pngcodec import encode_png
+
+    ensure_pkg_shipped(docs.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                w, h = int(n_chars) % 64 + 1, 8
+                px = np.zeros(w * h, dtype=np.uint8)
+                raw = text.encode("utf-8")[: w * h]
+                px[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                ids.append(int(did))
+                blobs.append(encode_png(px.reshape(h, w)))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return docs.select("doc_id", "text", "n_chars").mapInPandas(
+        gen, "media_id bigint, content binary"
+    )
+
+
+def decode_with_real_codec(media: DataFrame) -> DataFrame:
+    """Real image decode over a REAL format: the pure-stdlib PNG codec
+    (operators/pngcodec.py — zlib inflate, CRC'd chunks, all five scanline
+    filters) replaces the r04 NotImplementedError stub.  Same Spark
+    plumbing as decode_media (binary through Arrow batches, mapInPandas);
+    malformed blobs degrade to valid=false rows instead of failing the
+    task — PERMISSIVE semantics, matching the KML source."""
+    from .pngcodec import decode_png
+
+    ensure_pkg_shipped(media.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    a = decode_png(bytes(content))
+                    h, w = a.shape[:2]
+                    c = 1 if a.ndim == 2 else a.shape[2]
+                    rows.append((int(mid), w, h, c, float(a.mean()), True))
+                except Exception:  # zlib.error / struct.error / ValueError
+                    rows.append((int(mid), 0, 0, 0, 0.0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "channels",
+                         "mean_px", "valid"],
+            )
+
+    return media.mapInPandas(gen, PNG_DECODE_SCHEMA)

@@ -12,8 +12,10 @@ from pyspark.sql import functions as F
 from .operators.multimodal import (
     byte_histogram_features,
     decode_media,
+    decode_with_real_codec,
     sample_frames,
     synth_media,
+    synth_png_media,
 )
 from .queries import query, t
 from .queries_textml import _spread
@@ -58,6 +60,35 @@ bytes AS (
     FROM (SELECT doc_id, h, n, frame, unnest(range(n)) AS i FROM m)
 )
 """
+
+
+@query(
+    "q_multimodal_decode_png",
+    oracle=f"""
+WITH {_PAYLOAD_BYTES_CTE}
+SELECT doc_id AS media_id,
+       CAST(frame // 8 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       SUM(CASE WHEN i < frame THEN b ELSE 0 END) * 1.0 / frame AS mean_px,
+       true AS valid
+FROM bytes
+GROUP BY media_id, frame
+""",
+)
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-format decode, end-to-end oracle-checked: each document's bytes
+    are encoded executor-side as an actual 8-row grayscale PNG (CRC'd
+    chunks, zlib scanlines — operators/pngcodec.py), then decoded back by
+    the same stdlib codec through mapInPandas.  The oracle re-derives every
+    pixel from the hex of the utf-8 text: pixels are the first
+    width*8 payload bytes zero-padded, so mean_px is an exact integer sum
+    over frame — doubles match bit-for-bit.  This closes the r04 gap
+    ("multimodal decode is a stub"): the compression round-trip itself is
+    value-gated, not just header plumbing.  (frame = (n_chars%64+1)*8 in
+    the shared CTE, i.e. width*height of the PNG.)"""
+    media = synth_png_media(_spread(t(spark, sf_dir, "documents"), spark))
+    return decode_with_real_codec(media)
 
 
 @query(

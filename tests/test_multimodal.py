@@ -139,14 +139,46 @@ def test_codec_seam_edge_variants(spark):
     assert 4 not in by_id and 5 not in by_id and 6 not in by_id
 
 
-def test_real_codec_stub_contract(golden_media):
-    """The PIL-gated decode must fail loudly and informatively when the
-    dependency is absent — never silently fall back."""
-    try:
-        import PIL  # noqa: F401
+def test_real_codec_png_roundtrip(spark):
+    """The real-codec path (r04 stub, now a pure-stdlib PNG decoder):
+    executor-side decode of genuine PNG blobs — dims, channels and exact
+    pixel means — with PERMISSIVE degradation for corrupt blobs."""
+    from pipeline_calculator_v3_spark.operators.pngcodec import encode_png
 
-        pytest.skip("PIL present; stub contract not applicable")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="decode_media"):
-        decode_with_real_codec(golden_media)
+    gray = np.arange(40, dtype=np.uint8).reshape(5, 8)
+    rgb = np.full((3, 4, 3), 200, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png(gray, filter_type=4))),
+            (2, bytearray(encode_png(rgb))),
+            (3, bytearray(b"JUNKJUNKJUNK")),
+        ],
+        "media_id bigint, content binary",
+    )
+    rows = {r.media_id: r for r in decode_with_real_codec(media).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].channels) == (8, 5, 1)
+    assert rows[1].mean_px == pytest.approx(np.mean(np.arange(40)))
+    assert rows[1].valid
+    assert (rows[2].width, rows[2].height, rows[2].channels) == (4, 3, 3)
+    assert rows[2].mean_px == 200.0
+    assert not rows[3].valid and rows[3].width == 0
+
+
+def test_synth_png_media_decodes_back_to_text_bytes(spark):
+    """End-to-end: documents -> executor-encoded PNG -> decode recovers the
+    zero-padded text bytes exactly (the q_multimodal_decode_png contract)."""
+    from pipeline_calculator_v3_spark.operators.multimodal import (
+        synth_png_media,
+    )
+    from pipeline_calculator_v3_spark.operators.pngcodec import decode_png
+
+    text = "hello png"  # 9 bytes; n_chars=9 -> width 10, 8 rows, 80 px
+    docs = spark.createDataFrame(
+        [(7, text, len(text))], "doc_id bigint, text string, n_chars bigint"
+    )
+    blob = bytes(synth_png_media(docs).collect()[0].content)
+    a = decode_png(blob)
+    assert a.shape == (8, 10)
+    flat = a.flatten()
+    assert bytes(flat[:9]) == text.encode()
+    assert (flat[9:] == 0).all()
