@@ -54,7 +54,10 @@ HEADLINE = [
     "q_join_big_sort_merge",
     "q_stream_tumbling",
     "q_multimodal_decode",
+    "q_multimodal_decode_png",    # added r05 (real PNG codec round-trip)
     "q_chunk_documents",          # added r04 (HOF fan-out, zero-shuffle)
+    "q_tpch_q17_small_qty",       # added r05 (decorrelated scalar subquery)
+    "q_tpch_q21_waiting_supplier",  # added r05 (semi+anti self-join chain)
     "q_overlap_e2e",
 ]
 

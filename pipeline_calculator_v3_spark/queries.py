@@ -362,30 +362,28 @@ from . import queries_pipeline  # noqa: E402,F401
 # surface is unchecked by definition and must land inside the window.
 # ---------------------------------------------------------------------------
 _NEVER_CHECKED_FIRST = [
-    # r04 must-recheck: the 7 queries red in r03 (events timestamp-unit bug,
-    # fixed this round) + the two multimodal rows (features was a driver
-    # canonicalizer crash, frames gained an oracle) + the two ANN rows
-    # (LSH re-parameterized to 8 tables x 6 bits x 7 probes — multi-probe,
-    # added this round; recall query is NEW).
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_stateful", "q_stream_join", "q_join_asof", "q_sessionize",
-    "q_multimodal_features", "q_multimodal_frames",
-    "q_similarity_ann_recall", "q_similarity_ann_lsh",
-    # new r04 surface — unchecked by definition
-    "q_tpch_q4_order_priority", "q_tpch_q7_nation_volume",
-    "q_tpch_q13_order_distribution", "q_tpch_q14_promo_share",
-    "q_tpch_q15_top_supplier", "q_tpch_q18_large_orders",
-    "q_stream_late_data", "q_chunk_documents", "q_shard_stats",
-    "q_stream_session_timeout", "q_sample_stratified", "q_split_train_eval",
-    "q_join_range_binned", "q_cdc_upsert",
-    "q_tpch_q8_market_share", "q_tpch_q19_disjunctive",
-    "q_chunk_documents_xl", "q_embed_centroids",
-    # refresh pool: oracle-backed queries whose last driver verdict is
-    # r01/r02 (they sat in the r03 tail) — oldest signal gets the slots
-    "q_agg_hash", "q_join_inner_hash", "q_dedup_exact", "q_join_multi_way",
-    "q_join_left_semi", "q_join_left_anti", "q_join_outer",
-    "q_join_theta_range", "q_agg_distinct", "q_agg_approx_distinct",
-    "q_rollup",
+    # new r05 surface — unchecked by definition: the TPC-H long-tail
+    # planner stressors + the real-PNG decode round-trip
+    "q_tpch_q17_small_qty", "q_tpch_q20_excess_supply",
+    "q_tpch_q21_waiting_supplier", "q_tpch_q22_global_sales",
+    "q_multimodal_decode_png",
+    # r05 must-recheck: operators changed this round — replay staging went
+    # executor-side (session_timeout/late_data), the LSH bucket bit layout
+    # was factored into a shared constant (ann_lsh/ann_recall)
+    "q_stream_session_timeout", "q_stream_late_data",
+    "q_similarity_ann_lsh", "q_similarity_ann_recall",
+    # refresh pool A: the 18 queries whose freshest driver hash verdict is
+    # r02 (VERDICT r04 'Next round' #1) — two rounds of code churn since
+    "q_agg_stats", "q_array_funcs", "q_map_funcs", "q_json_funcs",
+    "q_pivot", "q_cube", "q_grouping_sets", "q_window_rank",
+    "q_window_lag_lead", "q_window_frame", "q_window_dist",
+    "q_set_union", "q_set_intersect", "q_set_except", "q_date_funcs",
+    "q_string_agg", "q_unpivot", "q_null_semantics",
+    # refresh pool B: oldest remaining (r03) verdicts fill the tail slots
+    "q_dedup_embedding", "q_dedup_minhash_md5", "q_dedup_simhash",
+    "q_similarity_topk", "q_similarity_ann_ivf", "q_text_analysis",
+    "q_text_quality", "q_lang_id", "q_fingerprint", "q_token_count",
+    "q_dedup_clusters", "q_multimodal_decode", "q_sample_hash",
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length", "q_geodesic_length_exact", "q_overlap_summary",
@@ -394,31 +392,35 @@ _KEEP_IN_WINDOW = [
     "q_ngram_jaccard",
 ]
 _ROTATED_OUT = [
-    # r03-green rows (freshest possible verdict) — rotate to the tail;
+    # r04-green rows (freshest possible verdict) — rotate to the tail;
     # tests/test_oracle_parity.py still value-gates every oracle-backed one
     # per pytest run.
-    "q_dedup_embedding", "q_dedup_minhash", "q_dedup_minhash_md5",
-    "q_dedup_simhash", "q_similarity_topk", "q_similarity_ann_ivf",
-    "q_text_analysis", "q_text_quality", "q_lang_id", "q_fingerprint",
-    "q_token_count", "q_dedup_clusters", "q_dedup_minhash_xl",
-    "q_multimodal_decode", "q_tpch_q3_shipping_priority",
-    "q_tpch_q5_local_volume", "q_tpch_q10_returned", "q_join_big_sort_merge",
-    "q_join_salted_skew", "q_sql_shared_pricing", "q_sql_shared_subquery",
-    "q_sql_lateral_topn", "q_sample_hash", "q_vocab_topk", "q_contamination",
-    "q_quantile_profile", "q_stream_dedup", "q_quantile_approx",
-    "q_tpch_q1_pricing_summary", "q_tpch_q6_forecast_revenue", "q_tfidf",
-    "q_contamination_xl",
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_stateful", "q_stream_join", "q_join_asof", "q_sessionize",
+    "q_multimodal_features", "q_multimodal_frames",
+    "q_tpch_q4_order_priority", "q_tpch_q7_nation_volume",
+    "q_tpch_q13_order_distribution", "q_tpch_q14_promo_share",
+    "q_tpch_q15_top_supplier", "q_tpch_q18_large_orders",
+    "q_chunk_documents", "q_shard_stats", "q_sample_stratified",
+    "q_split_train_eval", "q_join_range_binned", "q_cdc_upsert",
+    "q_tpch_q8_market_share", "q_tpch_q19_disjunctive",
+    "q_chunk_documents_xl", "q_embed_centroids", "q_agg_hash",
+    "q_join_inner_hash", "q_dedup_exact", "q_join_multi_way",
+    "q_join_left_semi", "q_join_left_anti", "q_join_outer",
+    "q_join_theta_range", "q_agg_distinct", "q_agg_approx_distinct",
+    "q_rollup",
+    # r03-green + rows-only twins
+    "q_dedup_minhash", "q_dedup_minhash_xl",
+    "q_tpch_q3_shipping_priority", "q_tpch_q5_local_volume",
+    "q_tpch_q10_returned", "q_join_big_sort_merge", "q_join_salted_skew",
+    "q_sql_shared_pricing", "q_sql_shared_subquery", "q_sql_lateral_topn",
+    "q_vocab_topk", "q_contamination", "q_quantile_profile",
+    "q_stream_dedup", "q_quantile_approx", "q_tpch_q1_pricing_summary",
+    "q_tpch_q6_forecast_revenue", "q_tfidf", "q_contamination_xl",
     # triple-checked trivial scans/filters + rows-only perf/udf twins
     "q_scan_project", "q_filter_pred", "q_case_dispatch", "q_sort_limit",
     "q_string_funcs", "q_math_funcs",
     "q_spatial_distance_join_xl", "q_parallel_overlap_xl", "q_udf_surface",
-    # r01+r02 double-green, displaced from the r04 refresh pool by the nine
-    # new queries (pytest-gated like every rotated row)
-    "q_set_union", "q_set_intersect", "q_set_except", "q_date_funcs",
-    "q_array_funcs", "q_map_funcs", "q_json_funcs", "q_string_agg",
-    "q_unpivot", "q_window_dist", "q_pivot", "q_agg_stats",
-    "q_null_semantics", "q_window_frame", "q_window_rank",
-    "q_window_lag_lead", "q_cube", "q_grouping_sets",
 ]
 
 

@@ -70,6 +70,32 @@ AUDIT: list[tuple[str, str]] = [
         " once in the projection below Generate(posexplode), slice per"
         " chunk above it.  Output partitioning inherits the scan.",
     ),
+    (
+        "q_tpch_q17_small_qty",
+        "Correlated scalar subquery, decorrelated: the per-part AVG is a"
+        " self-aggregation of lineitem; both it and the probe side key on"
+        " l_partkey, so at scale the join is SMJ over ONE reusable exchange"
+        " (AQE broadcasts the small agg at this sf).  The brand list"
+        " broadcasts as a LeftSemi — no row multiplication before the avg"
+        " join.",
+    ),
+    (
+        "q_tpch_q20_excess_supply",
+        "Nested semi-join chain: the (l_suppkey, l_partkey) aggregation's"
+        " exchange also serves the per-part total (stacked aggs, same key"
+        " prefix); the name-filtered part list broadcasts as a LeftSemi"
+        " BEFORE the share filter, and supplier is only ever semi-joined —"
+        " each supplier row emitted at most once, no DISTINCT needed.",
+    ),
+    (
+        "q_tpch_q21_waiting_supplier",
+        "EXISTS / NOT EXISTS as LeftSemi + LeftAnti with non-equi residuals"
+        " (same l_orderkey, different l_suppkey): all three lineitem"
+        " branches key their join on l_orderkey, so at 100 TB they share"
+        " shuffle partitioning; the residual disqualifier is evaluated"
+        " inside the join, never as a post-join filter on multiplied rows;"
+        " supplier broadcasts last.",
+    ),
 ]
 
 
