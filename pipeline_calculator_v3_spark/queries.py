@@ -367,6 +367,10 @@ _NEVER_CHECKED_FIRST = [
     "q_tpch_q17_small_qty", "q_tpch_q20_excess_supply",
     "q_tpch_q21_waiting_supplier", "q_tpch_q22_global_sales",
     "q_multimodal_decode_png",
+    # r05 second batch: the TPC-H long tail is now COMPLETE (22/22 shapes)
+    "q_tpch_q2_min_cost_supplier", "q_tpch_q9_product_profit",
+    "q_tpch_q11_important_stock", "q_tpch_q12_shipmode_priority",
+    "q_tpch_q16_supplier_cnt",
     # r05 must-recheck: operators changed this round — replay staging went
     # executor-side (session_timeout/late_data), the LSH bucket bit layout
     # was factored into a shared constant (ann_lsh/ann_recall)
@@ -379,11 +383,14 @@ _NEVER_CHECKED_FIRST = [
     "q_window_lag_lead", "q_window_frame", "q_window_dist",
     "q_set_union", "q_set_intersect", "q_set_except", "q_date_funcs",
     "q_string_agg", "q_unpivot", "q_null_semantics",
-    # refresh pool B: oldest remaining (r03) verdicts fill the tail slots
-    "q_dedup_embedding", "q_dedup_minhash_md5", "q_dedup_simhash",
-    "q_similarity_topk", "q_similarity_ann_ivf", "q_text_analysis",
-    "q_text_quality", "q_lang_id", "q_fingerprint", "q_token_count",
-    "q_dedup_clusters", "q_multimodal_decode", "q_sample_hash",
+    # refresh pool B: oldest remaining (r03) verdicts fill the tail slots.
+    # The rows-only members (simhash/clusters/ann_ivf — a driver hash
+    # verdict adds nothing over their pytest gates) and two oracle-backed
+    # rows yielded their slots to the five new TPC-H shapes.
+    "q_dedup_embedding", "q_dedup_minhash_md5",
+    "q_similarity_topk", "q_text_analysis",
+    "q_text_quality", "q_lang_id", "q_fingerprint",
+    "q_multimodal_decode",
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length", "q_geodesic_length_exact", "q_overlap_summary",
@@ -410,6 +417,8 @@ _ROTATED_OUT = [
     "q_join_theta_range", "q_agg_distinct", "q_agg_approx_distinct",
     "q_rollup",
     # r03-green + rows-only twins
+    "q_dedup_simhash", "q_dedup_clusters", "q_similarity_ann_ivf",
+    "q_sample_hash", "q_token_count",
     "q_dedup_minhash", "q_dedup_minhash_xl",
     "q_tpch_q3_shipping_priority", "q_tpch_q5_local_volume",
     "q_tpch_q10_returned", "q_join_big_sort_merge", "q_join_salted_skew",

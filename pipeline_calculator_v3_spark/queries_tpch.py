@@ -863,3 +863,286 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 3).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q_tpch_q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+    SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name,
+       c.supplycost
+FROM part p
+JOIN cost c ON c.l_partkey = p.p_partkey
+JOIN eu e ON e.s_suppkey = c.l_suppkey
+WHERE p.p_type = 'STANDARD' AND p.p_size < 10
+  AND c.supplycost = (
+      SELECT MIN(c2.supplycost) FROM cost c2
+      JOIN eu e2 ON e2.s_suppkey = c2.l_suppkey
+      WHERE c2.l_partkey = p.p_partkey)
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+LIMIT 100
+""",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated MIN subquery
+    over a second copy of the supplier-cost relation, decorrelated into a
+    per-part min aggregation joined back on the equality of an aggregate.
+    The testdata has no partsupp, so the supplier-part cost relation is
+    derived from lineitem; the cost measure is MIN(l_extendedprice) —
+    deliberately an order-independent, exact aggregate, so the
+    `cost = per-part-min` equality join cannot diverge between engines on
+    floating-point summation order.  Region restriction (EUROPE) applies to
+    BOTH the outer candidate rows and the inner min (the classic Q2 trap);
+    both sides reuse the same region-filtered supplier build, which
+    broadcasts (100 rows/25 nations/5 regions at any SF — dims grow far
+    slower than the fact)."""
+    li = t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # persisted: the region-restricted cost relation feeds BOTH the outer
+    # candidate rows and the per-part min — without it the lineitem fact
+    # scan + (partkey, suppkey) aggregation runs twice (verified in the
+    # pre-fix physical plan: two identical Scan->HashAggregate subtrees)
+    eu_cost = cost.join(
+        F.broadcast(eu), cost.l_suppkey == eu.s_suppkey
+    ).persist()
+    best = eu_cost.groupBy(F.col("l_partkey").alias("bpk")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    p = t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 10)
+    )
+    return (
+        eu_cost.join(
+            best,
+            (eu_cost.l_partkey == best.bpk)
+            & (eu_cost.supplycost == best.min_cost),
+        )
+        .join(F.broadcast(p), eu_cost.l_partkey == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q9_product_profit",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS o_year,
+       ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)
+                 - p.p_retailprice * 0.1 * l.l_quantity), 3) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): the widest join tree in the
+    suite — fact x part x supplier x nation with a LIKE-filtered part side
+    and a nation/year rollup.  The spec's ps_supplycost (no partsupp in the
+    testdata) becomes a retail-price-derived unit cost (p_retailprice*0.1),
+    keeping the profit expression a cross-table arithmetic over the join.
+    The part filter broadcasts and semi-restricts the fact scan FIRST (the
+    LIKE prunes ~1/6 of parts), supplier/nation broadcast after, so the
+    only shuffle is the final nation x year hash aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+                    - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
+                ),
+                3,
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q_tpch_q11_important_stock",
+    oracle="""
+WITH nation_value AS (
+    SELECT l.l_partkey, SUM(l.l_extendedprice) AS value
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+    GROUP BY l.l_partkey
+)
+SELECT l_partkey, ROUND(value, 3) AS value
+FROM nation_value
+WHERE value > (SELECT SUM(value) * 0.002 FROM nation_value)
+ORDER BY value DESC, l_partkey
+""",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): a grouped
+    aggregate filtered by an UNCORRELATED scalar subquery over the same
+    aggregate — the HAVING-vs-global-fraction planner shape.  partsupp
+    value becomes per-part revenue through NATION_3's suppliers.  The
+    grouped relation is computed once and persisted, feeding both the
+    global sum (one row, broadcast back) and the threshold filter, so the
+    expensive fact aggregation is not executed twice; the nation-filtered
+    supplier side broadcasts into the fact scan."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    value = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == nat_supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    ).persist()
+    total = value.agg((F.sum("value") * 0.002).alias("threshold"))
+    out = (
+        value.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("threshold"))
+        .select("l_partkey", F.round("value", 3).alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+    return out
+
+
+@query(
+    "q_tpch_q12_shipmode_priority",
+    oracle="""
+SELECT l.l_returnflag AS shipmode,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY shipmode
+ORDER BY shipmode
+""",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority): the conditional-aggregate
+    pivot — two CASE-sums over o_orderpriority grouped by a line attribute,
+    with a cross-table date residual on the join.  The schema has no
+    l_shipmode/commitdate/receiptdate: the mode surrogate is l_returnflag
+    and the spec's late-delivery chain becomes `shipped >= 30 days after
+    order date` — still a non-equi residual the join must evaluate, not a
+    pushable scan filter.  The year filter DOES push into the lineitem
+    scan; the join shuffles on orderkey, and the tiny 3-row aggregate
+    collapses map-side."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy(F.col("l_returnflag").alias("shipmode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("shipmode")
+    )
+
+
+@query(
+    "q_tpch_q16_supplier_cnt",
+    oracle="""
+SELECT p.p_brand, p.p_size,
+       CAST(COUNT(DISTINCT sp.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sp
+JOIN part p ON p.p_partkey = sp.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND sp.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+GROUP BY p.p_brand, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+""",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): DISTINCT pairs ->
+    negated-attribute part filter -> NOT IN anti join -> COUNT DISTINCT
+    rollup.  The supplier-part relation is the lineitem distinct projection
+    (no partsupp); the spec's complaint-comment exclusion becomes a low
+    account balance (s_acctbal has no negatives in the testdata, so the
+    threshold keeps the NOT IN list non-empty and the anti join load-
+    bearing).  Distinct-pairs and the final count-distinct both shuffle;
+    the part and complaint sides broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    p = t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    complaints = t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 1000.0
+    )
+    return (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(complaints),
+            pairs.l_suppkey == complaints.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.count_distinct(F.col("l_suppkey")).cast("bigint").alias(
+                "supplier_cnt"
+            )
+        )
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )

@@ -96,6 +96,24 @@ AUDIT: list[tuple[str, str]] = [
         " inside the join, never as a post-join filter on multiplied rows;"
         " supplier broadcasts last.",
     ),
+    (
+        "q_tpch_q2_min_cost_supplier",
+        "Correlated MIN over a second relation copy: the region-restricted"
+        " cost table is built ONCE (persisted — the pre-fix plan ran the"
+        " lineitem scan + (partkey, suppkey) aggregation twice) and feeds"
+        " both the candidate rows and the per-part min; the min-equality"
+        " join keys both sides on l_partkey (SMJ, shared partitioning);"
+        " supplier/nation/region and the filtered part list all broadcast;"
+        " TakeOrderedAndProject bounds the driver at 100 rows.",
+    ),
+    (
+        "q_tpch_q16_supplier_cnt",
+        "DISTINCT pairs -> anti join -> COUNT DISTINCT: the complaint list"
+        " broadcasts as LeftAnti BEFORE the distinct (prunes early), the"
+        " filtered part side broadcasts, and the count-distinct plans as"
+        " the two-phase partial/final HashAggregate stack over one"
+        " exchange on the grouping key — no Expand explosion.",
+    ),
 ]
 
 
