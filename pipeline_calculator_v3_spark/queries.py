@@ -371,6 +371,10 @@ _NEVER_CHECKED_FIRST = [
     "q_tpch_q2_min_cost_supplier", "q_tpch_q9_product_profit",
     "q_tpch_q11_important_stock", "q_tpch_q12_shipmode_priority",
     "q_tpch_q16_supplier_cnt",
+    # r05 third batch: training-pipeline operators — sequence packing,
+    # boilerplate-span mining, mixture planning, repetition quality rules
+    "q_pack_sequences", "q_boilerplate_spans", "q_mixture_plan",
+    "q_repetition_filter",
     # r05 must-recheck: operators changed this round — replay staging went
     # executor-side (session_timeout/late_data), the LSH bucket bit layout
     # was factored into a shared constant (ann_lsh/ann_recall)
@@ -381,8 +385,7 @@ _NEVER_CHECKED_FIRST = [
     "q_agg_stats", "q_array_funcs", "q_map_funcs", "q_json_funcs",
     "q_pivot", "q_cube", "q_grouping_sets", "q_window_rank",
     "q_window_lag_lead", "q_window_frame", "q_window_dist",
-    "q_set_union", "q_set_intersect", "q_set_except", "q_date_funcs",
-    "q_string_agg", "q_unpivot", "q_null_semantics",
+    "q_date_funcs", "q_unpivot", "q_null_semantics",
     # refresh pool B: oldest remaining (r03) verdicts fill the tail slots.
     # The rows-only members (simhash/clusters/ann_ivf — a driver hash
     # verdict adds nothing over their pytest gates) and two oracle-backed
@@ -416,7 +419,9 @@ _ROTATED_OUT = [
     "q_join_left_semi", "q_join_left_anti", "q_join_outer",
     "q_join_theta_range", "q_agg_distinct", "q_agg_approx_distinct",
     "q_rollup",
-    # r03-green + rows-only twins
+    # r03-green + rows-only twins (plus r02-green set-op/string rows that
+    # yielded window slots to the r05 training-pipeline batch)
+    "q_set_union", "q_set_intersect", "q_set_except", "q_string_agg",
     "q_dedup_simhash", "q_dedup_clusters", "q_similarity_ann_ivf",
     "q_sample_hash", "q_token_count",
     "q_dedup_minhash", "q_dedup_minhash_xl",

@@ -560,3 +560,185 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: documents -> fixed token-budget training examples
+# ---------------------------------------------------------------------------
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+WITH s AS (
+    SELECT doc_id,
+           ((strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 8
+               AS shard,
+           len({_TOKENS}) AS ntok
+    FROM documents
+    WHERE len({_TOKENS}) > 0
+),
+placed AS (
+    SELECT shard, doc_id, ntok,
+           COALESCE(SUM(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+    FROM s
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(FLOOR(CAST(start AS DOUBLE) / 512) AS BIGINT) AS example_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM placed
+GROUP BY shard, example_id
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-slice sequence packing (operators/packing.py): documents
+    laid end-to-end per shard, cut every 512 tokens, a document owning the
+    example its span STARTS in.  The oracle replays the md5 shard digit,
+    the window cumsum, and the integer cut arithmetic exactly — the packing
+    LAYOUT is value-checked per example, not just the totals.
+
+    Scale shape: only (doc_id, ntok) pairs enter the per-shard window (the
+    text stays in the scan); shards are the unit of parallelism, so the
+    global-order serialization a naive packer hits never exists."""
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(
+        _spread(t(spark, sf_dir, "documents"), spark), budget=512, n_shards=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate span mining: most-duplicated 8-gram spans across the corpus
+# ---------------------------------------------------------------------------
+@query(
+    "q_boilerplate_spans",
+    oracle=f"""
+WITH tk AS (
+    SELECT doc_id, {_TOKENS} AS t FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 7, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                 || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                 || ' ' || t[i+7]))) AS s
+    FROM tk
+)
+SELECT s AS span, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM sh
+GROUP BY s
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, span
+LIMIT 20
+""",
+)
+def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal boilerplate mining: the 8-token spans shared by the
+    most documents (doc-distinct shingles, so a span repeating inside one
+    document counts once).  The within-corpus complement of
+    q_contamination's train-vs-benchmark overlap — at curation time this is
+    how template/header boilerplate is found before it skews training.
+
+    Scale shape: shingles explode map-side from a persisted token-array
+    stage (the HOF-inlining trap documented in q_contamination — inlined,
+    the 8 element_at references re-run the tokenizer); ONE shuffle on the
+    span for the doc-count aggregate (map-side combine collapses repeats),
+    and TakeOrderedAndProject bounds the driver at 20 rows.  The HAVING >= 2
+    prunes the long unique tail before the sort."""
+    staged = persist_tracked(
+        _spread(
+            t(spark, sf_dir, "documents").select(
+                "doc_id", tokens(F.col("text")).alias("t")
+            ),
+            spark,
+        )
+    )
+    spans = staged.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("t"), 8))).alias(
+            "span"
+        ),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "span")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture planning: per-source sampling rates toward target weights
+# ---------------------------------------------------------------------------
+@query(
+    "q_mixture_plan",
+    oracle=f"""
+WITH src AS (
+    SELECT source,
+           CASE CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) % 3
+                WHEN 0 THEN 8.0 WHEN 1 THEN 2.0 ELSE 1.0 END AS weight,
+           SUM(len({_TOKENS})) AS n_tokens
+    FROM documents
+    GROUP BY source
+),
+tot AS (
+    SELECT 0.5 * SUM(n_tokens) AS target,
+           SUM(weight * n_tokens) AS wsum
+    FROM src
+)
+SELECT s.source, CAST(s.n_tokens AS BIGINT) AS n_tokens, s.weight,
+       ROUND(LEAST(1.0, 0.5 * s.weight * (SELECT SUM(n_tokens) FROM src)
+                        / t.wsum), 9) AS rate,
+       ROUND(LEAST(1.0, 0.5 * s.weight * (SELECT SUM(n_tokens) FROM src)
+                        / t.wsum) * s.n_tokens, 3) AS expected_tokens
+FROM src s, tot t
+ORDER BY s.source
+""",
+)
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning: given per-source importance weights and a
+    global token budget (50% of the corpus), compute each source's sampling
+    rate under weighted-proportional allocation, clamped at 1.0 (a
+    high-weight source cannot be sampled above its size — the clamp is
+    load-bearing: weight-8 sources exceed 1 and hit it).  The downstream
+    sampler is q_sample_hash's md5-threshold predicate at these rates.
+
+    Scale shape: one per-source aggregate over a scan-side token count,
+    one single-row global aggregate broadcast back — the plan itself never
+    touches text after the scan."""
+    d = t(spark, sf_dir, "documents")
+    weight = F.when(
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 3 == 0, 8.0
+    ).when(
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 3 == 1, 2.0
+    ).otherwise(1.0)
+    src = d.groupBy("source").agg(
+        F.first(weight).alias("weight"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+    )
+    tot = src.agg(
+        F.sum("n_tokens").alias("corpus_tokens"),
+        F.sum(F.col("weight") * F.col("n_tokens")).alias("wsum"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        0.5 * F.col("weight") * F.col("corpus_tokens") / F.col("wsum"),
+    )
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "weight",
+            F.round(rate, 9).alias("rate"),
+            F.round(rate * F.col("n_tokens"), 3).alias("expected_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -9,7 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.text import EN_STOPWORDS
+from .caching import persist_tracked
+from .functions.text import EN_STOPWORDS, tokens
 from .operators.dedup import (
     fingerprint_dedup,
     minhash_lsh_pairs,
@@ -588,3 +589,111 @@ def _synth_docs_from_lineitem(lineitem, as_tokens: bool = False) -> DataFrame:
     if as_tokens:
         return keys.select("doc_id", toks.alias("t"))
     return keys.select("doc_id", F.concat_ws(" ", toks).alias("text"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filter (Gopher-style rules)
+# ---------------------------------------------------------------------------
+@query(
+    "q_repetition_filter",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_TOKENS} AS tok FROM documents WHERE len({_TOKENS}) > 0
+),
+base AS (
+    SELECT doc_id, len(tok) AS n, len(list_distinct(tok)) AS nu FROM t
+),
+tokc AS (
+    SELECT doc_id, MAX(c) AS mtok FROM (
+        SELECT doc_id, u, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(tok) AS u FROM t)
+        GROUP BY doc_id, u) GROUP BY doc_id
+),
+bgl AS (
+    SELECT doc_id, list_transform(range(1, greatest(len(tok) - 1, 0) + 1),
+                                  i -> tok[i] || ' ' || tok[i+1]) AS arr
+    FROM t
+),
+bgc AS (
+    SELECT doc_id, MAX(c) AS mbg FROM (
+        SELECT doc_id, b, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(arr) AS b FROM bgl)
+        GROUP BY doc_id, b) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       1.0 - CAST(b.nu AS DOUBLE) / b.n AS dup_frac,
+       CAST(tokc.mtok AS DOUBLE) / b.n AS top_token_frac,
+       CAST(bgc.mbg AS DOUBLE) / greatest(b.n - 1, 1) AS top_bigram_frac,
+       (1.0 - CAST(b.nu AS DOUBLE) / b.n > 0.68
+        OR CAST(tokc.mtok AS DOUBLE) / b.n > 0.15
+        OR CAST(bgc.mbg AS DOUBLE) / greatest(b.n - 1, 1) > 0.08) AS flagged
+FROM base b JOIN tokc USING (doc_id) JOIN bgc USING (doc_id)
+""",
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition rules per document: duplicate-token fraction,
+    most-frequent-token share, most-frequent-bigram share, OR-combined into
+    a quality flag (thresholds set from the corpus p90s so both outcomes
+    occur).  Complements q_text_quality's surface stats — repetition is the
+    signal that catches looping/generated text exact-dedup misses.
+
+    Every fraction is one IEEE division of two exact integers, so Spark and
+    DuckDB produce bit-identical doubles and the >-threshold flags cannot
+    disagree at the boundary.
+
+    Scale shape: token and bigram mode counts are explode -> two-level hash
+    aggregate (linear in tokens, map-side combine on (doc_id, gram)) — NOT
+    the O(n^2)-per-doc nested-HOF scan; the three per-doc frames re-join on
+    doc_id, all shuffles keyed the same."""
+    base_t = persist_tracked(
+        _spread(
+            t(spark, sf_dir, "documents").select(
+                "doc_id", tokens(F.lower(F.col("text"))).alias("tok")
+            ),
+            spark,
+        ).where(F.size("tok") > 0)
+    )
+    base = base_t.select(
+        "doc_id",
+        F.size("tok").alias("n"),
+        F.size(F.array_distinct("tok")).alias("nu"),
+    )
+    tokc = (
+        base_t.select("doc_id", F.explode("tok").alias("u"))
+        .groupBy("doc_id", "u")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("mtok"))
+    )
+    bigrams = F.when(
+        F.size("tok") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tok") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("tok", i), F.element_at("tok", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bgc = (
+        base_t.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("mbg"))
+    )
+    dup = 1.0 - F.col("nu").cast("double") / F.col("n")
+    toptok = F.col("mtok").cast("double") / F.col("n")
+    topbig = F.col("mbg").cast("double") / F.greatest(F.col("n") - 1, F.lit(1))
+    return (
+        base.join(tokc, "doc_id")
+        .join(bgc, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            dup.alias("dup_frac"),
+            toptok.alias("top_token_frac"),
+            topbig.alias("top_bigram_frac"),
+            ((dup > 0.68) | (toptok > 0.15) | (topbig > 0.08)).alias("flagged"),
+        )
+    )
