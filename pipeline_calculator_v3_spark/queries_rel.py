@@ -665,3 +665,96 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders")
     )
+
+
+@query(
+    "q_window_time_range",
+    oracle="""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_5min,
+       ROUND(SUM(value) OVER w, 6) AS sum_5min
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per user, the rolling 5-minute count
+    and value sum ending at each event — the frame boundary is a VALUE
+    offset on epoch-micros, not a row count (q_window_frame covers ROWS
+    frames; this is the other frame type, and the one streaming-adjacent
+    analytics actually use).  Events sharing a timestamp are frame peers in
+    both engines, so the frame SET is deterministic even under ties; the
+    double sum is rounded 6 dp to absorb within-frame summation order.
+
+    Scale shape: one exchange on user_id feeds the sort + running frame —
+    same plan family as sessionization; no self-join materializes the
+    O(rows x frame) pairs the naive formulation would."""
+    ev = events_t(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-300_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_5min"),
+        F.round(F.sum("value").over(w), 6).alias("sum_5min"),
+    )
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev_type
+    FROM events
+),
+changes AS (
+    SELECT user_id, event_type, ts_us, event_id FROM ordered
+    WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       ts_us AS valid_from_us,
+       lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS valid_to_us,
+       (lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           IS NULL) AS is_current
+FROM changes
+""",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: each user's
+    event_type stream collapses consecutive duplicates (lag), then each
+    surviving change row gets [valid_from, valid_to) from the next change
+    (lead) — the standard CDC-to-dimension-history derivation, fully
+    deterministic under the (ts_us, event_id) total order.
+
+    Scale shape: both windows and the filter key on user_id — ONE exchange
+    serves the lag, the change filter, and the lead (the filter preserves
+    child ordering, so Catalyst reuses the sort)."""
+    ev = events_t(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        ev.select(
+            "user_id", "event_type", "ts_us", "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    valid_to = F.lead("ts_us").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        valid_to.alias("valid_to_us"),
+        valid_to.isNull().alias("is_current"),
+    )

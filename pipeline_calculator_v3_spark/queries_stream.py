@@ -402,3 +402,33 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_t(spark, sf_dir)
     return pair_type_counts(followup_pairs(ev, ev))
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(e.value), 6) AS sum_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment, e.event_type
+""",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (streaming/enrich.py): events
+    decorated with the customer dimension, rolled up by (segment, type).
+    The batch face is the oracle gate; tests/test_streaming.py proves the
+    REAL readStream execution (static side re-planned per micro-batch,
+    stateful aggregate in complete mode) produces identical results on a
+    two-file split of the same events.
+
+    Scale shape: the dimension broadcasts — the enrichment is map-side on
+    the stream, and the only shuffle is the bounded (segment, type)
+    rollup."""
+    from .queries import t
+    from .streaming.enrich import enrich_rollup
+
+    return enrich_rollup(
+        events_t(spark, sf_dir), t(spark, sf_dir, "customer")
+    )

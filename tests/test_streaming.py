@@ -87,3 +87,31 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
         for r in QUERIES["q_stream_join"](spark, sf_dir).collect()
     }
     assert got == expect and sum(expect.values()) > 0
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir, tmp_path):
+    """REAL stream-static join: readStream events x batch customer dim must
+    equal the batch join+rollup on identical input, across a two-file
+    split (the static side is re-planned per micro-batch)."""
+    import pyarrow.parquet as pq
+
+    from pipeline_calculator_v3_spark.queries import events_t
+    from pipeline_calculator_v3_spark.streaming.enrich import enrich_rollup
+    from pipeline_calculator_v3_spark.streaming.windows import (
+        run_stream_to_memory,
+    )
+
+    d = tmp_path / "enrich_events"
+    d.mkdir()
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), d / "a.parquet")
+    pq.write_table(tbl.slice(half), d / "b.parquet")
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    batch = enrich_rollup(events_t(spark, sf_dir), customer).toPandas()
+    streamed = run_stream_to_memory(
+        spark, str(d), lambda ev: enrich_rollup(ev, customer),
+        "t_stream_static",
+    ).toPandas()
+    assert_frames_match(streamed, batch)
