@@ -42,51 +42,71 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
 def _filter_row(ftype: int, raw: bytes, prior: bytes, bpp: int) -> bytes:
-    """Apply filter ``ftype`` to a raw scanline (encoder side)."""
-    n = len(raw)
-    out = bytearray(n)
-    for i in range(n):
-        x = raw[i]
-        a = raw[i - bpp] if i >= bpp else 0
-        b = prior[i]
-        c = prior[i - bpp] if i >= bpp else 0
-        if ftype == 0:
-            out[i] = x
-        elif ftype == 1:
-            out[i] = (x - a) & 0xFF
-        elif ftype == 2:
-            out[i] = (x - b) & 0xFF
-        elif ftype == 3:
-            out[i] = (x - (a + b) // 2) & 0xFF
-        elif ftype == 4:
-            out[i] = (x - _paeth(a, b, c)) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-    return bytes(out)
+    """Apply filter ``ftype`` to a raw scanline (encoder side).
+
+    Fully vectorized: the encoder only reads RAW neighbors (left pixel of
+    the unfiltered row, prior unfiltered row), so no filter type has a
+    sequential dependency — unlike the decoder, where Sub/Average/Paeth
+    feed on already-reconstructed output."""
+    x = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
+    b = np.frombuffer(prior, dtype=np.uint8).astype(np.int16)
+    a = np.zeros_like(x)
+    a[bpp:] = x[:-bpp]
+    if ftype == 0:
+        res = x
+    elif ftype == 1:
+        res = x - a
+    elif ftype == 2:
+        res = x - b
+    elif ftype == 3:
+        res = x - (a + b) // 2
+    elif ftype == 4:
+        c = np.zeros_like(b)
+        c[bpp:] = b[:-bpp]
+        res = x - _paeth_vec(a, b, c)
+    else:
+        raise ValueError(f"unknown PNG filter type {ftype}")
+    return (res & 0xFF).astype(np.uint8).tobytes()
 
 
 def _unfilter_row(ftype: int, filt: bytes, prior: bytes, bpp: int) -> bytes:
-    """Invert filter ``ftype`` on one scanline (decoder side)."""
+    """Invert filter ``ftype`` on one scanline (decoder side).
+
+    None/Up are pure elementwise; Sub reconstructs as a per-channel prefix
+    sum (addition mod 256 commutes, so cumsum-then-mask is exact); Average
+    and Paeth genuinely recurse on reconstructed neighbors (the //2 and the
+    predictor break the cumsum identity), so they stay scalar loops —
+    encoders here emit None by default, making these the rare path."""
     n = len(filt)
+    if ftype == 0:
+        return filt
+    if ftype == 2:
+        x = np.frombuffer(filt, dtype=np.uint8).astype(np.uint16)
+        b = np.frombuffer(prior, dtype=np.uint8).astype(np.uint16)
+        return ((x + b) & 0xFF).astype(np.uint8).tobytes()
+    if ftype == 1:
+        x = np.frombuffer(filt, dtype=np.uint8).reshape(-1, bpp)
+        rec = np.cumsum(x.astype(np.uint64), axis=0) & 0xFF
+        return rec.astype(np.uint8).tobytes()
+    if ftype not in (3, 4):
+        raise ValueError(f"unknown PNG filter type {ftype}")
     out = bytearray(n)
     for i in range(n):
         x = filt[i]
         a = out[i - bpp] if i >= bpp else 0
         b = prior[i]
         c = prior[i - bpp] if i >= bpp else 0
-        if ftype == 0:
-            out[i] = x
-        elif ftype == 1:
-            out[i] = (x + a) & 0xFF
-        elif ftype == 2:
-            out[i] = (x + b) & 0xFF
-        elif ftype == 3:
+        if ftype == 3:
             out[i] = (x + (a + b) // 2) & 0xFF
-        elif ftype == 4:
-            out[i] = (x + _paeth(a, b, c)) & 0xFF
         else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
+            out[i] = (x + _paeth(a, b, c)) & 0xFF
     return bytes(out)
 
 
