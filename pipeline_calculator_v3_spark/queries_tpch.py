@@ -1146,3 +1146,47 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
     )
+
+
+@query(
+    "q_sql_recursive_tree",
+    oracle="""
+WITH RECURSIVE up(start, node, depth, bal) AS (
+    SELECT c_custkey, c_custkey, 0, c_acctbal FROM customer
+    UNION ALL
+    SELECT u.start, c.c_custkey, u.depth + 1, u.bal + c.c_acctbal
+    FROM up u JOIN customer c ON c.c_custkey = u.node // 2
+    WHERE u.node > 0
+)
+SELECT start AS c_custkey, depth AS chain_len, ROUND(bal, 3) AS path_bal
+FROM up WHERE node = 0
+""",
+)
+def q_sql_recursive_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4's UnionLoop execution):
+    ancestor-chain walk over the key-halving tree (parent(k) = k DIV 2),
+    accumulating the account-balance sum along each customer's path to the
+    root.  Exercises the iterative-plan machinery no other query touches —
+    the anchor seeds every customer, each step joins the frontier back to
+    the dimension, and the path aggregation is carried state the optimizer
+    cannot close-form.  Both engines accumulate leaf-to-root in the same
+    recursion order, so the double path sums are bit-identical (ROUND(3)
+    is display, not a tolerance).
+
+    Scale shape: O(log N) recursive steps, each a key-equi join of the
+    frontier against a broadcastable dimension; the frontier never exceeds
+    the seed size — the same bounded-iteration discipline as the
+    connected-components operator (operators/clusters.py), but expressed
+    declaratively."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_rc")
+    return spark.sql("""
+WITH RECURSIVE up(start, node, depth, bal) AS (
+    SELECT c_custkey, c_custkey, 0, c_acctbal FROM customer_rc
+    UNION ALL
+    SELECT u.start, c.c_custkey, u.depth + 1, u.bal + c.c_acctbal
+    FROM up u JOIN customer_rc c ON c.c_custkey = u.node DIV 2
+    WHERE u.node > 0
+)
+SELECT start AS c_custkey, depth AS chain_len, ROUND(bal, 3) AS path_bal
+FROM up WHERE node = 0
+""")
