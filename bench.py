@@ -58,6 +58,10 @@ HEADLINE = [
     "q_chunk_documents",          # added r04 (HOF fan-out, zero-shuffle)
     "q_tpch_q17_small_qty",       # added r05 (decorrelated scalar subquery)
     "q_tpch_q21_waiting_supplier",  # added r05 (semi+anti self-join chain)
+    "q_tpch_q9_product_profit",   # added r05 (widest join tree, 22/22 suite)
+    "q_pack_sequences",           # added r05 (per-shard packing window)
+    "q_repetition_filter",        # added r05 (explode+2-level agg quality rules)
+    "q_sql_recursive_tree",       # added r05 (WITH RECURSIVE UnionLoop)
     "q_overlap_e2e",
 ]
 

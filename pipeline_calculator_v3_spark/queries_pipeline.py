@@ -742,3 +742,49 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksum (replication / CDC validation)
+# ---------------------------------------------------------------------------
+@query(
+    "q_table_checksum",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST('0x' || substr(md5(
+                CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus), 1, 12)
+            AS BIGINT) % 1000000007) AS BIGINT) AS checksum
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum per partition group — the
+    replication/CDC validation primitive: two sides of a copy compare
+    (n_rows, checksum) per group instead of shipping rows.  Row digest =
+    md5 over a '|'-joined canonical string of the key columns (types
+    rendered identically by both engines: ints via CAST, strings verbatim);
+    the SUM of per-row 48-bit digest residues is commutative, so the
+    checksum is invariant to partitioning, ordering, and retries.
+
+    The per-row `% 1000000007` bounds the sum: group_rows x 1e9 stays
+    far inside int64 until ~9e9 rows per group — beyond that a production
+    deployment re-mods the rollup or widens to decimal(38), same plan.
+
+    Scale shape: pure map-side digest + one hash aggregate on the group
+    key; nothing but (group, residue) enters the exchange."""
+    o = t(spark, sf_dir, "orders")
+    digest = F.md5(
+        F.concat_ws(
+            "|", F.col("o_orderkey").cast("string"), F.col("o_orderstatus")
+        )
+    )
+    residue = (
+        F.conv(F.substring(digest, 1, 12), 16, 10).cast("bigint")
+        % 1000000007
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(residue).cast("bigint").alias("checksum"),
+    )

@@ -114,6 +114,20 @@ AUDIT: list[tuple[str, str]] = [
         " the two-phase partial/final HashAggregate stack over one"
         " exchange on the grouping key — no Expand explosion.",
     ),
+    (
+        "q_pack_sequences",
+        "Only (doc_id, ntok) pairs enter the per-shard window exchange —"
+        " the text never leaves the scan projection; the cut arithmetic"
+        " and the example rollup reuse the shard partitioning, and shards"
+        " (not a global order) are the packing parallelism unit.",
+    ),
+    (
+        "q_sql_recursive_tree",
+        "UnionLoop iterative execution: O(log N) recursive steps, each a"
+        " key-equi join of the bounded frontier against the customer"
+        " dimension — the declarative twin of the connected-components"
+        " driver loop, with the same bounded-iteration discipline.",
+    ),
 ]
 
 
