@@ -788,3 +788,78 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(residue).cast("bigint").alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization: int8 compression + reconstruction error audit
+# ---------------------------------------------------------------------------
+@query(
+    "q_embed_quantize",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, label,
+           CAST(list_min(embedding) AS DOUBLE) AS mn,
+           CAST(list_max(embedding) AS DOUBLE) AS mx,
+           embedding
+    FROM embeddings
+),
+ex AS (
+    SELECT vec_id, label, mn, (mx - mn) / 255.0 AS scale,
+           CAST(x AS DOUBLE) AS x
+    FROM base, unnest(embedding) AS u(x)
+),
+err AS (
+    SELECT label,
+           CASE WHEN scale > 0
+                THEN ABS(x - (mn + FLOOR((x - mn) / scale + 0.5) * scale))
+                ELSE 0.0 END AS e
+    FROM ex
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       ROUND(AVG(e), 9) AS avg_err,
+       ROUND(MAX(e), 9) AS max_err
+FROM err
+GROUP BY label
+""",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization audit: per-vector min/max affine scale,
+    nearest-level quantization, and the per-label reconstruction-error
+    profile — the storage-compression decision a 100 TB embedding corpus
+    runs before committing to int8 shards.  Quantization rounds via
+    FLOOR(r + 0.5) in BOTH engines (F.round/DuckDB round have different
+    .5-tie conventions; floor-shift has one), floats widen to double with
+    identical casts, and ROUND(9) on the aggregates absorbs summation
+    order.
+
+    Scale shape: min/max are per-row HOFs in the scan projection, the
+    explode is map-side, and the single shuffle carries (label, err)
+    partials into a bounded aggregate."""
+    e = _spread(t(spark, sf_dir, "embeddings"), spark)
+    base = e.select(
+        "vec_id",
+        "label",
+        F.array_min("embedding").cast("double").alias("mn"),
+        F.array_max("embedding").cast("double").alias("mx"),
+        "embedding",
+    )
+    ex = base.select(
+        "label",
+        "mn",
+        ((F.col("mx") - F.col("mn")) / 255.0).alias("scale"),
+        F.explode("embedding").alias("xf"),
+    ).select("label", "mn", "scale", F.col("xf").cast("double").alias("x"))
+    recon = F.col("mn") + F.floor(
+        (F.col("x") - F.col("mn")) / F.col("scale") + 0.5
+    ) * F.col("scale")
+    err = F.when(F.col("scale") > 0, F.abs(F.col("x") - recon)).otherwise(0.0)
+    return (
+        ex.select("label", err.alias("e"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.round(F.avg("e"), 9).alias("avg_err"),
+            F.round(F.max("e"), 9).alias("max_err"),
+        )
+    )

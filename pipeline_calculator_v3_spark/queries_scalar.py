@@ -201,3 +201,34 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.get_json_object("props", "$.missing").isNull(), 1)
         .otherwise(0).alias("miss_null"),
     )
+
+
+@query(
+    "q_variant_extract",
+    oracle="""
+SELECT CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+FROM events
+GROUP BY k_bucket
+""",
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): props parses ONCE into the
+    binary variant encoding (parse_json -> VariantType) and typed paths
+    extract via variant_get — the open-schema ingestion pattern that
+    replaces per-access get_json_object re-parsing (q_json_funcs covers
+    the string-path functions; this is the typed engine path a 100 TB
+    semi-structured column actually wants, where shredded variants prune
+    like real columns)."""
+    ev = events_t(spark, sf_dir)
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).cast("bigint").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+        )
+    )

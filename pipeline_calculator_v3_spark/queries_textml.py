@@ -697,3 +697,114 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((dup > 0.68) | (toptok > 0.15) | (topbig > 0.08)).alias("flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: PMI over corpus bigrams
+# ---------------------------------------------------------------------------
+@query(
+    "q_pmi_bigrams",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_TOKENS} AS tok FROM documents WHERE len({_TOKENS}) > 0
+),
+uni AS (
+    SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT unnest(tok) AS u FROM t) GROUP BY u
+),
+bi AS (
+    SELECT b AS bigram, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT unnest(list_transform(range(1, greatest(len(tok)-1, 0) + 1),
+                                       i -> tok[i] || ' ' || tok[i+1])) AS b
+          FROM t)
+    GROUP BY b
+),
+tot AS (
+    SELECT (SELECT SUM(c) FROM uni) AS n_uni, (SELECT SUM(c) FROM bi) AS n_bi
+)
+SELECT bi.bigram, bi.c AS n_pair,
+       ROUND(LN((bi.c / CAST(tot.n_bi AS DOUBLE))
+                / ((u1.c / CAST(tot.n_uni AS DOUBLE))
+                   * (u2.c / CAST(tot.n_uni AS DOUBLE)))), 6) AS pmi
+FROM bi, tot
+JOIN uni u1 ON u1.w = split_part(bi.bigram, ' ', 1)
+JOIN uni u2 ON u2.w = split_part(bi.bigram, ' ', 2)
+WHERE bi.c >= 10
+ORDER BY pmi DESC, bi.bigram
+LIMIT 20
+""",
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations: the corpus-statistics
+    face of phrase mining (which token pairs co-occur beyond chance) — a
+    standard curation signal for tokenizer vocabulary and boilerplate
+    phrase decisions.  PMI = ln(p(ab) / (p(a)p(b))) with all ratios formed
+    from exact integer counts in identical double arithmetic; the single
+    ln differs between engines by at most 1 ulp, which ROUND(6) absorbs,
+    and the top-20 cut orders by the ROUNDED value with a bigram tiebreak
+    so the boundary cannot drift.
+
+    Scale shape: unigram and bigram counts are explode -> hash aggregate
+    (map-side combine); the per-bigram probe joins key on the word — at
+    100 TB the unigram side is Zipf-small after aggregation and
+    broadcast-eligible; totals are one-row aggregates broadcast back."""
+    base_t = persist_tracked(
+        _spread(
+            t(spark, sf_dir, "documents").select(
+                "doc_id", tokens(F.lower(F.col("text"))).alias("tok")
+            ),
+            spark,
+        ).where(F.size("tok") > 0)
+    )
+    uni = (
+        base_t.select(F.explode("tok").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bigrams = F.when(
+        F.size("tok") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tok") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("tok", i), F.element_at("tok", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        base_t.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .where(F.col("c") >= 10)
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bi_frame = (
+        base_t.select(F.explode(bigrams).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_bi"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    joined = (
+        bi.withColumn("w1", F.split("bigram", " ")[0])
+        .withColumn("w2", F.split("bigram", " ")[1])
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi_frame))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c") / F.col("n_bi").cast("double"))
+            / (
+                (F.col("c1") / F.col("n_uni").cast("double"))
+                * (F.col("c2") / F.col("n_uni").cast("double"))
+            )
+        ),
+        6,
+    )
+    return (
+        joined.select(
+            "bigram", F.col("c").alias("n_pair"), pmi.alias("pmi")
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(20)
+    )
