@@ -770,17 +770,17 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bi = (
+    # the UNFILTERED bigram counts are persisted so the corpus total and
+    # the min-support subset both derive from ONE explode+aggregate pass
+    # (without it the bigram explode of the full corpus runs twice)
+    bi_all = persist_tracked(
         base_t.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .where(F.col("c") >= 10)
     )
+    bi = bi_all.where(F.col("c") >= 10)
     n_uni = uni.agg(F.sum("c").alias("n_uni"))
-    n_bi_frame = (
-        base_t.select(F.explode(bigrams).alias("b"))
-        .agg(F.count(F.lit(1)).alias("n_bi"))
-    )
+    n_bi_frame = bi_all.agg(F.sum("c").alias("n_bi"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     joined = (
