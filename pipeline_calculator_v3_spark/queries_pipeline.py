@@ -863,3 +863,23 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("e"), 9).alias("max_err"),
         )
     )
+
+
+@query("q_pack_sequences_xl")  # rows-only: synthetic growing corpus
+def q_pack_sequences_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the growing one-doc-per-order corpus (150k
+    docs at sf0.1) — proves the packing layout stays per-shard parallel at
+    corpus scale: 64 shards, each an independent window over (doc_id,
+    ntok) pairs, rolled up to per-shard example statistics so the output
+    stays bounded while the full layout materializes."""
+    from .operators.packing import pack_sequences
+    from .queries_textml import _synth_docs_from_lineitem
+
+    docs = _synth_docs_from_lineitem(t(spark, sf_dir, "lineitem"))
+    packed = pack_sequences(docs, budget=512, n_shards=64)
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_examples"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_example_tokens"),
+    )
