@@ -758,3 +758,131 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to_us"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+WITH v AS (
+    SELECT user_id, MIN(epoch_us(ts)) AS tv FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS tc
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.tv
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS tp
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.tc
+    GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+       CAST((SELECT SUM(p.tp - v.tv) FROM p JOIN v ON v.user_id = p.user_id)
+            AS BIGINT) AS total_lag_us
+""",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase): each stage is
+    the user's FIRST qualifying event strictly after their previous stage
+    — the sequential-pattern query product analytics runs constantly, and
+    a three-deep chain of order-dependent aggregations the planner must
+    keep as stacked semi-dependent joins (a naive per-type MIN ignores
+    ordering and overcounts).
+
+    Scale shape: every stage keys on user_id — the per-stage aggregates
+    and the stage-to-stage joins all reuse one exchange family; stage
+    frames only shrink, and the final counts are single-row broadcasts."""
+    ev = events_t(spark, sf_dir)
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("tv"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_us") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("tc"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts_us") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("tp"))
+    )
+    lag = p.join(v, "user_id").agg(
+        F.sum(F.col("tp") - F.col("tv")).cast("bigint").alias("total_lag_us")
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("bigint").alias("n_click")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase"))
+        )
+        .crossJoin(lag)
+    )
+    return counts
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+WITH edges AS (
+    SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+    FROM lineitem a
+    JOIN lineitem b ON a.l_partkey = b.l_partkey
+                   AND a.l_suppkey < b.l_suppkey
+)
+SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*)
+             FROM edges e1
+             JOIN edges e2 ON e2.s1 = e1.s2
+             JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2) AS BIGINT)
+           AS n_triangles
+""",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the supplier co-supply graph (edge = two
+    suppliers shipped the same part): the canonical distributed-graph
+    join workload — a three-way self-join where the ordering convention
+    (s1 < s2 everywhere, wedges closed by the s1<s2<s3 orientation) counts
+    each triangle exactly once with no post-hoc dedup.
+
+    Scale shape: edge generation is blocked BY PART (a per-part pair
+    explode, quadratic only in per-part degree, which the supply chain
+    bounds; a hot part would take the salted-pairs path like every other
+    blocked self-join here), then deduped once; the wedge join keys on the
+    shared vertex and the closing join on the (s1, s2) pair — standard
+    node-iterator triangle counting, shuffles keyed on vertices, never an
+    unblocked N^2."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.select(
+        F.col("l_partkey").alias("bp"), F.col("l_suppkey").alias("bs")
+    )
+    edges = (
+        a.join(b, (F.col("l_partkey") == F.col("bp"))
+               & (F.col("l_suppkey") < F.col("bs")))
+        .select(F.col("l_suppkey").alias("s1"), F.col("bs").alias("s2"))
+        .distinct()
+    )
+    from .caching import persist_tracked
+
+    edges = persist_tracked(edges)
+    e1 = edges
+    e2 = edges.select(F.col("s1").alias("t1"), F.col("s2").alias("t2"))
+    e3 = edges.select(F.col("s1").alias("u1"), F.col("s2").alias("u2"))
+    tri = (
+        e1.join(e2, F.col("t1") == F.col("s2"))
+        .join(e3, (F.col("u1") == F.col("s1")) & (F.col("u2") == F.col("t2")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return n_edges.crossJoin(tri)
