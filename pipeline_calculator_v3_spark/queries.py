@@ -385,7 +385,7 @@ _NEVER_CHECKED_FIRST = [
     "q_variant_extract", "q_pmi_bigrams", "q_embed_quantize",
     "q_pack_sequences_xl",
     # r05 seventh batch: ordered-funnel analytics + triangle counting
-    "q_funnel_conversion", "q_graph_triangles",
+    "q_funnel_conversion", "q_graph_triangles", "q_snapshot_diff",
     # r05 must-recheck: operators changed this round — replay staging went
     # executor-side (session_timeout/late_data), the LSH bucket bit layout
     # was factored into a shared constant (ann_lsh/ann_recall)
@@ -394,7 +394,7 @@ _NEVER_CHECKED_FIRST = [
     # refresh pool A: the 18 queries whose freshest driver hash verdict is
     # r02 (VERDICT r04 'Next round' #1) — two rounds of code churn since
     "q_agg_stats", "q_array_funcs",
-    "q_pivot", "q_window_rank",
+    "q_window_rank",
     # refresh pool B: oldest remaining (r03) verdicts fill the tail slots.
     # The rows-only members (simhash/clusters/ann_ivf — a driver hash
     # verdict adds nothing over their pytest gates) and two oracle-backed
@@ -433,7 +433,7 @@ _ROTATED_OUT = [
     "q_set_union", "q_set_intersect", "q_set_except", "q_string_agg",
     "q_date_funcs", "q_unpivot", "q_null_semantics", "q_window_dist",
     "q_json_funcs", "q_map_funcs", "q_window_lag_lead", "q_window_frame",
-    "q_cube", "q_grouping_sets", "q_text_analysis",
+    "q_cube", "q_grouping_sets", "q_text_analysis", "q_pivot",
     "q_dedup_simhash", "q_dedup_clusters", "q_similarity_ann_ivf",
     "q_sample_hash", "q_token_count",
     "q_dedup_minhash", "q_dedup_minhash_xl",

@@ -886,3 +886,77 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return n_edges.crossJoin(tri)
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+WITH old AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-01-01'
+),
+new AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+           o_totalprice
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1999-01-01'
+),
+d AS (
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus <> n.o_orderstatus
+                  OR o.o_totalprice <> n.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS verdict
+    FROM old o FULL OUTER JOIN new n ON n.o_orderkey = o.o_orderkey
+)
+SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n
+FROM d GROUP BY verdict
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the incremental-refresh primitive: two snapshots of
+    the same table (an older date cut vs a newer one with planted status
+    mutations) full-outer-joined on the key and classified added / removed
+    / changed / unchanged.  This is how a 100 TB pipeline decides what to
+    reprocess without a CDC feed; the CDC path proper is q_cdc_upsert.
+
+    Scale shape: both snapshots shuffle once on the key (the full outer
+    join cannot broadcast and should not — both sides are table-scale);
+    the classification is a post-join projection and the rollup is four
+    groups.  In production the two sides would be bucketed on the key,
+    making the diff shuffle-free — operators/bucketing.py demonstrates
+    exactly that layout."""
+    o = t(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderdate") < "1998-01-01").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.where(F.col("o_orderdate") < "1999-01-01").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    j = old.alias("o").join(
+        new.alias("n"),
+        F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+        "full_outer",
+    )
+    verdict = (
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+            | (F.col("o.o_totalprice") != F.col("n.o_totalprice")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
