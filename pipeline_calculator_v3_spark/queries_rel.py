@@ -797,20 +797,25 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: every stage keys on user_id — the per-stage aggregates
     and the stage-to-stage joins all reuse one exchange family; stage
     frames only shrink, and the final counts are single-row broadcasts."""
+    from .caching import persist_tracked
+
     ev = events_t(spark, sf_dir)
-    v = (
+    # each stage frame feeds TWO consumers (its count + the next stage's
+    # join, and v additionally the lag join) — persisted, the events scan
+    # runs once per stage instead of once per consumer subtree
+    v = persist_tracked(
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("tv"))
     )
-    c = (
+    c = persist_tracked(
         ev.where(F.col("event_type") == "click")
         .join(v, "user_id")
         .where(F.col("ts_us") > F.col("tv"))
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("tc"))
     )
-    p = (
+    p = persist_tracked(
         ev.where(F.col("event_type") == "purchase")
         .join(c, "user_id")
         .where(F.col("ts_us") > F.col("tc"))
