@@ -160,3 +160,42 @@ def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             - haversine_m(F.col("lat"), F.col("lon"), F.col("lat2"), F.col("lon2"))
         ).alias("abs_delta"),
     )
+
+
+@query("q_udtf_surface")  # rows-only: UDTF path; HOF-equivalence pytest-gated
+def q_udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4, arrow-optimized): a table function
+    expanding each document into fixed-size token windows — the UDTF twin
+    of operators/chunking.py's pure-HOF expansion, registered + invoked
+    via LATERAL join.  tests/test_packing.py proves the two paths emit
+    IDENTICAL rows, the same JVM-vs-Python agreement gate q_udf_surface
+    applies to scalar UDFs.  The HOF path remains the hot path (no Python
+    in the loop); the UDTF exists because user-defined EXPANSIONS are part
+    of the declared API surface and some real kernels (parsers, decoders)
+    cannot be HOFs."""
+    from pyspark.sql.functions import udtf
+
+    from .queries import t as _t
+    from .shipping import ensure_pkg_shipped
+
+    ensure_pkg_shipped(spark)
+
+    @udtf(returnType="chunk_idx bigint, n_tokens bigint, first_token string")
+    class ChunkWindows:
+        def eval(self, text: str):
+            toks = [w for w in (text or "").lower().split() if w]
+            step, width = 16, 32
+            for ci, start in enumerate(range(0, len(toks), step)):
+                w = toks[start:start + width]
+                if not w:
+                    break
+                yield ci, len(w), w[0]
+
+    spark.udtf.register("pcv3_chunk_windows", ChunkWindows)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.first_token
+        FROM docs_udtf d, LATERAL pcv3_chunk_windows(d.text) c
+        """
+    )
