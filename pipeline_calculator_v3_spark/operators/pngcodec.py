@@ -155,6 +155,11 @@ def decode_png(blob: bytes) -> np.ndarray:
     idat = bytearray()
     while pos + 8 <= len(blob):
         (length,) = struct.unpack(">I", blob[pos:pos + 4])
+        if pos + 12 + length > len(blob):
+            # truncated mid-chunk: the CRC slice would be short and
+            # struct.unpack would raise struct.error — keep the module's
+            # "loud ValueError" contract instead
+            raise ValueError("truncated PNG: chunk exceeds blob length")
         ctype = blob[pos + 4:pos + 8]
         data = blob[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack(">I", blob[pos + 8 + length:pos + 12 + length])
@@ -174,12 +179,22 @@ def decode_png(blob: bytes) -> np.ndarray:
         raise ValueError(f"unsupported bit depth {depth}")
     if color_type not in _COLOR_TYPE_CHANNELS:
         raise ValueError(f"unsupported color type {color_type}")
+    if comp != 0 or filt != 0:
+        # only compression method 0 (zlib) and filter method 0 (adaptive
+        # five-filter) exist in the spec; anything else must not silently
+        # decode with method-0 semantics
+        raise ValueError(f"unsupported compression/filter method {comp}/{filt}")
     if interlace != 0:
         raise ValueError("interlaced PNG not supported")
     channels = _COLOR_TYPE_CHANNELS[color_type]
     bpp = channels
     stride = w * channels
-    raw = zlib.decompress(bytes(idat))
+    if not idat:
+        raise ValueError("missing IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # partial/corrupt deflate stream
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
     if len(raw) != h * (stride + 1):
         raise ValueError(
             f"decompressed length {len(raw)} != expected {h * (stride + 1)}"

@@ -187,8 +187,6 @@ def q_udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             step, width = 16, 32
             for ci, start in enumerate(range(0, len(toks), step)):
                 w = toks[start:start + width]
-                if not w:
-                    break
                 yield ci, len(w), w[0]
 
     spark.udtf.register("pcv3_chunk_windows", ChunkWindows)

@@ -88,7 +88,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort.  Ties at the k-boundary are broken by token text so the result set
     is deterministic."""
     d = _spread(t(spark, sf_dir, "documents"), spark)
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
     return (
         tok.groupBy("token")
         .agg(
@@ -167,7 +167,7 @@ def _contamination_counts(
         staged = persist_tracked(
             _spread(
                 docs.select(
-                    "doc_id", group_col, tokens(F.col("text")).alias("t")
+                    "doc_id", group_col, tokens(F.lower(F.col("text"))).alias("t")
                 ),
                 spark,
             )
@@ -318,7 +318,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, so forcing broadcast here would be a scale bug).  N rides a
     1-row broadcast cross join, never a driver-side collect."""
     d = _spread(t(spark, sf_dir, "documents"), spark)
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
@@ -654,7 +654,10 @@ def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = persist_tracked(
         _spread(
             t(spark, sf_dir, "documents").select(
-                "doc_id", tokens(F.col("text")).alias("t")
+                # lower() matches the oracle's _TOKENS macro — the span
+                # STRINGS are in the output here, so (unlike the count-only
+                # consumers) case normalization is parity-load-bearing
+                "doc_id", tokens(F.lower(F.col("text"))).alias("t")
             ),
             spark,
         )

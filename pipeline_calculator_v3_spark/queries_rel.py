@@ -749,8 +749,7 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("prev_type") != F.col("event_type"))
         )
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    valid_to = F.lead("ts_us").over(w2)
+    valid_to = F.lead("ts_us").over(w)
     return changes.select(
         "user_id",
         "event_type",

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .caching import persist_tracked
-from .functions.text import EN_STOPWORDS, tokens
+from .functions.text import EN_STOPWORDS, shingles_from_tokens, tokens
 from .operators.dedup import (
     fingerprint_dedup,
     minhash_lsh_pairs,
@@ -666,15 +666,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("count").alias("mtok"))
     )
-    bigrams = F.when(
-        F.size("tok") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("tok") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at("tok", i), F.element_at("tok", i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = shingles_from_tokens(F.col("tok"), 2)
     bgc = (
         base_t.select("doc_id", F.explode(bigrams).alias("b"))
         .groupBy("doc_id", "b")
@@ -761,15 +753,7 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    bigrams = F.when(
-        F.size("tok") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("tok") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at("tok", i), F.element_at("tok", i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = shingles_from_tokens(F.col("tok"), 2)
     # the UNFILTERED bigram counts are persisted so the corpus total and
     # the min-support subset both derive from ONE explode+aggregate pass
     # (without it the bigram explode of the full corpus runs twice)

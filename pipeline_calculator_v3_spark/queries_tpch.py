@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .caching import persist_tracked
 from .operators.joins import merge_join, salted_join
 from .queries import query, t
 
@@ -922,9 +923,9 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate rows and the per-part min — without it the lineitem fact
     # scan + (partkey, suppkey) aggregation runs twice (verified in the
     # pre-fix physical plan: two identical Scan->HashAggregate subtrees)
-    eu_cost = cost.join(
-        F.broadcast(eu), cost.l_suppkey == eu.s_suppkey
-    ).persist()
+    eu_cost = persist_tracked(
+        cost.join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey)
+    )
     best = eu_cost.groupBy(F.col("l_partkey").alias("bpk")).agg(
         F.min("supplycost").alias("min_cost")
     )
@@ -1033,7 +1034,8 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(nat_supp), li.l_suppkey == nat_supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("value"))
-    ).persist()
+    )
+    value = persist_tracked(value)
     total = value.agg((F.sum("value") * 0.002).alias("threshold"))
     out = (
         value.crossJoin(F.broadcast(total))

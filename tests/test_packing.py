@@ -72,65 +72,3 @@ def test_empty_docs_excluded_and_bad_args_raise(spark):
         pack_sequences(docs, budget=0)
     with pytest.raises(ValueError):
         pack_sequences(docs, n_shards=0)
-
-
-def test_checksum_order_invariance(spark, sf_dir):
-    """q_table_checksum must be invariant to partitioning and row order —
-    the property that makes it a replication validator."""
-    from pandas.testing import assert_frame_equal
-
-    from pipeline_calculator_v3_spark.queries import QUERIES
-
-    base = (
-        QUERIES["q_table_checksum"](spark, sf_dir)
-        .toPandas()
-        .sort_values("o_orderpriority")
-        .reset_index(drop=True)
-    )
-
-    from pyspark.sql import functions as F
-
-    from pipeline_calculator_v3_spark.queries import t as _t
-
-    o = _t(spark, sf_dir, "orders").orderBy(F.desc("o_totalprice")).repartition(7)
-    digest = F.md5(
-        F.concat_ws("|", F.col("o_orderkey").cast("string"), F.col("o_orderstatus"))
-    )
-    residue = F.conv(F.substring(digest, 1, 12), 16, 10).cast("bigint") % 1000000007
-    scrambled = (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(residue).cast("bigint").alias("checksum"),
-        )
-        .toPandas()
-        .sort_values("o_orderpriority")
-        .reset_index(drop=True)
-    )
-    assert_frame_equal(base, scrambled)
-
-
-def test_quantize_error_bounded_by_half_step(spark, sf_dir):
-    """Affine int8 quantization: |x - recon| <= scale/2 pointwise, so the
-    per-label MAX error must respect max_err <= (global max range)/255/2."""
-    from pyspark.sql import functions as F
-
-    from pipeline_calculator_v3_spark.queries import QUERIES, t as _t
-
-    out = {r.label: r for r in QUERIES["q_embed_quantize"](spark, sf_dir).collect()}
-    ranges = (
-        _t(spark, sf_dir, "embeddings")
-        .select(
-            "label",
-            (
-                F.array_max("embedding").cast("double")
-                - F.array_min("embedding").cast("double")
-            ).alias("rng"),
-        )
-        .groupBy("label")
-        .agg(F.max("rng").alias("max_rng"))
-        .collect()
-    )
-    for r in ranges:
-        bound = r.max_rng / 255.0 / 2.0 * (1 + 1e-9)
-        assert out[r.label].max_err <= bound, (r.label, out[r.label].max_err, bound)

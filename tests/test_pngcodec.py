@@ -99,3 +99,47 @@ def test_encoder_rejects_bad_shapes():
         encode_png(np.zeros((2, 2, 4), dtype=np.uint8))  # RGBA unsupported
     with pytest.raises(ValueError):
         encode_png(np.zeros((0, 5), dtype=np.uint8))
+
+
+def test_truncated_chunk_raises_value_error():
+    import numpy as np
+    import pytest
+
+    from pipeline_calculator_v3_spark.operators.pngcodec import (
+        decode_png,
+        encode_png,
+    )
+
+    blob = encode_png(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    # IDAT chunk header sits at offset 33 (8 sig + 25 IHDR chunk); cuts:
+    # inside IDAT data (declared length overruns -> truncated-chunk guard),
+    # inside the IDAT header (chunk dropped -> missing IDAT), and mid-IDAT
+    # at the end (partial deflate stream -> corrupt IDAT)
+    for cut in (45, 36, len(blob) - 14):
+        with pytest.raises(ValueError):
+            decode_png(blob[:cut])
+
+
+def test_nonzero_filter_method_rejected():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from pipeline_calculator_v3_spark.operators.pngcodec import (
+        decode_png,
+        encode_png,
+    )
+
+    blob = bytearray(encode_png(np.zeros((4, 4), dtype=np.uint8)))
+    # IHDR data starts at offset 16; filter-method byte is IHDR[11] = w,h,
+    # depth, color, compression, THEN filter at data offset 11
+    ihdr_data = bytearray(blob[16:16 + 13])
+    ihdr_data[11] = 1  # bogus filter method
+    blob[16:16 + 13] = ihdr_data
+    blob[16 + 13:16 + 17] = struct.pack(
+        ">I", zlib.crc32(b"IHDR" + bytes(ihdr_data)) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError):
+        decode_png(bytes(blob))
