@@ -41,3 +41,51 @@ def test_stream_lands_in_parquet(spark, sf_dir, tmp_path):
     assert_frames_match(latest.toPandas(), batch.toPandas())
     # files actually exist on disk under batch dirs
     assert any(d.startswith("batch_id=") for d in os.listdir(out))
+
+
+def test_restart_from_checkpoint_exactly_once(spark, sf_dir, tmp_path):
+    """Kill the query, add a second input file, RESTART with the same
+    checkpoint: recovery must process only the new file (offsets come from
+    the checkpoint, not the sink) and the reconciled sink must equal the
+    full-input batch result — the exactly-once contract across restarts."""
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), f"{src}/a.parquet")
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q1 = stream_to_parquet(
+        windows.tumbling_counts(windows.stream_events(spark, src)), out, ckpt,
+        query_name="t_restart_1",
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    batches_before = {d for d in os.listdir(out) if d.startswith("batch_id=")}
+
+    pq.write_table(tbl.slice(half), f"{src}/b.parquet")
+    q2 = stream_to_parquet(
+        windows.tumbling_counts(windows.stream_events(spark, src)), out, ckpt,
+        query_name="t_restart_2",
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    batches_after = {d for d in os.listdir(out) if d.startswith("batch_id=")}
+    new_batches = batches_after - batches_before
+    assert new_batches, "restart produced no new micro-batch"
+    assert batches_before < batches_after, "restart must not rewrite old batches"
+
+    landed = read_sink(spark, out)
+    w = Window.partitionBy("window_start_us", "event_type").orderBy(F.desc("batch_id"))
+    latest = (
+        landed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "batch_id")
+    )
+    batch = windows.tumbling_counts(events_t(spark, sf_dir))
+    assert_frames_match(latest.toPandas(), batch.toPandas())

@@ -143,3 +143,26 @@ def test_nonzero_filter_method_rejected():
     )
     with pytest.raises(ValueError):
         decode_png(bytes(blob))
+
+
+def test_round_trip_fuzz_all_filters():
+    """Property: decode(encode(a, ft)) == a for random shapes, gray+RGB,
+    every filter type — the codec's end-to-end contract beyond goldens."""
+    import numpy as np
+
+    from pipeline_calculator_v3_spark.operators.pngcodec import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(1234)
+    for trial in range(40):
+        h = int(rng.integers(1, 20))
+        w = int(rng.integers(1, 40))
+        ft = int(rng.integers(0, 5))
+        if trial % 2:
+            a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        else:
+            a = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        out = decode_png(encode_png(a, ft))
+        assert out.shape == a.shape and (out == a).all(), (h, w, ft)
