@@ -147,3 +147,54 @@ def test_cdc_upsert_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, "q_cdc_upsert", sf_dir)
     # union + window + final rollup: the merge itself costs ONE key shuffle
     assert plan.count("Exchange hashpartitioning") <= 2  # key window + rollup
+
+
+def test_pack_sequences_shuffle_excludes_text(spark, sf_dir):
+    # the packing claim: only (doc_id, shard, ntok) enter the per-shard
+    # window exchange — the text column must be projected away BELOW it
+    plan = plan_of(spark, "q_pack_sequences", sf_dir)
+    exchange_lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchange_lines, plan
+    assert all("text" not in l for l in exchange_lines)
+    assert "text" not in plan.split("Exchange", 1)[0], (
+        "text column visible above the first exchange"
+    )
+
+
+def test_snapshot_diff_full_outer_with_pushdown(spark, sf_dir):
+    plan = plan_of(spark, "q_snapshot_diff", sf_dir)
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # both snapshot date cuts reach the parquet scan
+    assert plan.count("LessThan(o_orderdate") >= 2
+
+
+def test_table_checksum_single_exchange(spark, sf_dir):
+    plan = plan_of(spark, "q_table_checksum", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q16_anti_before_distinct(spark, sf_dir):
+    plan = plan_of(spark, "q_tpch_q16_supplier_cnt", sf_dir)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_window_time_range_single_exchange(spark, sf_dir):
+    # RANGE frame per user: one hash exchange on user_id feeds sort+window
+    plan = plan_of(spark, "q_window_time_range", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_single_exchange_serves_both_windows(spark, sf_dir):
+    # lag -> filter -> lead all key on user_id: exactly one exchange
+    plan = plan_of(spark, "q_scd2_history", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_stages_never_cartesian_on_data(spark, sf_dir):
+    # the only nested-loop joins are the single-row count cross-joins;
+    # every data-bearing join is keyed on user_id
+    plan = plan_of(spark, "q_funnel_conversion", sf_dir)
+    assert "CartesianProduct" not in plan
