@@ -128,6 +128,21 @@ AUDIT: list[tuple[str, str]] = [
         " dimension — the declarative twin of the connected-components"
         " driver loop, with the same bounded-iteration discipline.",
     ),
+    (
+        "q_snapshot_diff",
+        "Both snapshot date cuts push into the parquet scan; the diff is"
+        " ONE full-outer sort-merge join on the key (table-scale sides"
+        " must not broadcast) and the verdict is a post-join projection"
+        " into a four-group rollup.  Bucketed layouts make the same plan"
+        " exchange-free.",
+    ),
+    (
+        "q_graph_triangles",
+        "Edge generation explodes pairs only within a part (bounded"
+        " per-part degree), dedups once, and is persisted so the wedge"
+        " and closing joins read one materialization; every join keys on"
+        " vertices/edge pairs — no unblocked N^2 anywhere.",
+    ),
 ]
 
 
