@@ -886,3 +886,42 @@ def q_pack_sequences_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         F.max("n_tokens").cast("bigint").alias("max_example_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries sketch + exact recount
+# ---------------------------------------------------------------------------
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+WITH tok AS (
+    SELECT unnest({_TOKENS}) AS value FROM documents
+)
+SELECT value, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok GROUP BY value
+ORDER BY n DESC, value
+LIMIT 20
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens via the two-pass Misra-Gries operator
+    (operators/sketches.py): bounded per-partition summaries nominate
+    candidates (the exchange carries <= capacity rows per partition, not
+    one row per distinct value), then ONLY candidates are recounted
+    exactly.  The MG undercount bound (n/capacity, additive under merge)
+    guarantees the candidate set is a superset of the true top-k for this
+    corpus's frequency profile, so the final exact top-k is deterministic
+    — which is why an approximate-sketch pipeline can carry a full value
+    oracle.  tests/test_sketches.py pins the partitioning-invariance the
+    guarantee promises.
+
+    Scale note: vocab_topk's exact two-level aggregate is the right plan
+    while the distinct-value set fits a shuffle; this is the bounded-state
+    path for when it doesn't (URLs, n-grams, user ids)."""
+    from .operators.sketches import misra_gries_topk
+
+    d = _spread(t(spark, sf_dir, "documents"), spark)
+    toks = d.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    return misra_gries_topk(toks, "token", k=20, capacity=256)
