@@ -925,3 +925,55 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
     return misra_gries_topk(toks, "token", k=20, capacity=256)
+
+
+# ---------------------------------------------------------------------------
+# Zipf profile: frequency-of-frequencies histogram
+# ---------------------------------------------------------------------------
+@query(
+    "q_zipf_profile",
+    oracle=f"""
+WITH tok AS (
+    SELECT unnest({_TOKENS}) AS token FROM documents
+),
+tf AS (
+    SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+)
+SELECT CAST(FLOOR(LN(CAST(c AS DOUBLE)) / LN(2.0)) AS BIGINT) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(MIN(c) AS BIGINT) AS min_count,
+       CAST(MAX(c) AS BIGINT) AS max_count
+FROM tf
+GROUP BY log2_bucket
+""",
+)
+def q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies (Zipf) profile: how many distinct token
+    TYPES fall in each power-of-two occurrence bucket — the corpus-health
+    fingerprint curation monitors across snapshots (a boilerplate
+    injection shifts mass to high buckets; OCR noise inflates the
+    singleton bucket).  A double aggregation — token counts, then a
+    histogram OVER the counts — whose second stage is only as wide as the
+    vocabulary.  log2 via LN(c)/LN(2) in identical double arithmetic;
+    FLOOR of a ratio of logs of exact integers cannot straddle a bucket
+    boundary between engines (both compute the same IEEE quotient).
+
+    Scale shape: the first aggregate is the only corpus-wide shuffle
+    (map-side combine on token); the histogram stage aggregates the
+    already-small type table."""
+    d = _spread(t(spark, sf_dir, "documents"), spark)
+    tf = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bucket = F.floor(
+        F.log(F.col("c").cast("double")) / F.log(F.lit(2.0))
+    ).cast("bigint")
+    return tf.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.min("c").cast("bigint").alias("min_count"),
+        F.max("c").cast("bigint").alias("max_count"),
+    )
