@@ -964,3 +964,83 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("verdict")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@query(
+    "q_interval_union",
+    oracle="""
+WITH iv AS (
+    SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+    FROM events
+),
+flagged AS (
+    SELECT user_id, s, e,
+           CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM iv
+),
+islands AS (
+    SELECT user_id, s, e,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM flagged
+),
+merged AS (
+    SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+    FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(me - ms) AS BIGINT) AS covered_us
+FROM merged GROUP BY user_id
+""",
+)
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union length (coverage): each event opens a 5-minute
+    activity interval; overlapping intervals merge and the union length is
+    summed per user — the utilization/coverage primitive (machine uptime,
+    sensor coverage, ad exposure).  Classic gaps-and-islands: an interval
+    starts a new island exactly when its start exceeds the running MAX of
+    all previous ends (MAX, not lag — an earlier long interval can swallow
+    several later ones, the trap that makes the lag formulation wrong).
+    All arithmetic on epoch-micro longs — exact in both engines.
+
+    Scale shape: one exchange on user_id serves both windows, the island
+    rollup, and the final per-user aggregate — the same single-exchange
+    family as sessionization."""
+    ev = events_t(spark, sf_dir)
+    iv = ev.select(
+        "user_id",
+        F.col("ts_us").alias("s"),
+        (F.col("ts_us") + 300_000_000).alias("e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_end = F.max("e").over(w)
+    flagged = iv.select(
+        "user_id", "s", "e",
+        F.when(
+            prev_max_end.isNull() | (F.col("s") > prev_max_end), 1
+        ).otherwise(0).alias("is_new"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("is_new").over(w2).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("covered_us"),
+    )
