@@ -14,11 +14,16 @@ full distinct aggregation is too wide to shuffle:
 
 Misra-Gries guarantee: a partition summary undercounts any value by at
 most n_p/capacity, and summing summaries keeps the bound additive — so
-every value with true count > n/capacity survives to the candidate set
-REGARDLESS of partitioning.  With capacity sized so the k-th true count
-clears that bound, the final exact top-k is deterministic (the property
-tests/test_sketches.py pins under adversarial repartitioning), which is
-what makes the operator oracle-checkable despite the approximate middle.
+every value with true count > n/capacity survives SOMEWHERE in the merged
+summaries REGARDLESS of partitioning.  ALL summary survivors are
+recounted (never an est-ranked cut — the estimates are undercounts, and
+truncating on them can drop true top-k members), so whenever the k-th
+true count exceeds n/capacity the exact top-k is deterministic.  The
+operator CHECKS that precondition against the recounted values and
+raises instead of returning a silently partitioning-dependent answer —
+which is what makes q_heavy_hitters oracle-checkable despite the
+approximate middle (tests/test_sketches.py pins both the invariance and
+the loud failure).
 """
 
 from __future__ import annotations
@@ -29,19 +34,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..shipping import ensure_pkg_shipped
 
-
-def misra_gries_topk(
-    df: DataFrame, col: str, k: int = 20, capacity: int = 256
-) -> DataFrame:
-    """Exact top-``k`` (value, n) of ``df[col]`` via MG candidates + exact
-    recount.  Ties at the k-boundary break by value, so the result set is
-    deterministic."""
-    if k <= 0 or capacity <= k:
-        raise ValueError("need capacity > k > 0")
-    ensure_pkg_shipped(df.sparkSession)
-    values = df.select(F.col(col).alias("value"))
+def mg_kernel(capacity: int):
+    """Partition-local Misra-Gries pass: one bounded summary frame per
+    partition (<= ``capacity`` rows; empty partitions yield nothing).
+    Module-level so tests exercise THIS kernel, not a copy."""
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
@@ -59,21 +56,43 @@ def misra_gries_topk(
                             dead.append(key)
                     for key in dead:
                         del counters[key]
-        yield pd.DataFrame(
-            {"value": list(counters.keys()), "est": list(counters.values())}
-        )
+        if counters:
+            yield pd.DataFrame(
+                {"value": list(counters.keys()), "est": list(counters.values())}
+            )
 
-    summaries = values.mapInPandas(mg, "value string, est bigint")
-    candidates = (
-        summaries.groupBy("value")
-        .agg(F.sum("est").alias("est"))
-        .orderBy(F.col("est").desc(), "value")
-        .limit(4 * k)
-        .select("value")
+    return mg
+
+
+def misra_gries_topk(
+    df: DataFrame, col: str, k: int = 20, capacity: int = 256
+) -> DataFrame:
+    """Exact top-``k`` (value, n) of ``df[col]`` via MG candidates + exact
+    recount.  Ties at the k-boundary break by value, so the result set is
+    deterministic.  Raises ValueError when the distribution violates the
+    determinism precondition (k-th count <= n/capacity: the sketch cannot
+    promise its candidates cover the true top-k — raise, don't guess)."""
+    if k <= 0 or capacity <= k:
+        raise ValueError("need capacity > k > 0")
+    values = df.select(F.col(col).alias("value"))
+    value_type = values.schema["value"].dataType.simpleString()
+    summaries = values.mapInPandas(
+        mg_kernel(capacity), f"value {value_type}, est bigint"
     )
+    # ALL survivors are candidates: at most capacity rows per partition,
+    # so the candidate table is bounded by capacity x partitions and
+    # broadcastable — an est-ranked limit here would break the guarantee
+    candidates = summaries.select("value").distinct()
     exact = (
         values.join(F.broadcast(candidates), "value")
         .groupBy("value")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    return exact.orderBy(F.col("n").desc(), "value").limit(k)
+    top = exact.orderBy(F.col("n").desc(), "value").limit(k).collect()
+    n_total = values.count()
+    if len(top) >= k and top[-1]["n"] * capacity <= n_total:
+        raise ValueError(
+            f"capacity {capacity} cannot guarantee a deterministic top-{k}: "
+            f"k-th count {top[-1]['n']} <= n/capacity = {n_total / capacity:.1f}"
+        )
+    return df.sparkSession.createDataFrame(top, f"value {value_type}, n bigint")

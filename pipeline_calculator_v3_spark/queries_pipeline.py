@@ -939,7 +939,7 @@ WITH tok AS (
 tf AS (
     SELECT token, COUNT(*) AS c FROM tok GROUP BY token
 )
-SELECT CAST(FLOOR(LN(CAST(c AS DOUBLE)) / LN(2.0)) AS BIGINT) AS log2_bucket,
+SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS log2_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_types,
        CAST(SUM(c) AS BIGINT) AS n_tokens,
        CAST(MIN(c) AS BIGINT) AS min_count,
@@ -955,9 +955,10 @@ def q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     injection shifts mass to high buckets; OCR noise inflates the
     singleton bucket).  A double aggregation — token counts, then a
     histogram OVER the counts — whose second stage is only as wide as the
-    vocabulary.  log2 via LN(c)/LN(2) in identical double arithmetic;
-    FLOOR of a ratio of logs of exact integers cannot straddle a bucket
-    boundary between engines (both compute the same IEEE quotient).
+    vocabulary.  The log2 bucket is computed EXACTLY as an integer bit
+    length (length(bin(c)) - 1, identical in both engines) — a
+    FLOOR(LN(c)/LN(2)) formulation would ride on libm-vs-JVM last-ulp
+    agreement, which IEEE does not guarantee across platforms.
 
     Scale shape: the first aggregate is the only corpus-wide shuffle
     (map-side combine on token); the histogram stage aggregates the
@@ -968,9 +969,7 @@ def q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    bucket = F.floor(
-        F.log(F.col("c").cast("double")) / F.log(F.lit(2.0))
-    ).cast("bigint")
+    bucket = (F.length(F.bin(F.col("c"))) - 1).cast("bigint")
     return tf.groupBy(bucket.alias("log2_bucket")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
         F.sum("c").cast("bigint").alias("n_tokens"),

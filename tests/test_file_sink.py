@@ -52,7 +52,14 @@ def test_restart_from_checkpoint_exactly_once(spark, sf_dir, tmp_path):
 
     src = str(tmp_path / "src")
     os.makedirs(src)
-    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    # split on EVENT TIME, not physical row order: recovery re-arms the
+    # watermark from the checkpoint (~max ts of file A minus the delay), so
+    # an unsorted fixture would put late rows in file B that streaming
+    # correctly drops — a spurious mismatch the ts sort rules out
+    tbl = (
+        pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        .sort_by([("ts", "ascending")])
+    )
     half = tbl.num_rows // 2
     pq.write_table(tbl.slice(0, half), f"{src}/a.parquet")
 

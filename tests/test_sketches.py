@@ -1,11 +1,11 @@
 """Misra-Gries heavy hitters: the candidate-superset guarantee must make
-the exact top-k invariant to partitioning, and the sketch must respect
-its bounded-summary contract."""
+the exact top-k invariant to partitioning, the pass-1 summary must honor
+its bounded-size contract, and distributions that void the guarantee must
+raise instead of returning a partitioning-dependent answer."""
 
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from pipeline_calculator_v3_spark.operators.sketches import misra_gries_topk
 
@@ -16,6 +16,7 @@ def _words(spark, counts: dict, parts: int):
 
 
 def test_topk_invariant_to_partitioning(spark):
+    # k-th true count (37) clears n/capacity (~28), so the guarantee holds
     counts = {f"w{i}": 5 + i for i in range(40)}
     counts["hot"] = 500
     counts["warm"] = 300
@@ -30,15 +31,36 @@ def test_topk_invariant_to_partitioning(spark):
         assert got == expect, parts
 
 
-def test_summary_rows_bounded_by_capacity(spark):
-    # the pass-1 exchange contract: <= capacity rows per partition
-    from pipeline_calculator_v3_spark.operators.sketches import pd  # noqa: F401
+def test_flat_distribution_raises_not_guesses(spark):
+    # 300 values x count 50: n/capacity ~ 234 > 50 — no candidate-superset
+    # guarantee exists, and the operator must say so loudly
+    counts = {f"v{i:03d}": 50 for i in range(300)}
+    with pytest.raises(ValueError, match="cannot guarantee"):
+        misra_gries_topk(_words(spark, counts, 7), "value", k=10, capacity=64)
 
-    df = _words(spark, {f"v{i}": 3 for i in range(500)}, 4)
-    # run only the summary stage by calling the operator with a capacity
-    # far below the distinct count and checking it still returns k rows
-    out = misra_gries_topk(df, "value", k=5, capacity=32).collect()
-    assert len(out) == 5
+
+def test_non_string_key_column(spark):
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "value bigint")
+    got = [(r.value, r.n) for r in misra_gries_topk(df, "value", k=3, capacity=16).collect()]
+    # values 0..1 occur 15x, 2..6 occur 14x: top-3 = 0,1,2 by tie-break
+    assert got == [(0, 15), (1, 15), (2, 14)]
+
+
+def test_summary_rows_bounded_by_capacity(spark):
+    # the pass-1 exchange contract: <= capacity summary rows per partition,
+    # asserted against the REAL kernel
+    from pyspark.sql import functions as F
+
+    from pipeline_calculator_v3_spark.operators.sketches import mg_kernel
+
+    df = _words(spark, {f"v{i}": 3 for i in range(500)}, 1)
+    values = df.select(F.col("value"))
+    n = (
+        values.repartition(1)
+        .mapInPandas(mg_kernel(32), "value string, est bigint")
+        .count()
+    )
+    assert n <= 32
 
 
 def test_bad_args_raise(spark):
