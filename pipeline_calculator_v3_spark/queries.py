@@ -389,6 +389,7 @@ _NEVER_CHECKED_FIRST = [
     "q_udtf_surface",
     # r05 eighth batch: mergeable heavy-hitters sketch (MG + exact recount)
     "q_heavy_hitters", "q_zipf_profile", "q_interval_union",
+    "q_graph_pagerank",
     # r05 must-recheck: operators changed this round — replay staging went
     # executor-side (session_timeout/late_data), the LSH bucket bit layout
     # was factored into a shared constant (ann_lsh/ann_recall)
@@ -403,7 +404,6 @@ _NEVER_CHECKED_FIRST = [
     # verdict adds nothing over their pytest gates) and two oracle-backed
     # rows yielded their slots to the five new TPC-H shapes.
     "q_dedup_embedding", "q_dedup_minhash_md5",
-    "q_similarity_topk",
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length", "q_geodesic_length_exact", "q_overlap_summary",
@@ -436,6 +436,7 @@ _ROTATED_OUT = [
     "q_json_funcs", "q_map_funcs", "q_window_lag_lead", "q_window_frame",
     "q_cube", "q_grouping_sets", "q_text_analysis", "q_pivot",
     "q_text_quality", "q_multimodal_decode", "q_fingerprint", "q_lang_id",
+    "q_similarity_topk",
     "q_dedup_simhash", "q_dedup_clusters", "q_similarity_ann_ivf",
     "q_sample_hash", "q_token_count",
     "q_dedup_minhash", "q_dedup_minhash_xl",

@@ -1063,3 +1063,41 @@ def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
         F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("covered_us"),
     )
+
+
+@query("q_graph_pagerank")  # rows-only: iterative double arithmetic — the
+# invariants (mass conservation, closed-form uniform on regular graphs,
+# hub dominance) are pytest-gated in tests/test_pagerank.py
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (10 damped power iterations, operators/pagerank.py) over
+    the customer -> supplier purchase graph (an edge per distinct buying
+    relationship via orders x lineitem).  Customers have out-edges only
+    and suppliers none, so the dangling-mass redistribution is
+    load-bearing, not decorative.  Output: top-20 vertices by rank with a
+    deterministic id tiebreak, plus the conservation check column the
+    invariant tests pin (sum(rank) == n_vertices).
+
+    Scale shape: each of the 10 rounds is one vertex-keyed join + one
+    aggregate over the SAME exchange family; per-round localCheckpoint
+    frees its predecessor (O(1) pinned state, operators/clusters.py
+    lifecycle); the dangling term is a one-row broadcast."""
+    from .operators.pagerank import pagerank
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            # supplier ids shifted past the customer key space so the two
+            # vertex domains cannot collide
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=10)
+    return (
+        ranks.orderBy(F.col("rank").desc(), "id")
+        .limit(20)
+        .select("id", F.round("rank", 6).alias("rank"))
+    )
