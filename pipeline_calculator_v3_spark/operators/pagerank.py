@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..caching import local_checkpoint_tracked
+from ..caching import local_checkpoint_tracked, track_ids, unpersist_ids
 
 
 def pagerank(
@@ -58,8 +58,6 @@ def pagerank(
     ranks = local_checkpoint_tracked(
         vertices.withColumn("rank", F.lit(1.0)), ids_sink=ranks_ids
     )
-    from ..caching import unpersist_ids
-
     for _ in range(iterations):
         contrib = (
             links.join(ranks, links.src == ranks.id)
@@ -67,9 +65,17 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        # mass parked on dangling vertices (rank with no out-edges)
+        # mass parked on dangling vertices (rank with no out-edges).
+        # The anti-join probes the CHECKPOINTED links table, not out_deg:
+        # out_deg's lineage reaches back to the raw edge derivation and
+        # would re-execute it every round (links carries exactly
+        # out_deg's key set, lineage-cut)
         dangling = (
-            ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
+            ranks.join(
+                links.select("src").distinct(),
+                ranks.id == F.col("src"),
+                "left_anti",
+            )
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         new_ids: list[int] = []
@@ -90,4 +96,8 @@ def pagerank(
         ranks, ranks_ids = new_ranks, new_ids
     unpersist_ids(ranks.sparkSession, vertices_ids)
     unpersist_ids(ranks.sparkSession, links_ids)
+    # the FINAL checkpoint backs the returned frame: register it so
+    # release_caches can free it after the caller materializes (same
+    # contract as connected_components' final labels table)
+    track_ids(ranks_ids)
     return ranks

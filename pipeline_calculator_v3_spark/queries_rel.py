@@ -881,6 +881,22 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_partkey")
         .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
         .where(F.size("ss") >= 2)
+        # degree guard, same convention as operators/spatial.py: a part
+        # whose supplier set exceeds the bound would build an O(d^2)
+        # struct array inside ONE row — raise executor-side instead of
+        # silently OOMing a task; genuinely hot parts need the salted-
+        # pairs path
+        .select(
+            F.when(
+                F.size("ss") <= 1024, F.col("ss")
+            ).otherwise(
+                F.raise_error(F.concat(
+                    F.lit("q_graph_triangles: part degree "),
+                    F.size("ss").cast("string"),
+                    F.lit(" exceeds the 1024 in-row pair-explosion bound"),
+                ))
+            ).alias("ss")
+        )
     )
     pair = F.explode(
         F.flatten(
@@ -1074,8 +1090,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationship via orders x lineitem).  Customers have out-edges only
     and suppliers none, so the dangling-mass redistribution is
     load-bearing, not decorative.  Output: top-20 vertices by rank with a
-    deterministic id tiebreak, plus the conservation check column the
-    invariant tests pin (sum(rank) == n_vertices).
+    deterministic id tiebreak; the conservation invariant
+    (sum(rank) == n_vertices) and the closed-form/regular-graph checks
+    live in tests/test_pagerank.py.
 
     Scale shape: each of the 10 rounds is one vertex-keyed join + one
     aggregate over the SAME exchange family; per-round localCheckpoint
@@ -1089,9 +1106,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             F.col("o_custkey").alias("src"),
-            # supplier ids shifted past the customer key space so the two
-            # vertex domains cannot collide
-            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+            # suppliers live on the NEGATIVE axis: collision-free against
+            # the non-negative customer key space at EVERY scale factor (a
+            # fixed positive offset silently merges vertices once custkeys
+            # outgrow it)
+            (-(F.col("l_suppkey") + 1)).alias("dst"),
         )
         .distinct()
     )
