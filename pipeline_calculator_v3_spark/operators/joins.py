@@ -111,3 +111,56 @@ def salted_self_pairs(
     return left.join(right, ["__block", "__gi", "__gj"]).drop(
         "__block", "__gi", "__gj"
     )
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    block_col: str,
+    item_col: str,
+    max_degree: int = 1024,
+) -> DataFrame:
+    """Undirected co-occurrence edges: (s1, s2) with s1 < s2 whenever two
+    items share a block — the graph-construction primitive behind
+    co-supply, co-citation, and token co-occurrence networks.
+
+    Each block aggregates its DISTINCT item set once (one shuffle with
+    map-side combine — the fact table never self-joins), then the pair
+    combinations explode from the sorted set as a HOF projection; a final
+    distinct dedups across blocks.  The in-row pair array is O(degree^2),
+    so a block past ``max_degree`` raises executor-side (loud, not an
+    OOM-ed task) — genuinely hot blocks belong on the salted-pairs path.
+    """
+    if max_degree < 2:
+        raise ValueError("max_degree must be at least 2")
+    sets = (
+        df.groupBy(F.col(block_col).alias("__b"))
+        .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("ss"))
+        .where(F.size("ss") >= 2)
+        .select(
+            F.when(F.size("ss") <= max_degree, F.col("ss"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("cooccurrence_edges: block degree "),
+                        F.size("ss").cast("string"),
+                        F.lit(f" exceeds the {max_degree} in-row bound"),
+                    )
+                )
+            )
+            .alias("ss")
+        )
+    )
+    pair = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(sequence(1, size(ss) - 1), i ->"
+                " transform(sequence(0, i - 1), j ->"
+                " struct(ss[j] AS s1, ss[i] AS s2)))"
+            )
+        )
+    )
+    return (
+        sets.select(pair.alias("e"))
+        .select(F.col("e.s1").alias("s1"), F.col("e.s2").alias("s2"))
+        .distinct()
+    )

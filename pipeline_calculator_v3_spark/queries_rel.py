@@ -876,42 +876,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~12M closed wedges/s measured) — that is the workload, not a plan
     defect; real co-supply graphs are sparse and the same plan scales
     with Sum(deg^2), the node-iterator bound."""
+    from .operators.joins import cooccurrence_edges
+
     li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    sets = (
-        li.groupBy("l_partkey")
-        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
-        .where(F.size("ss") >= 2)
-        # degree guard, same convention as operators/spatial.py: a part
-        # whose supplier set exceeds the bound would build an O(d^2)
-        # struct array inside ONE row — raise executor-side instead of
-        # silently OOMing a task; genuinely hot parts need the salted-
-        # pairs path
-        .select(
-            F.when(
-                F.size("ss") <= 1024, F.col("ss")
-            ).otherwise(
-                F.raise_error(F.concat(
-                    F.lit("q_graph_triangles: part degree "),
-                    F.size("ss").cast("string"),
-                    F.lit(" exceeds the 1024 in-row pair-explosion bound"),
-                ))
-            ).alias("ss")
-        )
-    )
-    pair = F.explode(
-        F.flatten(
-            F.expr(
-                "transform(sequence(1, size(ss) - 1), i ->"
-                " transform(sequence(0, i - 1), j ->"
-                " struct(ss[j] AS s1, ss[i] AS s2)))"
-            )
-        )
-    )
-    edges = (
-        sets.select(pair.alias("e"))
-        .select(F.col("e.s1").alias("s1"), F.col("e.s2").alias("s2"))
-        .distinct()
-    )
+    edges = cooccurrence_edges(li, "l_partkey", "l_suppkey")
     from .caching import persist_tracked
 
     edges = persist_tracked(edges)

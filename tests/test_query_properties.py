@@ -64,3 +64,48 @@ def test_quantize_error_bounded_by_half_step(spark, sf_dir):
     for r in ranges:
         bound = r.max_rng / 255.0 / 2.0 * (1 + 1e-9)
         assert out[r.label].max_err <= bound, (r.label, out[r.label].max_err, bound)
+
+
+def test_cooccurrence_edges_match_bruteforce(spark):
+    from itertools import combinations
+
+    from pipeline_calculator_v3_spark.operators.joins import cooccurrence_edges
+
+    rows = [
+        ("b1", 3), ("b1", 1), ("b1", 2), ("b1", 1),  # dup item in block
+        ("b2", 2), ("b2", 4),
+        ("b3", 9),                                    # singleton: no edges
+    ]
+    df = spark.createDataFrame(rows, "block string, item bigint")
+    got = sorted(
+        (r.s1, r.s2)
+        for r in cooccurrence_edges(df, "block", "item").collect()
+    )
+    expect = sorted(
+        set(
+            pair
+            for block in ({1, 2, 3}, {2, 4})
+            for pair in combinations(sorted(block), 2)
+        )
+    )
+    assert got == expect
+
+
+def test_cooccurrence_degree_guard_raises(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from pipeline_calculator_v3_spark.operators.joins import cooccurrence_edges
+
+    hot = spark.createDataFrame(
+        [("hot", i) for i in range(40)], "block string, item bigint"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        cooccurrence_edges(hot, "block", "item", max_degree=16).collect()
+    # same data passes with an adequate bound
+    n = cooccurrence_edges(hot, "block", "item", max_degree=64).count()
+    assert n == 40 * 39 // 2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cooccurrence_edges(hot, "block", "item", max_degree=1)
