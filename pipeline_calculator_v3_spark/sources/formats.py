@@ -95,3 +95,45 @@ def read_jsonl(
 def write_jsonl(df: DataFrame, path: str) -> None:
     """Distributed JSONL write (one JSON object per line, N part files)."""
     df.write.mode("overwrite").json(path)
+
+
+def read_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt",
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV ingestion with an EXPLICIT schema and PERMISSIVE bad-row capture
+    — the same two non-negotiables as read_jsonl (schema inference is an
+    extra full pass; FAILFAST loses the job, DROPMALFORMED loses the
+    information), applied to the format flat-file exports actually arrive
+    in.  Quoted fields, embedded separators, and multiline quoted values
+    are the CSV-specific hazards the datasource handles; rows whose
+    arity/types do not fit the schema land whole in ``corrupt_col``.
+
+    The QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction applies exactly as
+    for JSON: materialize the parsed frame before bad-row-only audits."""
+    full = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("header", "true" if header else "false")
+        .option("sep", sep)
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def write_csv_corpus(df: DataFrame, path: str, header: bool = True) -> None:
+    """Distributed CSV write (quoted as needed, N part files) — the
+    scale-path twin of sinks.write_lengths_csv's single-file parity mode."""
+    (
+        df.write.mode("overwrite")
+        .option("header", "true" if header else "false")
+        .option("escape", '"')
+        .csv(path)
+    )

@@ -125,3 +125,48 @@ def test_jsonl_explicit_schema_no_inference_pass(spark, sf_dir, tmp_path):
         "doc_id", "lang", "n_chars", "_corrupt"
     ]
     assert df.where(F.col("_corrupt").isNotNull()).count() == 0
+
+
+def test_csv_round_trip_and_corrupt_capture(spark, sf_dir, tmp_path):
+    """CSV corpus contract: explicit schema round-trips exactly (quoted
+    fields with embedded separators/newlines included), and malformed rows
+    land whole in the corrupt column instead of failing or vanishing."""
+    from pipeline_calculator_v3_spark.sources.formats import (
+        read_csv_corpus,
+        write_csv_corpus,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    dest = str(tmp_path / "docs_csv")
+    write_csv_corpus(src, dest)
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    back = read_csv_corpus(spark, dest, schema).cache()
+    # (cached first: corrupt-only queries on raw files are disallowed —
+    # the restriction the reader's docstring documents)
+    assert back.where(F.col("_corrupt").isNotNull()).count() == 0
+    a = src.orderBy("doc_id").collect()
+    b = back.drop("_corrupt").orderBy("doc_id").collect()
+    assert a == b
+    back.unpersist()
+
+    # hand-written file with a malformed row: bad arity/type -> corrupt col
+    bad_dir = tmp_path / "bad_csv"
+    bad_dir.mkdir()
+    (bad_dir / "part.csv").write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        '1,"hello, world",en,src0,12\n'
+        "not_a_number,oops,xx,src1,zz\n"
+        '2,"multi\nline text",de,src2,15\n'
+    )
+    parsed = read_csv_corpus(spark, str(bad_dir), schema).cache()
+    good = parsed.where(F.col("_corrupt").isNull())
+    bad = parsed.where(F.col("_corrupt").isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "not_a_number" in bad.collect()[0]["_corrupt"]
+    # the quoted embedded comma and newline survive exactly
+    texts = {r.doc_id: r.text for r in good.collect()}
+    assert texts[1] == "hello, world" and texts[2] == "multi\nline text"
+    parsed.unpersist()
