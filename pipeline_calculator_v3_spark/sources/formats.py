@@ -104,6 +104,7 @@ def read_csv_corpus(
     corrupt_col: str = "_corrupt",
     header: bool = True,
     sep: str = ",",
+    multiline: bool = False,
 ) -> DataFrame:
     """CSV ingestion with an EXPLICIT schema and PERMISSIVE bad-row capture
     — the same two non-negotiables as read_jsonl (schema inference is an
@@ -112,6 +113,15 @@ def read_csv_corpus(
     in.  Quoted fields, embedded separators, and multiline quoted values
     are the CSV-specific hazards the datasource handles; rows whose
     arity/types do not fit the schema land whole in ``corrupt_col``.
+
+    ``multiline`` (default OFF) opts into quoted embedded newlines — it
+    costs splittability (one task per whole file, however large) and
+    turns a stray unbalanced quote into a file-swallowing mega-row, so a
+    corpus reader only pays it when the data genuinely contains them.
+    Null renders as an explicit ``\\N`` marker (both sides), so empty
+    string and NULL survive the write->read cycle as DISTINCT values —
+    with the default nullValue="" the reader collapses quoted "" and
+    bare-empty alike to null and the cycle silently mutates the corpus.
 
     The QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction applies exactly as
     for JSON: materialize the parsed frame before bad-row-only audits."""
@@ -122,8 +132,10 @@ def read_csv_corpus(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .option("header", "true" if header else "false")
         .option("sep", sep)
-        .option("multiLine", "true")
+        .option("multiLine", "true" if multiline else "false")
         .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
         .csv(path)
     )
 
@@ -135,5 +147,7 @@ def write_csv_corpus(df: DataFrame, path: str, header: bool = True) -> None:
         df.write.mode("overwrite")
         .option("header", "true" if header else "false")
         .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("emptyValue", '""')
         .csv(path)
     )

@@ -142,7 +142,7 @@ def test_csv_round_trip_and_corrupt_capture(spark, sf_dir, tmp_path):
     dest = str(tmp_path / "docs_csv")
     write_csv_corpus(src, dest)
     schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
-    back = read_csv_corpus(spark, dest, schema).cache()
+    back = read_csv_corpus(spark, dest, schema, multiline=True).cache()
     # (cached first: corrupt-only queries on raw files are disallowed —
     # the restriction the reader's docstring documents)
     assert back.where(F.col("_corrupt").isNotNull()).count() == 0
@@ -160,7 +160,7 @@ def test_csv_round_trip_and_corrupt_capture(spark, sf_dir, tmp_path):
         "not_a_number,oops,xx,src1,zz\n"
         '2,"multi\nline text",de,src2,15\n'
     )
-    parsed = read_csv_corpus(spark, str(bad_dir), schema).cache()
+    parsed = read_csv_corpus(spark, str(bad_dir), schema, multiline=True).cache()
     good = parsed.where(F.col("_corrupt").isNull())
     bad = parsed.where(F.col("_corrupt").isNotNull())
     assert good.count() == 2
@@ -170,3 +170,23 @@ def test_csv_round_trip_and_corrupt_capture(spark, sf_dir, tmp_path):
     texts = {r.doc_id: r.text for r in good.collect()}
     assert texts[1] == "hello, world" and texts[2] == "multi\nline text"
     parsed.unpersist()
+
+
+def test_csv_empty_string_vs_null_round_trip(spark, tmp_path):
+    """Empty string and NULL are different values and must survive the
+    write->read cycle distinctly (the default reader collapses both to
+    null — the silent-mutation class a corpus reader cannot have)."""
+    from pipeline_calculator_v3_spark.sources.formats import (
+        read_csv_corpus,
+        write_csv_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, ""), (3, None)], "id bigint, v string"
+    )
+    dest = str(tmp_path / "empties")
+    write_csv_corpus(df, dest)
+    back = read_csv_corpus(spark, dest, "id bigint, v string").cache()
+    got = {r.id: r.v for r in back.collect()}
+    assert got == {1: "x", 2: "", 3: None}
+    back.unpersist()

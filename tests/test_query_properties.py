@@ -106,6 +106,5 @@ def test_cooccurrence_degree_guard_raises(spark):
     # same data passes with an adequate bound
     n = cooccurrence_edges(hot, "block", "item", max_degree=64).count()
     assert n == 40 * 39 // 2
-    import pytest as _pt
-    with _pt.raises(ValueError):
+    with pytest.raises(ValueError):
         cooccurrence_edges(hot, "block", "item", max_degree=1)
