@@ -390,6 +390,8 @@ _NEVER_CHECKED_FIRST = [
     # r05 eighth batch: mergeable heavy-hitters sketch (MG + exact recount)
     "q_heavy_hitters", "q_zipf_profile", "q_interval_union",
     "q_graph_pagerank",
+    # r05 ninth batch: session attribution + cohort retention analytics
+    "q_first_touch_attribution", "q_retention_cohorts",
     # r05 must-recheck: operators changed this round — replay staging went
     # executor-side (session_timeout/late_data), the LSH bucket bit layout
     # was factored into a shared constant (ann_lsh/ann_recall)
@@ -399,11 +401,9 @@ _NEVER_CHECKED_FIRST = [
     # r02 (VERDICT r04 'Next round' #1) — two rounds of code churn since
     "q_agg_stats", "q_array_funcs",
     "q_window_rank",
-    # refresh pool B: oldest remaining (r03) verdicts fill the tail slots.
-    # The rows-only members (simhash/clusters/ann_ivf — a driver hash
-    # verdict adds nothing over their pytest gates) and two oracle-backed
-    # rows yielded their slots to the five new TPC-H shapes.
-    "q_dedup_embedding", "q_dedup_minhash_md5",
+    # refresh pool B emptied over the round: every member yielded its slot
+    # to new r05 surface (all remain value-gated each pytest run; the
+    # r05 window still refreshes the three oldest r02 verdicts above).
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length", "q_geodesic_length_exact", "q_overlap_summary",
@@ -436,7 +436,7 @@ _ROTATED_OUT = [
     "q_json_funcs", "q_map_funcs", "q_window_lag_lead", "q_window_frame",
     "q_cube", "q_grouping_sets", "q_text_analysis", "q_pivot",
     "q_text_quality", "q_multimodal_decode", "q_fingerprint", "q_lang_id",
-    "q_similarity_topk",
+    "q_similarity_topk", "q_dedup_embedding", "q_dedup_minhash_md5",
     "q_dedup_simhash", "q_dedup_clusters", "q_similarity_ann_ivf",
     "q_sample_hash", "q_token_count",
     "q_dedup_minhash", "q_dedup_minhash_xl",

@@ -1088,3 +1088,147 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("id", F.round("rank", 6).alias("rank"))
     )
+
+
+@query(
+    "q_first_touch_attribution",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(epoch_us(ts)) OVER w IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+    SELECT user_id, event_id, event_type, ts_us,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+),
+first_touch AS (
+    SELECT user_id, sid, event_type AS channel
+    FROM (SELECT user_id, sid, event_type,
+                 row_number() OVER (PARTITION BY user_id, sid
+                     ORDER BY ts_us, event_id) AS rn
+          FROM sess)
+    WHERE rn = 1
+)
+SELECT f.channel,
+       CAST(COUNT(DISTINCT s.user_id || '-' || s.sid) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN s.event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases
+FROM sess s JOIN first_touch f ON f.user_id = s.user_id AND f.sid = s.sid
+GROUP BY f.channel
+""",
+)
+def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped first-touch attribution: sessionize on a 30-minute
+    gap (the same gaps-and-islands contract as q_sessionize), take each
+    session's FIRST event type as its acquisition channel, and credit the
+    session's purchases to that channel — the standard marketing
+    attribution rollup, and a composite that chains sessionization, a
+    per-session rank-1 window, and a keyed re-join.  Distinct from
+    q_funnel_conversion: that is user-scoped ordered stages; this is
+    session-scoped credit assignment.
+
+    Scale shape: sessionize, the rank-1 window, and the re-join all key
+    on user_id (the sid is derived within the partition) — one exchange
+    family end to end; the rollup is |event_type| groups."""
+    ev = events_t(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.select(
+        "user_id", "event_id", "event_type", "ts_us",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id", "event_id", "event_type", "ts_us",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sid"),
+    )
+    from .caching import persist_tracked
+
+    sess = persist_tracked(sess)
+    first_touch = (
+        sess.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "sid").orderBy("ts_us", "event_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", "sid", F.col("event_type").alias("channel"))
+    )
+    return (
+        sess.join(first_touch, ["user_id", "sid"])
+        .groupBy("channel")
+        .agg(
+            F.countDistinct(
+                F.concat_ws("-", F.col("user_id"), F.col("sid"))
+            ).cast("bigint").alias("n_sessions"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("bigint").alias("n_purchases"),
+        )
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+WITH weekly AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+    FROM events
+),
+cohort AS (
+    SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id
+)
+SELECT c.cohort_week,
+       CAST(w.week - c.cohort_week AS BIGINT) AS weeks_since,
+       CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active
+FROM weekly w JOIN cohort c ON c.user_id = w.user_id
+GROUP BY c.cohort_week, weeks_since
+""",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    activity, counted distinct in every later week offset — the retention
+    matrix every product-analytics stack derives.  Week = integer epoch-us
+    floor-division (exact in both engines; no calendar/timezone functions
+    whose week-numbering conventions differ).
+
+    Scale shape: the distinct (user, week) projection collapses the event
+    table first (map-side combine), the cohort assignment is a MIN over
+    that already-small frame, and the matrix rollup joins on user_id —
+    every shuffle keyed on the user."""
+    ev = events_t(spark, sf_dir)
+    weekly = (
+        ev.select(
+            "user_id",
+            F.floor(F.col("ts_us") / 604_800_000_000).cast("bigint").alias("week"),
+        )
+        .distinct()
+    )
+    from .caching import persist_tracked
+
+    weekly = persist_tracked(weekly)
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("bigint").alias(
+                "weeks_since"
+            ),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+    )
