@@ -137,6 +137,26 @@ AUDIT: list[tuple[str, str]] = [
         " exchange-free.",
     ),
     (
+        "q_interval_union",
+        "Both gaps-and-islands windows, the island rollup, and the final"
+        " per-user aggregate run on ONE user_id exchange; interval"
+        " arithmetic is all epoch-micro longs — exact, no tolerance.",
+    ),
+    (
+        "q_first_touch_attribution",
+        "Sessionize, the rank-1 first-touch window, and the credited"
+        " re-join all key on user_id (sid derives within the partition) —"
+        " one exchange family end to end; the persisted session frame"
+        " feeds both the first-touch pass and the purchase rollup.",
+    ),
+    (
+        "q_retention_cohorts",
+        "The distinct (user, epoch-week) projection collapses the event"
+        " table FIRST (map-side combine), so the cohort MIN and the"
+        " retention matrix aggregate an already-small frame; every"
+        " shuffle keys on the user.",
+    ),
+    (
         "q_graph_triangles",
         "Edge generation explodes pairs only within a part (bounded"
         " per-part degree), dedups once, and is persisted so the wedge"
