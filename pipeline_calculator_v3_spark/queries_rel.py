@@ -318,6 +318,27 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_session_seq(ev: DataFrame, gap_us: int, cols: list[str]) -> DataFrame:
+    """Gaps-and-islands session ids over events: lag -> new-session flag ->
+    running sum, partitioned by user_id and totally ordered by
+    (ts_us, event_id).  THE single definition of the session contract —
+    q_sessionize and q_first_touch_attribution both build on it, so the
+    gap threshold and tie-break cannot silently fork."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.select(
+        *cols,
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    return flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("is_new")
+
+
 @query(
     "q_sessionize",
     oracle="""
@@ -346,21 +367,11 @@ GROUP BY user_id, session_seq
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization — the exact pattern of the reference's
     parallel-section grouping (src/pipeline_calculator_v3.py:412-430): lag →
-    new-session flag → running sum → groupBy.  30-min gap on events."""
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new-session flag → running sum → groupBy.  30-min gap on events
+    (the session contract itself lives in _with_session_seq, shared with
+    q_first_touch_attribution)."""
     ev = events_t(spark, sf_dir)
-    flagged = ev.select(
-        "user_id", "event_id", "ts_us",
-        F.when(
-            (F.col("ts_us") - F.lag("ts_us").over(w) > 1800000000)
-            | F.lag("ts_us").over(w).isNull(),
-            1,
-        ).otherwise(0).alias("is_new"),
-    )
-    sess = flagged.withColumn(
-        "session_seq",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = _with_session_seq(ev, 1_800_000_000, ["user_id", "event_id", "ts_us"])
     return sess.groupBy("user_id", F.col("session_seq").cast("bigint").alias("session_seq")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.min("ts_us").alias("session_start_us"),
@@ -1116,7 +1127,7 @@ first_touch AS (
     WHERE rn = 1
 )
 SELECT f.channel,
-       CAST(COUNT(DISTINCT s.user_id || '-' || s.sid) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT (s.user_id, s.sid)) AS BIGINT) AS n_sessions,
        CAST(SUM(CASE WHEN s.event_type = 'purchase' THEN 1 ELSE 0 END)
             AS BIGINT) AS n_purchases
 FROM sess s JOIN first_touch f ON f.user_id = s.user_id AND f.sid = s.sid
@@ -1137,23 +1148,9 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     on user_id (the sid is derived within the partition) — one exchange
     family end to end; the rollup is |event_type| groups."""
     ev = events_t(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    flagged = ev.select(
-        "user_id", "event_id", "event_type", "ts_us",
-        F.when(
-            F.lag("ts_us").over(w).isNull()
-            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > 1_800_000_000),
-            1,
-        ).otherwise(0).alias("is_new"),
-    )
-    sess = flagged.select(
-        "user_id", "event_id", "event_type", "ts_us",
-        F.sum("is_new").over(
-            Window.partitionBy("user_id")
-            .orderBy("ts_us", "event_id")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("sid"),
-    )
+    sess = _with_session_seq(
+        ev, 1_800_000_000, ["user_id", "event_id", "event_type", "ts_us"]
+    ).withColumnRenamed("session_seq", "sid")
     from .caching import persist_tracked
 
     sess = persist_tracked(sess)
@@ -1171,9 +1168,9 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.join(first_touch, ["user_id", "sid"])
         .groupBy("channel")
         .agg(
-            F.countDistinct(
-                F.concat_ws("-", F.col("user_id"), F.col("sid"))
-            ).cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id", "sid").cast("bigint").alias(
+                "n_sessions"
+            ),
             F.sum(
                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
             ).cast("bigint").alias("n_purchases"),
@@ -1203,8 +1200,10 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by the week of their first
     activity, counted distinct in every later week offset — the retention
     matrix every product-analytics stack derives.  Week = integer epoch-us
-    floor-division (exact in both engines; no calendar/timezone functions
-    whose week-numbering conventions differ).
+    division with TRUNCATION semantics on BOTH sides (Spark `div` ==
+    DuckDB `//`; a floor-vs-truncate mix diverges on pre-1970 timestamps,
+    and double-routed floor() is only exact below 2^53) — no
+    calendar/timezone functions whose week-numbering conventions differ.
 
     Scale shape: the distinct (user, week) projection collapses the event
     table first (map-side combine), the cohort assignment is a MIN over
@@ -1214,7 +1213,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly = (
         ev.select(
             "user_id",
-            F.floor(F.col("ts_us") / 604_800_000_000).cast("bigint").alias("week"),
+            F.expr("ts_us div 604800000000").cast("bigint").alias("week"),
         )
         .distinct()
     )
