@@ -346,6 +346,7 @@ from . import queries_stream  # noqa: E402,F401
 from . import queries_textml  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
+from . import queries_analytics  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The correctness driver checks exactly the FIRST 50
@@ -392,6 +393,11 @@ _NEVER_CHECKED_FIRST = [
     "q_graph_pagerank",
     # r05 ninth batch: session attribution + cohort retention analytics
     "q_first_touch_attribution", "q_retention_cohorts",
+    # r05 tenth batch: statistical event analytics — Markov transition
+    # matrices, z-score outlier flagging, FIR EWMA smoothing, declarative
+    # data-quality rule evaluation (all oracle-backed)
+    "q_markov_transitions", "q_anomaly_zscore", "q_ewma_smooth",
+    "q_data_quality",
     # r05 must-recheck: operators changed this round — replay staging went
     # executor-side (session_timeout/late_data), the LSH bucket bit layout
     # was factored into a shared constant (ann_lsh/ann_recall)
@@ -406,12 +412,16 @@ _NEVER_CHECKED_FIRST = [
     # r05 window still refreshes the three oldest r02 verdicts above).
 ]
 _KEEP_IN_WINDOW = [
-    "q_geodesic_length", "q_geodesic_length_exact", "q_overlap_summary",
-    "q_overlap_e2e", "q_overlap_rollup", "q_spatial_distance_join",
+    "q_geodesic_length", "q_overlap_summary",
+    "q_overlap_e2e",
     "q_parallel_overlap", "q_effective_length", "q_segmentize",
-    "q_ngram_jaccard",
 ]
 _ROTATED_OUT = [
+    # yielded their permanent window slots to the r05 tenth batch — each is
+    # r04-driver-green and (where oracle-backed) parity-gated every pytest
+    # run; q_geodesic_length stays in-window as the flagship representative
+    "q_geodesic_length_exact", "q_overlap_rollup",
+    "q_spatial_distance_join", "q_ngram_jaccard",
     # r04-green rows (freshest possible verdict) — rotate to the tail;
     # tests/test_oracle_parity.py still value-gates every oracle-backed one
     # per pytest run.

@@ -1,0 +1,74 @@
+"""Semantic invariants for the statistical event-analytics family
+(queries_analytics.py) — properties the oracle-parity hash check cannot
+express: probability normalization, convex-combination bounds, and
+rule-evaluation consistency."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pipeline_calculator_v3_spark.queries import QUERIES
+from pipeline_calculator_v3_spark.queries import events_t, t
+
+
+def test_markov_rows_are_a_probability_matrix(spark, sf_dir):
+    pdf = QUERIES["q_markov_transitions"](spark, sf_dir).toPandas()
+    # row-normalized: P(next | prev) sums to 1 over next for every prev
+    sums = pdf.groupby("prev_type")["p_transition"].sum()
+    assert all(math.isclose(s, 1.0, rel_tol=1e-12) for s in sums), sums
+    assert (pdf["p_transition"] > 0).all()
+    assert (pdf["p_transition"] <= 1.0).all()
+    # total transitions = events minus one sequence head per user
+    ev = events_t(spark, sf_dir)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert int(pdf["n_transitions"].sum()) == n_events - n_users
+
+
+def test_anomaly_zscore_counts_bounded(spark, sf_dir):
+    pdf = QUERIES["q_anomaly_zscore"](spark, sf_dir).toPandas()
+    assert (pdf["n_anomalies"] <= pdf["n_events"]).all()
+    assert (pdf["n_anomalies"] >= 0).all()
+    assert (pdf["max_abs_z"] >= 0).all()
+    # segments partition the table
+    assert int(pdf["n_events"].sum()) == events_t(spark, sf_dir).count()
+
+
+def test_ewma_is_a_convex_combination_per_user(spark, sf_dir):
+    sm = QUERIES["q_ewma_smooth"](spark, sf_dir)
+    bounds = (
+        events_t(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    )
+    joined = sm.join(bounds, "user_id")
+    eps = 1e-9
+    bad = joined.where(
+        (F.col("ewma_last") < F.col("vmin") - eps)
+        | (F.col("ewma_last") > F.col("vmax") + eps)
+        | (F.col("ewma_mean") < F.col("vmin") - eps)
+        | (F.col("ewma_mean") > F.col("vmax") + eps)
+    ).count()
+    assert bad == 0
+
+
+def test_data_quality_rules_consistent(spark, sf_dir):
+    pdf = (
+        QUERIES["q_data_quality"](spark, sf_dir)
+        .toPandas()
+        .set_index("rule_name")
+    )
+    assert len(pdf) == 7
+    li = t(spark, sf_dir, "lineitem")
+    n = li.count()
+    assert (pdf["n_checked"] == n).all()
+    assert ((pdf["violation_rate"] >= 0) & (pdf["violation_rate"] <= 1)).all()
+    # clean-by-construction rules on the synthetic data
+    for rule in ("quantity_in_range", "discount_in_range", "price_positive",
+                 "returnflag_domain", "order_fk_exists"):
+        assert pdf.loc[rule, "n_violations"] == 0, rule
+    # duplicate-key rule matches a direct recount
+    dup = n - li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert int(pdf.loc["line_key_unique", "n_violations"]) == dup

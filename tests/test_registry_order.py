@@ -75,6 +75,9 @@ def test_rotated_out_remain_pytest_gated():
             "q_dedup_minhash_xl", "q_similarity_ann_ivf",
             "q_quantile_approx", "q_contamination_xl",
             "q_chunk_documents_xl",  # rows-only scale twin, clean r04 row
+            "q_geodesic_length_exact",  # Karney geodesic — no SQL oracle
+                                        # exists by nature; clean r04 row,
+                                        # golden-tested vs closed-form arcs
         ), name
 
 
