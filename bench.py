@@ -62,6 +62,8 @@ HEADLINE = [
     "q_pack_sequences",           # added r05 (per-shard packing window)
     "q_repetition_filter",        # added r05 (explode+2-level agg quality rules)
     "q_sql_recursive_tree",       # added r05 (WITH RECURSIVE UnionLoop)
+    "q_markov_transitions",       # added r05 (per-user sequence window)
+    "q_data_quality",             # added r05 (7 rules in one scan + FK probe)
     "q_overlap_e2e",
 ]
 

@@ -398,6 +398,8 @@ _NEVER_CHECKED_FIRST = [
     # data-quality rule evaluation (all oracle-backed)
     "q_markov_transitions", "q_anomaly_zscore", "q_ewma_smooth",
     "q_data_quality",
+    # r05 eleventh batch: single-pass column profiler + RFM segmentation
+    "q_profile_table", "q_rfm_segmentation",
     # r05 must-recheck: operators changed this round — replay staging went
     # executor-side (session_timeout/late_data), the LSH bucket bit layout
     # was factored into a shared constant (ann_lsh/ann_recall)
@@ -412,16 +414,18 @@ _NEVER_CHECKED_FIRST = [
     # r05 window still refreshes the three oldest r02 verdicts above).
 ]
 _KEEP_IN_WINDOW = [
-    "q_geodesic_length", "q_overlap_summary",
+    "q_geodesic_length",
     "q_overlap_e2e",
-    "q_parallel_overlap", "q_effective_length", "q_segmentize",
+    "q_parallel_overlap", "q_segmentize",
 ]
 _ROTATED_OUT = [
-    # yielded their permanent window slots to the r05 tenth batch — each is
-    # r04-driver-green and (where oracle-backed) parity-gated every pytest
-    # run; q_geodesic_length stays in-window as the flagship representative
+    # yielded their permanent window slots to the r05 tenth/eleventh
+    # batches — each is r04-driver-green and (where oracle-backed)
+    # parity-gated every pytest run; q_geodesic_length and q_overlap_e2e
+    # stay in-window as the flagship representatives
     "q_geodesic_length_exact", "q_overlap_rollup",
     "q_spatial_distance_join", "q_ngram_jaccard",
+    "q_overlap_summary", "q_effective_length",
     # r04-green rows (freshest possible verdict) — rotate to the tail;
     # tests/test_oracle_parity.py still value-gates every oracle-backed one
     # per pytest run.

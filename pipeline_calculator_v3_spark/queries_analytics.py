@@ -327,3 +327,195 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-column table profiler (deequ/great-expectations "analyze" shape)
+# ---------------------------------------------------------------------------
+_PROFILE_NUMERIC = ["o_orderkey", "o_custkey", "o_totalprice"]
+_PROFILE_OTHER = ["o_orderstatus", "o_orderdate", "o_orderpriority"]
+
+
+@query(
+    "q_profile_table",
+    oracle="""
+WITH a AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderkey) AS BIGINT)            AS nn_o_orderkey,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)   AS nd_o_orderkey,
+           CAST(MIN(o_orderkey) AS DOUBLE)              AS mn_o_orderkey,
+           CAST(MAX(o_orderkey) AS DOUBLE)              AS mx_o_orderkey,
+           AVG(o_orderkey)                              AS av_o_orderkey,
+           CAST(COUNT(o_custkey) AS BIGINT)             AS nn_o_custkey,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)    AS nd_o_custkey,
+           CAST(MIN(o_custkey) AS DOUBLE)               AS mn_o_custkey,
+           CAST(MAX(o_custkey) AS DOUBLE)               AS mx_o_custkey,
+           AVG(o_custkey)                               AS av_o_custkey,
+           CAST(COUNT(o_totalprice) AS BIGINT)          AS nn_o_totalprice,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_o_totalprice,
+           CAST(MIN(o_totalprice) AS DOUBLE)            AS mn_o_totalprice,
+           CAST(MAX(o_totalprice) AS DOUBLE)            AS mx_o_totalprice,
+           AVG(o_totalprice)                            AS av_o_totalprice,
+           CAST(COUNT(o_orderstatus) AS BIGINT)           AS nn_o_orderstatus,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)  AS nd_o_orderstatus,
+           CAST(COUNT(o_orderdate) AS BIGINT)             AS nn_o_orderdate,
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT)    AS nd_o_orderdate,
+           CAST(COUNT(o_orderpriority) AS BIGINT)         AS nn_o_orderpriority,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_o_orderpriority
+    FROM orders
+)
+SELECT col AS column_name, n_rows,
+       n_rows - nn AS n_nulls, nd AS n_distinct,
+       mn AS min_num, mx AS max_num, av AS avg_num
+FROM (
+    SELECT 'o_orderkey' AS col, n_rows, nn_o_orderkey AS nn,
+           nd_o_orderkey AS nd, mn_o_orderkey AS mn, mx_o_orderkey AS mx,
+           av_o_orderkey AS av FROM a
+    UNION ALL SELECT 'o_custkey', n_rows, nn_o_custkey, nd_o_custkey,
+           mn_o_custkey, mx_o_custkey, av_o_custkey FROM a
+    UNION ALL SELECT 'o_totalprice', n_rows, nn_o_totalprice,
+           nd_o_totalprice, mn_o_totalprice, mx_o_totalprice,
+           av_o_totalprice FROM a
+    UNION ALL SELECT 'o_orderstatus', n_rows, nn_o_orderstatus,
+           nd_o_orderstatus, NULL, NULL, NULL FROM a
+    UNION ALL SELECT 'o_orderdate', n_rows, nn_o_orderdate,
+           nd_o_orderdate, NULL, NULL, NULL FROM a
+    UNION ALL SELECT 'o_orderpriority', n_rows, nn_o_orderpriority,
+           nd_o_orderpriority, NULL, NULL, NULL FROM a
+)
+""",
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profile of ``orders`` — one output row per
+    column with row/null/exact-distinct counts, plus min/max/mean for the
+    numeric columns (NULL for the rest).  The deequ/great-expectations
+    "analyze" shape: profile-before-train is the first step of any
+    training-data ingestion.
+
+    Scale shape: ONE aggregation over one scan.  The six exact distincts
+    make Catalyst plan an Expand (one replicated row per distinct group,
+    6x map-side fan-out) — the standard multi-distinct strategy; partial
+    aggregation collapses each expanded stream before the single shuffle,
+    so the exchange carries per-partition partials, not 6x the data.  The
+    unpivot to column rows happens on a 1-row aggregate — free."""
+    od = t(spark, sf_dir, "orders")
+    aggs: list[F.Column] = [F.count("*").cast("long").alias("n_rows")]
+    for c in _PROFILE_NUMERIC + _PROFILE_OTHER:
+        aggs.append(F.count(c).cast("long").alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"))
+    for c in _PROFILE_NUMERIC:
+        aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+        aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+        aggs.append(F.avg(c).alias(f"av_{c}"))
+    a = od.agg(*aggs)
+
+    def _row(c: str) -> str:
+        if c in _PROFILE_NUMERIC:
+            return f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}, av_{c}"
+        return (
+            f"'{c}', nn_{c}, nd_{c}, CAST(NULL AS DOUBLE),"
+            f" CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+        )
+
+    cols = _PROFILE_NUMERIC + _PROFILE_OTHER
+    stacked = a.selectExpr(
+        f"""stack({len(cols)}, {", ".join(_row(c) for c in cols)})
+            AS (column_name, nn, n_distinct, min_num, max_num, avg_num)""",
+        "n_rows",
+    )
+    return stacked.select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("nn")).alias("n_nulls"),
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "avg_num",
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (quartile scores via ntile)
+# ---------------------------------------------------------------------------
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+WITH cust AS (
+    SELECT o_custkey AS custkey,
+           date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                     DATE '1999-01-01')               AS recency_days,
+           CAST(COUNT(*) AS BIGINT)                   AS frequency,
+           SUM(o_totalprice)                          AS monetary
+    FROM orders
+    GROUP BY o_custkey
+), scored AS (
+    SELECT custkey, recency_days, frequency, monetary,
+           ntile(4) OVER (ORDER BY recency_days ASC, custkey ASC)
+               AS r_score,
+           ntile(4) OVER (ORDER BY frequency DESC, custkey ASC)
+               AS f_score,
+           ntile(4) OVER (ORDER BY monetary DESC, custkey ASC)
+               AS m_score
+    FROM cust
+)
+SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       SUM(monetary) AS total_monetary,
+       MIN(recency_days) AS best_recency_days,
+       MAX(frequency) AS max_frequency
+FROM scored
+GROUP BY r_score, f_score, m_score
+""",
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation: per
+    customer, days since last order (vs the fixed 1999-01-01 anchor),
+    order count, and total spend; each dimension scored 1-4 with ntile
+    and rolled up to the 4x4x4 segment grid.
+
+    Determinism contract: ntile over a non-unique metric is
+    order-dependent, so every ORDER BY carries custkey as the tiebreak —
+    both engines assign identical tiles (1 = most recent / most frequent /
+    highest spend).
+
+    Scale shape: the per-customer rollup is one hash-agg shuffle on
+    custkey.  The three ntiles are GLOBAL windows — a single-partition
+    sort each — which is the honest cost of exact global quantile ranks;
+    they run on the already-aggregated per-customer frame (|customers|
+    rows, not |orders|), and three windows over the same frame pipeline
+    within one stage.  At 100 TB you'd swap exact ntile for
+    approx_percentile cutpoints (the q_quantile_* family shows that
+    shape); this query pins the exact semantics."""
+    od = t(spark, sf_dir, "orders")
+    cust = od.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit("1999-01-01").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    scored = cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("custkey")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("custkey")))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("monetary").alias("total_monetary"),
+        F.min("recency_days").alias("best_recency_days"),
+        F.max("frequency").alias("max_frequency"),
+    )

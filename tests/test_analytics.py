@@ -72,3 +72,37 @@ def test_data_quality_rules_consistent(spark, sf_dir):
     # duplicate-key rule matches a direct recount
     dup = n - li.select("l_orderkey", "l_linenumber").distinct().count()
     assert int(pdf.loc["line_key_unique", "n_violations"]) == dup
+
+
+def test_profile_table_invariants(spark, sf_dir):
+    pdf = (
+        QUERIES["q_profile_table"](spark, sf_dir)
+        .toPandas()
+        .set_index("column_name")
+    )
+    n = t(spark, sf_dir, "orders").count()
+    assert len(pdf) == 6
+    assert (pdf["n_rows"] == n).all()
+    # distinct counts non-null values only
+    assert (pdf["n_distinct"] <= pdf["n_rows"] - pdf["n_nulls"]).all()
+    # o_orderkey is the primary key: dense, unique, null-free
+    assert pdf.loc["o_orderkey", "n_nulls"] == 0
+    assert pdf.loc["o_orderkey", "n_distinct"] == n
+    # numeric summary present only for numeric columns
+    assert pdf.loc["o_orderstatus", ["min_num", "max_num", "avg_num"]].isna().all()
+    row = pdf.loc["o_totalprice"]
+    assert row["min_num"] <= row["avg_num"] <= row["max_num"]
+
+
+def test_rfm_tiles_are_balanced_quartiles(spark, sf_dir):
+    pdf = QUERIES["q_rfm_segmentation"](spark, sf_dir).toPandas()
+    for c in ("r_score", "f_score", "m_score"):
+        assert set(pdf[c]) <= {1, 2, 3, 4}
+    n_cust = (
+        t(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert int(pdf["n_customers"].sum()) == n_cust
+    # each dimension's marginal is an ntile(4) partition: sizes differ by <=1
+    for c in ("r_score", "f_score", "m_score"):
+        marg = pdf.groupby(c)["n_customers"].sum()
+        assert marg.max() - marg.min() <= 1, (c, dict(marg))
