@@ -106,3 +106,55 @@ def test_rfm_tiles_are_balanced_quartiles(spark, sf_dir):
     for c in ("r_score", "f_score", "m_score"):
         marg = pdf.groupby(c)["n_customers"].sum()
         assert marg.max() - marg.min() <= 1, (c, dict(marg))
+
+
+def _events_pdf(sf_dir):
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    return pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+
+
+def test_ewma_matches_independent_numpy_recompute(spark, sf_dir):
+    """Third-implementation gate: the Spark and DuckDB EWMA share their
+    kernel fragments verbatim (by design, for bit-identical sums), so the
+    oracle can't catch a shared-formula bug.  Recompute from the parquet
+    with plain numpy and compare."""
+    import numpy as np
+
+    pdf = _events_pdf(sf_dir)
+    out = (
+        QUERIES["q_ewma_smooth"](spark, sf_dir)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    w = np.array([0.5 ** (k + 1) for k in range(8)])
+    expect_last, expect_mean = {}, {}
+    for uid, g in pdf.groupby("user_id"):
+        v = g["value"].to_numpy()
+        sm = np.empty(len(v))
+        for i in range(len(v)):
+            k = min(i + 1, 8)
+            taps = v[i::-1][:k]
+            sm[i] = float(np.dot(taps, w[:k])) / float(w[:k].sum())
+        expect_last[uid], expect_mean[uid] = sm[-1], sm.mean()
+    assert set(out.index) == set(expect_last)
+    for uid in out.index:
+        assert abs(out.loc[uid, "ewma_last"] - expect_last[uid]) < 1e-9, uid
+        assert abs(out.loc[uid, "ewma_mean"] - expect_mean[uid]) < 1e-9, uid
+
+
+def test_markov_matches_independent_pandas_recompute(spark, sf_dir):
+    pdf = _events_pdf(sf_dir)
+    out = QUERIES["q_markov_transitions"](spark, sf_dir).toPandas()
+    got = {
+        (r.prev_type, r.next_type): r.n_transitions
+        for r in out.itertuples()
+    }
+    expect: dict[tuple[str, str], int] = {}
+    for _, g in pdf.groupby("user_id"):
+        types = g["event_type"].tolist()
+        for a, b in zip(types, types[1:]):
+            expect[(a, b)] = expect.get((a, b), 0) + 1
+    assert got == expect
