@@ -79,13 +79,47 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Per-segment z-score outlier detection
 # ---------------------------------------------------------------------------
+def zscore_anomaly_rollup(
+    frame: DataFrame, segment_col: str, value_col: str, threshold: float = 3.0
+) -> DataFrame:
+    """Reusable z-score rollup over any (segment, value) frame — the query
+    below binds it to events(event_type, value); tests drive it directly
+    with degenerate segments (zero variance, single row)."""
+    w = Window.partitionBy(segment_col)
+    # nullif guard: sigma=0 (constant segment) must score NULL, matching
+    # DuckDB's null-on-zero-divide — under Spark's default ANSI mode a bare
+    # division would instead raise DIVIDE_BY_ZERO
+    scored = frame.select(
+        segment_col,
+        (
+            F.abs(
+                (F.col(value_col) - F.avg(value_col).over(w))
+                / F.nullif(F.stddev_pop(value_col).over(w), F.lit(0.0))
+            )
+        ).alias("abs_z"),
+    )
+    return scored.groupBy(segment_col).agg(
+        F.count("*").alias("n_events"),
+        # when/otherwise, not a bare cast: a zero-variance segment makes
+        # abs_z NULL for every row, and summing all-NULL must yield 0 (as
+        # the oracle's CASE does), not NULL
+        F.sum(
+            F.when(F.col("abs_z") > threshold, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_anomalies"),
+        F.max("abs_z").alias("max_abs_z"),
+    )
+
+
 @query(
     "q_anomaly_zscore",
     oracle="""
 WITH st AS (
     SELECT event_type, value,
            avg(value)        OVER (PARTITION BY event_type) AS mu,
-           stddev_pop(value) OVER (PARTITION BY event_type) AS sd
+           NULLIF(stddev_pop(value) OVER (PARTITION BY event_type), 0.0)
+               AS sd
     FROM events
 )
 SELECT event_type,
@@ -108,21 +142,8 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     is on the SAME key, so the exchange is reused — the whole query is one
     shuffle end-to-end.  No join-back: the window form keeps the row and
     its segment stats co-located."""
-    ev = events_t(spark, sf_dir)
-    w = Window.partitionBy("event_type")
-    scored = ev.select(
-        "event_type",
-        (
-            F.abs(
-                (F.col("value") - F.avg("value").over(w))
-                / F.stddev_pop("value").over(w)
-            )
-        ).alias("abs_z"),
-    )
-    return scored.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.sum((F.col("abs_z") > 3.0).cast("bigint")).alias("n_anomalies"),
-        F.max("abs_z").alias("max_abs_z"),
+    return zscore_anomaly_rollup(
+        events_t(spark, sf_dir), "event_type", "value"
     )
 
 
@@ -231,8 +252,8 @@ WITH a AS (
                          THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
            CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
                          THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
-           CAST(SUM(CASE WHEN l_shipdate <  TIMESTAMP '1992-01-01'
-                           OR l_shipdate >= TIMESTAMP '1999-01-01'
+           CAST(SUM(CASE WHEN l_shipdate <  TIMESTAMP '1995-01-01'
+                           OR l_shipdate >= TIMESTAMP '2002-01-01'
                          THEN 1 ELSE 0 END) AS BIGINT) AS v_ship,
            CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
                 AS BIGINT) AS v_dup
@@ -290,15 +311,22 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         viol(F.col("l_extendedprice") <= 0).alias("v_price"),
         viol(~F.col("l_returnflag").isin("A", "N", "R")).alias("v_flag"),
         viol(
-            (F.col("l_shipdate") < F.lit("1992-01-01").cast("timestamp"))
+            (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
             | (
                 F.col("l_shipdate")
-                >= F.lit("1999-01-01").cast("timestamp")
+                >= F.lit("2002-01-01").cast("timestamp")
             )
         ).alias("v_ship"),
+        # struct-wrapped distinct: a struct with a NULL field is itself
+        # non-null, so NULL-keyed rows count as distinct values — matching
+        # DuckDB's COUNT(DISTINCT (a, b)) row-struct semantics (bare
+        # count_distinct(a, b) would DROP those rows and report them as
+        # duplicates)
         (
             F.count("*")
-            - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+            - F.count_distinct(
+                F.struct(F.col("l_orderkey"), F.col("l_linenumber"))
+            )
         )
         .cast("long")
         .alias("v_dup"),
@@ -443,7 +471,7 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH cust AS (
     SELECT o_custkey AS custkey,
            date_diff('day', CAST(MAX(o_orderdate) AS DATE),
-                     DATE '1999-01-01')               AS recency_days,
+                     DATE '2002-01-01')               AS recency_days,
            CAST(COUNT(*) AS BIGINT)                   AS frequency,
            SUM(o_totalprice)                          AS monetary
     FROM orders
@@ -470,7 +498,9 @@ GROUP BY r_score, f_score, m_score
 )
 def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) quartile segmentation: per
-    customer, days since last order (vs the fixed 1999-01-01 anchor),
+    customer, days since last order (vs the fixed 2002-01-01 anchor —
+    chosen past the generator's max order date 2001-08-01 so recency is
+    non-negative),
     order count, and total spend; each dimension scored 1-4 with ntile
     and rolled up to the 4x4x4 segment grid.
 
@@ -490,7 +520,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = t(spark, sf_dir, "orders")
     cust = od.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.datediff(
-            F.lit("1999-01-01").cast("date"),
+            F.lit("2002-01-01").cast("date"),
             F.max("o_orderdate").cast("date"),
         )
         .cast("long")

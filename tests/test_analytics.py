@@ -65,9 +65,12 @@ def test_data_quality_rules_consistent(spark, sf_dir):
     n = li.count()
     assert (pdf["n_checked"] == n).all()
     assert ((pdf["violation_rate"] >= 0) & (pdf["violation_rate"] <= 1)).all()
-    # clean-by-construction rules on the synthetic data
+    # clean-by-construction rules on the synthetic data: every predicate
+    # rule is calibrated to the generator's actual ranges, so the only
+    # rule with real violations is the duplicate-key one — a DQ suite that
+    # flags good rows carries no signal (review finding, r05)
     for rule in ("quantity_in_range", "discount_in_range", "price_positive",
-                 "returnflag_domain", "order_fk_exists"):
+                 "returnflag_domain", "shipdate_window", "order_fk_exists"):
         assert pdf.loc[rule, "n_violations"] == 0, rule
     # duplicate-key rule matches a direct recount
     dup = n - li.select("l_orderkey", "l_linenumber").distinct().count()
@@ -102,6 +105,8 @@ def test_rfm_tiles_are_balanced_quartiles(spark, sf_dir):
         t(spark, sf_dir, "orders").select("o_custkey").distinct().count()
     )
     assert int(pdf["n_customers"].sum()) == n_cust
+    # anchor is past the generator's max order date -> recency never negative
+    assert (pdf["best_recency_days"] >= 0).all()
     # each dimension's marginal is an ntile(4) partition: sizes differ by <=1
     for c in ("r_score", "f_score", "m_score"):
         marg = pdf.groupby(c)["n_customers"].sum()
@@ -158,3 +163,26 @@ def test_markov_matches_independent_pandas_recompute(spark, sf_dir):
         for a, b in zip(types, types[1:]):
             expect[(a, b)] = expect.get((a, b), 0) + 1
     assert got == expect
+
+
+def test_zscore_zero_variance_segment_yields_zero_not_null(spark):
+    """Review finding (r05): a constant-value segment makes sigma_pop 0 and
+    every z-score NULL; the rollup must report 0 anomalies (as the SQL
+    CASE does), never a NULL count."""
+    from pipeline_calculator_v3_spark.queries_analytics import (
+        zscore_anomaly_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("const", 5.0)] * 4 + [("single", 1.0)]
+        + [("normal", float(x)) for x in (1, 2, 3, 400)],
+        "seg string, v double",
+    )
+    out = {
+        r["seg"]: r
+        for r in zscore_anomaly_rollup(df, "seg", "v").collect()
+    }
+    assert out["const"]["n_anomalies"] == 0
+    assert out["const"]["max_abs_z"] is None
+    assert out["single"]["n_anomalies"] == 0
+    assert out["normal"]["n_anomalies"] == 0  # |z| maxes at ~1.73 for n=4
