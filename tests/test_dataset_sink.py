@@ -1,0 +1,115 @@
+"""Partitioned dataset sink + manifest validation round-trip."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from pipeline_calculator_v3_spark.dataset import (
+    validate_dataset,
+    write_dataset,
+)
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_round_trip_validates_ok(spark, docs, tmp_path):
+    out = str(tmp_path / "ds")
+    manifest = write_dataset(
+        docs, out, partition_by=["lang"], key_cols=["doc_id", "text"]
+    )
+    assert manifest["n_rows"] == docs.count()
+    assert manifest["n_partitions"] == docs.select("lang").distinct().count()
+    report = validate_dataset(spark, out)
+    assert report["ok"], report
+
+
+def test_validation_is_layout_invariant(spark, docs, tmp_path):
+    """Rewriting with different parallelism must validate clean — the
+    checksum is order- and file-layout-independent."""
+    out = str(tmp_path / "ds")
+    write_dataset(
+        docs, out, partition_by=["lang"], key_cols=["doc_id", "text"]
+    )
+    reread = spark.read.parquet(out).repartition(7)
+    out2 = str(tmp_path / "ds2")
+    reread.write.partitionBy("lang").parquet(out2)
+    shutil.copy(
+        os.path.join(out, "_manifest.json"),
+        os.path.join(out2, "_manifest.json"),
+    )
+    assert validate_dataset(spark, out2)["ok"]
+
+
+def test_missing_partition_detected(spark, docs, tmp_path):
+    out = str(tmp_path / "ds")
+    write_dataset(
+        docs, out, partition_by=["lang"], key_cols=["doc_id", "text"]
+    )
+    victim = next(
+        d for d in os.listdir(out) if d.startswith("lang=")
+    )
+    shutil.rmtree(os.path.join(out, victim))
+    report = validate_dataset(spark, out)
+    assert not report["ok"]
+    assert report["missing"] == [
+        {"lang": victim.split("=", 1)[1]}
+    ]
+
+
+def test_content_tamper_detected(spark, docs, tmp_path):
+    """Same row count, one character changed -> checksum mismatch."""
+    out = str(tmp_path / "ds")
+    write_dataset(
+        docs, out, partition_by=["lang"], key_cols=["doc_id", "text"]
+    )
+    # rewrite one partition with one doc_id altered (count preserved)
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    victim = sorted(langs)[0]
+    part_dir = os.path.join(out, f"lang={victim}")
+    sub = spark.read.parquet(part_dir)
+    from pyspark.sql import functions as F
+
+    tampered = sub.withColumn(
+        "doc_id",
+        F.when(
+            F.col("doc_id")
+            == sub.agg(F.min("doc_id")).collect()[0][0],
+            F.col("doc_id") + 1_000_000,
+        ).otherwise(F.col("doc_id")),
+    )
+    tampered_pdf = tampered.toPandas()
+    shutil.rmtree(part_dir)
+    os.makedirs(part_dir)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(tampered_pdf), os.path.join(part_dir, "p.parquet")
+    )
+    report = validate_dataset(spark, out)
+    assert not report["ok"]
+    assert len(report["mismatches"]) == 1
+    m = report["mismatches"][0]
+    assert m["partition"] == {"lang": victim}
+    assert m["expected"]["n_rows"] == m["actual"]["n_rows"]
+    assert m["expected"]["checksum"] != m["actual"]["checksum"]
+
+
+def test_manifest_file_ignored_by_spark_reader(spark, docs, tmp_path):
+    out = str(tmp_path / "ds")
+    write_dataset(
+        docs, out, partition_by=["lang"], key_cols=["doc_id"]
+    )
+    assert os.path.exists(os.path.join(out, "_manifest.json"))
+    # underscore-prefixed files are invisible to the parquet reader
+    assert spark.read.parquet(out).count() == docs.count()
+    with open(os.path.join(out, "_manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["key_cols"] == ["doc_id"]
