@@ -976,3 +976,194 @@ def q_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c").cast("bigint").alias("min_count"),
         F.max("c").cast("bigint").alias("max_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel: the whole pipeline as ONE oracle-backed query
+# ---------------------------------------------------------------------------
+_G8_DUCK = (
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]"
+    " || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]"
+)
+
+
+@query(
+    "q_curation_e2e",
+    oracle=f"""
+WITH tk AS (
+    SELECT doc_id, text, {_TOKENS} AS t FROM documents
+),
+base AS (
+    SELECT doc_id, text, t, len(t) AS ntok FROM tk WHERE len(t) > 0
+),
+quality AS (
+    SELECT * FROM base WHERE ntok >= 30
+),
+exact AS (
+    SELECT doc_id, text, t, ntok FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM quality
+    ) WHERE rn = 1
+),
+sh3 AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+    FROM exact
+),
+sigs AS (
+    SELECT doc_id, sh,
+           list_transform(range(0, 16), i ->
+               list_aggregate(list_transform(sh,
+                   s -> md5(s || '|' || CAST(i AS VARCHAR))), 'min')) AS sig
+    FROM sh3 WHERE len(sh) > 0
+),
+bands AS (
+    SELECT doc_id,
+           CAST(b AS VARCHAR) || ':' ||
+           list_aggregate(sig[b*4+1 : b*4+4], 'string_agg', ',') AS key
+    FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS tb(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+    FROM bands a JOIN bands b ON a.key = b.key AND a.doc_id < b.doc_id
+),
+neardup AS (
+    SELECT DISTINCT id2 AS doc_id FROM (
+        SELECT id1, id2,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
+        FROM cand
+        JOIN sh3 sa ON sa.doc_id = cand.id1
+        JOIN sh3 sb ON sb.doc_id = cand.id2
+    ) WHERE j >= 0.5
+),
+dedup AS (
+    SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
+),
+bsh AS (
+    SELECT DISTINCT unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 7, 0) + 1), {_G8_DUCK}))) AS s
+    FROM base WHERE doc_id % 10 = 0
+),
+tsh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 7, 0) + 1), {_G8_DUCK}))) AS s
+    FROM dedup WHERE doc_id % 10 <> 0
+),
+contaminated AS (
+    SELECT DISTINCT doc_id FROM tsh WHERE s IN (SELECT s FROM bsh)
+),
+clean AS (
+    SELECT * FROM dedup
+    WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+sampled AS (
+    SELECT * FROM clean WHERE md5(CAST(doc_id AS VARCHAR)) < '80000000'
+)
+SELECT CAST(0 AS BIGINT) AS stage_no, 'raw' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM base
+UNION ALL SELECT 1, 'quality', COUNT(*), SUM(ntok) FROM quality
+UNION ALL SELECT 2, 'exact_dedup', COUNT(*), SUM(ntok) FROM exact
+UNION ALL SELECT 3, 'near_dedup', COUNT(*), SUM(ntok) FROM dedup
+UNION ALL SELECT 4, 'decontaminated', COUNT(*), SUM(ntok) FROM clean
+UNION ALL SELECT 5, 'sampled', COUNT(*), SUM(ntok) FROM sampled
+""",
+)
+def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one query — the repo's training-data
+    operators composed end-to-end, with the funnel (docs and tokens
+    surviving each stage) value-gated against a DuckDB replay of every
+    stage:
+
+      raw -> quality (>=30 tokens) -> exact dedup (md5 fingerprint,
+      min-doc_id winner) -> near-dedup (md5 MinHash 16x4 LSH, drop the
+      higher id of each >=0.5-Jaccard pair) -> decontamination (drop train
+      docs sharing an 8-gram with the doc_id%10==0 benchmark holdout) ->
+      deterministic 50% hash sample.
+
+    Each stage reuses the SAME operator the standalone queries use
+    (minhash_lsh_pairs_md5, shingles_from_tokens, hash_sample_predicate),
+    so this is an integration gate over real composition, not a re-spelled
+    pipeline.  The synthetic corpus has no exact duplicates, so the
+    exact-dedup stage passes everything through — the stage is still
+    exercised (fingerprint + window), its discrimination is covered by
+    test_dedup_exact fixtures.
+
+    Scale shape per stage: quality is a scan-side filter; exact dedup is
+    one fingerprint-keyed shuffle; near-dup is the banded-LSH bucket join
+    (never all-pairs); decontamination broadcasts the benchmark shingle
+    set; sampling is a scan-side md5-threshold filter.  Stage frames are
+    persisted once and reused by both the next stage and the stage
+    rollup, so lineage does not re-run the funnel per count; the six
+    1-row aggregates union at driver scale."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import minhash_lsh_pairs_md5
+
+    d = _spread(t(spark, sf_dir, "documents"), spark)
+    base = persist_tracked(
+        d.select("doc_id", "text", tokens(F.lower(F.col("text"))).alias("t"))
+        .withColumn("ntok", F.size("t"))
+        .where(F.col("ntok") > 0)
+    )
+    quality = persist_tracked(base.where(F.col("ntok") >= 30))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = persist_tracked(
+        quality.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    flagged = (
+        minhash_lsh_pairs_md5(
+            exact.select("doc_id", "text"), min_jaccard=0.5
+        )
+        .select(F.col("id2").alias("doc_id"))
+        .distinct()
+    )
+    dedup = persist_tracked(exact.join(flagged, "doc_id", "left_anti"))
+
+    def _g8(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("t"), 8))
+            ).alias("s"),
+        )
+
+    bench_sh = _g8(base.where(F.col("doc_id") % 10 == 0)).select("s").distinct()
+    train = dedup.where(F.col("doc_id") % 10 != 0)
+    contaminated = (
+        _g8(train)
+        .join(F.broadcast(bench_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = persist_tracked(train.join(contaminated, "doc_id", "left_anti"))
+    sampled = clean.where(hash_sample_predicate(F.col("doc_id"), 0.5))
+
+    stages = [
+        ("raw", base),
+        ("quality", quality),
+        ("exact_dedup", exact),
+        ("near_dedup", dedup),
+        ("decontaminated", clean),
+        ("sampled", sampled),
+    ]
+    out = None
+    for i, (name, frame) in enumerate(stages):
+        row = (
+            frame.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("ntok").cast("bigint").alias("n_tokens"),
+            )
+            .select(
+                F.lit(i).cast("bigint").alias("stage_no"),
+                F.lit(name).alias("stage"),
+                "n_docs",
+                "n_tokens",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

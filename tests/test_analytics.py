@@ -186,3 +186,20 @@ def test_zscore_zero_variance_segment_yields_zero_not_null(spark):
     assert out["const"]["max_abs_z"] is None
     assert out["single"]["n_anomalies"] == 0
     assert out["normal"]["n_anomalies"] == 0  # |z| maxes at ~1.73 for n=4
+
+
+def test_curation_funnel_is_monotone(spark, sf_dir):
+    pdf = (
+        QUERIES["q_curation_e2e"](spark, sf_dir)
+        .toPandas()
+        .sort_values("stage_no")
+        .reset_index(drop=True)
+    )
+    assert list(pdf["stage"]) == [
+        "raw", "quality", "exact_dedup", "near_dedup",
+        "decontaminated", "sampled",
+    ]
+    # each stage only removes documents/tokens
+    assert pdf["n_docs"].is_monotonic_decreasing
+    assert pdf["n_tokens"].is_monotonic_decreasing
+    assert pdf["n_docs"].iloc[-1] > 0
