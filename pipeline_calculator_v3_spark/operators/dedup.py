@@ -164,6 +164,7 @@ def minhash_lsh_pairs_md5(
     bands: int = 4,
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via md5-based banded MinHash-LSH — deterministic
     AND reproducible in ANSI SQL, so the whole probabilistic pipeline
@@ -185,13 +186,23 @@ def minhash_lsh_pairs_md5(
     threshold.  Docs with fewer than ``shingle_n`` tokens have no shingles
     and are excluded (both engines; an empty-set signature would otherwise
     collide globally).
+
+    ``tokens_col`` (optional): a pre-materialized token-array column to use
+    instead of tokenizing ``text_col`` — pipeline callers that already
+    carry the token arrays (q_curation_e2e) skip the duplicate tokenizer
+    pass.  The caller owns the contract that the column equals
+    ``tokens(normalized_text(text))``.
     """
     rows = num_hashes // bands
     staged = (
         docs.select(
             F.col(id_col).alias("id"),
             # tokens MATERIALIZED before shingling (see shingles_from_tokens)
-            tokens(normalized_text(F.col(text_col))).alias("t"),
+            (
+                F.col(tokens_col)
+                if tokens_col is not None
+                else tokens(normalized_text(F.col(text_col)))
+            ).alias("t"),
         )
         # short-doc filter on the CHEAP column: written as size(sh) > 0, the
         # optimizer pushes the predicate below the projection with the whole

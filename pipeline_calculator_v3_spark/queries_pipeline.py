@@ -1117,7 +1117,7 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = (
         minhash_lsh_pairs_md5(
-            exact.select("doc_id", "text"), min_jaccard=0.5
+            exact.select("doc_id", "t"), min_jaccard=0.5, tokens_col="t"
         )
         .select(F.col("id2").alias("doc_id"))
         .distinct()
