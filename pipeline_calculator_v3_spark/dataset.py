@@ -4,17 +4,36 @@ plus a tiny ``_manifest.json`` holding per-partition row counts and
 order-independent content checksums, so any later copy / re-shard / engine
 migration can be validated by comparing aggregates instead of rows.
 
-The checksum is the same commutative digest-residue scheme as
-``q_table_checksum`` (md5 over a '|'-joined canonical key string, 48-bit
-prefix, per-row ``% 1000000007``, summed): invariant to row order, file
-layout, and partition count within a partition value — exactly what
-survives a distcp-style copy or a Spark re-write with different
-parallelism.
+The checksum is a commutative digest-residue sum (functions/checksum.py):
+row digest = md5 of the canonical JSON of the key-column struct
+(NULL-distinguishing and delimiter-safe for arbitrary columns — see
+``row_digest_generic``), 48-bit prefix, per-row ``% 1e9+7``, summed.
+Invariant to row order, file layout, and partition-internal parallelism —
+exactly what survives a distcp-style copy or a Spark re-write with
+different parallelism.  (``q_table_checksum`` uses a sibling '|'-join
+digest because that form replays in its DuckDB oracle; the residue
+arithmetic is shared.)
+
+The manifest is computed from the files ACTUALLY ON DISK (a re-read of
+``out_dir`` after the write), never from the input frame's lineage — so
+non-deterministic upstream lineage cannot desynchronize the manifest from
+the data, an append covers the whole combined dataset, and an expensive
+upstream funnel is not re-executed for the checksum pass.
+
+Partition values are canonicalized to strings on both the write and
+validate paths (hive directory names are strings; Spark's read-side
+partition type inference would otherwise turn '2024' into an int and
+break the key match).
 
 Scale shape: the manifest computation is one map-side digest + one hash
 aggregate keyed on the partition columns — |partitions| rows ever reach
 the driver, never data.  The write itself is a plain distributed
 ``df.write.partitionBy(...)``.
+
+Limitation: the manifest file itself is written/read with local-filesystem
+IO; for an object-store ``out_dir`` use the returned manifest dict and
+persist it with your store's client (the validation math is all in
+:func:`diff_manifests`, which is storage-agnostic).
 """
 
 from __future__ import annotations
@@ -25,39 +44,29 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.checksum import digest_residue, row_digest_generic
+
 _MANIFEST = "_manifest.json"
-_MOD = 1_000_000_007
 
 
 def _partition_checksums(
     df: DataFrame, partition_by: list[str], key_cols: list[str]
 ) -> DataFrame:
     """(partition values..., n_rows, checksum) — one row per partition."""
-    digest = F.md5(
-        F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    residue = digest_residue(
+        row_digest_generic([F.col(c) for c in key_cols])
     )
-    residue = F.conv(F.substring(digest, 1, 12), 16, 10).cast("bigint") % _MOD
-    return df.groupBy(*partition_by).agg(
+    return df.groupBy(
+        *[F.col(c).cast("string").alias(c) for c in partition_by]
+    ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(residue).cast("bigint").alias("checksum"),
     )
 
 
-def write_dataset(
-    df: DataFrame,
-    out_dir: str,
-    partition_by: list[str],
-    key_cols: list[str],
-    mode: str = "overwrite",
-) -> dict:
-    """Write ``df`` as parquet partitioned by ``partition_by`` and a
-    ``_manifest.json`` with per-partition (n_rows, checksum) over
-    ``key_cols``.  Returns the manifest dict."""
-    if not partition_by:
-        raise ValueError("partition_by must name at least one column")
-    if not key_cols:
-        raise ValueError("key_cols must name at least one column")
-    df.write.mode(mode).partitionBy(*partition_by).parquet(out_dir)
+def _manifest_entries(
+    df: DataFrame, partition_by: list[str], key_cols: list[str]
+) -> list[dict]:
     entries = [
         {
             "partition": {c: row[c] for c in partition_by},
@@ -67,6 +76,29 @@ def write_dataset(
         for row in _partition_checksums(df, partition_by, key_cols).collect()
     ]
     entries.sort(key=lambda e: json.dumps(e["partition"], sort_keys=True))
+    return entries
+
+
+def write_dataset(
+    df: DataFrame,
+    out_dir: str,
+    partition_by: list[str],
+    key_cols: list[str],
+    mode: str = "overwrite",
+) -> dict:
+    """Write ``df`` as parquet partitioned by ``partition_by`` plus a
+    ``_manifest.json`` with per-partition (n_rows, checksum) over
+    ``key_cols`` — computed from the files on disk after the write, so the
+    manifest always describes the ENTIRE dataset (including prior data
+    under ``mode='append'``).  Returns the manifest dict."""
+    if not partition_by:
+        raise ValueError("partition_by must name at least one column")
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    df.write.mode(mode).partitionBy(*partition_by).parquet(out_dir)
+    spark = df.sparkSession
+    on_disk = spark.read.parquet(out_dir)
+    entries = _manifest_entries(on_disk, partition_by, key_cols)
     manifest = {
         "partition_by": partition_by,
         "key_cols": key_cols,
@@ -79,6 +111,36 @@ def write_dataset(
     return manifest
 
 
+def diff_manifests(expected: dict, actual_entries: list[dict]) -> dict:
+    """Aggregate-vs-aggregate comparison of a stored manifest against
+    freshly computed entries.  Storage-agnostic."""
+    act = {
+        json.dumps(e["partition"], sort_keys=True): (e["n_rows"], e["checksum"])
+        for e in actual_entries
+    }
+    exp = {
+        json.dumps(e["partition"], sort_keys=True): (e["n_rows"], e["checksum"])
+        for e in expected["partitions"]
+    }
+    mismatches = [
+        {
+            "partition": json.loads(k),
+            "expected": {"n_rows": exp[k][0], "checksum": exp[k][1]},
+            "actual": {"n_rows": act[k][0], "checksum": act[k][1]},
+        }
+        for k in sorted(exp.keys() & act.keys())
+        if exp[k] != act[k]
+    ]
+    missing = sorted(exp.keys() - act.keys())
+    unexpected = sorted(act.keys() - exp.keys())
+    return {
+        "ok": not mismatches and not missing and not unexpected,
+        "mismatches": mismatches,
+        "missing": [json.loads(k) for k in missing],
+        "unexpected": [json.loads(k) for k in unexpected],
+    }
+
+
 def validate_dataset(spark: SparkSession, out_dir: str) -> dict:
     """Re-read a dataset written by :func:`write_dataset`, recompute the
     per-partition checksums from the parquet actually on disk, and diff
@@ -86,42 +148,13 @@ def validate_dataset(spark: SparkSession, out_dir: str) -> dict:
 
     Returns ``{"ok": bool, "mismatches": [...], "missing": [...],
     "unexpected": [...]}`` where mismatches carry both sides' counts and
-    checksums.  The comparison is aggregate-vs-aggregate: |partitions|
-    rows, no data movement beyond the recompute scan."""
+    checksums.  |partitions| rows of comparison, no data movement beyond
+    the recompute scan."""
     with open(os.path.join(out_dir, _MANIFEST)) as f:
         manifest = json.load(f)
-    partition_by = manifest["partition_by"]
-    key_cols = manifest["key_cols"]
-    actual = {
-        json.dumps({c: row[c] for c in partition_by}, sort_keys=True): (
-            row["n_rows"],
-            row["checksum"],
-        )
-        for row in _partition_checksums(
-            spark.read.parquet(out_dir), partition_by, key_cols
-        ).collect()
-    }
-    expected = {
-        json.dumps(e["partition"], sort_keys=True): (
-            e["n_rows"],
-            e["checksum"],
-        )
-        for e in manifest["partitions"]
-    }
-    mismatches = [
-        {
-            "partition": json.loads(k),
-            "expected": {"n_rows": expected[k][0], "checksum": expected[k][1]},
-            "actual": {"n_rows": actual[k][0], "checksum": actual[k][1]},
-        }
-        for k in sorted(expected.keys() & actual.keys())
-        if expected[k] != actual[k]
-    ]
-    missing = sorted(expected.keys() - actual.keys())
-    unexpected = sorted(actual.keys() - expected.keys())
-    return {
-        "ok": not mismatches and not missing and not unexpected,
-        "mismatches": mismatches,
-        "missing": [json.loads(k) for k in missing],
-        "unexpected": [json.loads(k) for k in unexpected],
-    }
+    actual = _manifest_entries(
+        spark.read.parquet(out_dir),
+        manifest["partition_by"],
+        manifest["key_cols"],
+    )
+    return diff_manifests(manifest, actual)

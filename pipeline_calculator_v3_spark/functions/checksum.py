@@ -1,0 +1,39 @@
+"""Commutative digest-residue checksum building blocks.
+
+Two users with deliberately DIFFERENT row-digest canonicalizations:
+
+- ``q_table_checksum`` (queries_pipeline.py): '|'-joined CAST strings over
+  fixed, non-null key columns — chosen because it replays verbatim in the
+  DuckDB oracle.  Safe there by contract (int/char columns, no NULLs).
+- ``dataset.py``: ``md5(to_json(struct(cols)))`` — NULL-distinguishing and
+  injection-safe for arbitrary user columns (JSON escapes delimiters and
+  renders null explicitly), at the cost of not being oracle-replayed.
+
+Both share the residue arithmetic below: 48-bit digest prefix, per-row
+``% 1e9+7`` so a group's SUM stays far inside int64 (~9e9 rows/group), and
+summation is commutative — the checksum is invariant to row order, file
+layout, partitioning, and retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+RESIDUE_MOD = 1_000_000_007
+
+
+def digest_residue(digest_hex: Column) -> Column:
+    """48-bit prefix of an md5 hex digest as a bounded bigint residue."""
+    return (
+        F.conv(F.substring(digest_hex, 1, 12), 16, 10).cast("bigint")
+        % RESIDUE_MOD
+    )
+
+
+def row_digest_generic(cols: list[Column]) -> Column:
+    """NULL-distinguishing, delimiter-safe row digest for arbitrary columns:
+    md5 over the canonical JSON of a struct.  ('x', NULL) and (NULL, 'x')
+    digest differently, and values containing the would-be delimiter cannot
+    collide across columns."""
+    return F.md5(F.to_json(F.struct(*cols)))

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .caching import persist_tracked
-from .functions.text import shingles_from_tokens, tokens
+from .functions.text import fingerprint_md5, shingles_from_tokens, tokens
 from .operators.sampling import hash_sample_predicate
 from .queries import query, t
 
@@ -783,10 +783,9 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|", F.col("o_orderkey").cast("string"), F.col("o_orderstatus")
         )
     )
-    residue = (
-        F.conv(F.substring(digest, 1, 12), 16, 10).cast("bigint")
-        % 1000000007
-    )
+    from .functions.checksum import digest_residue
+
+    residue = digest_residue(digest)
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(residue).cast("bigint").alias("checksum"),
@@ -989,7 +988,7 @@ _G8_DUCK = (
 
 @query(
     "q_curation_e2e",
-    oracle=f"""
+    oracle=rf"""
 WITH tk AS (
     SELECT doc_id, text, {_TOKENS} AS t FROM documents
 ),
@@ -1001,7 +1000,9 @@ quality AS (
 ),
 exact AS (
     SELECT doc_id, text, t, ntok FROM (
-        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+            ORDER BY doc_id) AS rn
         FROM quality
     ) WHERE rn = 1
 ),
@@ -1077,8 +1078,8 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving each stage) value-gated against a DuckDB replay of every
     stage:
 
-      raw -> quality (>=30 tokens) -> exact dedup (md5 fingerprint,
-      min-doc_id winner) -> near-dedup (md5 MinHash 16x4 LSH, drop the
+      raw -> quality (>=30 tokens) -> exact dedup (normalized md5
+      fingerprint via fingerprint_md5, min-doc_id winner) -> near-dedup (md5 MinHash 16x4 LSH, drop the
       higher id of each >=0.5-Jaccard pair) -> decontamination (drop train
       docs sharing an 8-gram with the doc_id%10==0 benchmark holdout) ->
       deterministic 50% hash sample.
@@ -1109,7 +1110,10 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ntok") > 0)
     )
     quality = persist_tracked(base.where(F.col("ntok") >= 30))
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # the repo's canonical exact-dedup key (fingerprint_md5 = md5 of
+    # whitespace-collapsed lowercased text), NOT raw md5(text) — the same
+    # normalization q_dedup_exact uses, replayed in the oracle
+    w = Window.partitionBy(fingerprint_md5(F.col("text"))).orderBy("doc_id")
     exact = persist_tracked(
         quality.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)

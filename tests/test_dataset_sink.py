@@ -113,3 +113,58 @@ def test_manifest_file_ignored_by_spark_reader(spark, docs, tmp_path):
     with open(os.path.join(out, "_manifest.json")) as f:
         manifest = json.load(f)
     assert manifest["key_cols"] == ["doc_id"]
+
+
+def test_append_manifest_covers_whole_dataset(spark, docs, tmp_path):
+    """The manifest is computed from the files on disk, so an append's
+    manifest must describe old + new data, not just the appended frame."""
+    out = str(tmp_path / "ds")
+    first = docs.where("lang = 'en'")
+    rest = docs.where("lang <> 'en'")
+    write_dataset(
+        first, out, partition_by=["lang"], key_cols=["doc_id", "text"]
+    )
+    manifest = write_dataset(
+        rest, out, partition_by=["lang"], key_cols=["doc_id", "text"],
+        mode="append",
+    )
+    assert manifest["n_rows"] == docs.count()
+    assert (
+        manifest["n_partitions"]
+        == docs.select("lang").distinct().count()
+    )
+    assert validate_dataset(spark, out)["ok"]
+
+
+def test_typed_partition_column_round_trip(spark, docs, tmp_path):
+    """Numeric-looking partition values survive Spark's read-side partition
+    type inference (values are canonicalized to strings on both paths)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "ds")
+    bucketed = docs.withColumn("bucket", (F.col("doc_id") % 3).cast("int"))
+    write_dataset(
+        bucketed, out, partition_by=["bucket"], key_cols=["doc_id"]
+    )
+    report = validate_dataset(spark, out)
+    assert report["ok"], report
+
+
+def test_row_digest_distinguishes_nulls_and_delimiters(spark):
+    from pyspark.sql import functions as F
+
+    from pipeline_calculator_v3_spark.functions.checksum import (
+        row_digest_generic,
+    )
+
+    df = spark.createDataFrame(
+        [("x", None), (None, "x"), ("a|b", "c"), ("a", "b|c")],
+        "a string, b string",
+    )
+    digests = [
+        r[0]
+        for r in df.select(
+            row_digest_generic([F.col("a"), F.col("b")])
+        ).collect()
+    ]
+    assert len(set(digests)) == 4, digests
