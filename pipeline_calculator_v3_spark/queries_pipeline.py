@@ -1099,6 +1099,33 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted once and reused by both the next stage and the stage
     rollup, so lineage does not re-run the funnel per count; the six
     1-row aggregates union at driver scale."""
+    stages = curation_stages(spark, sf_dir)
+    out = None
+    for i, (name, frame) in enumerate(stages):
+        row = (
+            frame.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("ntok").cast("bigint").alias("n_tokens"),
+            )
+            .select(
+                F.lit(i).cast("bigint").alias("stage_no"),
+                F.lit(name).alias("stage"),
+                "n_docs",
+                "n_tokens",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def curation_stages(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, DataFrame]]:
+    """The funnel's stage frames, in order — q_curation_e2e rolls these up;
+    downstream consumers (tests, the dataset sink) take the last frame as
+    the curated corpus.  Each intermediate is persisted so a consumer that
+    both inspects a stage and writes the survivors does not re-run the
+    funnel."""
     from pyspark.sql import Window
 
     from .operators.dedup import minhash_lsh_pairs_md5
@@ -1147,7 +1174,7 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = persist_tracked(train.join(contaminated, "doc_id", "left_anti"))
     sampled = clean.where(hash_sample_predicate(F.col("doc_id"), 0.5))
 
-    stages = [
+    return [
         ("raw", base),
         ("quality", quality),
         ("exact_dedup", exact),
@@ -1155,19 +1182,3 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("decontaminated", clean),
         ("sampled", sampled),
     ]
-    out = None
-    for i, (name, frame) in enumerate(stages):
-        row = (
-            frame.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                F.sum("ntok").cast("bigint").alias("n_tokens"),
-            )
-            .select(
-                F.lit(i).cast("bigint").alias("stage_no"),
-                F.lit(name).alias("stage"),
-                "n_docs",
-                "n_tokens",
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out

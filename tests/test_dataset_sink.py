@@ -168,3 +168,37 @@ def test_row_digest_distinguishes_nulls_and_delimiters(spark):
         ).collect()
     ]
     assert len(set(digests)) == 4, digests
+
+
+def test_curated_corpus_writes_validated_dataset(spark, sf_dir, tmp_path):
+    """Capstone integration: the curation funnel's survivors stream into
+    the partitioned dataset sink and the manifest validates — curate ->
+    write -> verify, the complete production path."""
+    # import the registry first: queries_pipeline imported standalone would
+    # leave queries.py's bottom-of-module reorder asserting on a partially
+    # initialized registry
+    import pipeline_calculator_v3_spark.queries  # noqa: F401
+    from pipeline_calculator_v3_spark.queries_pipeline import curation_stages
+
+    stages = dict(curation_stages(spark, sf_dir))
+    survivors = stages["sampled"].join(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang"
+        ),
+        "doc_id",
+    )
+    out = str(tmp_path / "curated")
+    manifest = write_dataset(
+        survivors.select("doc_id", "lang", "text", "ntok"),
+        out,
+        partition_by=["lang"],
+        key_cols=["doc_id", "text"],
+    )
+    assert manifest["n_rows"] == survivors.count()
+    assert validate_dataset(spark, out)["ok"]
+    # the written corpus is exactly the funnel's survivor set
+    reread = spark.read.parquet(out)
+    assert reread.count() == manifest["n_rows"]
+    assert (
+        reread.join(stages["sampled"], "doc_id", "left_anti").count() == 0
+    )
