@@ -1121,16 +1121,21 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_stages(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[str, DataFrame]]:
-    """The funnel's stage frames, in order — q_curation_e2e rolls these up;
-    downstream consumers (tests, the dataset sink) take the last frame as
-    the curated corpus.  Each intermediate is persisted so a consumer that
-    both inspects a stage and writes the survivors does not re-run the
-    funnel."""
+    """The funnel's stage frames over the documents table, in order —
+    q_curation_e2e rolls these up; downstream consumers (tests, the
+    dataset sink) take the last frame as the curated corpus."""
+    return curation_stages_from(
+        _spread(t(spark, sf_dir, "documents"), spark)
+    )
+
+
+def curation_stages_from(d: DataFrame) -> list[tuple[str, DataFrame]]:
+    """The funnel over ANY (doc_id, text) corpus frame.  Each intermediate
+    is persisted so a consumer that both inspects a stage and writes the
+    survivors does not re-run the funnel."""
     from pyspark.sql import Window
 
     from .operators.dedup import minhash_lsh_pairs_md5
-
-    d = _spread(t(spark, sf_dir, "documents"), spark)
     base = persist_tracked(
         d.select("doc_id", "text", tokens(F.lower(F.col("text"))).alias("t"))
         .withColumn("ntok", F.size("t"))
