@@ -1,0 +1,134 @@
+"""Bloom-filter runtime join pruning — the shuffle-reduction primitive for
+selective fact⋈dim joins at 100 TB.
+
+Spark's own runtime row-group filtering exists but its bloom expressions
+(``bloom_filter_agg`` / ``might_contain``) are not registered in the OSS
+function registry (verified: UNRESOLVED_ROUTINE on 4.1), so this builds
+the same pattern from public primitives:
+
+1. **Build** (over the small/dim side): k = ``n_hashes`` bit positions per
+   key via seeded xxhash64, exploded to (word, mask) pairs, reduced with a
+   ``bit_or`` hash aggregate, then densified into ONE row holding the whole
+   bitmap as ``array<bigint>`` — built distributed, never collected to the
+   driver.
+2. **Probe** (over the fact side): crossJoin(broadcast(bitmap_row)) hands
+   every probe task the array; the membership predicate is pure Column /
+   SQL bit arithmetic (element_at + shiftleft mask), inside whole-stage
+   codegen.  (SQL ``shiftleft`` takes a column shift amount where the
+   PySpark wrapper insists on a literal — positions are materialized as
+   named columns so ``F.expr`` can reference them.)
+
+Guarantee: NO false negatives (a present key always passes), so
+``bloom_prefilter_join`` returns exactly the rows of the plain join —
+the filter only sheds fact rows that cannot match, BEFORE they reach the
+join's exchange.  False-positive rate follows the standard
+(1 - e^{-kn/m})^k; defaults (m = 2^20 bits, k = 4) hold ~1% up to
+n ≈ 1e5 build keys — size m to the dim side; the bitmap is m/8 bytes,
+broadcast once.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_M_BITS = 1 << 20
+DEFAULT_K = 4
+
+_BITMAP = "bloom_bitmap"
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = DEFAULT_M_BITS,
+    n_hashes: int = DEFAULT_K,
+) -> DataFrame:
+    """ONE-row frame ``(bloom_bitmap: array<bigint>)`` over the keys —
+    build it on the SMALL side of the join."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    n_words = m_bits // 64
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(j)), F.lit(m_bits))
+                for j in range(n_hashes)
+            ]
+        )
+    ).alias("p")
+    words = (
+        keys.select(pos)
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    return (
+        words.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "word"))
+            ).alias("m")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("m", i.cast("int")), F.lit(0).cast("bigint")
+                ),
+            ).alias(_BITMAP)
+        )
+    )
+
+
+def bloom_filter_keys(
+    df: DataFrame,
+    bitmap: DataFrame,
+    key_col: str,
+    m_bits: int = DEFAULT_M_BITS,
+    n_hashes: int = DEFAULT_K,
+) -> DataFrame:
+    """Rows of ``df`` whose ``key_col`` MIGHT be in the filter (all k bits
+    set) — the map-side shed; never drops a true member."""
+    probed = df.crossJoin(F.broadcast(bitmap))
+    pcols = []
+    for j in range(n_hashes):
+        pj = f"_bloom_p{j}"
+        probed = probed.withColumn(
+            pj, F.pmod(F.xxhash64(F.col(key_col), F.lit(j)), F.lit(m_bits))
+        )
+        pcols.append(pj)
+    conds = [
+        F.element_at(
+            F.col(_BITMAP), (F.col(pj) / 64).cast("int") + 1
+        ).bitwiseAND(F.expr(f"shiftleft(1L, cast({pj} % 64 as int))"))
+        != 0
+        for pj in pcols
+    ]
+    return probed.where(reduce(lambda a, b: a & b, conds)).drop(
+        _BITMAP, *pcols
+    )
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = DEFAULT_M_BITS,
+    n_hashes: int = DEFAULT_K,
+    how: str = "inner",
+) -> DataFrame:
+    """fact ⋈ dim with the fact side pre-filtered by a bloom filter of the
+    dim keys: rows that cannot match are shed map-side BEFORE the join's
+    shuffle.  Result rows are identical to the plain join (no false
+    negatives); only the exchanged volume changes."""
+    bitmap = bloom_build(
+        dim.select(dim_key).distinct(), dim_key, m_bits, n_hashes
+    )
+    pruned = bloom_filter_keys(fact, bitmap, fact_key, m_bits, n_hashes)
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

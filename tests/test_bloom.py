@@ -1,0 +1,75 @@
+"""Bloom runtime-filter: no false negatives, real selectivity, and join
+equivalence against the plain join on the shared tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipeline_calculator_v3_spark.operators.bloom import (
+    bloom_build,
+    bloom_filter_keys,
+    bloom_prefilter_join,
+)
+
+
+def test_no_false_negatives(spark):
+    keys = spark.range(0, 5000).select(F.col("id").alias("k"))
+    bitmap = bloom_build(keys, "k", m_bits=1 << 16, n_hashes=4)
+    # every inserted key must pass its own filter
+    kept = bloom_filter_keys(keys, bitmap, "k", m_bits=1 << 16, n_hashes=4)
+    assert kept.count() == 5000
+
+
+def test_false_positive_rate_small(spark):
+    build = spark.range(0, 1000).select(F.col("id").alias("k"))
+    bitmap = bloom_build(build, "k", m_bits=1 << 16, n_hashes=4)
+    # probe a disjoint key range: survivors are false positives
+    probe = spark.range(1_000_000, 1_050_000).select(F.col("id").alias("k"))
+    fp = bloom_filter_keys(
+        probe, bitmap, "k", m_bits=1 << 16, n_hashes=4
+    ).count()
+    # theoretical rate at n=1000, m=2^16, k=4 is ~0.1%; allow 1%
+    assert fp < 500, fp
+
+
+def test_prefilter_join_equals_plain_join(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # a selective dim: 5% of parts
+    dim = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where("p_partkey % 20 = 0")
+        .select("p_partkey", "p_name")
+    )
+    plain = (
+        li.join(dim, li["l_partkey"] == dim["p_partkey"])
+        .groupBy("p_partkey")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    bloomed = (
+        bloom_prefilter_join(li, dim, "l_partkey", "p_partkey")
+        .groupBy("p_partkey")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    a = {r["p_partkey"]: (r["n"], r["q"]) for r in plain.collect()}
+    b = {r["p_partkey"]: (r["n"], r["q"]) for r in bloomed.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_prefilter_sheds_most_fact_rows(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dim = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where("p_partkey % 20 = 0")
+        .select("p_partkey")
+    )
+    bitmap = bloom_build(dim, "p_partkey")
+    kept = bloom_filter_keys(li, bitmap, "l_partkey").count()
+    total = li.count()
+    true_hits = li.join(
+        dim, li["l_partkey"] == dim["p_partkey"], "left_semi"
+    ).count()
+    # everything that matches survives...
+    assert kept >= true_hits
+    # ...and the shed is real: survivors stay close to the true match set,
+    # far below the full fact table (the exchange the filter saves)
+    assert kept < total * 0.25, (kept, total, true_hits)
