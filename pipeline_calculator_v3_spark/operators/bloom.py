@@ -9,8 +9,10 @@ the same pattern from public primitives:
 1. **Build** (over the small/dim side): k = ``n_hashes`` bit positions per
    key via seeded xxhash64, exploded to (word, mask) pairs, reduced with a
    ``bit_or`` hash aggregate, then densified into ONE row holding the whole
-   bitmap as ``array<bigint>`` — built distributed, never collected to the
-   driver.
+   bitmap as ``array<bigint>`` plus its own ``bloom_k`` — built
+   distributed, never collected to the driver, and SELF-DESCRIBING: the
+   probe derives m from ``size(bitmap)*64`` and k from the row, so a
+   build/probe parameter mismatch cannot silently shed true members.
 2. **Probe** (over the fact side): crossJoin(broadcast(bitmap_row)) hands
    every probe task the array; the membership predicate is pure Column /
    SQL bit arithmetic (element_at + shiftleft mask), inside whole-stage
@@ -18,13 +20,19 @@ the same pattern from public primitives:
    PySpark wrapper insists on a literal — positions are materialized as
    named columns so ``F.expr`` can reference them.)
 
+Keys are hashed through a canonical ``cast(string)`` on BOTH sides: a
+fact/dim key type mismatch (int vs bigint) implicitly casts in a plain
+join but hashes differently in raw xxhash64 — the string canonicalization
+keeps the no-false-negatives guarantee type-proof.
+
 Guarantee: NO false negatives (a present key always passes), so
 ``bloom_prefilter_join`` returns exactly the rows of the plain join —
 the filter only sheds fact rows that cannot match, BEFORE they reach the
-join's exchange.  False-positive rate follows the standard
-(1 - e^{-kn/m})^k; defaults (m = 2^20 bits, k = 4) hold ~1% up to
-n ≈ 1e5 build keys — size m to the dim side; the bitmap is m/8 bytes,
-broadcast once.
+join's exchange.  Only ``inner`` and ``left_semi`` joins are accepted:
+outer/anti joins need the shed rows in their result and are rejected
+loudly.  False-positive rate follows the standard (1 - e^{-kn/m})^k;
+defaults (m = 2^20 bits, k = 4) hold ~1% up to n ≈ 1e5 build keys — size
+m to the dim side; the bitmap is m/8 bytes, broadcast once.
 """
 
 from __future__ import annotations
@@ -34,10 +42,19 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
+
 DEFAULT_M_BITS = 1 << 20
 DEFAULT_K = 4
 
 _BITMAP = "bloom_bitmap"
+_KCOL = "bloom_k"
+
+
+def _canon(key_col: str):
+    # canonical hash input: type-insensitive (int 5 and bigint 5 render
+    # identically; a raw xxhash64 would hash them differently)
+    return F.col(key_col).cast("string")
 
 
 def bloom_build(
@@ -46,15 +63,16 @@ def bloom_build(
     m_bits: int = DEFAULT_M_BITS,
     n_hashes: int = DEFAULT_K,
 ) -> DataFrame:
-    """ONE-row frame ``(bloom_bitmap: array<bigint>)`` over the keys —
-    build it on the SMALL side of the join."""
+    """ONE-row frame ``(bloom_bitmap: array<bigint>, bloom_k: int)`` over
+    the keys — build it on the SMALL side of the join.  Persisted: probes
+    read it twice (k lookup + the broadcast)."""
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
     n_words = m_bits // 64
     pos = F.explode(
         F.array(
             *[
-                F.pmod(F.xxhash64(F.col(key_col), F.lit(j)), F.lit(m_bits))
+                F.pmod(F.xxhash64(_canon(key_col), F.lit(j)), F.lit(m_bits))
                 for j in range(n_hashes)
             ]
         )
@@ -68,7 +86,7 @@ def bloom_build(
         .groupBy("w")
         .agg(F.bit_or("mask").alias("word"))
     )
-    return (
+    return persist_tracked(
         words.agg(
             F.map_from_entries(
                 F.collect_list(F.struct("w", "word"))
@@ -80,26 +98,32 @@ def bloom_build(
                 lambda i: F.coalesce(
                     F.element_at("m", i.cast("int")), F.lit(0).cast("bigint")
                 ),
-            ).alias(_BITMAP)
+            ).alias(_BITMAP),
+            F.lit(n_hashes).alias(_KCOL),
         )
     )
 
 
 def bloom_filter_keys(
-    df: DataFrame,
-    bitmap: DataFrame,
-    key_col: str,
-    m_bits: int = DEFAULT_M_BITS,
-    n_hashes: int = DEFAULT_K,
+    df: DataFrame, bitmap: DataFrame, key_col: str
 ) -> DataFrame:
     """Rows of ``df`` whose ``key_col`` MIGHT be in the filter (all k bits
-    set) — the map-side shed; never drops a true member."""
-    probed = df.crossJoin(F.broadcast(bitmap))
+    set) — the map-side shed; never drops a true member.  m and k come
+    from the bitmap row itself, so the probe cannot be mis-parameterized."""
+    reserved = {_BITMAP, _KCOL}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input frame already has reserved columns {clash}")
+    n_hashes = bitmap.select(_KCOL).first()[0]
+    probed = df.crossJoin(F.broadcast(bitmap.select(_BITMAP)))
+    m_col = F.size(F.col(_BITMAP)).cast("bigint") * 64
     pcols = []
     for j in range(n_hashes):
         pj = f"_bloom_p{j}"
+        if pj in df.columns:
+            raise ValueError(f"input frame already has reserved column {pj}")
         probed = probed.withColumn(
-            pj, F.pmod(F.xxhash64(F.col(key_col), F.lit(j)), F.lit(m_bits))
+            pj, F.pmod(F.xxhash64(_canon(key_col), F.lit(j)), m_col)
         )
         pcols.append(pj)
     conds = [
@@ -126,9 +150,18 @@ def bloom_prefilter_join(
     """fact ⋈ dim with the fact side pre-filtered by a bloom filter of the
     dim keys: rows that cannot match are shed map-side BEFORE the join's
     shuffle.  Result rows are identical to the plain join (no false
-    negatives); only the exchanged volume changes."""
+    negatives); only the exchanged volume changes.
+
+    Only ``inner`` / ``left_semi`` are sound under pre-filtering (outer
+    and anti joins need the shed rows in their output) — anything else
+    raises."""
+    if how not in ("inner", "left_semi", "semi", "leftsemi"):
+        raise ValueError(
+            f"bloom pre-filtering is only sound for inner/left_semi joins, "
+            f"got how={how!r} (outer/anti joins need the shed rows)"
+        )
     bitmap = bloom_build(
         dim.select(dim_key).distinct(), dim_key, m_bits, n_hashes
     )
-    pruned = bloom_filter_keys(fact, bitmap, fact_key, m_bits, n_hashes)
+    pruned = bloom_filter_keys(fact, bitmap, fact_key)
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

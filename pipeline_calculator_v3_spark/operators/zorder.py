@@ -46,7 +46,16 @@ def zorder_key(lat: Column, lon: Column, bits: int = 16) -> Column:
         bit_lon = F.shiftright(qlon, i).bitwiseAND(F.lit(1))
         terms.append(F.shiftleft(bit_lon, 2 * i))
         terms.append(F.shiftleft(bit_lat, 2 * i + 1))
-    return reduce(lambda a, b: a.bitwiseOR(b), terms).cast("bigint")
+    key = reduce(lambda a, b: a.bitwiseOR(b), terms).cast("bigint")
+    # NULL/NaN coordinates must yield a NULL key, not a valid corner tile:
+    # Spark's least/greatest SKIP null arguments, so the clamp would
+    # otherwise park a NULL lat at the max cell and silently pollute that
+    # tile's file statistics (review finding, r05)
+    bad = (
+        lat.isNull() | lon.isNull() | F.isnan(lat.cast("double"))
+        | F.isnan(lon.cast("double"))
+    )
+    return F.when(bad, F.lit(None).cast("bigint")).otherwise(key)
 
 
 def cluster_by_zorder(
@@ -60,8 +69,12 @@ def cluster_by_zorder(
     output file covers a contiguous z-range, i.e. a compact spatial tile)
     and sort within partitions so row-group min/max stats are tight.
 
-    One shuffle (the range exchange) — the cost every table re-clustering
-    pays; downstream bbox scans repay it on every query."""
+    Rows with NULL/NaN coordinates carry a NULL z-key and land together in
+    the first range partition — quarantined, not scattered into valid
+    tiles.  One shuffle (the range exchange) — the cost every table
+    re-clustering pays; downstream bbox scans repay it on every query."""
+    if "_zkey" in df.columns:
+        raise ValueError("input frame already has a _zkey column")
     keyed = df.withColumn(
         "_zkey", zorder_key(F.col(lat_col), F.col(lon_col), bits)
     )

@@ -15,8 +15,9 @@ from pipeline_calculator_v3_spark.operators.bloom import (
 def test_no_false_negatives(spark):
     keys = spark.range(0, 5000).select(F.col("id").alias("k"))
     bitmap = bloom_build(keys, "k", m_bits=1 << 16, n_hashes=4)
-    # every inserted key must pass its own filter
-    kept = bloom_filter_keys(keys, bitmap, "k", m_bits=1 << 16, n_hashes=4)
+    # every inserted key must pass its own filter (probe self-describes
+    # from the bitmap row — no m/k to get wrong)
+    kept = bloom_filter_keys(keys, bitmap, "k")
     assert kept.count() == 5000
 
 
@@ -25,9 +26,7 @@ def test_false_positive_rate_small(spark):
     bitmap = bloom_build(build, "k", m_bits=1 << 16, n_hashes=4)
     # probe a disjoint key range: survivors are false positives
     probe = spark.range(1_000_000, 1_050_000).select(F.col("id").alias("k"))
-    fp = bloom_filter_keys(
-        probe, bitmap, "k", m_bits=1 << 16, n_hashes=4
-    ).count()
+    fp = bloom_filter_keys(probe, bitmap, "k").count()
     # theoretical rate at n=1000, m=2^16, k=4 is ~0.1%; allow 1%
     assert fp < 500, fp
 
@@ -73,3 +72,35 @@ def test_prefilter_sheds_most_fact_rows(spark, sf_dir):
     # ...and the shed is real: survivors stay close to the true match set,
     # far below the full fact table (the exchange the filter saves)
     assert kept < total * 0.25, (kept, total, true_hits)
+
+
+def test_type_mismatched_keys_still_match(spark):
+    """int build keys vs bigint probe keys: canonical string hashing keeps
+    the no-false-negatives guarantee across the implicit-cast boundary a
+    plain join would bridge."""
+    from pyspark.sql import functions as F
+
+    dim = spark.range(0, 100).select(F.col("id").cast("int").alias("k"))
+    fact = spark.range(0, 100).select(F.col("id").alias("k"))  # bigint
+    bitmap = bloom_build(dim, "k", m_bits=1 << 16)
+    assert bloom_filter_keys(fact, bitmap, "k").count() == 100
+
+
+def test_outer_join_mode_rejected(spark, sf_dir):
+    import pytest as _pytest
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dim = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey")
+    with _pytest.raises(ValueError, match="only sound"):
+        bloom_prefilter_join(li, dim, "l_partkey", "p_partkey", how="left")
+
+
+def test_reserved_column_collision_rejected(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    keys = spark.range(0, 10).select(F.col("id").alias("k"))
+    bitmap = bloom_build(keys, "k", m_bits=1 << 10)
+    poisoned = keys.withColumn("bloom_bitmap", F.lit(1))
+    with _pytest.raises(ValueError, match="reserved"):
+        bloom_filter_keys(poisoned, bitmap, "k")

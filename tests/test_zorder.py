@@ -98,3 +98,16 @@ def test_bbox_rows_concentrate_in_few_files(spark, sf_dir, tmp_path):
     assert rr >= n_files // 2, (rr, zz)
     # z-order concentrates it into a handful
     assert zz <= max(2, rr // 4), (rr, zz)
+
+
+def test_null_and_nan_coordinates_yield_null_key(spark):
+    df = spark.createDataFrame(
+        [(None, 10.0), (10.0, None), (float("nan"), 0.0), (0.0, 0.0)],
+        "lat double, lon double",
+    )
+    keys = [
+        r[0]
+        for r in df.select(zorder_key(F.col("lat"), F.col("lon"), 8)).collect()
+    ]
+    assert keys[0] is None and keys[1] is None and keys[2] is None
+    assert keys[3] is not None
