@@ -151,3 +151,32 @@ def write_csv_corpus(df: DataFrame, path: str, header: bool = True) -> None:
         .option("emptyValue", '""')
         .csv(path)
     )
+
+
+def read_parquet_evolving(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """Parquet dataset whose files were written under an EVOLVING schema
+    (columns added over time) — the normal state of a long-lived 100 TB
+    corpus directory.
+
+    Two modes, the 100 TB tradeoff made explicit:
+    - ``schema=None``: ``mergeSchema`` unions every file footer into one
+      superset schema; files lacking a column null-fill it.  Correct but
+      pays a footer-read per file at planning time — fine for thousands of
+      files, a planning stall for millions.
+    - ``schema='...'`` (DDL string): the caller states the CURRENT contract
+      up front; no footer sweep, old files null-fill the missing columns.
+      This is the production path (same explicit-schema rule as
+      queries.EVENTS_SCHEMA / read_jsonl) — mergeSchema is for the
+      exploratory "what is actually in this directory" pass.
+
+    Either way the engine-level guarantee is the same: adding a column is
+    a non-event for readers (old data reads as NULL); REMOVING or
+    re-typing a column is a breaking change this reader deliberately does
+    not paper over (a re-typed column fails loudly on read instead of
+    silently coercing).
+    """
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -190,3 +190,35 @@ def test_csv_empty_string_vs_null_round_trip(spark, tmp_path):
     got = {r.id: r.v for r in back.collect()}
     assert got == {1: "x", 2: "", 3: None}
     back.unpersist()
+
+
+def test_parquet_schema_evolution_round_trip(spark, tmp_path):
+    """Files written before a column existed read back null-filled under
+    both the mergeSchema sweep and the explicit-contract path."""
+    from pipeline_calculator_v3_spark.sources.formats import (
+        read_parquet_evolving,
+    )
+
+    out = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, name string"
+    )
+    v1.write.parquet(out)
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.5)], "id bigint, name string, score double"
+    )
+    v2.write.mode("append").parquet(out)
+
+    merged = read_parquet_evolving(spark, out)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert len(rows) == 3
+    assert rows[1]["score"] is None and rows[3]["score"] == 0.5
+
+    explicit = read_parquet_evolving(
+        spark, out, schema="id bigint, name string, score double"
+    )
+    rows2 = {r["id"]: r for r in explicit.collect()}
+    assert rows2[2]["score"] is None and rows2[3]["score"] == 0.5
+    # plain read without mergeSchema may miss the late column — that is
+    # the trap the helper exists to close (footer of one file wins)
