@@ -52,8 +52,11 @@ _KCOL = "bloom_k"
 
 
 def _canon(key_col: str):
-    # canonical hash input: type-insensitive (int 5 and bigint 5 render
-    # identically; a raw xxhash64 would hash them differently)
+    # canonical hash input: type-insensitive across the integral/string
+    # types join keys actually use (int 5 and bigint 5 render identically;
+    # a raw xxhash64 would hash them differently).  Out of contract:
+    # float-vs-integral key pairs ('5.0' != '5') — a join keyed on a
+    # double is already a correctness smell the caller owns.
     return F.col(key_col).cast("string")
 
 
