@@ -404,6 +404,9 @@ _NEVER_CHECKED_FIRST = [
     # (quality -> exact dedup -> minhash near-dup -> decontamination ->
     # hash sampling) composed end-to-end with a full DuckDB stage replay
     "q_curation_e2e",
+    # r05 thirteenth batch: bloom runtime-filter join, oracle = the PLAIN
+    # join (result identity is the no-false-negatives guarantee)
+    "q_join_bloom_pruned",
     # r05 must-recheck: operators changed this round — replay staging went
     # executor-side (session_timeout/late_data), the LSH bucket bit layout
     # was factored into a shared constant (ann_lsh/ann_recall)
@@ -420,7 +423,6 @@ _NEVER_CHECKED_FIRST = [
 _KEEP_IN_WINDOW = [
     "q_geodesic_length",
     "q_overlap_e2e",
-    "q_segmentize",
 ]
 _ROTATED_OUT = [
     # yielded their permanent window slots to the r05 tenth/eleventh
@@ -430,6 +432,7 @@ _ROTATED_OUT = [
     "q_geodesic_length_exact", "q_overlap_rollup",
     "q_spatial_distance_join", "q_ngram_jaccard",
     "q_overlap_summary", "q_effective_length", "q_parallel_overlap",
+    "q_segmentize",
     # r04-green rows (freshest possible verdict) — rotate to the tail;
     # tests/test_oracle_parity.py still value-gates every oracle-backed one
     # per pytest run.

@@ -1231,3 +1231,53 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned join: the runtime-filter pattern, value-gated by identity
+# ---------------------------------------------------------------------------
+@query(
+    "q_join_bloom_pruned",
+    oracle="""
+SELECT p.p_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       SUM(l.l_quantity) AS sum_qty,
+       SUM(l.l_extendedprice * (1.0 - l.l_discount)) AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_partkey % 20 = 0
+GROUP BY p.p_partkey
+""",
+)
+def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact⋈dim join executed through the bloom runtime filter
+    (operators/bloom.py): the dim keys build a bitmap, broadcast as one
+    array row, and shed non-matching lineitem rows map-side BEFORE the
+    join's exchange.
+
+    The oracle is deliberately the PLAIN join — result identity IS the
+    operator's no-false-negatives guarantee, so the driver's value hash
+    gates the bloom pipeline end-to-end (bitmap build, canonical key
+    hashing, bit probe), not a re-spelling of it.
+
+    Scale shape: at 5% dim selectivity ~95% of the fact side never enters
+    the join exchange; the bitmap is m/8 bytes broadcast once.  On this
+    harness the dim also broadcasts (so the join itself is map-side too);
+    at 100 TB with a non-broadcastable dim the shed is what keeps the
+    shuffle small — that regime is where the operator earns its place."""
+    from .operators.bloom import bloom_prefilter_join
+
+    li = t(spark, sf_dir, "lineitem")
+    dim = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 20 == 0)
+        .select("p_partkey")
+    )
+    joined = bloom_prefilter_join(li, dim, "l_partkey", "p_partkey")
+    return joined.groupBy("p_partkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )

@@ -78,6 +78,8 @@ def test_rotated_out_remain_pytest_gated():
             "q_geodesic_length_exact",  # Karney geodesic — no SQL oracle
                                         # exists by nature; clean r04 row,
                                         # golden-tested vs closed-form arcs
+            "q_segmentize",  # rows-only by design (resampling UDTF);
+                             # clean r04 row + golden tests
         ), name
 
 
