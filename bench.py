@@ -65,6 +65,7 @@ HEADLINE = [
     "q_markov_transitions",       # added r05 (per-user sequence window)
     "q_data_quality",             # added r05 (7 rules in one scan + FK probe)
     "q_curation_e2e",             # added r05 (full curation funnel composed)
+    "q_join_bloom_pruned",        # added r05 (bloom runtime-filter join)
     "q_overlap_e2e",
 ]
 
