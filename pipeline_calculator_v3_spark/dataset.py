@@ -49,6 +49,22 @@ from .functions.checksum import digest_residue, row_digest_generic
 _MANIFEST = "_manifest.json"
 
 
+def _read_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Read a dataset with partition-type inference OFF: manifest keys and
+    rewrites must track the LITERAL hive directory names (month=01 stays
+    the string '01'; inference would canonicalize it to int 1 and desync
+    manifest keys from what is actually on disk)."""
+    from .session import scoped_conf
+
+    with scoped_conf(
+        spark, "spark.sql.sources.partitionColumnTypeInference.enabled",
+        "false",
+    ):
+        # the conf is consulted at scan PLANNING time, which happens inside
+        # this block because read.parquet eagerly resolves the schema
+        return spark.read.parquet(path)
+
+
 def _partition_checksums(
     df: DataFrame, partition_by: list[str], key_cols: list[str]
 ) -> DataFrame:
@@ -97,8 +113,9 @@ def write_dataset(
         raise ValueError("key_cols must name at least one column")
     df.write.mode(mode).partitionBy(*partition_by).parquet(out_dir)
     spark = df.sparkSession
-    on_disk = spark.read.parquet(out_dir)
-    entries = _manifest_entries(on_disk, partition_by, key_cols)
+    entries = _manifest_entries(
+        _read_raw(spark, out_dir), partition_by, key_cols
+    )
     manifest = {
         "partition_by": partition_by,
         "key_cols": key_cols,
@@ -153,7 +170,7 @@ def validate_dataset(spark: SparkSession, out_dir: str) -> dict:
     with open(os.path.join(out_dir, _MANIFEST)) as f:
         manifest = json.load(f)
     actual = _manifest_entries(
-        spark.read.parquet(out_dir),
+        _read_raw(spark, out_dir),
         manifest["partition_by"],
         manifest["key_cols"],
     )
@@ -163,23 +180,49 @@ def validate_dataset(spark: SparkSession, out_dir: str) -> dict:
 def compact_dataset(
     spark: SparkSession, out_dir: str, files_per_partition: int = 1
 ) -> dict:
-    """Rewrite a :func:`write_dataset` dataset with
+    """Rewrite a :func:`write_dataset` dataset with UP TO
     ``files_per_partition`` files per partition value — the small-file
     compaction every long-lived ingest directory eventually needs (each
     streaming micro-batch / incremental append leaves its own files; scan
-    planning cost grows with file count, not bytes).
+    planning cost grows with file count, not bytes).  "Up to": file salts
+    are hash-routed to shuffle tasks, and two salts of one partition value
+    can share a task and merge into one file.
 
-    The rewrite goes to a sibling directory and is swapped in atomically
-    (single ``os.rename`` pair), so a concurrent reader sees either the
-    old or the new layout, never a half-written one.  The ORIGINAL
-    manifest is carried over and re-validated against the compacted files:
-    the order-independent checksums proving byte-identical content under a
-    completely different file layout is exactly what they exist for.
+    Safety protocol (ordered so no failure strands the dataset):
+    1. rewrite to a sibling ``.__compact__`` directory;
+    2. VALIDATE the rewrite against the original manifest while the
+       original is still live — the order-independent checksums prove the
+       key-column content survived the re-layout (validation strength =
+       ``key_cols`` coverage: corruption in non-key columns is outside the
+       proof; use key_cols spanning every column you need guarded);
+    3. only then swap: two ``os.rename`` calls.  POSIX cannot exchange two
+       directories in one atomic step, so there is a sub-millisecond
+       window where ``out_dir`` is absent and a concurrent reader would
+       see a missing path (retry-safe: both states on either side are
+       complete datasets);
+    4. a crashed previous run is recovered at entry (an orphaned
+       ``.__old__`` with no live ``out_dir`` is restored; stale temp
+       trees are cleared).
 
-    Returns ``{"files_before", "files_after", "validation"}``; raises if
-    validation fails (the old directory is restored)."""
+    Partition directory names are preserved verbatim: the rewrite reads
+    with partition-type inference OFF (scoped), so ``month=01`` stays
+    ``month=01`` instead of being silently rewritten to ``month=1`` by
+    the int-inference round trip.
+
+    Returns ``{"files_before", "files_after", "validation"}``; raises
+    (original untouched, temp tree removed) if validation fails."""
+    import shutil
+
     if files_per_partition < 1:
         raise ValueError("files_per_partition must be >= 1")
+    tmp = out_dir.rstrip("/") + ".__compact__"
+    old = out_dir.rstrip("/") + ".__old__"
+    # crash recovery from a previous attempt
+    if os.path.exists(old) and not os.path.exists(out_dir):
+        os.rename(old, out_dir)
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     with open(os.path.join(out_dir, _MANIFEST)) as f:
         manifest = json.load(f)
     partition_by = manifest["partition_by"]
@@ -194,27 +237,31 @@ def compact_dataset(
         )
 
     files_before = _count_files(out_dir)
-    df = spark.read.parquet(out_dir)
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c).cast("string") for c in key_cols]),
-        F.lit(files_per_partition),
-    )
-    compacted = df.repartition(
-        *[F.col(c) for c in partition_by], salt
-    )
-    tmp = out_dir.rstrip("/") + ".__compact__"
+    df = _read_raw(spark, out_dir)
+    if files_per_partition == 1:
+        compacted = df.repartition(*[F.col(c) for c in partition_by])
+    else:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c).cast("string") for c in key_cols]),
+            F.lit(files_per_partition),
+        )
+        compacted = df.repartition(
+            *[F.col(c) for c in partition_by], salt
+        )
     compacted.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
-    import shutil
-
-    shutil.copy(os.path.join(out_dir, _MANIFEST), os.path.join(tmp, _MANIFEST))
-    old = out_dir.rstrip("/") + ".__old__"
+    shutil.copy(
+        os.path.join(out_dir, _MANIFEST), os.path.join(tmp, _MANIFEST)
+    )
+    # validate the REWRITE while the original is still live
+    report = validate_dataset(spark, tmp)
+    if not report["ok"]:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction changed key-column content, original untouched: "
+            f"{report}"
+        )
     os.rename(out_dir, old)
     os.rename(tmp, out_dir)
-    report = validate_dataset(spark, out_dir)
-    if not report["ok"]:
-        os.rename(out_dir, tmp)
-        os.rename(old, out_dir)
-        raise RuntimeError(f"compaction changed content, rolled back: {report}")
     shutil.rmtree(old)
     return {
         "files_before": files_before,

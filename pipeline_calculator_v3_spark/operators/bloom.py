@@ -89,19 +89,23 @@ def bloom_build(
         .groupBy("w")
         .agg(F.bit_or("mask").alias("word"))
     )
+    # densify sparse (w -> word) into the full array via a range left-join
+    # + one sorted collect.  NOT via element_at on a map built from the
+    # entries: Spark's ArrayBasedMapData lookup is a linear scan, making
+    # that form O(n_words * set_words) in ONE task (measured 3.4 s at
+    # m=2^20 vs 0.2 s for this shape).
+    spark = keys.sparkSession
+    full = (
+        spark.range(n_words)
+        .select(F.col("id").cast("int").alias("w"))
+        .join(words, "w", "left")
+        .na.fill({"word": 0})
+    )
     return persist_tracked(
-        words.agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("w", "word"))
-            ).alias("m")
-        )
-        .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_words - 1)),
-                lambda i: F.coalesce(
-                    F.element_at("m", i.cast("int")), F.lit(0).cast("bigint")
-                ),
-            ).alias(_BITMAP),
+        full.agg(
+            F.array_sort(F.collect_list(F.struct("w", "word"))).alias("e")
+        ).select(
+            F.transform("e", lambda x: x["word"]).alias(_BITMAP),
             F.lit(n_hashes).alias(_KCOL),
         )
     )

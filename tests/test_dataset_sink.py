@@ -226,3 +226,52 @@ def test_compaction_shrinks_files_and_preserves_content(spark, docs, tmp_path):
     assert spark.read.parquet(out).count() == docs.count()
     assert not os.path.exists(out + ".__old__")
     assert not os.path.exists(out + ".__compact__")
+
+
+def test_numeric_string_partitions_preserved_through_compaction(
+    spark, docs, tmp_path
+):
+    """month=01-style directories must survive compaction verbatim —
+    partition-type inference would rewrite them to month=1 and break
+    external path consumers (review finding, r05)."""
+    from pyspark.sql import functions as F
+
+    from pipeline_calculator_v3_spark.dataset import compact_dataset
+
+    out = str(tmp_path / "months")
+    monthly = docs.withColumn(
+        "month",
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+    )
+    write_dataset(
+        monthly.repartition(10),
+        out,
+        partition_by=["month"],
+        key_cols=["doc_id"],
+    )
+    dirs_before = sorted(
+        d for d in os.listdir(out) if d.startswith("month=")
+    )
+    assert "month=01" in dirs_before  # zero-padded on disk
+    report = compact_dataset(spark, out)
+    assert report["validation"]["ok"]
+    dirs_after = sorted(
+        d for d in os.listdir(out) if d.startswith("month=")
+    )
+    assert dirs_after == dirs_before
+
+
+def test_compaction_recovers_from_crashed_predecessor(spark, docs, tmp_path):
+    """An orphaned .__old__ with no live out_dir (crash between the two
+    renames) is restored at entry instead of failing forever."""
+    from pipeline_calculator_v3_spark.dataset import compact_dataset
+
+    out = str(tmp_path / "ds")
+    write_dataset(
+        docs, out, partition_by=["lang"], key_cols=["doc_id", "text"]
+    )
+    os.rename(out, out + ".__old__")  # simulate mid-swap crash
+    report = compact_dataset(spark, out)
+    assert report["validation"]["ok"]
+    assert os.path.exists(out)
+    assert not os.path.exists(out + ".__old__")
