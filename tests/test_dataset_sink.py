@@ -275,3 +275,23 @@ def test_compaction_recovers_from_crashed_predecessor(spark, docs, tmp_path):
     assert report["validation"]["ok"]
     assert os.path.exists(out)
     assert not os.path.exists(out + ".__old__")
+
+
+def test_compaction_multiple_files_per_partition(spark, docs, tmp_path):
+    """files_per_partition is an upper bound ('up to': salts can share a
+    shuffle task); content is preserved regardless."""
+    from pipeline_calculator_v3_spark.dataset import compact_dataset
+
+    out = str(tmp_path / "frag4")
+    write_dataset(
+        docs.repartition(20),
+        out,
+        partition_by=["lang"],
+        key_cols=["doc_id", "text"],
+    )
+    n_langs = docs.select("lang").distinct().count()
+    report = compact_dataset(spark, out, files_per_partition=4)
+    assert report["validation"]["ok"]
+    assert report["files_after"] <= 4 * n_langs
+    assert report["files_after"] < report["files_before"]
+    assert spark.read.parquet(out).count() == docs.count()
