@@ -158,6 +158,16 @@ def diff_manifests(expected: dict, actual_entries: list[dict]) -> dict:
     }
 
 
+def _recover_interrupted_swap(out_dir: str) -> None:
+    """Heal a dataset left headless by a crash between compact_dataset's
+    two renames: an orphaned ``.__old__`` with no live ``out_dir`` is the
+    original data — restore it.  Called from every dataset entry point so
+    a scheduled validate job self-heals instead of failing forever."""
+    old = out_dir.rstrip("/") + ".__old__"
+    if os.path.exists(old) and not os.path.exists(out_dir):
+        os.rename(old, out_dir)
+
+
 def validate_dataset(spark: SparkSession, out_dir: str) -> dict:
     """Re-read a dataset written by :func:`write_dataset`, recompute the
     per-partition checksums from the parquet actually on disk, and diff
@@ -166,7 +176,9 @@ def validate_dataset(spark: SparkSession, out_dir: str) -> dict:
     Returns ``{"ok": bool, "mismatches": [...], "missing": [...],
     "unexpected": [...]}`` where mismatches carry both sides' counts and
     checksums.  |partitions| rows of comparison, no data movement beyond
-    the recompute scan."""
+    the recompute scan.  Self-heals a compaction interrupted between its
+    two renames before reading."""
+    _recover_interrupted_swap(out_dir)
     with open(os.path.join(out_dir, _MANIFEST)) as f:
         manifest = json.load(f)
     actual = _manifest_entries(
@@ -217,9 +229,7 @@ def compact_dataset(
         raise ValueError("files_per_partition must be >= 1")
     tmp = out_dir.rstrip("/") + ".__compact__"
     old = out_dir.rstrip("/") + ".__old__"
-    # crash recovery from a previous attempt
-    if os.path.exists(old) and not os.path.exists(out_dir):
-        os.rename(old, out_dir)
+    _recover_interrupted_swap(out_dir)
     for stale in (tmp, old):
         if os.path.exists(stale):
             shutil.rmtree(stale)

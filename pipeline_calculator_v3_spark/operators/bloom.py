@@ -69,8 +69,10 @@ def bloom_build(
     """ONE-row frame ``(bloom_bitmap: array<bigint>, bloom_k: int)`` over
     the keys — build it on the SMALL side of the join.  Persisted: probes
     read it twice (k lookup + the broadcast)."""
-    if m_bits % 64:
-        raise ValueError("m_bits must be a multiple of 64")
+    if m_bits <= 0 or m_bits % 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
     n_words = m_bits // 64
     pos = F.explode(
         F.array(
@@ -112,16 +114,24 @@ def bloom_build(
 
 
 def bloom_filter_keys(
-    df: DataFrame, bitmap: DataFrame, key_col: str
+    df: DataFrame, bitmap: DataFrame, key_col: str,
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """Rows of ``df`` whose ``key_col`` MIGHT be in the filter (all k bits
-    set) — the map-side shed; never drops a true member.  m and k come
-    from the bitmap row itself, so the probe cannot be mis-parameterized."""
+    set) — the map-side shed; never drops a true member.  m always comes
+    from the bitmap row itself; ``n_hashes`` does too when omitted (one
+    tiny eager job to read it — callers that know k, like
+    bloom_prefilter_join, pass it to keep plan construction fully lazy).
+    An explicitly passed n_hashes MUST equal the build-side k: larger
+    probes check bits that were never set (false negatives — the one
+    thing this operator promises never to do), smaller only raises the
+    FP rate.  When in doubt, omit it."""
     reserved = {_BITMAP, _KCOL}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"input frame already has reserved columns {clash}")
-    n_hashes = bitmap.select(_KCOL).first()[0]
+    if n_hashes is None:
+        n_hashes = bitmap.select(_KCOL).first()[0]
     probed = df.crossJoin(F.broadcast(bitmap.select(_BITMAP)))
     m_col = F.size(F.col(_BITMAP)).cast("bigint") * 64
     pcols = []
@@ -170,7 +180,7 @@ def bloom_prefilter_join(
     bitmap = bloom_build(
         dim.select(dim_key).distinct(), dim_key, m_bits, n_hashes
     )
-    pruned = bloom_filter_keys(fact, bitmap, fact_key)
+    pruned = bloom_filter_keys(fact, bitmap, fact_key, n_hashes=n_hashes)
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)
 
 

@@ -214,24 +214,23 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass.  alpha=0.5 makes every weight an exact binary double — the two
     engines' weighted sums are bit-identical, not merely close.
 
-    Scale shape: one shuffle (per-user window); both row_number and the 8
-    lags share the same window spec, so it is a single sort within the
-    exchange.  The per-user rollup reuses the partitioning."""
+    Scale shape: one shuffle (per-user window) and ONE in-partition sort
+    (the 8 lags); the trailing value comes from max_by over the ordering
+    struct inside the rollup aggregation, not a second desc-sorted
+    window.  The per-user rollup reuses the partitioning."""
     ev = events_t(spark, sf_dir)
     sm = ev.select(
         "user_id",
+        "ts_us",
+        "event_id",
         (F.expr(_EWMA_NUM_SPARK) / F.expr(_EWMA_DEN_SPARK)).alias("ewma"),
-        F.row_number()
-        .over(
-            Window.partitionBy("user_id").orderBy(
-                F.col("ts_us").desc(), F.col("event_id").desc()
-            )
-        )
-        .alias("rn"),
     )
+    # max_by on the (ts_us, event_id) struct picks the trailing value
+    # inside the SAME aggregation — a desc row_number window would force a
+    # second in-partition sort of the full events table (review finding)
     return sm.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.max(F.when(F.col("rn") == 1, F.col("ewma"))).alias("ewma_last"),
+        F.max_by("ewma", F.struct("ts_us", "event_id")).alias("ewma_last"),
         F.avg("ewma").alias("ewma_mean"),
     )
 

@@ -295,3 +295,14 @@ def test_compaction_multiple_files_per_partition(spark, docs, tmp_path):
     assert report["files_after"] <= 4 * n_langs
     assert report["files_after"] < report["files_before"]
     assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_validate_self_heals_interrupted_swap(spark, docs, tmp_path):
+    out = str(tmp_path / "ds")
+    write_dataset(
+        docs, out, partition_by=["lang"], key_cols=["doc_id"]
+    )
+    os.rename(out, out + ".__old__")  # headless dataset
+    report = validate_dataset(spark, out)
+    assert report["ok"]
+    assert os.path.exists(out)
