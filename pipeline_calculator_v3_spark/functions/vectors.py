@@ -31,4 +31,8 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL for a zero vector (undefined similarity), matching DuckDB's
+    silent x/0.0 -> NULL — without the NULLIF, Spark's default ANSI mode
+    raises DIVIDE_BY_ZERO and one zero embedding (a padding row, a dead
+    feature) kills the whole job."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
