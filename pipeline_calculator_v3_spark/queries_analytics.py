@@ -272,7 +272,7 @@ WITH a AS (
     UNION ALL SELECT 'order_fk_exists',    a.n, fk.v_fk   FROM a, fk
 )
 SELECT rule_name, n AS n_checked, v AS n_violations,
-       CAST(v AS DOUBLE) / n AS violation_rate
+       CAST(v AS DOUBLE) / NULLIF(n, 0) AS violation_rate
 FROM r
 """,
 )
@@ -350,9 +350,13 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule_name",
         "n_checked",
         "n_violations",
-        (F.col("n_violations").cast("double") / F.col("n_checked")).alias(
-            "violation_rate"
-        ),
+        # NULLIF: an empty table must report NULL rates, not raise ANSI
+        # DIVIDE_BY_ZERO (DuckDB nulls silently — same alignment as the
+        # z-score and cosine guards)
+        (
+            F.col("n_violations").cast("double")
+            / F.nullif(F.col("n_checked"), F.lit(0))
+        ).alias("violation_rate"),
     )
 
 

@@ -74,3 +74,9 @@ def test_decontamination_excludes_bench_and_overlapping_train(stages):
     assert 11 not in clean
     # untainted survivors remain
     assert 1 in clean and 5 in clean
+
+
+def test_funnel_on_empty_corpus_is_empty_not_a_crash(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    for name, frame in curation_stages_from(empty):
+        assert frame.count() == 0, name
