@@ -108,3 +108,24 @@ def test_json_distributed_sink(results, tmp_path, spark):
     # small summary stays a single driver file, same values as the envelope
     summary = json.loads((tmp_path / "dist" / "summary.json").read_text())
     assert len(summary) == 1 and summary[0]["total_m"] > 0
+
+
+def test_kml_sink_output_survives_our_own_source(results, tmp_path, spark):
+    """Sink->source consistency: the corridor KML we write is valid KML
+    our reader scans without error.  The reference's coordinate-count
+    fallback (src/pipeline_calculator_v3.py:110-128) treats ANY
+    multi-coordinate Placemark as a polyline feature, so the faithful
+    outcome is ONE feature whose geometry is the corridor's closed ring
+    — parsed, not crashed, ring closure preserved through the round
+    trip."""
+    from pipeline_calculator_v3_spark.sources.kml import read_pipelines
+
+    sec = results["sections"].collect()[0]
+    p = tmp_path / "corridor.kml"
+    write_corridor_kml(sec, str(p))
+    pipes = read_pipelines(spark, str(p)).collect()
+    assert len(pipes) == 1
+    ring = pipes[0]["geometry"]
+    assert len(ring) >= 5
+    # the sink writes a CLOSED ring and the parser preserves it verbatim
+    assert ring[0] == ring[-1]
