@@ -5,13 +5,14 @@ These round out the behavioral-analytics family (funnel / attribution /
 retention in queries_rel.py and queries_spatial.py cousins) with the
 *statistical* layer a production event pipeline runs next: first-order
 Markov transition matrices over user journeys, per-segment z-score outlier
-flagging, finite-kernel exponential smoothing, and declarative
-data-quality rule evaluation.
+flagging, finite-kernel exponential smoothing, declarative data-quality
+rule evaluation, single-pass per-column table profiling, and RFM quartile
+segmentation.
 
 Every query here is oracle-checkable: the math is written once as plain
-arithmetic over deterministic inputs (md5-derived uniforms, exact binary
-kernel weights) and replayed verbatim in the DuckDB SQL, so values — not
-just shapes — are gated.
+arithmetic over deterministic inputs (exact binary kernel weights,
+custkey-tiebroken ntiles, calibrated rule bounds) and replayed verbatim
+in the DuckDB SQL, so values — not just shapes — are gated.
 """
 
 from __future__ import annotations
