@@ -1065,11 +1065,11 @@ sampled AS (
 SELECT CAST(0 AS BIGINT) AS stage_no, 'raw' AS stage,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM base
-UNION ALL SELECT 1, 'quality', COUNT(*), SUM(ntok) FROM quality
-UNION ALL SELECT 2, 'exact_dedup', COUNT(*), SUM(ntok) FROM exact
-UNION ALL SELECT 3, 'near_dedup', COUNT(*), SUM(ntok) FROM dedup
-UNION ALL SELECT 4, 'decontaminated', COUNT(*), SUM(ntok) FROM clean
-UNION ALL SELECT 5, 'sampled', COUNT(*), SUM(ntok) FROM sampled
+UNION ALL SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT), CAST(SUM(ntok) AS BIGINT) FROM quality
+UNION ALL SELECT 2, 'exact_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(ntok) AS BIGINT) FROM exact
+UNION ALL SELECT 3, 'near_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(ntok) AS BIGINT) FROM dedup
+UNION ALL SELECT 4, 'decontaminated', CAST(COUNT(*) AS BIGINT), CAST(SUM(ntok) AS BIGINT) FROM clean
+UNION ALL SELECT 5, 'sampled', CAST(COUNT(*) AS BIGINT), CAST(SUM(ntok) AS BIGINT) FROM sampled
 """,
 )
 def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,6 +41,24 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
     b = _normalize(oracle_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Dtype-strict gate: the driver's value-hash is TYPED, so an int64
+        # column on one side vs float64 on the other diverges even when every
+        # value is numerically identical (this is exactly how the
+        # q_curation_e2e uncast-HUGEINT oracle slipped past pytest in r05).
+        # The only legitimate int-vs-float split is pandas' nullable-int
+        # representation, recognisable by NaN actually present on the float
+        # side — anything else must fail here, before value comparison.
+        int_a = pd.api.types.is_integer_dtype(av)
+        int_b = pd.api.types.is_integer_dtype(bv)
+        if int_a != int_b:
+            fv = bv if int_a else av
+            side = "oracle" if int_a else "spark"
+            assert pd.api.types.is_float_dtype(fv) and fv.isna().any(), (
+                f"{c}: dtype split — spark={av.dtype} vs oracle={bv.dtype} "
+                f"with no NaN on the {side} side; the driver's typed hash "
+                f"will flag this (cast the oracle explicitly, e.g. "
+                f"CAST(... AS BIGINT) in every UNION ALL branch)"
+            )
         # Nullable int columns surface as float64 in pandas; if both sides are
         # integral, compare exactly — tolerance on epoch-scale ints would hide
         # real precision bugs (it did: ns-vs-us truncation).
