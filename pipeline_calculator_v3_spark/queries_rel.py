@@ -1060,9 +1060,58 @@ def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_graph_pagerank")  # rows-only: iterative double arithmetic — the
-# invariants (mass conservation, closed-form uniform on regular graphs,
-# hub dominance) are pytest-gated in tests/test_pagerank.py
+def _pagerank_oracle_sql(iterations: int) -> str:
+    """DuckDB replay of operators/pagerank.py: the damped power iteration
+    UNROLLED into one MATERIALIZED CTE per round (aggregation over the recursive
+    reference is not legal in a recursive CTE, and the iteration count is a
+    fixed parameter of the query, so unrolling is the faithful spelling;
+    MATERIALIZED is load-bearing — each round references its predecessor
+    twice, and DuckDB's default CTE inlining would re-expand the whole
+    chain 2^iterations times).
+    Every arithmetic step mirrors the Spark expression shape —
+    ``(1.0 - 0.85) + 0.85 * (inflow + dm / n)`` on doubles — so both
+    engines accumulate the same rounding behaviour to well below the
+    ROUND(6) output precision."""
+    parts = [
+        """
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+deg AS MATERIALIZED (
+    SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM v)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+r{k} AS MATERIALIZED (
+    SELECT v.id,
+           (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+             + CAST(0.85 AS DOUBLE)
+               * (COALESCE(i.inflow, CAST(0.0 AS DOUBLE)) + d.dm / p.n)
+             AS rank
+    FROM v
+    LEFT JOIN (
+        SELECT e.dst AS id, SUM(r.rank / deg.deg) AS inflow
+        FROM e JOIN deg USING (src) JOIN r{k - 1} r ON r.id = e.src
+        GROUP BY e.dst
+    ) i USING (id)
+    CROSS JOIN (
+        SELECT COALESCE(SUM(rank), CAST(0.0 AS DOUBLE)) AS dm
+        FROM r{k - 1} WHERE id NOT IN (SELECT src FROM e)
+    ) d
+    CROSS JOIN params p
+)""")
+    parts.append(f"""
+SELECT id, ROUND(rank, 6) AS rank FROM r{iterations}
+ORDER BY ROUND(rank, 6) DESC, id LIMIT 20
+""")
+    return "".join(parts)
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle_sql(10))
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (10 damped power iterations, operators/pagerank.py) over
     the customer -> supplier purchase graph (an edge per distinct buying
@@ -1094,10 +1143,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ranks = pagerank(edges, iterations=10)
+    # order by the ROUNDED rank (the comparison-visible value) with an id
+    # tiebreak, so the top-20 SET is selection-stable across engines even
+    # when sub-ulp summation noise reorders raw ranks near the cutoff
     return (
-        ranks.orderBy(F.col("rank").desc(), "id")
+        ranks.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "id")
         .limit(20)
-        .select("id", F.round("rank", 6).alias("rank"))
     )
 
 
