@@ -80,6 +80,13 @@ def test_rotated_out_remain_pytest_gated():
                                         # golden-tested vs closed-form arcs
             "q_segmentize",  # rows-only by design (resampling UDTF);
                              # clean r04 row + golden tests
+            "q_pack_sequences_xl",  # rows-only scale twin, clean r05 row;
+                                    # value shape gated by q_pack_sequences
+            "q_udtf_surface",  # Python UDTF via LATERAL — engine-specific
+                               # surface probe; clean r05 row + pytest
+            "q_similarity_ann_lsh",  # approximate by design; clean r05 row,
+            "q_similarity_ann_recall",  # recall@10 floor asserted in pytest
+                                        # and reported in bench output
         ), name
 
 
