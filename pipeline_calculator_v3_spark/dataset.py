@@ -159,13 +159,27 @@ def diff_manifests(expected: dict, actual_entries: list[dict]) -> dict:
 
 
 def _recover_interrupted_swap(out_dir: str) -> None:
-    """Heal a dataset left headless by a crash between compact_dataset's
-    two renames: an orphaned ``.__old__`` with no live ``out_dir`` is the
-    original data — restore it.  Called from every dataset entry point so
-    a scheduled validate job self-heals instead of failing forever."""
+    """Heal a dataset left in a partial state by a compact_dataset crash.
+    Two distinct crash windows exist around the swap's rename pair:
+
+    - BETWEEN the renames: an orphaned ``.__old__`` with no live
+      ``out_dir`` is the original data — restore it;
+    - AFTER the second rename but before the old tree is deleted: both
+      ``out_dir`` and ``.__old__`` exist, which can only mean the swap
+      completed (compact never leaves that pair any other way), so the old
+      copy is superseded — delete it, or a validate-only deployment leaks a
+      full dataset copy on disk forever.
+
+    Called from every dataset entry point so a scheduled validate job
+    self-heals instead of failing (or leaking) forever."""
+    import shutil
+
     old = out_dir.rstrip("/") + ".__old__"
-    if os.path.exists(old) and not os.path.exists(out_dir):
-        os.rename(old, out_dir)
+    if os.path.exists(old):
+        if not os.path.exists(out_dir):
+            os.rename(old, out_dir)
+        else:
+            shutil.rmtree(old)
 
 
 def validate_dataset(spark: SparkSession, out_dir: str) -> dict:

@@ -125,14 +125,36 @@ def bloom_filter_keys(
     An explicitly passed n_hashes MUST equal the build-side k: larger
     probes check bits that were never set (false negatives — the one
     thing this operator promises never to do), smaller only raises the
-    FP rate.  When in doubt, omit it."""
+    FP rate.  When in doubt, omit it.  A too-large explicit value is
+    VALIDATED in-plan against the bitmap row's own k (lazily, so plan
+    construction stays job-free): the query fails loudly instead of
+    silently dropping join rows."""
     reserved = {_BITMAP, _KCOL}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"input frame already has reserved columns {clash}")
+    k_guard = None
     if n_hashes is None:
         n_hashes = bitmap.select(_KCOL).first()[0]
-    probed = df.crossJoin(F.broadcast(bitmap.select(_BITMAP)))
+    else:
+        # r05 advice: cross-check the caller's k against the build-side k
+        # carried on the bitmap row.  Folded into the probe predicate (not a
+        # projected-then-dropped column, which column pruning would erase):
+        # assert_true returns NULL on pass, so `IS NULL` keeps the filter
+        # semantics while forcing the check to evaluate with the probes.
+        k_guard = F.assert_true(
+            F.lit(n_hashes) <= F.col(_KCOL),
+            F.concat(
+                F.lit(
+                    f"bloom_filter_keys: explicit n_hashes={n_hashes} "
+                    f"exceeds the build-side bloom_k="
+                ),
+                F.col(_KCOL).cast("string"),
+                F.lit(" — larger probes test bits never set and would "
+                      "drop true members (false negatives)"),
+            ),
+        ).isNull()
+    probed = df.crossJoin(F.broadcast(bitmap.select(_BITMAP, _KCOL)))
     m_col = F.size(F.col(_BITMAP)).cast("bigint") * 64
     pcols = []
     for j in range(n_hashes):
@@ -150,8 +172,12 @@ def bloom_filter_keys(
         != 0
         for pj in pcols
     ]
+    if k_guard is not None:
+        # leftmost operand of the AND chain: evaluated before the probe-bit
+        # conditions can short-circuit it away
+        conds.insert(0, k_guard)
     return probed.where(reduce(lambda a, b: a & b, conds)).drop(
-        _BITMAP, *pcols
+        _BITMAP, _KCOL, *pcols
     )
 
 

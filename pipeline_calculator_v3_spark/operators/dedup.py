@@ -191,7 +191,15 @@ def minhash_lsh_pairs_md5(
     instead of tokenizing ``text_col`` — pipeline callers that already
     carry the token arrays (q_curation_e2e) skip the duplicate tokenizer
     pass.  The caller owns the contract that the column equals
-    ``tokens(normalized_text(text))``.
+    ``tokens(normalized_text(text))``.  Note the curation caller passes
+    ``tokens(lower(text))`` — equivalent TODAY only because ``tokens``
+    splits on ``\\s+`` and drops empties, which makes normalized_text's
+    trim/whitespace-collapse a no-op under tokenization (the lowercasing
+    is shared).  That equivalence is pinned by a property test
+    (tests/test_text_functions.py::test_tokens_normalization_equivalence),
+    so a future tokenizer or normalization change that desyncs the funnel
+    from the standalone dedup queries fails a test instead of silently
+    shipping.
     """
     rows = num_hashes // bands
     staged = (

@@ -118,3 +118,30 @@ def test_bloom_params_hits_requested_fp_rate(spark):
     fp = bloom_filter_keys(probe, bitmap, "k").count()
     # requested 1%; allow 3x slack on 50k probes
     assert fp < 0.03 * 50_000, (m, k, fp)
+
+
+def test_oversized_explicit_n_hashes_fails_loudly(spark):
+    """r05 advice: an explicit n_hashes larger than the build-side k probes
+    bits that were never set — false negatives, the one guarantee the
+    operator makes.  The in-plan guard must fail the query loudly instead
+    of silently dropping join rows."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    bitmap = bloom_build(keys, "k", m_bits=1 << 12, n_hashes=3)
+    probe = spark.range(100).select(F.col("id").alias("k"))
+    with _pytest.raises(Exception, match="exceeds the build-side bloom_k"):
+        bloom_filter_keys(probe, bitmap, "k", n_hashes=7).count()
+
+
+def test_matching_explicit_n_hashes_still_passes(spark):
+    from pyspark.sql import functions as F
+
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    bitmap = bloom_build(keys, "k", m_bits=1 << 12, n_hashes=3)
+    probe = spark.range(200).select(F.col("id").alias("k"))
+    kept = set(
+        r.k for r in bloom_filter_keys(probe, bitmap, "k", n_hashes=3).collect()
+    )
+    assert set(range(100)) <= kept  # no false negatives

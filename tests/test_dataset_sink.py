@@ -306,3 +306,19 @@ def test_validate_self_heals_interrupted_swap(spark, docs, tmp_path):
     report = validate_dataset(spark, out)
     assert report["ok"]
     assert os.path.exists(out)
+
+
+def test_validate_cleans_superseded_old_copy(spark, docs, tmp_path):
+    """Crash window AFTER the swap's second rename but before rmtree(old):
+    out_dir and .__old__ both exist.  A validate-only deployment must
+    delete the superseded copy (r05 advice: it previously leaked a full
+    dataset copy on disk until some later compact run)."""
+    import shutil
+
+    out = str(tmp_path / "ds")
+    write_dataset(docs, out, partition_by=["lang"], key_cols=["doc_id"])
+    shutil.copytree(out, out + ".__old__")  # simulate post-swap crash
+    report = validate_dataset(spark, out)
+    assert report["ok"]
+    assert os.path.exists(out)
+    assert not os.path.exists(out + ".__old__")
