@@ -70,3 +70,103 @@ def test_equatorial_cells_cover_latitude(spark):
 def test_cell_size_capped_near_poles():
     # beyond the cap the cell stops growing — finite cells, never 1/cos(90)
     assert cell_size_deg(15.0, 89.99) == cell_size_deg(15.0, _MAX_GRID_LAT_DEG)
+
+
+# --- r06: the polar-cap path proper (azimuthal-equidistant planar grid) ----
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "pipeline_id long, seg_index long, mid_lon double, mid_lat double",
+    )
+
+
+def test_pair_at_88_found(spark):
+    """The r05 judge acceptance case: a true pair at 88 deg latitude, where
+    the degree grid degenerates, must be found via the polar-cap grid with
+    no guard in the way (max_abs_lat_deg=None derives 88 and routes)."""
+    # ~14.9 m apart in pure longitude at 88 deg: lon delta = 14.9 /
+    # (111320*cos(88)) ~ 3.834e-3 deg
+    rows = [(1, 0, 10.0, 88.0), (2, 0, 10.0 + 3.834e-3, 88.0),
+            (3, 0, -120.0, 88.5)]  # decoy far away
+    got = distance_self_join(_df(spark, rows), 15.0, max_abs_lat_deg=None).collect()
+    assert [(r.p1, r.p2, round(r.dist_m)) for r in got] == [(1, 2, 15)]
+
+
+def test_pair_at_88_found_with_explicit_bound(spark):
+    rows = [(1, 0, 10.0, 88.0), (2, 0, 10.0 + 3.834e-3, 88.0)]
+    got = distance_self_join(_df(spark, rows), 15.0, max_abs_lat_deg=88.0).collect()
+    assert [(r.p1, r.p2) for r in got] == [(1, 2)]
+
+
+def test_boundary_straddling_pair_found_once(spark):
+    """One point just below the 85-deg band/cap boundary, one just above,
+    within radius: found exactly once (cap ownership), never duplicated."""
+    m_per_deg_lat = 111_500.0  # ~ true value near the poles
+    d = 14.0 / m_per_deg_lat
+    rows = [(1, 0, 10.0, _MAX_GRID_LAT_DEG - d / 2),
+            (2, 0, 10.0, _MAX_GRID_LAT_DEG + d / 2),
+            # plus a pure-band pair at 84 deg as a no-regression control
+            (3, 0, 50.0, 84.0), (4, 0, 50.0, 84.0 + d)]
+    got = distance_self_join(_df(spark, rows), 15.0, max_abs_lat_deg=None).collect()
+    pairs = sorted((r.p1, r.p2) for r in got)
+    assert pairs == [(1, 2), (3, 4)]
+
+
+def test_south_cap_symmetric(spark):
+    rows = [(1, 0, 10.0, -88.0), (2, 0, 10.0 + 3.834e-3, -88.0)]
+    got = distance_self_join(_df(spark, rows), 15.0, max_abs_lat_deg=None).collect()
+    assert [(r.p1, r.p2) for r in got] == [(1, 2)]
+
+
+def test_lon_wrap_at_pole_found(spark):
+    """Two points on opposite sides of the antimeridian near the pole — the
+    degree grid could NEVER find these (cx differs by ~360/cell); the
+    planar cap grid is continuous across longitude by construction."""
+    # colatitude 0.5 deg (~55.6 km from pole), lon -179.99 vs +179.99:
+    # separation ~ 2*r*sin(0.01 deg) with r = R*colat ~ 55.6 km -> ~19.4 m
+    rows = [(1, 0, -179.99, 89.5), (2, 0, 179.99, 89.5)]
+    got = distance_self_join(_df(spark, rows), 25.0, max_abs_lat_deg=None).collect()
+    assert [(r.p1, r.p2) for r in got] == [(1, 2)]
+
+
+def test_same_pipeline_excluded_in_cap(spark):
+    rows = [(1, 0, 10.0, 88.0), (1, 1, 10.0 + 3.834e-3, 88.0)]
+    got = distance_self_join(_df(spark, rows), 15.0, max_abs_lat_deg=None).collect()
+    assert got == []
+
+
+def test_polar_brute_force_parity(spark):
+    """Deterministic scatter over the north cap (87.5..90 deg, all
+    longitudes incl. the wrap) checked against an O(n^2) haversine brute
+    force — the planted-pair tests pin known geometries, this pins the
+    general case."""
+    import itertools
+
+    from pipeline_calculator_v3_spark.functions.geodesy import EARTH_RADIUS_M
+
+    def hav(lat1, lon1, lat2, lon2):
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dp, dl = p2 - p1, math.radians(lon2 - lon1)
+        a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return 2 * EARTH_RADIUS_M * math.asin(math.sqrt(a))
+
+    rows = []
+    for i in range(60):
+        # deterministic low-discrepancy scatter (no RNG: reproducible)
+        lat = 87.5 + (i * 0.61803398875 % 1.0) * 2.5
+        lon = -180.0 + (i * 0.7548776662 % 1.0) * 360.0
+        rows.append((i, 0, lon, lat))
+    radius = 40_000.0  # 40 km: dense enough for real pair counts
+    expect = sorted(
+        (a[0], b[0])
+        for a, b in itertools.combinations(rows, 2)
+        if hav(a[3], a[2], b[3], b[2]) <= radius
+    )
+    got = sorted(
+        (r.p1, r.p2)
+        for r in distance_self_join(
+            _df(spark, rows), radius, max_abs_lat_deg=None
+        ).collect()
+    )
+    assert got == expect and len(expect) > 0
