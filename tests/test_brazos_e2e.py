@@ -71,3 +71,42 @@ def test_savings_envelope_stable(brazos):
     s = results["summary"].collect()[0]
     assert s.savings_pct == pytest.approx(6.486, abs=0.01)
     assert 0.0 < s.effective_m < s.total_m
+
+
+def test_total_miles_match_reference_formula_replica(brazos):
+    """The reference run itself (debug_analyze.py:6-14) needs pyproj, which
+    is absent here — but pyproj.Geod(ellps='GRS80').inv IS Karney's exact
+    geodesic on GRS80, and this repo carries its own vectorized GRS80
+    Vincenty kernel (functions/geodesy_exact.py, ~0.5 mm agreement away
+    from the antipodal regime).  Replicating the reference's exact formula
+    — sum |geod.inv| over consecutive vertices per pipeline
+    (src/pipeline_calculator_v3.py:216-240), divided by the 1609.347218694
+    survey mile (:49) — therefore reproduces what 'total miles' a reference
+    run would print, to well inside the pinned 1e-3 mi tolerance.
+
+    Tolerance chain on this fixture (measured):
+      replica (ellipsoidal)   183.966754 mi   <- the golden
+      recorded GIS_MILES      183.957    mi   (0.005% from replica)
+      engine plan (haversine) 184.0012   mi   (0.019% from replica)
+    The 2.5e-4 relative band on the plan total documents the
+    haversine-vs-GRS80 spherical error for this corpus's heading mix."""
+    import numpy as np
+
+    from pipeline_calculator_v3_spark.functions.geodesy_exact import (
+        vincenty_inverse_m,
+    )
+
+    pipes, results = brazos
+    SURVEY_MILE = 1609.347218694
+    total_m = 0.0
+    for r in pipes.select("geometry").collect():
+        arr = np.array([[c[0], c[1]] for c in r.geometry], dtype=float)
+        if len(arr) < 2:
+            continue
+        d = vincenty_inverse_m(arr[:-1, 1], arr[:-1, 0], arr[1:, 1], arr[1:, 0])
+        total_m += float(np.abs(d).sum())
+    replica_mi = total_m / SURVEY_MILE
+    # golden: what the reference's 'total miles' print resolves to
+    assert replica_mi == pytest.approx(183.966754, abs=1e-3)
+    plan_mi = results["totals"].collect()[0].total_mi
+    assert abs(plan_mi - replica_mi) / replica_mi < 2.5e-4
