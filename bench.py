@@ -66,6 +66,8 @@ HEADLINE = [
     "q_data_quality",             # added r05 (7 rules in one scan + FK probe)
     "q_curation_e2e",             # added r05 (full curation funnel composed)
     "q_join_bloom_pruned",        # added r05 (bloom runtime-filter join)
+    "q_spatial_polar_join",       # added r06 (band + polar-cap grid union)
+    "q_graph_pagerank",           # added r06 (10-round iterative dataflow)
     "q_overlap_e2e",
 ]
 

@@ -47,6 +47,37 @@ segments AS (
     FROM seg_base
 )"""
 
+# Polar segment field (r06, polar-cap path): same ladder structure as
+# ``segments`` but planted at the band/cap boundary — every pipeline CLIMBS
+# ACROSS 85 deg latitude (84.99 -> ~85.0125), so the brute-force oracle
+# exercises all three ownership regimes at once (pure-band pairs, pure-cap
+# pairs, boundary-straddling pairs) plus the 1/cos cell geometry at polar
+# latitudes.  Longitudes start at 179.995 and run past 180 (unwrapped —
+# haversine and the azimuthal projection are both periodic in lon, and
+# using the raw arithmetic value keeps the two engines bit-identical).
+# Spacing mirrors the band field's margins: adjacent pipelines ~8.5 m
+# apart (inside the 15 m range), two apart ~17.1 m (outside), >= 1.8 m
+# from the threshold so float noise stays semantically irrelevant.
+POLAR_LON0 = 179.995
+POLAR_LAT0 = 84.99
+POLAR_DLON = 0.00088    # ~8.54 m of longitude at 85 deg
+POLAR_DLAT = 0.000045   # ~5.0 m
+
+POLAR_SEGMENTS_CTE = f"""
+pseg_base AS (
+    SELECT (o_orderkey % {N_PIPES}) AS pid,
+           row_number() OVER (PARTITION BY (o_orderkey % {N_PIPES})
+                              ORDER BY o_orderkey) - 1 AS idx
+    FROM orders WHERE o_orderkey < {SEG_KEY_CAP}
+),
+polar_segments AS (
+    SELECT CAST(pid AS BIGINT) AS pipeline_id,
+           CAST(idx AS BIGINT) AS seg_index,
+           {POLAR_LON0} + pid * {POLAR_DLON} AS mid_lon,
+           {POLAR_LAT0} + idx * {POLAR_DLAT} AS mid_lat
+    FROM pseg_base
+)"""
+
 VERTICES_CTE = f"""
 vert_base AS (
     SELECT (o_orderkey % 32) AS pid,
@@ -78,6 +109,26 @@ def segments_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(idx AS BIGINT) AS seg_index",
             f"{LON0} + pid * {DLON} AS mid_lon",
             f"{LAT0} + idx * {DLAT} AS mid_lat",
+        )
+    )
+
+
+def polar_segments_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the ``polar_segments`` CTE (same formulas, same
+    values) — the 85-deg-boundary-crossing ladder for the polar-cap path."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = (
+        orders.where(F.col("o_orderkey") < SEG_KEY_CAP)
+        .select((F.col("o_orderkey") % N_PIPES).alias("pid"), "o_orderkey")
+    )
+    w = Window.partitionBy("pid").orderBy("o_orderkey")
+    return (
+        base.select("pid", (F.row_number().over(w) - 1).alias("idx"))
+        .selectExpr(
+            "CAST(pid AS BIGINT) AS pipeline_id",
+            "CAST(idx AS BIGINT) AS seg_index",
+            f"{POLAR_LON0} + pid * {POLAR_DLON} AS mid_lon",
+            f"{POLAR_LAT0} + idx * {POLAR_DLAT} AS mid_lat",
         )
     )
 

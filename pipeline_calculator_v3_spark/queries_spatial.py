@@ -54,6 +54,41 @@ def q_spatial_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_POLAR_PAIR_DIST = haversine_sql(
+    "a.mid_lat", "a.mid_lon", "b.mid_lat", "b.mid_lon"
+)
+
+
+@query(
+    "q_spatial_polar_join",
+    oracle=f"""
+WITH {synth.POLAR_SEGMENTS_CTE}
+SELECT a.pipeline_id AS p1, b.pipeline_id AS p2,
+       a.seg_index AS seg1, b.seg_index AS seg2,
+       {_POLAR_PAIR_DIST} AS dist_m
+FROM polar_segments a JOIN polar_segments b
+  ON a.pipeline_id < b.pipeline_id
+WHERE {_POLAR_PAIR_DIST} <= {DETECTION_RANGE_M!r}
+""",
+)
+def q_spatial_polar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance self-join on the POLAR ladder (r06): every pipeline climbs
+    across the 85-deg band/cap boundary, so the brute-force oracle
+    independently verifies all three ownership regimes of the polar-cap
+    path at once — pure-band pairs on the degree grid, pure-cap pairs on
+    the azimuthal-equidistant planar grid, and boundary-straddling pairs
+    (cap-owned via the extended-overlap input, emitted exactly once).
+    max_abs_lat_deg=None derives the >85 bound from the data and routes.
+
+    Scale shape: identical to q_spatial_distance_join — two grid
+    equi-joins (band + cap) unioned, one-side 3x3 neighbor explode,
+    AQE-skew-splittable, exact haversine as the only semantic gate."""
+    seg = synth.polar_segments_df(spark, sf_dir)
+    return distance_self_join(
+        seg, DETECTION_RANGE_M, max_abs_lat_deg=None
+    ).select("p1", "p2", "seg1", "seg2", "dist_m")
+
+
 _SESSIONS_CTE = f"""
 ordered AS (
     SELECT p1, p2, seg1, seg2, dist_m,
