@@ -40,11 +40,22 @@ def pagerank(
     if iterations <= 0:
         raise ValueError("iterations must be positive")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # "dangling" (no out-edges) is a STATIC vertex property: flag it once at
+    # build time and carry it inside the ranks frame, so the per-round
+    # dangling-mass term collapses from a distinct + anti-join exchange
+    # (the r05 shape) into a bare single-row aggregate over ranks.
     vertices_ids: list[int] = []
     vertices = local_checkpoint_tracked(
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
-        .distinct(),
+        .distinct()
+        .join(
+            e.select(F.col("src").alias("id")).distinct()
+            .withColumn("has_out", F.lit(True)),
+            "id",
+            "left",
+        )
+        .select("id", (~F.coalesce(F.col("has_out"), F.lit(False))).alias("dangling")),
         ids_sink=vertices_ids,
     )
     n = vertices.count()
@@ -65,25 +76,21 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        # mass parked on dangling vertices (rank with no out-edges).
-        # The anti-join probes the CHECKPOINTED links table, not out_deg:
-        # out_deg's lineage reaches back to the raw edge derivation and
-        # would re-execute it every round (links carries exactly
-        # out_deg's key set, lineage-cut)
-        dangling = (
-            ranks.join(
-                links.select("src").distinct(),
-                ranks.id == F.col("src"),
-                "left_anti",
-            )
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        # mass parked on dangling vertices: a one-row aggregate over the
+        # checkpointed ranks (flag precomputed above) — no per-round join
+        dangling = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)
+            ).alias("dm")
         )
         new_ids: list[int] = []
         new_ranks = local_checkpoint_tracked(
-            vertices.join(contrib, vertices.id == contrib.dst, "left")
+            ranks.select("id", "dangling")
+            .join(contrib, F.col("id") == contrib.dst, "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
+                "dangling",
                 (
                     (1.0 - damping)
                     + damping
@@ -100,4 +107,4 @@ def pagerank(
     # release_caches can free it after the caller materializes (same
     # contract as connected_components' final labels table)
     track_ids(ranks_ids)
-    return ranks
+    return ranks.select("id", "rank")
