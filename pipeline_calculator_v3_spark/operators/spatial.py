@@ -261,7 +261,10 @@ def distance_self_join(
     input is extended one radius of latitude below the boundary so
     straddling pairs are found, and cap/band ownership is disjoint (a pair
     is owned by the cap iff it touches the strict above-boundary region),
-    so the union emits each pair exactly once.
+    so the union emits each pair exactly once.  Note the split consumes
+    ``segments`` three times (band + two caps) — callers feeding a
+    computed frame with real polar data should cache/persist it above
+    this operator to avoid re-deriving it per branch.
     """
     if max_abs_lat_deg is None:
         row = segments.agg(F.max(F.abs(F.col("mid_lat")))).first()
