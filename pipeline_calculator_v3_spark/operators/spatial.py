@@ -49,7 +49,7 @@ _M_PER_DEG_SAFE = 110500.0
 # Beyond this latitude a degree-based grid degenerates (cells blow up as
 # 1/cos), so data above it routes to the POLAR-CAP path instead: an
 # azimuthal-equidistant planar grid centered on the pole (r06, judge item;
-# see _polar_base).  The band grid still serves everything at or below.
+# see _polar_pairs).  The band grid still serves everything at or below.
 _MAX_GRID_LAT_DEG = 85.0
 
 # Planar cell margin for the polar caps.  In the azimuthal equidistant
