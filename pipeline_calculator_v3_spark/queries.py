@@ -364,8 +364,9 @@ from . import queries_analytics  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 _NEVER_CHECKED_FIRST = [
     # r06 new surface: the polar-cap distance join over the
-    # boundary-crossing polar ladder (unchecked by definition)
-    "q_spatial_polar_join",
+    # boundary-crossing polar ladder, and the left-outer stream-stream
+    # interval join (both unchecked by definition)
+    "q_spatial_polar_join", "q_stream_outer_join",
     # r06 re-checks: the round-5 red (q_curation_e2e — every oracle UNION
     # ALL branch now CAST ... AS BIGINT) and q_graph_pagerank, which gained
     # a full DuckDB unrolled-power-iteration oracle this round (rows-only
@@ -383,15 +384,16 @@ _NEVER_CHECKED_FIRST = [
     "q_udf_surface",
     # r06 refresh, pool B: the oldest r03 oracle-backed verdicts — 22 of
     # the 25 hash-backed r03 rows fill the remaining slots (q_token_count,
-    # q_lang_id, q_text_quality, q_vocab_topk defer to r07 (the last
-    # yielded its slot to q_spatial_polar_join): deterministic text scalars,
+    # q_lang_id, q_text_quality, q_vocab_topk, q_tfidf defer to r07 (the
+    # last two yielded their slots to the two new r06 queries):
+    # deterministic text analytics,
     # parity-gated every pytest run, and refreshing them next round still
     # keeps every verdict at r03-or-fresher after r06)
     "q_contamination", "q_dedup_embedding", "q_dedup_minhash_md5",
     "q_fingerprint", "q_join_big_sort_merge", "q_join_salted_skew",
     "q_multimodal_decode", "q_quantile_profile", "q_sample_hash",
     "q_similarity_topk", "q_sql_lateral_topn", "q_sql_shared_pricing",
-    "q_sql_shared_subquery", "q_stream_dedup", "q_text_analysis", "q_tfidf",
+    "q_sql_shared_subquery", "q_stream_dedup", "q_text_analysis",
     "q_tpch_q10_returned", "q_tpch_q1_pricing_summary",
     "q_tpch_q3_shipping_priority", "q_tpch_q5_local_volume",
     "q_tpch_q6_forecast_revenue",
@@ -409,6 +411,7 @@ _ROTATED_OUT = [
     # plus operator-level pytest gates (goldens / planted pairs /
     # invariants) — enumerated in tests/test_registry_order.py.
     "q_vocab_topk",
+    "q_tfidf",
     "q_tpch_q17_small_qty", "q_tpch_q20_excess_supply",
     "q_tpch_q21_waiting_supplier", "q_tpch_q22_global_sales",
     "q_multimodal_decode_png", "q_tpch_q2_min_cost_supplier",

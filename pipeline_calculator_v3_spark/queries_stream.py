@@ -405,6 +405,40 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_outer_join",
+    oracle="""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS tu, event_type FROM events
+)
+SELECT a.event_type AS a_type,
+       COALESCE(b.event_type, 'NONE') AS b_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM e a
+LEFT JOIN e b ON a.user_id = b.user_id
+             AND b.tu > a.tu
+             AND b.tu <= a.tu + 300000000
+GROUP BY a_type, COALESCE(b.event_type, 'NONE')
+""",
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join semantics
+    (streaming/joins.py::followup_pairs_outer), batch-checked: every event
+    paired with its same-user follow-ups within 5 minutes, with a 'NONE'
+    bucket for events that never get one — the abandoned-session /
+    no-conversion measurement the inner join cannot express.
+    tests/test_streaming.py proves the REAL two-source streaming execution
+    (watermarks both sides, null emission gated on horizon expiry, tail
+    withheld) matches this batch face under the documented equivalence.
+
+    Scale shape: identical to q_stream_join — one user-keyed exchange per
+    side, state bounded by watermark + interval on both."""
+    from .streaming.joins import followup_pairs_outer, outer_type_counts
+
+    ev = events_t(spark, sf_dir)
+    return outer_type_counts(followup_pairs_outer(ev, ev))
+
+
+@query(
     "q_stream_static_join",
     oracle="""
 SELECT c.c_mktsegment, e.event_type,

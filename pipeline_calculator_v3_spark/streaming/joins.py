@@ -53,6 +53,70 @@ def pair_type_counts(pairs: DataFrame) -> DataFrame:
     )
 
 
+def followup_pairs_outer(left: DataFrame, right: DataFrame) -> DataFrame:
+    """LEFT-OUTER interval join: every left event with its follow-ups, or
+    NULL-padded when none arrive inside the window.
+
+    Streaming semantics (the part the inner join doesn't exercise): matched
+    pairs emit as soon as both sides arrive, but an UNMATCHED left row can
+    only emit once the watermark passes ``a_ts + interval`` — before that, a
+    matching right row could still show up.  Left rows whose horizon has
+    not expired when the stream drains are withheld entirely (correct:
+    their outcome is still unknown), so stream output == batch left join
+    restricted to matched rows plus horizon-expired unmatched rows — the
+    equivalence tests/test_streaming.py pins.  Same bounded state as the
+    inner form: watermark + interval caps both sides' buffers."""
+    a = left.select(
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_type").alias("a_type"),
+    )
+    b = right.select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_type").alias("b_type"),
+    )
+    return a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {FOLLOWUP_WINDOW}")),
+        "left_outer",
+    )
+
+
+def outer_type_counts(pairs: DataFrame) -> DataFrame:
+    """Rollup of the outer join output: (a_type, follow-up type or 'NONE').
+    The 'NONE' bucket is the operator's point — abandoned sessions /
+    requests with no conversion inside the horizon."""
+    return pairs.groupBy(
+        "a_type", F.coalesce(F.col("b_type"), F.lit("NONE")).alias("b_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+
+
+def run_stream_outer_join_to_memory(spark, events_dir: str, name: str) -> DataFrame:
+    """Drive the left-outer interval join as a REAL two-source stream-stream
+    join (both sides watermarked) and return the raw append output — the
+    caller compares matched rows and horizon-expired null rows against the
+    batch face."""
+    from .windows import stream_events
+
+    left = stream_events(spark, events_dir, watermark="30 minutes")
+    right = stream_events(spark, events_dir, watermark="30 minutes")
+    q = (
+        followup_pairs_outer(left, right)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def run_stream_join_to_memory(spark, events_dir: str, name: str) -> DataFrame:
     """Drive the interval join as a REAL stream-stream join (two readStream
     sources over the same files, both watermarked) and return the

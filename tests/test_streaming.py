@@ -115,3 +115,61 @@ def test_stream_static_join_equals_batch(spark, sf_dir, tmp_path):
         "t_stream_static",
     ).toPandas()
     assert_frames_match(streamed, batch)
+
+
+def test_stream_outer_join_equals_batch_under_horizon(spark, sf_dir, tmp_path):
+    """REAL left-outer stream-stream join: matched pairs must equal the
+    batch join exactly; null-padded rows must appear for EXACTLY the
+    unmatched left rows whose join horizon (a_ts + 5min) expired below the
+    final watermark (max ts - 30min) — later unmatched rows are withheld
+    because a match could still arrive."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pipeline_calculator_v3_spark.queries import events_t
+    from pipeline_calculator_v3_spark.streaming.joins import (
+        FOLLOWUP_US,
+        followup_pairs_outer,
+        run_stream_outer_join_to_memory,
+    )
+
+    d = tmp_path / "outer_events"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    streamed = run_stream_outer_join_to_memory(spark, str(d), "t_ssouter")
+
+    import datetime
+
+    ev = events_t(spark, sf_dir)
+    # ts is TIMESTAMP_NTZ: compute the final watermark driver-side and
+    # compare as timestamps (unix_micros rejects NTZ input)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = (
+        max_ts
+        - datetime.timedelta(minutes=30)          # watermark delay
+        - datetime.timedelta(microseconds=FOLLOWUP_US)  # join upper bound
+    )
+    batch = followup_pairs_outer(ev, ev)
+    # matched rows: identical sets (streaming emits every one)
+    got_m = {
+        (r.a_user, r.a_ts, r.b_ts)
+        for r in streamed.where(F.col("b_ts").isNotNull()).collect()
+    }
+    exp_m = {
+        (r.a_user, r.a_ts, r.b_ts)
+        for r in batch.where(F.col("b_ts").isNotNull()).collect()
+    }
+    assert got_m == exp_m and len(exp_m) > 0
+    # null rows: exactly the horizon-expired unmatched left rows
+    got_n = {
+        (r.a_user, r.a_ts)
+        for r in streamed.where(F.col("b_ts").isNull()).collect()
+    }
+    exp_n = {
+        (r.a_user, r.a_ts)
+        for r in batch.where(F.col("b_ts").isNull())
+        .where(F.col("a_ts") < F.lit(horizon))
+        .collect()
+    }
+    assert got_n == exp_n and len(exp_n) > 0
