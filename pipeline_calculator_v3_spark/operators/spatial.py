@@ -78,13 +78,16 @@ def _neighbor_pairs(
     has_bearing: bool,
     keep_coords: bool,
     extra_where=None,
+    keys: tuple[str, ...] = ("cx", "cy"),
 ) -> DataFrame:
     """3x3 neighbor equi-join + exact haversine recheck over a frame that
     already carries integer cell keys (cx, cy) — shared by the lon/lat band
     grid and the polar-cap planar grids (the cell GEOMETRY differs, the
-    join/pruning/recheck shape is identical)."""
+    join/pruning/recheck shape is identical).  Extra ``keys`` beyond
+    (cx, cy) — the region tag of the polar split — join unperturbed."""
     # Explode the 3x3 neighborhood on one side only: the join stays a plain
-    # equi-join on (cx, cy) — shuffle-friendly, AQE-skew-splittable.
+    # equi-join on the cell keys — shuffle-friendly, AQE-skew-splittable.
+    passthrough = [k for k in keys if k not in ("cx", "cy")]
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -96,18 +99,21 @@ def _neighbor_pairs(
         base.withColumn("o", F.explode(offsets))
         .select(
             *[F.col(c).alias(f"b_{c}") for c in cols],
+            *passthrough,
             (F.col("cx") + F.col("o.dx")).alias("cx"),
             (F.col("cy") + F.col("o.dy")).alias("cy"),
         )
     )
-    a = base.select(*[F.col(c).alias(f"a_{c}") for c in cols], "cx", "cy")
+    a = base.select(
+        *[F.col(c).alias(f"a_{c}") for c in cols], *passthrough, "cx", "cy"
+    )
 
     dist = haversine_m(
         F.col("a_mid_lat"), F.col("a_mid_lon"),
         F.col("b_mid_lat"), F.col("b_mid_lon"),
     )
     joined = (
-        a.join(b, ["cx", "cy"])
+        a.join(b, list(keys))
         # each unordered cross-pipeline pair exactly once, canonical order
         # (:343 same-entity skip, :358-364 symmetric dedup + sorted pair key)
         .where(F.col("a_pipeline_id") < F.col("b_pipeline_id"))
@@ -178,53 +184,102 @@ def _band_pairs(
     )
 
 
-def _polar_pairs(
+def _region_split_pairs(
     segments: DataFrame,
-    north: bool,
     radius_m: float,
     bearing_tol_deg: float | None,
     has_bearing: bool,
     keep_coords: bool,
     cols: list[str],
 ) -> DataFrame:
-    """One pole's cap, on the azimuthal-equidistant planar grid.
+    """Band + polar caps in ONE pass and ONE equi-join, via region tagging.
 
-    Projection (centered on the pole, sphere radius = haversine's
-    EARTH_RADIUS_M so 'true distance' below means exactly the recheck
+    Each row emits its applicable (rg, cx, cy) cell keys — region 0 is the
+    degree-grid band (|lat| <= _MAX_GRID_LAT_DEG), regions 1/2 the
+    north/south caps on the azimuthal-equidistant planar grid, each cap
+    EXTENDED one radius of latitude below the boundary so straddling pairs
+    meet inside it.  A row near the boundary belongs to two regions (<= 2
+    entries), everything else to one, so the explode is a bounded fan-out,
+    and the single join on (rg, cx, cy) replaces the previous three-scan
+    band/north/south union — one exchange family, one read of the input.
+
+    Cap projection (centered on the pole, sphere radius = haversine's
+    EARTH_RADIUS_M so 'true distance' means exactly the recheck
     predicate's metric): r = R * colatitude, x = r*sin(lon), y = r*cos(lon).
     Radial distances are exact and tangential ones stretch by
-    theta/sin(theta) <= 1.0018 over the extended cap, so the plane map is
+    theta/sin(theta) <= ~1.002 over the extended cap, so the plane map is
     Lipschitz with that constant and planar distance <= 1.01 * haversine
-    distance — a cell of _POLAR_CELL_MARGIN * radius_m therefore never
-    separates a true pair beyond the 3x3 neighborhood (over-coverage only;
-    the exact recheck stays the single semantic gate).
+    distance — a cell of _POLAR_CELL_MARGIN * radius_m never separates a
+    true pair beyond the 3x3 neighborhood (over-coverage only; the exact
+    recheck stays the single semantic gate).
 
-    The caller hands us the cap EXTENDED downward by one radius of
-    latitude, so boundary-straddling pairs (one point above
-    _MAX_GRID_LAT_DEG, one just below) are found here; pairs lying entirely
-    at or below the boundary are the band grid's responsibility and are
-    excluded to keep each pair emitted exactly once.
+    Pair ownership is disjoint: the band owns pairs with both points at or
+    below the boundary (points above it have no region-0 entry, so such
+    pairs can only form there); a cap owns pairs touching the strict
+    above-boundary zone (the extra_where filter drops the sub-boundary
+    pairs the extended overlap would duplicate).  Each true pair is
+    emitted exactly once.
     """
     from ..functions.geodesy import EARTH_RADIUS_M
 
+    lat, lon = F.col("mid_lat"), F.col("mid_lon")
+    cell_deg = cell_size_deg(radius_m, _MAX_GRID_LAT_DEG)
     cell_m = float(radius_m) * _POLAR_CELL_MARGIN
-    colat = F.radians(F.lit(90.0) - F.col("mid_lat")) if north else (
-        F.radians(F.lit(90.0) + F.col("mid_lat"))
+    # _M_PER_DEG_SAFE strictly under-estimates meters per degree of
+    # latitude, so radius/_M_PER_DEG_SAFE strictly over-covers the reach
+    eps_deg = float(radius_m) / _M_PER_DEG_SAFE
+    lo = _MAX_GRID_LAT_DEG - eps_deg
+    lam = F.radians(lon)
+
+    def cap_entry(rg: int, north: bool):
+        colat = F.radians(
+            (F.lit(90.0) - lat) if north else (F.lit(90.0) + lat)
+        )
+        r = F.lit(float(EARTH_RADIUS_M)) * colat
+        cond = lat >= F.lit(lo) if north else lat <= F.lit(-lo)
+        return F.when(
+            cond,
+            F.struct(
+                F.lit(rg).alias("rg"),
+                F.floor(r * F.sin(lam) / cell_m).alias("cx"),
+                F.floor(r * F.cos(lam) / cell_m).alias("cy"),
+            ),
+        )
+
+    entries = F.array(
+        F.when(
+            F.abs(lat) <= F.lit(_MAX_GRID_LAT_DEG),
+            F.struct(
+                F.lit(0).alias("rg"),
+                F.floor(lon / cell_deg).alias("cx"),
+                F.floor(lat / cell_deg).alias("cy"),
+            ),
+        ),
+        cap_entry(1, north=True),
+        cap_entry(2, north=False),
     )
-    r = F.lit(float(EARTH_RADIUS_M)) * colat
-    lam = F.radians(F.col("mid_lon"))
-    base = segments.select(
-        *cols,
-        F.floor(r * F.sin(lam) / cell_m).alias("cx"),
-        F.floor(r * F.cos(lam) / cell_m).alias("cy"),
+    base = (
+        segments.select(
+            *cols,
+            F.explode(
+                F.filter(entries, lambda x: x.isNotNull())
+            ).alias("e"),
+        )
+        .select(
+            *cols,
+            F.col("e.rg").alias("rg"),
+            F.col("e.cx").alias("cx"),
+            F.col("e.cy").alias("cy"),
+        )
     )
     return _neighbor_pairs(
         base, cols, radius_m, bearing_tol_deg, has_bearing, keep_coords,
-        # band/cap dedup: the cap only owns pairs touching the strict
-        # above-boundary region
-        extra_where=F.greatest(
-            F.abs(F.col("a_mid_lat")), F.abs(F.col("b_mid_lat"))
-        ) > F.lit(_MAX_GRID_LAT_DEG),
+        keys=("rg", "cx", "cy"),
+        extra_where=(F.col("rg") == 0)
+        | (
+            F.greatest(F.abs(F.col("a_mid_lat")), F.abs(F.col("b_mid_lat")))
+            > F.lit(_MAX_GRID_LAT_DEG)
+        ),
     )
 
 
@@ -255,16 +310,13 @@ def distance_self_join(
       cannot drop it) instead of silently degrading recall.
 
     Polar caps (r05 judge item): a service bound above _MAX_GRID_LAT_DEG
-    routes polar data to a per-pole azimuthal-equidistant planar grid
-    (_polar_pairs) instead of letting 1/cos(lat) degenerate the degree
-    grid; the band below the boundary keeps the degree grid.  The cap
-    input is extended one radius of latitude below the boundary so
-    straddling pairs are found, and cap/band ownership is disjoint (a pair
-    is owned by the cap iff it touches the strict above-boundary region),
-    so the union emits each pair exactly once.  Note the split consumes
-    ``segments`` three times (band + two caps) — callers feeding a
-    computed frame with real polar data should cache/persist it above
-    this operator to avoid re-deriving it per branch.
+    routes through _region_split_pairs — every row emits its applicable
+    (region, cx, cy) cell keys in ONE pass (degree-grid band at or below
+    the boundary, azimuthal-equidistant planar grid per pole above, caps
+    extended one radius of latitude downward so straddling pairs meet),
+    and a single equi-join on (rg, cx, cy) finds all pairs.  Region
+    ownership is disjoint, so each pair is emitted exactly once; the input
+    is read once (the r06 first cut unioned three separate scans).
     """
     if max_abs_lat_deg is None:
         row = segments.agg(F.max(F.abs(F.col("mid_lat")))).first()
@@ -292,24 +344,6 @@ def distance_self_join(
             f"distance_self_join polar path supports radius_m <= 900000, "
             f"got {radius_m}"
         )
-    band = segments.where(F.abs(F.col("mid_lat")) <= F.lit(_MAX_GRID_LAT_DEG))
-    out = _band_pairs(
-        band, radius_m, bearing_tol_deg, has_bearing, keep_coords,
-        _MAX_GRID_LAT_DEG, None, cols,
+    return _region_split_pairs(
+        segments, radius_m, bearing_tol_deg, has_bearing, keep_coords, cols
     )
-    # extend each cap downward by one radius of latitude: any pair with a
-    # point above the boundary has its partner within this margin
-    # (_M_PER_DEG_SAFE is a strict under-estimate of meters per degree of
-    # latitude, so radius/_M_PER_DEG_SAFE strictly over-covers the reach)
-    eps_deg = float(radius_m) / _M_PER_DEG_SAFE
-    lo = _MAX_GRID_LAT_DEG - eps_deg
-    north_ext = segments.where(F.col("mid_lat") >= F.lit(lo))
-    south_ext = segments.where(F.col("mid_lat") <= F.lit(-lo))
-    for cap, is_north in ((north_ext, True), (south_ext, False)):
-        out = out.unionByName(
-            _polar_pairs(
-                cap, is_north, radius_m, bearing_tol_deg, has_bearing,
-                keep_coords, cols,
-            )
-        )
-    return out
