@@ -111,6 +111,11 @@ def write_dataset(
         raise ValueError("partition_by must name at least one column")
     if not key_cols:
         raise ValueError("key_cols must name at least one column")
+    # restore a dataset stranded mid-compaction BEFORE writing: an append
+    # landing in the between-renames window would otherwise create a fresh
+    # out_dir holding only the increment, and the next recovery would
+    # delete the stranded original as 'superseded' (review r06)
+    _recover_interrupted_swap(out_dir)
     df.write.mode(mode).partitionBy(*partition_by).parquet(out_dir)
     spark = df.sparkSession
     entries = _manifest_entries(
@@ -165,13 +170,17 @@ def _recover_interrupted_swap(out_dir: str) -> None:
     - BETWEEN the renames: an orphaned ``.__old__`` with no live
       ``out_dir`` is the original data — restore it;
     - AFTER the second rename but before the old tree is deleted: both
-      ``out_dir`` and ``.__old__`` exist, which can only mean the swap
-      completed (compact never leaves that pair any other way), so the old
-      copy is superseded — delete it, or a validate-only deployment leaks a
-      full dataset copy on disk forever.
+      ``out_dir`` and ``.__old__`` exist — the swap completed, the old copy
+      is superseded — delete it, or a validate-only deployment leaks a full
+      dataset copy on disk forever.
 
-    Called from every dataset entry point so a scheduled validate job
-    self-heals instead of failing (or leaking) forever."""
+    The 'both exist => superseded' inference is sound ONLY because every
+    dataset entry point (write_dataset included) calls this recovery FIRST:
+    a write landing during the between-renames window would otherwise
+    create a fresh ``out_dir`` next to the stranded original and turn this
+    delete into data loss (review r06).  The delete is best-effort
+    (ignore_errors): a concurrently finishing compact_dataset removes the
+    same tree, and losing that race must not fail this entry point."""
     import shutil
 
     old = out_dir.rstrip("/") + ".__old__"
@@ -179,7 +188,7 @@ def _recover_interrupted_swap(out_dir: str) -> None:
         if not os.path.exists(out_dir):
             os.rename(old, out_dir)
         else:
-            shutil.rmtree(old)
+            shutil.rmtree(old, ignore_errors=True)
 
 
 def validate_dataset(spark: SparkSession, out_dir: str) -> dict:
@@ -286,7 +295,10 @@ def compact_dataset(
         )
     os.rename(out_dir, old)
     os.rename(tmp, out_dir)
-    shutil.rmtree(old)
+    # best-effort: a concurrently scheduled validate_dataset may recover
+    # the same superseded tree first; losing that race must not fail a
+    # compaction whose swap already succeeded (review r06)
+    shutil.rmtree(old, ignore_errors=True)
     return {
         "files_before": files_before,
         "files_after": _count_files(out_dir),

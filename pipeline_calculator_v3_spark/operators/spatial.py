@@ -79,6 +79,8 @@ def _neighbor_pairs(
     keep_coords: bool,
     extra_where=None,
     keys: tuple[str, ...] = ("cx", "cy"),
+    lon_cols: int | None = None,
+    modular_cond=None,
 ) -> DataFrame:
     """3x3 neighbor equi-join + exact haversine recheck over a frame that
     already carries integer cell keys (cx, cy) — shared by the lon/lat band
@@ -95,12 +97,25 @@ def _neighbor_pairs(
             for dy in (-1, 0, 1)
         ]
     )
+    cx_step = F.col("cx") + F.col("o.dx")
+    if lon_cols is not None:
+        # modular column axis: the +-180 meridian's cells are ADJACENT
+        # (indices n_cols-1 and 0), so antimeridian pairs co-bucket with
+        # zero extra cost (review r06 — an explicit wrap region doubled
+        # the per-row work of the common case).  ``modular_cond`` scopes
+        # the wrap to the degree-grid region when planar cap keys share
+        # the frame (their cx is not an angle and must not be folded).
+        wrapped = F.pmod(cx_step, F.lit(lon_cols))
+        cx_step = (
+            wrapped if modular_cond is None
+            else F.when(modular_cond, wrapped).otherwise(cx_step)
+        )
     b = (
         base.withColumn("o", F.explode(offsets))
         .select(
             *[F.col(c).alias(f"b_{c}") for c in cols],
             *passthrough,
-            (F.col("cx") + F.col("o.dx")).alias("cx"),
+            cx_step.alias("cx"),
             (F.col("cy") + F.col("o.dy")).alias("cy"),
         )
     )
@@ -151,6 +166,29 @@ def _neighbor_pairs(
     )
 
 
+def _lon_cols(cell: float) -> int:
+    """Number of longitude cells around the globe: floor(360/cell), with
+    the partial remainder MERGED into the last cell (its width grows to
+    [cell, 2*cell)) so every adjacent-cell gap still covers one radius.
+    The modular column axis makes +-180 adjacency automatic."""
+    n = int(360.0 // cell)
+    if n < 4:
+        raise ValueError(
+            f"distance_self_join: radius so large the globe has {n} grid "
+            f"columns — the modular 3x3 neighborhood degenerates; use a "
+            f"radius below ~1,000 km"
+        )
+    return n
+
+
+def _band_cx(cell: float, n_cols: int):
+    """Modular column index from longitude: shift to [0, 360), bucket,
+    clamp the partial last cell into its neighbor."""
+    return F.least(
+        F.floor((F.col("mid_lon") + 180.0) / cell), F.lit(n_cols - 1)
+    ).cast("long")
+
+
 def _band_pairs(
     segments: DataFrame,
     radius_m: float,
@@ -161,10 +199,17 @@ def _band_pairs(
     lat_guard: float | None,
     cols: list[str],
 ) -> DataFrame:
-    """The lon/lat degree-grid path, valid up to _MAX_GRID_LAT_DEG."""
+    """The lon/lat degree-grid path, valid up to _MAX_GRID_LAT_DEG.  The
+    column axis is MODULAR (review r06): cells at -180 and +180 are
+    adjacent indices, so antimeridian-straddling pairs co-bucket without
+    any extra per-row machinery."""
     cell = cell_size_deg(radius_m, max_abs_lat_deg)
+    n_cols = _lon_cols(cell)
     cy_expr = F.floor(F.col("mid_lat") / cell)
-    if lat_guard is not None and lat_guard < _MAX_GRID_LAT_DEG:
+    # <= so an explicit bound of exactly _MAX_GRID_LAT_DEG still arms the
+    # guard: that bound routes here (not to the polar split), and rows
+    # above it would otherwise be silently mis-gridded (review r06)
+    if lat_guard is not None and lat_guard <= _MAX_GRID_LAT_DEG:
         cy_expr = F.when(
             F.abs(F.col("mid_lat")) <= F.lit(lat_guard), cy_expr
         ).otherwise(
@@ -176,11 +221,12 @@ def _band_pairs(
         )
     base = segments.select(
         *cols,
-        F.floor(F.col("mid_lon") / cell).alias("cx"),
+        _band_cx(cell, n_cols).alias("cx"),
         cy_expr.alias("cy"),
     )
     return _neighbor_pairs(
-        base, cols, radius_m, bearing_tol_deg, has_bearing, keep_coords
+        base, cols, radius_m, bearing_tol_deg, has_bearing, keep_coords,
+        lon_cols=n_cols,
     )
 
 
@@ -217,8 +263,10 @@ def _region_split_pairs(
     below the boundary (points above it have no region-0 entry, so such
     pairs can only form there); a cap owns pairs touching the strict
     above-boundary zone (the extra_where filter drops the sub-boundary
-    pairs the extended overlap would duplicate).  Each true pair is
-    emitted exactly once.
+    pairs the extended overlap would duplicate).  Antimeridian pairs need
+    no extra region: the band's modular column axis makes the +-180 cells
+    adjacent, and the cap projection is continuous across the line.  Each
+    true pair is emitted exactly once.
     """
     from ..functions.geodesy import EARTH_RADIUS_M
 
@@ -246,12 +294,14 @@ def _region_split_pairs(
             ),
         )
 
+    n_cols = _lon_cols(cell_deg)
+    in_band = F.abs(lat) <= F.lit(_MAX_GRID_LAT_DEG)
     entries = F.array(
         F.when(
-            F.abs(lat) <= F.lit(_MAX_GRID_LAT_DEG),
+            in_band,
             F.struct(
                 F.lit(0).alias("rg"),
-                F.floor(lon / cell_deg).alias("cx"),
+                _band_cx(cell_deg, n_cols).alias("cx"),
                 F.floor(lat / cell_deg).alias("cy"),
             ),
         ),
@@ -275,6 +325,8 @@ def _region_split_pairs(
     return _neighbor_pairs(
         base, cols, radius_m, bearing_tol_deg, has_bearing, keep_coords,
         keys=("rg", "cx", "cy"),
+        lon_cols=n_cols,
+        modular_cond=F.col("rg") == 0,
         extra_where=(F.col("rg") == 0)
         | (
             F.greatest(F.abs(F.col("a_mid_lat")), F.abs(F.col("b_mid_lat")))

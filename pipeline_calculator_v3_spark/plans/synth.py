@@ -49,7 +49,11 @@ segments AS (
 
 # Polar segment field (r06, polar-cap path): same ladder structure as
 # ``segments`` but planted at the band/cap boundary — every pipeline CLIMBS
-# ACROSS 85 deg latitude (84.99 -> ~85.0125), so the brute-force oracle
+# ACROSS 85 deg latitude (84.996 -> ~85.0185 at sf0.01; the base sits
+# close enough to the boundary that even sf0.001's ~188 rows per pipeline
+# cross it — review r06 found the original 84.99 base kept the default
+# pytest scale entirely inside the band, leaving the cap path untested by
+# the parity gate), so the brute-force oracle
 # exercises all three ownership regimes at once (pure-band pairs, pure-cap
 # pairs, boundary-straddling pairs) plus the 1/cos cell geometry at polar
 # latitudes.  Longitudes start at 179.995 and run past 180 (unwrapped —
@@ -59,7 +63,7 @@ segments AS (
 # apart (inside the 15 m range), two apart ~17.1 m (outside), >= 1.8 m
 # from the threshold so float noise stays semantically irrelevant.
 POLAR_LON0 = 179.995
-POLAR_LAT0 = 84.99
+POLAR_LAT0 = 84.996
 POLAR_DLON = 0.00088    # ~8.54 m of longitude at 85 deg
 POLAR_DLAT = 0.000045   # ~5.0 m
 

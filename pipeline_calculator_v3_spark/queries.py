@@ -382,7 +382,7 @@ _NEVER_CHECKED_FIRST = [
     "q_string_funcs", "q_math_funcs", "q_date_funcs", "q_json_funcs",
     "q_map_funcs", "q_spatial_distance_join_xl", "q_parallel_overlap_xl",
     "q_udf_surface",
-    # r06 refresh, pool B: the oldest r03 oracle-backed verdicts — 22 of
+    # r06 refresh, pool B: the oldest r03 oracle-backed verdicts — 20 of
     # the 25 hash-backed r03 rows fill the remaining slots (q_token_count,
     # q_lang_id, q_text_quality, q_vocab_topk, q_tfidf defer to r07 (the
     # last two yielded their slots to the two new r06 queries):

@@ -322,3 +322,26 @@ def test_validate_cleans_superseded_old_copy(spark, docs, tmp_path):
     assert report["ok"]
     assert os.path.exists(out)
     assert not os.path.exists(out + ".__old__")
+
+
+def test_append_during_crash_window_restores_original_first(spark, docs, tmp_path):
+    """Review r06 (the data-loss scenario): a compaction crash between its
+    two renames leaves the dataset headless; an APPEND arriving before any
+    validate/compact must restore the original FIRST — otherwise it writes
+    a fresh out_dir holding only the increment and the next recovery
+    deletes the stranded original as 'superseded'."""
+    out = str(tmp_path / "ds")
+    write_dataset(docs, out, partition_by=["lang"], key_cols=["doc_id"])
+    n_orig = spark.read.parquet(out).count()
+    os.rename(out, out + ".__old__")  # mid-swap crash window
+    increment = docs.limit(5)
+    write_dataset(
+        increment, out, partition_by=["lang"], key_cols=["doc_id"],
+        mode="append",
+    )
+    assert not os.path.exists(out + ".__old__")
+    assert spark.read.parquet(out).count() == n_orig + 5
+    # and the follow-up validate (which would have deleted the orphan)
+    # sees a coherent manifest covering original + increment
+    report = validate_dataset(spark, out)
+    assert report["ok"]

@@ -170,3 +170,81 @@ def test_polar_brute_force_parity(spark):
         ).collect()
     )
     assert got == expect and len(expect) > 0
+
+
+def test_guard_armed_at_exact_boundary_bound(spark):
+    """Review r06: an explicit bound of exactly 85.0 routes to the band
+    path, and the executor-side guard must still be ARMED there — a row
+    above the bound raises instead of being silently mis-gridded (the old
+    strict '<' condition disabled the guard for this exact value)."""
+    rows = [(1, 0, 10.0, 86.0), (2, 0, 10.0, 86.0)]
+    with pytest.raises(Exception, match="service bound"):
+        distance_self_join(
+            _df(spark, rows), 15.0, max_abs_lat_deg=_MAX_GRID_LAT_DEG
+        ).collect()
+
+
+# --- r06 review: antimeridian wrap strip in the BAND (rg=3) ---------------
+
+def test_band_antimeridian_pair_found(spark):
+    """Review r06: a pair straddling +-180 at a BAND latitude — the degree
+    grid's cx keys differ by ~360/cell, so before the wrap strip this true
+    pair silently vanished."""
+    # lat 40: 111320*cos(40) ~ 85,277 m/deg; 5e-5 deg each side -> ~8.5 m
+    rows = [(1, 0, -179.99995, 40.0), (2, 0, 179.99995, 40.0),
+            (3, 0, 170.0, 40.0)]  # decoy far from the line
+    got = distance_self_join(_df(spark, rows), 15.0).collect()
+    assert [(r.p1, r.p2, round(r.dist_m, 1)) for r in got] == [(1, 2, 8.5)]
+
+
+def test_band_same_sign_strip_pair_not_duplicated(spark):
+    """A same-sign pair INSIDE the wrap strip is band-owned and must be
+    emitted exactly once (the strip also co-buckets it)."""
+    rows = [(1, 0, 179.99990, 40.0), (2, 0, 179.99980, 40.0)]
+    got = distance_self_join(_df(spark, rows), 15.0).collect()
+    assert [(r.p1, r.p2) for r in got] == [(1, 2)]
+
+
+def test_band_antimeridian_in_polar_split_path(spark):
+    """The wrap strip must also serve band latitudes when the POLAR split
+    is routing (data above 85 present elsewhere)."""
+    rows = [(1, 0, -179.99995, 40.0), (2, 0, 179.99995, 40.0),
+            (3, 0, 10.0, 88.0)]  # polar row forces the split path
+    got = distance_self_join(_df(spark, rows), 15.0, max_abs_lat_deg=None).collect()
+    assert [(r.p1, r.p2) for r in got] == [(1, 2)]
+
+
+def test_band_brute_force_parity_across_the_line(spark):
+    """Deterministic scatter across +-180 at band latitudes vs O(n^2)
+    haversine brute force — general-case gate for the wrap strip."""
+    import itertools
+
+    from pipeline_calculator_v3_spark.functions.geodesy import EARTH_RADIUS_M
+
+    def hav(lat1, lon1, lat2, lon2):
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dp, dl = p2 - p1, math.radians(lon2 - lon1)
+        a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return 2 * EARTH_RADIUS_M * math.asin(math.sqrt(a))
+
+    rows = []
+    for i in range(60):
+        lat = 44.9 + (i * 0.61803398875 % 1.0) * 0.2    # ~22 km of latitude
+        # +-0.25 deg around the antimeridian (~20 km at lat 45), signed
+        lon = 179.75 + (i * 0.7548776662 % 1.0) * 0.5
+        if lon > 180.0:
+            lon -= 360.0
+        rows.append((i, 0, lon, lat))
+    radius = 15_000.0
+    expect = sorted(
+        (a[0], b[0])
+        for a, b in itertools.combinations(rows, 2)
+        if hav(a[3], a[2], b[3], b[2]) <= radius
+    )
+    got = sorted(
+        (r.p1, r.p2)
+        for r in distance_self_join(
+            _df(spark, rows), radius, max_abs_lat_deg=60.0
+        ).collect()
+    )
+    assert got == expect and len(expect) > 0
