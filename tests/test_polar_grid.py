@@ -248,3 +248,11 @@ def test_band_brute_force_parity_across_the_line(spark):
         ).collect()
     )
     assert got == expect and len(expect) > 0
+
+
+def test_absurd_radius_rejected_not_degenerate(spark):
+    """The modular column axis needs >= 4 longitude cells; a radius so
+    large the globe has fewer must fail loudly, not alias distant cells."""
+    rows = [(1, 0, 0.0, 0.0), (2, 0, 1.0, 0.0)]
+    with pytest.raises(ValueError, match="grid columns"):
+        distance_self_join(_df(spark, rows), 12_000_000.0).collect()
