@@ -35,5 +35,15 @@ def row_digest_generic(cols: list[Column]) -> Column:
     """NULL-distinguishing, delimiter-safe row digest for arbitrary columns:
     md5 over the canonical JSON of a struct.  ('x', NULL) and (NULL, 'x')
     digest differently, and values containing the would-be delimiter cannot
-    collide across columns."""
-    return F.md5(F.to_json(F.struct(*cols)))
+    collide across columns.
+
+    ``ignoreNullFields`` is pinned per-call (review r06): without it the
+    rendering follows the session conf ``spark.sql.jsonGenerator.
+    ignoreNullFields``, so the same data would digest differently on
+    differently-configured clusters — a spurious drift alarm that defeats
+    the checksum's run-invariance purpose.  Pinned to ``false`` so nulls
+    render explicitly ({"b":null}), matching the documented claim.
+    Compatibility note: manifests written by the pre-pin code under the
+    default conf (true) digest NULL-bearing rows differently; datasets
+    with no NULL key columns are unaffected."""
+    return F.md5(F.to_json(F.struct(*cols), {"ignoreNullFields": "false"}))

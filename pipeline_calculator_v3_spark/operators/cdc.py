@@ -24,14 +24,25 @@ def upsert_latest(
     tiebreak: str,
 ) -> DataFrame:
     """Union base + updates and keep exactly one row per key: highest
-    ``version``, ties broken by descending ``tiebreak``.  Schemas must
-    match by name (unionByName)."""
-    merged = base.unionByName(updates)
+    ``version``, ties broken by descending ``tiebreak``, and a FULL tie
+    (same version AND tiebreak on both sides — e.g. a corrected payload
+    re-delivered under the same version/sequence) resolved in favor of
+    ``updates``.  Without that last rule the winner depends on shuffle
+    arrival order, and the incremental pipeline forks from its backfill —
+    exactly the nondeterminism this operator exists to prevent (review
+    r06).  Schemas must match by name (unionByName)."""
+    reserved = {"_src", "_rn"}
+    clash = reserved & (set(base.columns) | set(updates.columns))
+    if clash:
+        raise ValueError(f"input frames already carry reserved columns {clash}")
+    merged = base.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
     w = Window.partitionBy(key).orderBy(
-        F.desc(version), F.desc(tiebreak)
+        F.desc(version), F.desc(tiebreak), F.desc("_src")
     )
     return (
         merged.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_src")
     )

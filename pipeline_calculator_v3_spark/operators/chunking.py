@@ -59,11 +59,41 @@ def chunk_tokens(
     )
 
 
-def shard_of(key: Column, n_shards: int = 16) -> Column:
-    """Deterministic shard id in [0, n_shards): first md5 hex byte mod n.
+# shard_of hashes this many leading md5 hex chars (32 bits).  One BYTE
+# (the r03-r05 formula) made n_shards > 256 permanently empty and any n not
+# dividing 256 visibly skewed (n=100: 3/256 vs 2/256 shares — 50% imbalance;
+# review r06); 32 bits bounds the skew at n/2^32.
+_SHARD_HEX_CHARS = 8
+_MAX_SHARDS = 1 << 20  # keeps worst-case modulo skew below 0.03%
 
-    Engine-portable (md5 + hex arithmetic exists verbatim in ANSI-ish SQL),
-    RNG-free, stable under repartitioning and task retries — the properties
-    a resumable 100 TB shard-writer needs."""
-    hv = F.conv(F.substring(F.md5(key.cast("string")), 1, 2), 16, 10)
+
+def shard_of(key: Column, n_shards: int = 16) -> Column:
+    """Deterministic shard id in [0, n_shards): first 8 md5 hex chars mod n.
+
+    Engine-portable (md5 + hex arithmetic exists verbatim in ANSI-ish SQL —
+    :func:`shard_sql` emits the identical formula as oracle text), RNG-free,
+    stable under repartitioning and task retries — the properties a
+    resumable 100 TB shard-writer needs."""
+    if not 1 <= n_shards <= _MAX_SHARDS:
+        raise ValueError(f"n_shards must be in [1, {_MAX_SHARDS}], got {n_shards}")
+    hv = F.conv(F.substring(F.md5(key.cast("string")), 1, _SHARD_HEX_CHARS), 16, 10)
     return (hv.cast("bigint") % n_shards).alias("shard")
+
+
+def shard_sql(key_sql: str, n_shards: int) -> str:
+    """The EXACT shard_of formula as engine-portable SQL text (DuckDB has
+    no ``conv``, so the hex prefix is expanded Horner-style over the ANSI
+    ``position(ch IN alphabet)`` both engines share) — used by every
+    oracle that replays shard assignment, and runnable verbatim in Spark
+    too, so the Python and SQL spellings cannot drift apart
+    (tests/test_chunking.py::test_shard_sql_matches_shard_of)."""
+    # CAST to BIGINT per digit: the 16^7 Horner weights overflow INT32,
+    # which Spark's ANSI mode turns into a runtime ArithmeticException
+    # (DuckDB silently promotes — exactly the drift this helper prevents)
+    digits = " + ".join(
+        f"CAST(position(substr(md5({key_sql}), {i + 1}, 1) IN"
+        f" '0123456789abcdef') - 1 AS BIGINT)"
+        f" * {16 ** (_SHARD_HEX_CHARS - 1 - i)}"
+        for i in range(_SHARD_HEX_CHARS)
+    )
+    return f"(({digits}) % {n_shards})"

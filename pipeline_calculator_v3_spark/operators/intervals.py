@@ -33,6 +33,17 @@ def interval_bin_join(
     + exact residual.  Returns all point columns + all interval columns."""
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
+    # review r06: a shared column name would emit ambiguous duplicates
+    # (downstream select throws AMBIGUOUS_REFERENCE), and a pre-existing
+    # '_bin' would be silently overwritten then dropped from the output
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(
+            f"points and intervals share column names {sorted(overlap)}; "
+            f"rename one side — the result carries all columns of both"
+        )
+    if "_bin" in points.columns or "_bin" in intervals.columns:
+        raise ValueError("'_bin' is reserved by interval_bin_join")
     p = points.withColumn(
         "_bin", F.floor(F.col(value_col) / F.lit(bin_width)).cast("long")
     )

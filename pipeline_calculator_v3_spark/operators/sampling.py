@@ -17,6 +17,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _rate_hex(rate: float) -> str:
+    """``rate`` scaled into the first 8 hex chars of an md5 digest — the
+    ONE threshold encoding every sampler in this module shares (review r06:
+    it was previously duplicated in hash_sample_predicate, so a threshold
+    fix could silently diverge the samplers)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0 - 1e-9:
+        # format(16**8) would be the NINE-char '100000000', which compares
+        # BELOW any digest starting '1'..'f' — i.e. ~6% selected instead of
+        # all.  'g' sorts above every hex digit, selecting everything.
+        # The 1e-9 snap also catches float sums meant to be exactly 1.0
+        # (0.7 + 0.3 == 0.9999999999999999): without it, ~2^-32 of rows
+        # would leak past the last declared bucket (review r06).
+        return "g"
+    return format(int(rate * 16**8), "08x")
+
+
 def hash_sample_predicate(key: Column, rate: float) -> Column:
     """Boolean Column selecting ~``rate`` of rows, keyed on ``md5(key)``.
 
@@ -24,16 +42,11 @@ def hash_sample_predicate(key: Column, rate: float) -> Column:
     digest; lexicographic comparison on the lowercase hex string is
     equivalent to numeric comparison on the 32-bit digest prefix and
     behaves identically in Spark and DuckDB, so sampling queries are
-    oracle-checkable value-for-value.
+    oracle-checkable value-for-value.  NULL keys yield NULL (not selected).
     """
-    if not 0.0 <= rate <= 1.0:
-        raise ValueError(f"rate must be in [0, 1], got {rate}")
-    if rate >= 1.0:
-        return F.lit(True)
-    if rate <= 0.0:
-        return F.lit(False)
-    threshold = format(int(rate * 16**8), "08x")
-    return F.md5(key.cast("string")) < F.lit(threshold)
+    # rate 0 -> threshold '00000000' (nothing below), rate 1 -> 'g'
+    # (everything below): the shared encoding covers both edges
+    return F.md5(key.cast("string")) < F.lit(_rate_hex(rate))
 
 
 def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
@@ -46,17 +59,6 @@ def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
     result tables); generalized here to corpus-scale splits.
     """
     return df.where(hash_sample_predicate(F.col(key_col), rate))
-
-
-def _rate_hex(rate: float) -> str:
-    if not 0.0 <= rate <= 1.0:
-        raise ValueError(f"rate must be in [0, 1], got {rate}")
-    if rate >= 1.0:
-        # format(16**8) would be the NINE-char '100000000', which compares
-        # BELOW any digest starting '1'..'f' — i.e. ~6% selected instead of
-        # all.  'g' sorts above every hex digit, selecting everything.
-        return "g"
-    return format(int(rate * 16**8), "08x")
 
 
 def stratified_sample_predicate(
@@ -79,10 +81,16 @@ def stratified_sample_predicate(
 def split_assign(key: Column, train: float = 0.8, val: float = 0.1) -> Column:
     """Deterministic train/val/test assignment from the md5 digest prefix:
     u < train -> 'train', u < train+val -> 'val', else 'test'.  Stable under
-    repartitioning/retries/engines — the reproducible-holdout contract."""
+    repartitioning/retries/engines — the reproducible-holdout contract.
+
+    NULL keys get a NULL assignment (review r06: the otherwise-branch used
+    to funnel every NULL-keyed row — e.g. corrupt-record rows whose fields
+    are all NULL — into the held-out 'test' set, systematically
+    contaminating evaluation with exactly the malformed documents)."""
     h = F.md5(key.cast("string"))
-    return (
+    return F.when(
+        key.isNotNull(),
         F.when(h < _rate_hex(train), "train")
         .when(h < _rate_hex(train + val), "val")
-        .otherwise("test")
+        .otherwise("test"),
     )

@@ -367,6 +367,11 @@ _NEVER_CHECKED_FIRST = [
     # boundary-crossing polar ladder, and the left-outer stream-stream
     # interval join (both unchecked by definition)
     "q_spatial_polar_join", "q_stream_outer_join",
+    # r06 re-checks (late): the shard formula widened from a 1-byte to a
+    # 32-bit digest prefix (review finding — skew/empty shards), changing
+    # these two queries' values; their oracles replay the new formula via
+    # the shared shard_sql helper
+    "q_shard_stats", "q_pack_sequences",
     # r06 re-checks: the round-5 red (q_curation_e2e — every oracle UNION
     # ALL branch now CAST ... AS BIGINT) and q_graph_pagerank, which gained
     # a full DuckDB unrolled-power-iteration oracle this round (rows-only
@@ -384,13 +389,14 @@ _NEVER_CHECKED_FIRST = [
     "q_udf_surface",
     # r06 refresh, pool B: the oldest r03 oracle-backed verdicts — 20 of
     # the 25 hash-backed r03 rows fill the remaining slots (q_token_count,
-    # q_lang_id, q_text_quality, q_vocab_topk, q_tfidf defer to r07 (the
-    # last two yielded their slots to the two new r06 queries):
-    # deterministic text analytics,
+    # q_lang_id, q_text_quality, q_vocab_topk, q_tfidf,
+    # q_join_big_sort_merge, q_join_salted_skew defer to r07 (slots
+    # yielded to the two new r06 queries and the two shard re-checks):
+    # deterministic text analytics and pinned join strategies,
     # parity-gated every pytest run, and refreshing them next round still
     # keeps every verdict at r03-or-fresher after r06)
     "q_contamination", "q_dedup_embedding", "q_dedup_minhash_md5",
-    "q_fingerprint", "q_join_big_sort_merge", "q_join_salted_skew",
+    "q_fingerprint",
     "q_multimodal_decode", "q_quantile_profile", "q_sample_hash",
     "q_similarity_topk", "q_sql_lateral_topn", "q_sql_shared_pricing",
     "q_sql_shared_subquery", "q_stream_dedup", "q_text_analysis",
@@ -412,12 +418,13 @@ _ROTATED_OUT = [
     # invariants) — enumerated in tests/test_registry_order.py.
     "q_vocab_topk",
     "q_tfidf",
+    "q_join_big_sort_merge", "q_join_salted_skew",
     "q_tpch_q17_small_qty", "q_tpch_q20_excess_supply",
     "q_tpch_q21_waiting_supplier", "q_tpch_q22_global_sales",
     "q_multimodal_decode_png", "q_tpch_q2_min_cost_supplier",
     "q_tpch_q9_product_profit", "q_tpch_q11_important_stock",
     "q_tpch_q12_shipmode_priority", "q_tpch_q16_supplier_cnt",
-    "q_pack_sequences", "q_boilerplate_spans", "q_mixture_plan",
+    "q_boilerplate_spans", "q_mixture_plan",
     "q_repetition_filter", "q_stream_static_join", "q_window_time_range",
     "q_scd2_history", "q_sql_recursive_tree", "q_table_checksum",
     "q_variant_extract", "q_pmi_bigrams", "q_embed_quantize",
@@ -437,7 +444,7 @@ _ROTATED_OUT = [
     "q_tpch_q4_order_priority", "q_tpch_q7_nation_volume",
     "q_tpch_q13_order_distribution", "q_tpch_q14_promo_share",
     "q_tpch_q15_top_supplier", "q_tpch_q18_large_orders", "q_chunk_documents",
-    "q_shard_stats", "q_sample_stratified", "q_split_train_eval",
+    "q_sample_stratified", "q_split_train_eval",
     "q_join_range_binned", "q_cdc_upsert", "q_tpch_q8_market_share",
     "q_tpch_q19_disjunctive", "q_chunk_documents_xl", "q_embed_centroids",
     "q_agg_hash", "q_join_inner_hash", "q_dedup_exact", "q_join_multi_way",

@@ -27,6 +27,14 @@ from .operators.partitioning import spread_small_input as _spread  # noqa: E402
 _TOKENS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
 
 
+# shard formulas replayed EXACTLY from operators/chunking.shard_sql —
+# one spelling for Spark and the oracle (review r06: the old 1-byte
+# prefix skewed any n_shards not dividing 256)
+from .operators.chunking import shard_sql as _shard_sql
+_SHARD16 = _shard_sql("CAST(doc_id AS VARCHAR)", 16)
+_SHARD8 = _shard_sql("CAST(doc_id AS VARCHAR)", 8)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling
 # ---------------------------------------------------------------------------
@@ -385,15 +393,12 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_shard_stats",
     oracle=f"""
 WITH s AS (
-    SELECT (strpos('0123456789abcdef',
-                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-         + (strpos('0123456789abcdef',
-                   substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hv,
+    SELECT {_SHARD16} AS shard,
            len({_TOKENS}) AS ntok,
            n_chars
     FROM documents
 )
-SELECT CAST(hv % 16 AS BIGINT) AS shard,
+SELECT CAST(shard AS BIGINT) AS shard,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(ntok) AS BIGINT) AS total_tokens,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -570,11 +575,7 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH s AS (
     SELECT doc_id,
-           ((strpos('0123456789abcdef',
-                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-          + (strpos('0123456789abcdef',
-                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 8
-               AS shard,
+           {_SHARD8} AS shard,
            len({_TOKENS}) AS ntok
     FROM documents
     WHERE len({_TOKENS}) > 0

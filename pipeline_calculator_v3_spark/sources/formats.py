@@ -35,23 +35,50 @@ def read_orc(spark: SparkSession, path: str, schema: str | None = None) -> DataF
     return reader.orc(path)
 
 
+def _bytes_conf(spark: SparkSession, key: str) -> int:
+    """A Spark size conf ('128MB', '134217728b', plain digits) as bytes."""
+    raw = str(spark.conf.get(key)).strip().lower()
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    for suffix in ("kb", "mb", "gb", "tb", "k", "m", "g", "t", "b"):
+        if raw.endswith(suffix):
+            return int(float(raw[: -len(suffix)])) * units[suffix[0]]
+    return int(raw)
+
+
 def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     """One row per line (column ``value``), with the source file and the
     line's position within it — the stable document identity a line-oriented
     corpus ingest needs (input_file_name + a per-file monotonic id would NOT
     be stable across partitionings; the (file, line_no) pair is computed
-    per-partition on data that arrives file-contiguous from the text source)."""
+    per-partition on data that arrives file-contiguous from the text source).
+
+    Files larger than ``spark.sql.files.maxPartitionBytes`` are REJECTED
+    loudly (review r06): Spark bin-packs a big file's splits in size order,
+    not offset order, so the split-local id ordering no longer follows file
+    position and line_no would be silently wrong — plausible numbers,
+    corrupted identities.  Raise the conf, or have oversized files carry
+    their own ids upstream."""
+    limit = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes")
     lines = spark.read.text(path).select(
-        F.input_file_name().alias("path"), F.col("value")
+        F.input_file_name().alias("path"),
+        F.col("_metadata.file_size").alias("_fsize"),
+        F.col("value"),
     )
-    # Line number within file: text-source splits are file-contiguous, so a
-    # window over (path) ordered by the split-local id is deterministic for
-    # files below maxPartitionBytes; large single files should carry their
-    # own ids upstream.
     from pyspark.sql import Window
 
     w = Window.partitionBy("path").orderBy(F.monotonically_increasing_id())
-    return lines.withColumn("line_no", F.row_number().over(w))
+    rn = F.row_number().over(w)
+    # executor-side guard folded into the output column so pruning cannot
+    # drop it (same pattern as the spatial latitude guard)
+    line_no = F.when(F.col("_fsize") <= F.lit(limit), rn).otherwise(
+        F.raise_error(F.concat(
+            F.lit("read_text_lines: file "), F.col("path"),
+            F.lit(f" exceeds spark.sql.files.maxPartitionBytes ({limit}); "
+                  "its splits reorder and line_no would be wrong — raise "
+                  "the conf or assign line ids upstream"),
+        ))
+    )
+    return lines.withColumn("line_no", line_no).drop("_fsize")
 
 
 def read_text_whole(spark: SparkSession, path: str) -> DataFrame:

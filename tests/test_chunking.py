@@ -112,3 +112,93 @@ def test_upsert_latest_deterministic(spark):
     got = {r.k: r.val for r in upsert_latest(base, ups, "k", "version", "seq").collect()}
     # same version twice for k=1: higher seq wins deterministically
     assert got == {1: "a3", 2: "b", 3: "c"}
+
+
+def test_shard_of_covers_and_balances_nondivisor_counts(spark):
+    """Review r06: the old 1-byte digest prefix made n_shards > 256
+    permanently empty and skewed any n not dividing 256 by up to 50%.
+    With the 32-bit prefix, every shard receives rows and the load is
+    near-uniform."""
+    from pyspark.sql import functions as F
+
+    from pipeline_calculator_v3_spark.operators.chunking import shard_of
+
+    n = 10_000
+    df = spark.range(n).select(shard_of(F.col("id"), 300))
+    counts = {r.shard: r.n for r in
+              df.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == set(range(300))  # no empty shard
+    avg = n / 300
+    assert max(counts.values()) < 2 * avg  # no 50%-class imbalance
+
+
+def test_shard_of_rejects_absurd_counts(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pipeline_calculator_v3_spark.operators.chunking import shard_of
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        shard_of(F.col("id"), 0)
+    with _pytest.raises(ValueError, match="n_shards"):
+        shard_of(F.col("id"), 1 << 21)
+
+
+def test_shard_sql_matches_shard_of(spark):
+    """The oracle text helper and the Column implementation must agree
+    row-for-row — this is the anti-drift gate for every shard oracle."""
+    from pyspark.sql import functions as F
+
+    from pipeline_calculator_v3_spark.operators.chunking import (
+        shard_of,
+        shard_sql,
+    )
+
+    df = spark.range(500).select(
+        shard_of(F.col("id"), 13),
+        F.expr(shard_sql("CAST(id AS STRING)", 13)).alias("sql_shard"),
+    )
+    assert df.where(F.col("shard") != F.col("sql_shard")).count() == 0
+
+
+def test_upsert_full_tie_prefers_updates_deterministically(spark):
+    """Review r06: a base row and an update re-delivered under the SAME
+    version and tiebreak used to race on shuffle arrival order; the update
+    (corrected payload) must win, on every run and partitioning."""
+    from pipeline_calculator_v3_spark.operators.cdc import upsert_latest
+
+    base = spark.createDataFrame(
+        [(1, 5, 2, "stale")], "k long, version long, seq long, val string"
+    )
+    updates = spark.createDataFrame(
+        [(1, 5, 2, "corrected")], "k long, version long, seq long, val string"
+    )
+    for _ in range(3):  # repeated runs: same winner every time
+        got = upsert_latest(base, updates, "k", "version", "seq").collect()
+        assert [(r.k, r.val) for r in got] == [(1, "corrected")]
+    # and the reserved working columns are guarded
+    import pytest as _pytest
+
+    poisoned = base.withColumn("_src", base.val)
+    with _pytest.raises(ValueError, match="reserved"):
+        upsert_latest(poisoned, updates, "k", "version", "seq")
+
+
+def test_interval_join_rejects_colliding_columns(spark):
+    """Review r06: shared column names produced ambiguous duplicate output
+    columns, and a pre-existing '_bin' was silently destroyed."""
+    import pytest as _pytest
+
+    from pipeline_calculator_v3_spark.operators.intervals import (
+        interval_bin_join,
+    )
+
+    pts = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    ivs = spark.createDataFrame([(1, 0.0, 10.0)], "id long, lo double, hi double")
+    with _pytest.raises(ValueError, match="share column names"):
+        interval_bin_join(pts, ivs, "v", "lo", "hi", 10.0)
+    ivs2 = spark.createDataFrame(
+        [(2, 0.0, 10.0, 0)], "iid long, lo double, hi double, _bin int"
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        interval_bin_join(pts, ivs2, "v", "lo", "hi", 10.0)

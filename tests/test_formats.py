@@ -222,3 +222,24 @@ def test_parquet_schema_evolution_round_trip(spark, tmp_path):
     assert rows2[2]["score"] is None and rows2[3]["score"] == 0.5
     # plain read without mergeSchema may miss the late column — that is
     # the trap the helper exists to close (footer of one file wins)
+
+
+def test_text_lines_rejects_files_larger_than_split_size(spark, tmp_path):
+    """Review r06: a file above maxPartitionBytes is read as multiple
+    splits whose order does not follow file position, so line_no would be
+    silently wrong — the reader must fail loudly instead."""
+    import pytest as _pytest
+
+    from pipeline_calculator_v3_spark.sources.formats import read_text_lines
+
+    p = tmp_path / "big.txt"
+    p.write_text("\n".join(f"line-{i}" for i in range(2000)))
+    from pipeline_calculator_v3_spark.session import scoped_conf
+
+    with scoped_conf(spark, "spark.sql.files.maxPartitionBytes", "1024b"):
+        with _pytest.raises(Exception, match="maxPartitionBytes"):
+            read_text_lines(spark, str(p)).collect()
+    # and under the normal conf the same file reads fine with correct ids
+    df = read_text_lines(spark, str(p))
+    rows = {r.line_no: r.value for r in df.collect()}
+    assert rows[1] == "line-0" and rows[2000] == "line-1999"
