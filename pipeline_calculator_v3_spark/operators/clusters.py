@@ -41,6 +41,9 @@ def connected_components(
     edge table, not O(rounds)); the edge checkpoint is freed on return.  The
     FINAL labels checkpoint backs the returned frame, so it stays pinned
     until the caller materializes and calls ``caching.release_caches``."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    converged = False
     spark = edges.sparkSession
     sym_ids: list[int] = []
     sym = local_checkpoint_tracked(
@@ -106,6 +109,16 @@ def connected_components(
         if converged:
             break
     unpersist_ids(spark, sym_ids)
+    if not converged:
+        # raise, don't guess (review r06): exhausted iterations mean labels
+        # are still propagating — returning them would silently keep
+        # multiple survivors per cluster, a partition-dependent wrong answer
+        unpersist_ids(spark, labels_ids)
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds — raise max_iter (label propagation needs "
+            f"O(log diameter) pointer-jumping rounds)"
+        )
     track_ids(labels_ids)  # final labels: freed by release_caches()
     if stats is not None:
         stats["rounds"] = rounds

@@ -67,10 +67,30 @@ def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 32) -> Colum
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
-    """MinHash signature as array<bigint> straight from a text column."""
-    hashes = F.transform(shingles(text, shingle_n), lambda s: F.xxhash64(s))
-    return minhash_signature_from_hashes(hashes, num_hashes)
+
+def _verify_candidates(with_bands, staged, join_keys, min_jaccard):
+    """Shared LSH tail: band-bucket self-join -> distinct candidate pairs
+    -> exact Jaccard on the staged distinct shingle sets -> threshold.
+    One spelling for the xxhash64 and md5 variants (review r06: the two
+    copies had already drifted cosmetically on the Jaccard cast)."""
+    a = with_bands.alias("a")
+    b = with_bands.alias("b")
+    cand = (
+        a.join(b, join_keys)
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    sh = staged.select("id", "sh")
+    cand_sh = (
+        cand.join(sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
+        .join(sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2")
+    )
+    jac = (
+        F.size(F.array_intersect("sh1", "sh2"))
+        / F.size(F.array_union("sh1", "sh2"))
+    ).alias("jaccard")
+    return cand_sh.select("id1", "id2", jac).where(F.col("jaccard") >= min_jaccard)
 
 
 def minhash_lsh_pairs(
@@ -136,24 +156,7 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    a = with_bands.alias("a")
-    b = with_bands.alias("b")
-    cand = (
-        a.join(b, ["band", "key"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .dropDuplicates(["id1", "id2"])
-    )
-    sh = staged.select("id", "sh")
-    cand_sh = (
-        cand.join(sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
-        .join(sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2")
-    )
-    jac = (
-        F.size(F.array_intersect("sh1", "sh2"))
-        / F.size(F.array_union("sh1", "sh2"))
-    ).alias("jaccard")
-    return cand_sh.select("id1", "id2", jac).where(F.col("jaccard") >= min_jaccard)
+    return _verify_candidates(with_bands, staged, ["band", "key"], min_jaccard)
 
 
 def minhash_lsh_pairs_md5(
@@ -253,24 +256,7 @@ def minhash_lsh_pairs_md5(
             )
         ).alias("key"),
     )
-    a = with_bands.alias("a")
-    b = with_bands.alias("b")
-    cand = (
-        a.join(b, "key")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .dropDuplicates(["id1", "id2"])
-    )
-    sh = staged.select("id", "sh")
-    cand_sh = (
-        cand.join(sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
-        .join(sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2")
-    )
-    jac = (
-        F.size(F.array_intersect("sh1", "sh2")).cast("double")
-        / F.size(F.array_union("sh1", "sh2"))
-    ).alias("jaccard")
-    return cand_sh.select("id1", "id2", jac).where(F.col("jaccard") >= min_jaccard)
+    return _verify_candidates(with_bands, staged, ["key"], min_jaccard)
 
 
 def simhash64(text: Column, shingle_n: int = 3) -> Column:

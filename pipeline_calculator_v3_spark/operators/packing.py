@@ -64,7 +64,11 @@ def pack_sequences(
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("ntok").cast("bigint").alias("n_tokens"),
-            F.min("doc_id").cast("bigint").alias("first_doc"),
-            F.max("doc_id").cast("bigint").alias("last_doc"),
+            # no cast: min/max keep id_col's own type, so string/UUID ids
+            # work (review r06: the bigint cast NULLed or ANSI-raised on
+            # any non-numeric id; the registered query's ids are already
+            # bigint, so its schema is unchanged)
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
         )
     )

@@ -30,33 +30,6 @@ def _plane_weight(bit: Column | int, dim_idx: Column) -> Column:
     return (h % 1000003).cast("double") / 1000003.0
 
 
-def simhash_bucket(vec: Column, n_bits: int = 12) -> Column:
-    """Sign-random-projection bucket id (BIGINT) for an array<float> vector.
-
-    Bits unrolled in Python (shiftleft needs literal counts); each bit is one
-    hyperplane dot product computed with zip_with/aggregate HOFs."""
-    idx = F.sequence(F.lit(1), F.size(vec))
-
-    def plane_dot(b: int):
-        # closure-captured b: HOF lambdas must keep exact arity (see dedup.py)
-        return F.aggregate(
-            F.zip_with(
-                F.transform(vec, lambda x: x.cast("double")),
-                F.transform(idx, lambda i: _plane_weight(F.lit(b), i)),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    out = F.lit(0).cast("long")
-    for b in range(n_bits):
-        out = out.bitwiseOR(
-            F.when(plane_dot(b) > 0, F.lit(1 << b).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return out
-
 
 def cosine_topk(
     queries: DataFrame,
@@ -150,6 +123,22 @@ def cosine_topk_ivf(
     the corpus (N x C dot products, no shuffle of vectors beyond the
     list-id repartition); probe join is an equi-join on list id.
     """
+    def _best_centroid(scored):
+        """Single nearest centroid per vector WITHOUT a window: max_by over
+        (csim, -centroid_id) reproduces the window's (desc csim, asc id)
+        winner while aggregating map-side — each vid's C candidate rows
+        collapse to one before the exchange, so full vectors cross the
+        shuffle once, not C times."""
+        best = F.max_by(
+            F.struct(F.col("v").alias("v"), F.col("centroid_id").alias("centroid_id")),
+            F.struct(F.col("csim").alias("s"), (-F.col("centroid_id")).alias("t")),
+        )
+        return (
+            scored.groupBy("vid")
+            .agg(best.alias("b"))
+            .select("vid", F.col("b.v").alias("v"), F.col("b.centroid_id").alias("centroid_id"))
+        )
+
     w_assign = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("centroid_id"))
     cents = (
         corpus.orderBy(c_id).limit(n_centroids)
@@ -161,16 +150,13 @@ def cosine_topk_ivf(
 
     def refine(cents_df):
         """One Lloyd iteration: element-wise mean of each list's members."""
-        assigned = (
-            corpus.crossJoin(F.broadcast(cents_df))
-            .select(
+        assigned = _best_centroid(
+            corpus.crossJoin(F.broadcast(cents_df)).select(
                 F.col(c_id).alias("vid"),
                 F.col(vec_col).alias("v"),
                 "centroid_id",
                 cosine(F.col(vec_col), F.col("cent_v")).alias("csim"),
             )
-            .withColumn("r", F.row_number().over(w_assign))
-            .where(F.col("r") == 1)
         )
         # element-wise mean via posexplode + groupBy(centroid, dim)
         dims = assigned.select(
@@ -201,6 +187,14 @@ def cosine_topk_ivf(
                 cosine(F.col(vec_col), F.col("cent_v")).alias("csim"),
             )
         )
+        if keep_n == 1:
+            # the CORPUS side: map-side partial aggregation — never a
+            # window (review r06: row_number over vid shuffled every
+            # corpus vector C times, contradicting the docstring's
+            # 'no shuffle of vectors' contract)
+            return _best_centroid(scored)
+        # the QUERY side only (tiny by contract): multi-probe keeps
+        # nprobe lists per query, a window over the small side is fine
         return (
             scored.withColumn("r", F.row_number().over(w_assign))
             .where(F.col("r") <= keep_n)
@@ -313,11 +307,17 @@ def sign_prefix_block(vec: Column, sign_dims: int = 8) -> Column:
     near zero; for near-dup thresholds (>= 0.95) sign flips on 8 of 64 dims
     are rare, and a multi-probe or multi-table variant covers the tail at
     scale (same trade as cosine_topk_lsh)."""
+    # F.get (0-based) returns NULL instead of ANSI-raising on vectors
+    # shorter than sign_dims (review r06: one corrupt short embedding
+    # killed the whole job via element_at's INVALID_ARRAY_INDEX); the
+    # outer size gate turns the whole key NULL for such rows, so they
+    # drop out of the block join — quarantined, like zero vectors in
+    # cosine()
     bits = [
-        F.when(F.element_at(vec, d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(F.get(vec, d) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for d in range(sign_dims)
     ]
-    return F.concat(*bits)
+    return F.when(F.size(vec) >= F.lit(sign_dims), F.concat(*bits))
 
 
 def embedding_dedup_pairs(

@@ -42,7 +42,9 @@ def mg_kernel(capacity: int):
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             for v in pdf["value"]:
                 if v in counters:
                     counters[v] += 1
@@ -56,10 +58,23 @@ def mg_kernel(capacity: int):
                             dead.append(key)
                     for key in dead:
                         del counters[key]
+        # the partition row count rides on the FIRST summary row (review
+        # r06: a separate values.count() was a third full scan of the
+        # input).  A non-empty partition whose counters all decremented to
+        # zero still must report its count: carry it on a null-value row
+        # with est=0 (never a candidate — candidates filter on est > 0).
         if counters:
+            vals = list(counters.keys())
+            ests = list(counters.values())
             yield pd.DataFrame(
-                {"value": list(counters.keys()), "est": list(counters.values())}
+                {
+                    "value": vals,
+                    "est": ests,
+                    "n_part": [n_part] + [0] * (len(vals) - 1),
+                }
             )
+        elif n_part:
+            yield pd.DataFrame({"value": [None], "est": [0], "n_part": [n_part]})
 
     return mg
 
@@ -77,20 +92,42 @@ def misra_gries_topk(
     values = df.select(F.col(col).alias("value"))
     value_type = values.schema["value"].dataType.simpleString()
     summaries = values.mapInPandas(
-        mg_kernel(capacity), f"value {value_type}, est bigint"
-    )
-    # ALL survivors are candidates: at most capacity rows per partition,
-    # so the candidate table is bounded by capacity x partitions and
-    # broadcastable — an est-ranked limit here would break the guarantee
-    candidates = summaries.select("value").distinct()
-    exact = (
-        values.join(F.broadcast(candidates), "value")
-        .groupBy("value")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
-    top = exact.orderBy(F.col("n").desc(), "value").limit(k).collect()
-    n_total = values.count()
-    if len(top) >= k and top[-1]["n"] * capacity <= n_total:
+        mg_kernel(capacity), f"value {value_type}, est bigint, n_part bigint"
+    ).persist()
+    try:
+        # ALL survivors are candidates: at most capacity rows per
+        # partition, so the candidate table is bounded by capacity x
+        # partitions and broadcastable — an est-ranked limit here would
+        # break the guarantee.  est > 0 excludes the count-carrier rows.
+        candidates = summaries.where(F.col("est") > 0).select("value").distinct()
+        # candidate recounts are bounded (capacity x partitions), so the
+        # FULL exact table collects: top-k, coverage, and the guarantee
+        # check all come from one action instead of three
+        exact = (
+            values.join(F.broadcast(candidates), "value")
+            .groupBy("value")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .collect()
+        )
+        n_total = summaries.agg(F.sum("n_part")).first()[0] or 0
+    finally:
+        summaries.unpersist()
+    exact.sort(key=lambda r: (-r["n"], r["value"]))
+    top = exact[:k]
+    covered = sum(r["n"] for r in exact)
+    if len(top) < k:
+        # fewer candidates than k is fine ONLY when the candidates cover
+        # the whole input (the data simply has < k distinct values) —
+        # otherwise the MG decrements wiped true members and the result
+        # would be partition-dependent (review r06: this case previously
+        # slipped past the guarantee check and returned silently)
+        if covered < n_total:
+            raise ValueError(
+                f"capacity {capacity} cannot guarantee a deterministic "
+                f"top-{k}: only {len(top)} candidates survived and they "
+                f"cover {covered}/{n_total} rows"
+            )
+    elif top[-1]["n"] * capacity <= n_total:
         raise ValueError(
             f"capacity {capacity} cannot guarantee a deterministic top-{k}: "
             f"k-th count {top[-1]['n']} <= n/capacity = {n_total / capacity:.1f}"

@@ -51,9 +51,15 @@ def zorder_key(lat: Column, lon: Column, bits: int = 16) -> Column:
     # Spark's least/greatest SKIP null arguments, so the clamp would
     # otherwise park a NULL lat at the max cell and silently pollute that
     # tile's file statistics (review finding, r05)
+    inf = float("inf")
     bad = (
         lat.isNull() | lon.isNull() | F.isnan(lat.cast("double"))
         | F.isnan(lon.cast("double"))
+        # +-Infinity sails through floor/clamp to the max/min cell and
+        # would pollute a corner tile's statistics exactly like the NULL
+        # case the r05 fix quarantined (review r06)
+        | (F.abs(lat.cast("double")) == F.lit(inf))
+        | (F.abs(lon.cast("double")) == F.lit(inf))
     )
     return F.when(bad, F.lit(None).cast("bigint")).otherwise(key)
 

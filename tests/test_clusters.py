@@ -74,3 +74,21 @@ def test_dedup_clusters_keep_rule(spark):
     assert rows[6] == (6, True) and rows[7] == (6, False)
     for s in (0, 2, 4):
         assert rows[s] == (s, True)
+
+
+def test_nonconvergence_raises_not_returns_partial(spark):
+    """Review r06: exhausting max_iter used to silently return
+    still-propagating labels (multiple survivors per cluster, partition
+    dependent).  A long chain that cannot converge in one round must
+    raise."""
+    import pytest
+
+    from pipeline_calculator_v3_spark.operators.clusters import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id1 long, id2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)

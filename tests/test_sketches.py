@@ -69,3 +69,31 @@ def test_bad_args_raise(spark):
         misra_gries_topk(df, "value", k=0)
     with pytest.raises(ValueError):
         misra_gries_topk(df, "value", k=10, capacity=10)
+
+
+def test_wiped_counters_raise_not_return_partial(spark):
+    """Review r06: a stream of distinct singletons whose length is a
+    multiple of capacity+1 leaves the MG counters EMPTY (every (c+1)-th
+    arrival wipes the c counters), so fewer than k candidates survive and
+    the old guarantee check — gated on len(top) >= k — silently returned a
+    partition-dependent partial result.  Must raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pipeline_calculator_v3_spark.operators.sketches import misra_gries_topk
+
+    df = spark.range(50).select(F.col("id").cast("string").alias("v")).repartition(1)
+    with pytest.raises(ValueError, match="cannot guarantee"):
+        misra_gries_topk(df, "v", k=3, capacity=4)
+
+
+def test_fewer_distinct_than_k_is_exact_and_allowed(spark):
+    """< k distinct values overall is legitimate: candidates cover the
+    whole input, so the (complete) result returns without error."""
+    from pyspark.sql import functions as F
+
+    from pipeline_calculator_v3_spark.operators.sketches import misra_gries_topk
+
+    df = spark.range(1000).select((F.col("id") % 2).cast("string").alias("v"))
+    got = sorted((r.value, r.n) for r in misra_gries_topk(df, "v", k=20).collect())
+    assert got == [("0", 500), ("1", 500)]

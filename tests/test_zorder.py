@@ -111,3 +111,19 @@ def test_null_and_nan_coordinates_yield_null_key(spark):
     ]
     assert keys[0] is None and keys[1] is None and keys[2] is None
     assert keys[3] is not None
+
+
+def test_infinite_coordinates_quarantined(spark):
+    """Review r06: +-Infinity passed the NULL/NaN quarantine and parked in
+    a valid corner tile, corrupting its file statistics."""
+    from pyspark.sql import functions as F
+
+    from pipeline_calculator_v3_spark.operators.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, float("inf"), 10.0), (2, 10.0, float("-inf")), (3, 10.0, 10.0)],
+        "id long, lat double, lon double",
+    )
+    got = {r.id: r.zk for r in df.select(
+        "id", zorder_key(F.col("lat"), F.col("lon")).alias("zk")).collect()}
+    assert got[1] is None and got[2] is None and got[3] is not None
