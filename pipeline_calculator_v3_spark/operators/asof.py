@@ -29,23 +29,43 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join. ``payload`` columns from ``right`` are carried onto
     each ``left`` row as ``<name><suffix>`` (NULL when no prior right row).
+
+    The payload travels as ONE struct column (review r06): per-column
+    ``last(ignorenulls)`` could not distinguish the union's filler NULLs
+    from genuine NULL payload values, so a NULL in the most recent right
+    row was silently replaced by an older row's value — and multi-column
+    payloads could be TORN across different right rows.  The struct is
+    non-null for every right row even when its members are null, so the
+    whole matched row is carried atomically.
     """
     lcols = left.columns
-    l = left.withColumn("__tag", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    payload_cols = [f"{c}{suffix}" for c in payload]
+    clash = set(payload_cols) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"payload+suffix collides with left columns {sorted(clash)}; "
+            f"the old code silently overwrote the left values (review r06) "
+            f"— pick a different suffix"
+        )
     r = right.select(
         *on,
         F.lit(0).alias("__tag"),
         F.col(right_ts).alias("__ts"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        F.struct(
+            *[F.col(c).alias(f"{c}{suffix}") for c in payload]
+        ).alias("__p"),
+    )
+    p_type = dict(r.dtypes)["__p"]
+    l = (
+        left.withColumn("__tag", F.lit(1))
+        .withColumn("__ts", F.col(left_ts))
+        .withColumn("__p", F.lit(None).cast(p_type))
     )
     for c in lcols:
         if c not in on:
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    payload_cols = [f"{c}{suffix}" for c in payload]
-    for c in payload_cols:
-        l = l.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
-    u = l.select(*lcols, *payload_cols, "__tag", "__ts").unionByName(
-        r.select(*lcols, *payload_cols, "__tag", "__ts")
+    u = l.select(*lcols, "__p", "__tag", "__ts").unionByName(
+        r.select(*lcols, "__p", "__tag", "__ts")
     )
     w = (
         Window.partitionBy(*on)
@@ -53,9 +73,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
-        *[c for c in lcols if c not in on],
-        *on,
+        *lcols,
         "__tag",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+        F.last("__p", ignorenulls=True).over(w).alias("__p"),
     )
-    return filled.where(F.col("__tag") == 1).drop("__tag")
+    return filled.where(F.col("__tag") == 1).select(
+        *lcols,
+        *[F.col(f"__p.{pc}").alias(pc) for pc in payload_cols],
+    )

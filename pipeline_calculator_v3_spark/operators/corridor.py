@@ -187,6 +187,18 @@ def _corridor_group(pdf: pd.DataFrame, detection_range_m: float) -> pd.DataFrame
     b = pdf[["b_mid_lon", "b_mid_lat"]].to_numpy(float)
     dist = pdf["dist_m"].to_numpy(float)
 
+    # Antimeridian unwrap (review r06): the upstream distance join
+    # deliberately emits pairs straddling +-180, where raw lon averaging
+    # and min/max produce globe-spanning nonsense.  Unwrap every lon into
+    # the first point's 360-degree frame — a corridor section is tens of
+    # km at most, so after unwrapping all lons are numerically contiguous
+    # (values may exceed +-180; the ENU math only uses differences, and
+    # emitted ring/center lons stay in the unwrapped frame, which KML
+    # consumers and haversine both accept modulo 360).
+    ref = a[0, 0]
+    for arr in (a, b):
+        arr[:, 0] -= 360.0 * np.round((arr[:, 0] - ref) / 360.0)
+
     all_pts = np.vstack([a, b])
     min_lon, min_lat = all_pts.min(axis=0) - BBOX_BUFFER_DEG
     max_lon, max_lat = all_pts.max(axis=0) + BBOX_BUFFER_DEG

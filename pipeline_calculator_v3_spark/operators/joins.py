@@ -42,7 +42,19 @@ def salted_join(
 
     Join key becomes (key, salt): a hot key's rows spread over ``n_salts``
     reducers instead of one.  Deterministic — the salt is a hash, not rand().
+
+    Only joins whose output is keyed by MATCHED or LEFT rows are sound
+    under right-side replication: right/full outer would emit each
+    unmatched right key once PER SALT REPLICA (n_salts-fold null-padded
+    row multiplication — review r06), so those modes raise.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "semi", "leftsemi", "left_anti", "anti",
+                   "leftanti", "cross"):
+        raise ValueError(
+            f"salted_join: how={how!r} is unsound under right-side salt "
+            f"replication (unmatched right rows would multiply n_salts-fold)"
+        )
     lcols = [c for c in left.columns if c != key]
     salt = (
         F.pmod(F.xxhash64(*[F.col(c) for c in lcols]) if lcols else F.xxhash64(F.col(key)),

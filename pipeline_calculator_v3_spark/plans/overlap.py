@@ -136,12 +136,18 @@ def analyze_pipelines(
     # release_caches() frees it once the result envelope is materialized.
     segments = persist_tracked(segmentize(vertices, segment_length_m))
 
-    # op 12: distance + bearing self-join
-    pairs = distance_self_join(
-        segments,
-        detection_range_m,
-        bearing_tol_deg=angular_tolerance_deg,
-        keep_coords=True,
+    # op 12: distance + bearing self-join — persisted: BOTH the
+    # sessionization branch and the op-21 neighbor branch consume it, and
+    # without persistence the plan's most expensive shuffle (grid join +
+    # 9x neighbor explode + haversine recheck) executed once per branch
+    # (review r06)
+    pairs = persist_tracked(
+        distance_self_join(
+            segments,
+            detection_range_m,
+            bearing_tol_deg=angular_tolerance_deg,
+            keep_coords=True,
+        )
     )
 
     # ops 13-14: sort + 2-index gap sessionization (signed deltas,

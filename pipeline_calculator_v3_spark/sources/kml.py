@@ -33,6 +33,7 @@ from __future__ import annotations
 import io
 import re
 import zipfile
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -59,7 +60,16 @@ def _open_kml_bytes(path: str, content: bytes) -> bytes | None:
                     if n.lower().endswith(".kml"):
                         return z.read(n)
             return None
-        except zipfile.BadZipFile:
+        except (
+            zipfile.BadZipFile,
+            zlib.error,        # corrupt deflate stream inside an intact
+                               # central directory (review r06: escaped the
+                               # PERMISSIVE contract and failed the job)
+            RuntimeError,      # encrypted entry
+            NotImplementedError,  # unsupported compression method
+            OSError,
+            EOFError,
+        ):
             return None
     return content
 
@@ -71,9 +81,13 @@ def _parse_kml(path: str, content: bytes):
     data = _open_kml_bytes(path, content)
     if data is None:
         return
-    # namespace inference off the root tag (op 3, :86-88)
-    head = data[:200].decode("utf-8", errors="ignore")
-    m = re.search(r'xmlns="([^"]+)"', head)
+    # namespace inference off the root tag (op 3, :86-88).  Both quote
+    # styles and a 2000-byte window (review r06: single-quoted xmlns or a
+    # long prolog/comment before the root tag silently yielded zero
+    # features); the pattern requires '=' right after 'xmlns' so prefixed
+    # declarations (xmlns:gx=...) never win over the default namespace.
+    head = data[:2000].decode("utf-8", errors="ignore")
+    m = re.search(r"""xmlns=["']([^"']+)["']""", head)
     ns = f"{{{m.group(1)}}}" if m else ""
 
     try:
@@ -114,6 +128,11 @@ def _parse_kml(path: str, content: bytes):
 
                 has_point = elem.find(f".//{ns}Point") is not None
                 has_linestring = elem.find(f".//{ns}LineString") is not None
+                # FIRST <coordinates> element only — exact reference
+                # parity (src/pipeline_calculator_v3.py:186-191 uses
+                # find('.//coordinates'), also first-in-document-order), so
+                # a Point preceding a LineString wins and MultiGeometry
+                # parts beyond the first are dropped THERE too
                 coords_el = elem.find(f".//{ns}coordinates")
                 coords: list[tuple[float, float]] = []
                 if coords_el is not None and coords_el.text:
@@ -248,14 +267,17 @@ def attrs_to_columns(
     """Pivot declared ExtendedData fields out of the ``attrs`` map into typed
     top-level columns (SURVEY.md §1.2 'optionally pivot known fields').
 
-    Pure Column expressions — ``element_at`` + ``cast`` stay in whole-stage
-    codegen; unparseable values become NULL (Spark cast semantics), matching
-    permissive source behavior.  Names already present on ``df`` are skipped.
+    Pure Column expressions — ``element_at`` + ``try_cast`` stay in
+    whole-stage codegen; unparseable values become NULL, matching the
+    permissive source contract.  try_cast, not cast (review r06, live-
+    reproduced): under Spark 4's default ANSI mode a plain cast on a value
+    like 'N/A' in a double-typed field throws CAST_INVALID_INPUT and kills
+    the job.  Names already present on ``df`` are skipped.
     """
     existing = set(df.columns)
     typed = [
         F.element_at(F.col("attrs"), F.lit(name))
-        .cast(_KML_TYPE_TO_SPARK.get(ftype, "string"))
+        .try_cast(_KML_TYPE_TO_SPARK.get(ftype, "string"))
         .alias(name)
         for name, ftype in fields
         if name not in existing
@@ -279,7 +301,20 @@ def read_pipelines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
                 columns=["file", "pipeline_id", "objectid", "name", "attrs", "geometry"],
             )
 
-    return _read_binary(spark, paths).mapInPandas(gen, PIPELINES_SCHEMA)
+    parsed = _read_binary(spark, paths).mapInPandas(gen, PIPELINES_SCHEMA)
+    # pipeline_id is 0-based PER FILE (reference :117); across a multi-file
+    # glob the ids would collide and downstream per-pipeline grouping would
+    # merge unrelated polylines (review r06).  Re-key deterministically over
+    # (file, local id) — a window over the pipeline METADATA rows (never
+    # the vertices), bounded by the pipeline count; single-file inputs keep
+    # their ids verbatim (orderBy(file, id) == orderBy(id) there, and the
+    # local ids are already dense 0-based).
+    from pyspark.sql import Window
+
+    w = Window.orderBy("file", "pipeline_id")
+    return parsed.withColumn(
+        "pipeline_id", (F.row_number().over(w) - 1).cast("bigint")
+    )
 
 
 def read_placemarks(spark: SparkSession, paths: str | list[str]) -> DataFrame:

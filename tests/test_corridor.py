@@ -132,3 +132,31 @@ def test_decimation_tol_is_sub_width():
     # invariant the kernel relies on: tolerance far below any half-width
     # (min width = 2 * clamped detection range 1 m -> half_w >= 1 m)
     assert DECIMATION_TOL_M <= 0.5
+
+
+def test_corridor_across_antimeridian(spark):
+    """Review r06: a section straddling +-180 used to average raw lons to
+    ~0 (wrong side of the planet) with a globe-spanning bbox.  After the
+    unwrap the center sits at the line and the bbox spans meters, not the
+    globe."""
+    import pandas as pd
+
+    from pipeline_calculator_v3_spark.operators.corridor import _corridor_group
+
+    rows = []
+    for i in range(40):
+        lon_a = 179.9995 + i * 0.00002          # crosses 180 at i=25
+        lon_a = lon_a - 360.0 if lon_a > 180.0 else lon_a
+        lon_b = lon_a + 0.0001                  # ~8.5 m east at lat 40
+        lon_b = lon_b - 360.0 if lon_b > 180.0 else lon_b
+        rows.append((1, 2, 1, i, i, lon_a, 40.0, lon_b, 40.0, 9.0))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["p1", "p2", "section", "seg1", "seg2", "a_mid_lon",
+                 "a_mid_lat", "b_mid_lon", "b_mid_lat", "dist_m"],
+    )
+    out = _corridor_group(pdf, 15.0).iloc[0]
+    # center is AT the line (unwrapped frame: ~180.0005), never ~0
+    assert abs(abs(out["center_lon"]) - 180.0) < 0.01
+    # bbox spans the ~0.0009 deg of the section, not ~360
+    assert out["max_lon"] - out["min_lon"] < 0.01

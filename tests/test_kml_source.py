@@ -7,7 +7,13 @@ import zipfile
 
 import pytest
 
-from pipeline_calculator_v3_spark.sources.kml import read_pipelines, read_placemarks
+from pipeline_calculator_v3_spark.sources.kml import (
+    attrs_to_columns,
+    read_pipelines,
+    read_placemarks,
+)
+
+FIXTURE = "/root/reference/test_data/Brazos_NGL and Delaware_Gas combined.kmz"
 
 KML = """<?xml version="1.0" encoding="UTF-8"?>
 <kml xmlns="http://www.opengis.net/kml/2.2">
@@ -103,3 +109,75 @@ def test_end_to_end_from_kml(spark, kml_file):
     assert len(lengths) == 3
     assert all(130_000 < r.length_m < 150_000 for r in lengths)
     assert res["sections"].count() == 0  # pipelines are >= 55 km apart
+
+
+def test_multi_file_pipeline_ids_unique(spark, tmp_path):
+    """Review r06: per-file 0-based ids collided across a glob, merging
+    unrelated polylines downstream.  Ids are now globally unique and dense,
+    and single-file reads keep their original ids."""
+    import shutil
+
+    d = tmp_path / "many"
+    d.mkdir()
+    shutil.copy(FIXTURE, d / "a.kmz")
+    shutil.copy(FIXTURE, d / "b.kmz")
+    pipes = read_pipelines(spark, str(d))
+    n = pipes.count()
+    assert n == 90  # 45 per copy
+    ids = [r.pipeline_id for r in pipes.select("pipeline_id").collect()]
+    assert sorted(ids) == list(range(90))
+
+
+def test_unparseable_attr_value_is_null_not_fatal(spark, tmp_path):
+    """Review r06 (live-reproduced): under Spark 4's default ANSI mode a
+    plain cast on 'N/A' in a double field killed the job; try_cast yields
+    NULL per the permissive contract."""
+    kml = """<?xml version="1.0"?>
+<kml xmlns="http://www.opengis.net/kml/2.2"><Document><Placemark>
+<name>P</name>
+<ExtendedData><Data name="GIS_MILES"><value>N/A</value></Data></ExtendedData>
+<LineString><coordinates>-100,40 -100.1,40.1</coordinates></LineString>
+</Placemark></Document></kml>"""
+    f = tmp_path / "x.kml"
+    f.write_text(kml)
+    pipes = read_pipelines(spark, str(f))
+    typed = attrs_to_columns(pipes, [("GIS_MILES", "double")])
+    row = typed.select("GIS_MILES").collect()[0]
+    assert row.GIS_MILES is None
+
+
+def test_single_quoted_xmlns_parsed(spark, tmp_path):
+    """Review r06: a valid KML with single-quoted xmlns silently yielded
+    zero features."""
+    kml = """<?xml version='1.0'?>
+<kml xmlns='http://www.opengis.net/kml/2.2'><Document><Placemark>
+<name>P</name>
+<LineString><coordinates>-100,40 -100.1,40.1</coordinates></LineString>
+</Placemark></Document></kml>"""
+    f = tmp_path / "sq.kml"
+    f.write_text(kml)
+    assert read_pipelines(spark, str(f)).count() == 1
+
+
+def test_corrupt_kmz_member_skipped_not_fatal(spark, tmp_path):
+    """Review r06: a corrupt deflate stream inside an intact zip raised
+    zlib.error through the PERMISSIVE contract and failed the whole job."""
+    import shutil
+    import struct
+    import zipfile
+
+    d = tmp_path / "mix"
+    d.mkdir()
+    shutil.copy(FIXTURE, d / "good.kmz")
+    # hand-build a zip whose member data is garbage for its DEFLATE header
+    bad = d / "bad.kmz"
+    with zipfile.ZipFile(bad, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("doc.kml", b"<kml/>" * 100)
+    raw = bytearray(bad.read_bytes())
+    # corrupt the deflate payload bytes right after the local file header
+    name_end = 30 + len("doc.kml")
+    for i in range(name_end, min(name_end + 8, len(raw))):
+        raw[i] ^= 0xFF
+    bad.write_bytes(bytes(raw))
+    pipes = read_pipelines(spark, str(d))
+    assert pipes.count() == 45  # the good copy parses; the bad one skips

@@ -86,3 +86,35 @@ def test_effective_length_invariants(spark, segs):
     total = 5.0 * len(segs)
     n_pipes = len({p for p, _ in segs})
     assert total / max(n_pipes, 1) - 1e-9 <= eff <= total + 1e-9
+
+
+def test_asof_payload_not_torn_across_right_rows(spark):
+    """Review r06: per-column last(ignorenulls) replaced a genuine NULL in
+    the most recent right row with an older row's value, and could combine
+    columns from DIFFERENT right rows.  The struct carrier keeps the
+    matched row atomic."""
+    from pipeline_calculator_v3_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 1, 0, 7), (1, 2, 1, None)],
+        "k long, ts long, a long, b long",
+    )
+    left = spark.createDataFrame([(1, 3)], "k long, ts long")
+    got = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        payload=["a", "b"], suffix="_x",
+    ).collect()[0]
+    # the true as-of row is (a=1, b=NULL); the old code returned b=7
+    assert (got.a_x, got.b_x) == (1, None)
+
+
+def test_asof_suffix_collision_raises(spark):
+    import pytest
+
+    from pipeline_calculator_v3_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame([(1, 1, 5)], "k long, ts long, price long")
+    left = spark.createDataFrame([(1, 2, 9)], "k long, ts long, price long")
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                  payload=["price"], suffix="")
