@@ -108,4 +108,9 @@ def release_caches(spark: SparkSession | None = None, blocking: bool = False) ->
         except Exception:
             pass
     _TRACKED_DFS = []
-    _TRACKED_IDS = []
+    if spark is not None:
+        _TRACKED_IDS = []
+    # no active session on THIS thread (getActiveSession is thread-local):
+    # keep the checkpoint ids tracked so a later call from a session-owning
+    # thread can still reclaim the blocks — clearing here would orphan them
+    # for the life of the executors (review r06)

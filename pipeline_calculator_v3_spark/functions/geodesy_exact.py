@@ -158,5 +158,17 @@ def geodesic_udf_grs80():
 
 
 def geodesic_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
-    """Column form of the exact GRS80 kernel (pandas-UDF backed)."""
+    """Column form of the exact GRS80 kernel (pandas-UDF backed).
+
+    Ships the package to executors via the active session (review r06:
+    the UDF body imports this module on workers; every other Python-UDF
+    entry point calls ensure_pkg_shipped, and relying on the caller broke
+    direct users on clusters where only the driver had the package)."""
+    from pyspark.sql import SparkSession
+
+    from ..shipping import ensure_pkg_shipped
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        ensure_pkg_shipped(active)
     return geodesic_udf_grs80()(lat1, lon1, lat2, lon2)

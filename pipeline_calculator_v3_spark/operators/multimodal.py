@@ -85,7 +85,10 @@ def decode_media(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
-                blob = bytes(content)
+                # NULL blob (review r06: bytes(None) raised TypeError and
+                # killed the job) degrades to a valid=false row like every
+                # other malformed input
+                blob = bytes(content) if content is not None else b""
                 ok = len(blob) >= HEADER_SIZE and blob[:4] == MAGIC
                 if ok:
                     _, w, h, c = struct.unpack(HEADER_FMT, blob[:HEADER_SIZE])
@@ -116,8 +119,20 @@ def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
         for pdf in batches:
             ids, feats = [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                payload = np.frombuffer(bytes(content)[HEADER_SIZE:], dtype=np.uint8)
-                hist, _ = np.histogram(payload, bins=bins, range=(0, 256))
+                # magic/header validation like decode_media/sample_frames
+                # (review r06: a FOREIGN blob — wrong magic, real length —
+                # silently produced a plausible histogram over garbage
+                # bytes, and NULL content crashed).  Every invalid blob
+                # now yields the ZERO vector, the module's established
+                # invalid signal (valid features sum to 1.0, invalid to
+                # 0.0 — already pinned for short blobs by
+                # tests/test_multimodal.py).
+                blob = bytes(content) if content is not None else b""
+                if len(blob) < HEADER_SIZE or blob[:4] != MAGIC:
+                    hist = np.zeros(bins, dtype=np.int64)
+                else:
+                    payload = np.frombuffer(blob[HEADER_SIZE:], dtype=np.uint8)
+                    hist, _ = np.histogram(payload, bins=bins, range=(0, 256))
                 total = max(hist.sum(), 1)
                 ids.append(int(mid))
                 feats.append((hist / total).astype(np.float32))
@@ -135,7 +150,7 @@ def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                blob = bytes(content)
+                blob = bytes(content) if content is not None else b""
                 if len(blob) < HEADER_SIZE or blob[:4] != MAGIC:
                     continue
                 _, w, h, c = struct.unpack(HEADER_FMT, blob[:HEADER_SIZE])

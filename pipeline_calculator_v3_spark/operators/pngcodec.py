@@ -166,6 +166,12 @@ def decode_png(blob: bytes) -> np.ndarray:
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if len(data) != 13:
+                # struct.error would escape the documented loud-ValueError
+                # contract (review r06: a wrong-length IHDR with a valid
+                # CRC — CRC covers whatever bytes are present — reached
+                # unpack)
+                raise ValueError(f"IHDR must be 13 bytes, got {len(data)}")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat += data

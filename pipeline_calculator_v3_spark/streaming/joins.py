@@ -20,14 +20,10 @@ FOLLOWUP_WINDOW = "5 minutes"
 FOLLOWUP_US = 5 * 60 * 1_000_000
 
 
-def followup_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
-    """Pairs (a, b) with a.user_id == b.user_id and a.ts < b.ts <= a.ts+5min.
-
-    Works identically on batch frames and on watermarked streaming frames —
-    the streaming test proves batch == stream on identical input.  Inputs
-    must carry (user_id, ts, event_type); sides are renamed to a_*/b_* so
-    the self-join is unambiguous.
-    """
+def _pairs(left, right, how):
+    """One spelling of the interval self-join (review r06: the inner and
+    outer forms had drifted into verbatim copies; a predicate fix applied
+    to one would silently diverge the semantics the tests cross-check)."""
     a = left.select(
         F.col("user_id").alias("a_user"),
         F.col("ts").alias("a_ts"),
@@ -43,7 +39,19 @@ def followup_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
         (F.col("a_user") == F.col("b_user"))
         & (F.col("b_ts") > F.col("a_ts"))
         & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {FOLLOWUP_WINDOW}")),
+        how,
     )
+
+
+def followup_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Pairs (a, b) with a.user_id == b.user_id and a.ts < b.ts <= a.ts+5min.
+
+    Works identically on batch frames and on watermarked streaming frames —
+    the streaming test proves batch == stream on identical input.  Inputs
+    must carry (user_id, ts, event_type); sides are renamed to a_*/b_* so
+    the self-join is unambiguous.
+    """
+    return _pairs(left, right, "inner")
 
 
 def pair_type_counts(pairs: DataFrame) -> DataFrame:
@@ -66,23 +74,7 @@ def followup_pairs_outer(left: DataFrame, right: DataFrame) -> DataFrame:
     restricted to matched rows plus horizon-expired unmatched rows — the
     equivalence tests/test_streaming.py pins.  Same bounded state as the
     inner form: watermark + interval caps both sides' buffers."""
-    a = left.select(
-        F.col("user_id").alias("a_user"),
-        F.col("ts").alias("a_ts"),
-        F.col("event_type").alias("a_type"),
-    )
-    b = right.select(
-        F.col("user_id").alias("b_user"),
-        F.col("ts").alias("b_ts"),
-        F.col("event_type").alias("b_type"),
-    )
-    return a.join(
-        b,
-        (F.col("a_user") == F.col("b_user"))
-        & (F.col("b_ts") > F.col("a_ts"))
-        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {FOLLOWUP_WINDOW}")),
-        "left_outer",
-    )
+    return _pairs(left, right, "left_outer")
 
 
 def outer_type_counts(pairs: DataFrame) -> DataFrame:
@@ -99,12 +91,31 @@ def run_stream_outer_join_to_memory(spark, events_dir: str, name: str) -> DataFr
     join (both sides watermarked) and return the raw append output — the
     caller compares matched rows and horizon-expired null rows against the
     batch face."""
+    return _run_pairs_to_memory(spark, events_dir, name, followup_pairs_outer)
+
+
+def run_stream_join_to_memory(spark, events_dir: str, name: str) -> DataFrame:
+    """Drive the interval join as a REAL stream-stream join (two readStream
+    sources over the same files, both watermarked) and return the
+    transition counts of the append output."""
+    # stream-stream joins emit in APPEND mode only: sink the raw pairs, roll
+    # up batch-side from the memory table (inner-join pairs emit as soon as
+    # both sides arrive, so the bounded drain holds every pair)
+    return pair_type_counts(
+        _run_pairs_to_memory(spark, events_dir, name, followup_pairs)
+    )
+
+
+def _run_pairs_to_memory(spark, events_dir: str, name: str, join_fn) -> DataFrame:
+    """Shared two-source stream drive: both sides watermarked, append-mode
+    memory sink, bounded drain (review r06: the inner and outer runners
+    were copies)."""
     from .windows import stream_events
 
     left = stream_events(spark, events_dir, watermark="30 minutes")
     right = stream_events(spark, events_dir, watermark="30 minutes")
     q = (
-        followup_pairs_outer(left, right)
+        join_fn(left, right)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
@@ -115,28 +126,3 @@ def run_stream_outer_join_to_memory(spark, events_dir: str, name: str) -> DataFr
     finally:
         q.stop()
     return spark.table(name)
-
-
-def run_stream_join_to_memory(spark, events_dir: str, name: str) -> DataFrame:
-    """Drive the interval join as a REAL stream-stream join (two readStream
-    sources over the same files, both watermarked) and return the
-    transition counts of the append output."""
-    from .windows import stream_events
-
-    left = stream_events(spark, events_dir, watermark="30 minutes")
-    right = stream_events(spark, events_dir, watermark="30 minutes")
-    # stream-stream joins emit in APPEND mode only: sink the raw pairs, roll
-    # up batch-side from the memory table (inner-join pairs emit as soon as
-    # both sides arrive, so the bounded drain holds every pair)
-    q = (
-        followup_pairs(left, right)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return pair_type_counts(spark.table(name))

@@ -75,12 +75,10 @@ def run_stateful_to_memory(spark, events_dir: str, name: str,
     so async micro-batches can't race a conf restore."""
     from pyspark.sql import functions as F
 
-    from ..queries import EPOCH_US_EXPR, EVENTS_SCHEMA
+    from ..queries import EPOCH_US_EXPR
+    from .windows import raw_event_stream
 
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(events_dir)
+    raw = raw_event_stream(spark, events_dir, max_files_per_trigger)
     ev = raw.withColumn("ts_us", F.expr(EPOCH_US_EXPR))
     q = (
         running_user_totals(ev)

@@ -70,6 +70,22 @@ def session_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def raw_event_stream(spark, events_dir: str,
+                     max_files_per_trigger: int | None = None):
+    """The ONE readStream construction for event files (schema +
+    maxFilesPerTrigger), shared by the watermarked window reader and the
+    NoTimeout stateful runner (review r06: the runner had re-implemented
+    it inline, re-opening the r03 timestamp-unit regression class the
+    schema sharing exists to prevent).  Keeps native TIMESTAMP_NTZ — the
+    watermark conversion is stream_events' own concern."""
+    from ..queries import EVENTS_SCHEMA
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(events_dir)
+
+
 def stream_events(spark, events_dir: str, watermark: str = "30 minutes",
                   max_files_per_trigger: int | None = None) -> DataFrame:
     """readStream twin of queries.events_t: native TIMESTAMP_NTZ read +
@@ -79,12 +95,9 @@ def stream_events(spark, events_dir: str, watermark: str = "30 minutes",
     never disagree on the timestamp unit again (the r03 regression was
     exactly such a disagreement with the physical data: an explicit bigint
     schema assuming nanos over a MICROS file)."""
-    from ..queries import EPOCH_US_EXPR, EVENTS_SCHEMA
+    from ..queries import EPOCH_US_EXPR
 
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(events_dir)
+    raw = raw_event_stream(spark, events_dir, max_files_per_trigger)
     # Watermarks reject TIMESTAMP_NTZ, so rebuild ts as a TIMESTAMP whose
     # UTC instant encodes the same wall clock (timestamp_micros of the naive
     # epoch-µs) — window bucketing and epoch extraction stay bit-identical
@@ -107,6 +120,10 @@ def run_stream_to_memory(spark, events_dir: str, transform, name: str) -> DataFr
         .outputMode("complete")
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        # a failing transform must not leak a running query holding the
+        # sink name (review r06; every sibling runner already does this)
+        q.stop()
     return spark.table(name)

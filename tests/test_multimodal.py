@@ -182,3 +182,23 @@ def test_synth_png_media_decodes_back_to_text_bytes(spark):
     flat = a.flatten()
     assert bytes(flat[:9]) == text.encode()
     assert (flat[9:] == 0).all()
+
+
+def test_null_content_degrades_not_crashes(spark):
+    """Review r06: bytes(None) raised TypeError inside mapInPandas and
+    killed the job.  NULL blobs must flow through every operator as
+    invalid rows."""
+    from pipeline_calculator_v3_spark.operators.multimodal import (
+        byte_histogram_features,
+        decode_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", None)], "media_id long, kind string, content binary"
+    )
+    d = decode_media(df).collect()
+    assert len(d) == 1 and d[0].valid is False
+    f = byte_histogram_features(df).collect()
+    assert len(f) == 1 and sum(f[0].features) == 0.0  # zero-vector signal
+    assert sample_frames(df).collect() == []
