@@ -14,6 +14,11 @@ from pyspark.sql import functions as F
 # between Spark `split` and DuckDB `regexp_split_to_array`).
 TOKEN_SPLIT_RE = r"\s+"
 
+# The tokens() helper as DuckDB oracle SQL text — ONE definition next to
+# the regex it mirrors (review r06: queries_textml and queries_pipeline
+# each declared a verbatim copy, a silent-drift channel for the tokenizer)
+TOKENS_SQL = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+
 # Small English stopword list for the language-ID heuristic and quality score.
 EN_STOPWORDS = (
     "the a an and or of to in is are was were be for on with as at by it "

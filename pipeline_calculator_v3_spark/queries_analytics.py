@@ -187,7 +187,7 @@ _EWMA_NUM_SPARK, _EWMA_DEN_SPARK = _ewma_terms(
     oracle=f"""
 WITH sm AS (
     SELECT user_id, value,
-           ({_EWMA_NUM_DUCK}) / ({_EWMA_DEN_DUCK}) AS ewma,
+           ({_EWMA_NUM_DUCK}) / NULLIF(({_EWMA_DEN_DUCK}), 0.0) AS ewma,
            row_number() OVER (
                PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC
            ) AS rn
@@ -224,7 +224,13 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts_us",
         "event_id",
-        (F.expr(_EWMA_NUM_SPARK) / F.expr(_EWMA_DEN_SPARK)).alias("ewma"),
+        # nullif: a row whose 8 taps are ALL NULL (possible once value is
+        # nullable) has den exactly 0.0 — ANSI raises where DuckDB NULLs
+        # (review r06; the same guard zscore's sigma already carries)
+        (
+            F.expr(_EWMA_NUM_SPARK)
+            / F.expr(f"nullif(({_EWMA_DEN_SPARK}), 0.0)")
+        ).alias("ewma"),
     )
     # max_by on the (ts_us, event_id) struct picks the trailing value
     # inside the SAME aggregation — a desc row_number window would force a

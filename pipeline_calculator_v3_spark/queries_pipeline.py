@@ -24,7 +24,7 @@ from .queries import query, t
 from .operators.partitioning import spread_small_input as _spread  # noqa: E402
 
 # Tokenizer fragment shared with queries_textml oracles (same regex).
-_TOKENS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+from .functions.text import TOKENS_SQL as _TOKENS
 
 
 # shard formulas replayed EXACTLY from operators/chunking.shard_sql —

@@ -10,7 +10,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .caching import persist_tracked
-from .functions.text import EN_STOPWORDS, shingles_from_tokens, tokens
+from .functions.text import (
+    EN_STOPWORDS,
+    fingerprint_md5,
+    normalized_text,
+    shingles_from_tokens,
+    tokens,
+)
 from .operators.dedup import (
     fingerprint_dedup,
     minhash_lsh_pairs,
@@ -24,7 +30,7 @@ from .queries import query, t
 from .operators.partitioning import spread_small_input as _spread  # noqa: E402
 
 # SQL fragments shared by several oracles.
-_TOKENS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+from .functions.text import TOKENS_SQL as _TOKENS
 _NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
 _STOPLIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 
@@ -72,11 +78,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.joins import salted_self_pairs
 
     d = t(spark, sf_dir, "documents")
-    toks = F.array_distinct(
-        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    )
+    toks = F.array_distinct(tokens(F.lower(F.col("text"))))
     prefix = F.concat_ws(
-        " ", F.slice(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""), 1, 4)
+        " ", F.slice(tokens(F.lower(F.col("text"))), 1, 4)
     )
     # empty-token docs out on BOTH engines: Spark's concat_ws prefix for an
     # empty doc is '' (joins other empties -> 0/0 Jaccard) while DuckDB's
@@ -165,8 +169,11 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_dedup_simhash")  # rows-only: xxhash64-based
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document + hamming distance to each doc's nearest
-    bucket sibling (16-bit prefix blocking).
+    """64-bit SimHash near-dup candidate PAIRS: every same-block pair
+    (16-bit prefix blocking) whose hamming distance is <= 16 — the
+    candidate-set face of simhash dedup, not a per-doc nearest-sibling
+    reduction (review r06: the docstring previously promised one row per
+    doc; output is one row per qualifying pair).
 
     Blocking tops out at 65k buckets, so real corpora WILL concentrate:
     pair generation goes through ``salted_self_pairs`` (same output,
@@ -265,8 +272,6 @@ def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     meets_floor).  The exact side is the oracle-green q_similarity_topk plan;
     hits counted by (qid, cid) membership, so ties broken differently by the
     approximate rank cannot inflate the score."""
-    from .caching import persist_tracked
-
     e = _spread(t(spark, sf_dir, "embeddings"), spark)
     q = e.where(F.col("vec_id") < 8)
     # persist: the exact all-pairs top-k (the expensive subtree) feeds BOTH
@@ -379,11 +384,7 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering)."""
     d = t(spark, sf_dir, "documents")
     return (
-        d.select(
-            F.explode(
-                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-            ).alias("word")
-        )
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy(F.desc("n"), F.asc("word"))
@@ -412,11 +413,17 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword ratio, mean token length — the standard pre-training quality
     filters, all as Column expressions."""
     d = t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    # tok staged as a REAL column: HOF subexpressions are excluded from
+    # Catalyst's common-subexpression reuse, so the inline form ran the
+    # tokenizer ~4x per row (review r06; the dedup.py measured trap)
+    staged = d.select(
+        "doc_id", "text", tokens(F.lower(F.col("text"))).alias("tok")
+    )
+    toks = F.col("tok")
     stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     n_punct = F.length("text") - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
     return (
-        d.select(
+        staged.select(
             "doc_id",
             F.size(toks).cast("bigint").alias("n_tokens"),
             F.length("text").cast("bigint").alias("n_chars_measured"),
@@ -454,14 +461,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The n-gram profile approach needs per-language profiles; the stopword
     heuristic is the oracle-checkable baseline.)"""
     d = t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    staged = d.select(
+        "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("tok")
+    )
+    toks = F.col("tok")
     stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     ratio = (
         F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
         / F.size(toks)
     )
     return (
-        d.select(
+        staged.select(
             "doc_id", "lang",
             ratio.alias("en_ratio"),
             F.when(ratio >= 0.05, "en").otherwise("other").alias("pred"),
@@ -485,11 +495,14 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine-stable, unlike xxhash64 (see q_dedup_simhash for the
     Spark-native 64-bit variant)."""
     d = t(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    # the CANONICAL normalization/fingerprint helpers — the same fp the
+    # dedup surface computes (review r06: an inline re-spelling would
+    # silently diverge from fingerprint_dedup under a normalization tweak)
+    norm = normalized_text(F.col("text"))
     return d.select(
         "doc_id",
-        F.md5(norm).alias("fp"),
-        F.substring(F.md5(norm), 1, 8).alias("fp_prefix"),
+        fingerprint_md5(F.col("text")).alias("fp"),
+        F.substring(fingerprint_md5(F.col("text")), 1, 8).alias("fp_prefix"),
         F.length(norm).cast("bigint").alias("norm_len"),
     )
 
@@ -509,7 +522,7 @@ SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe_tokens,
        CAST(length(text) AS DOUBLE)
-         / len(regexp_extract_all(text, '{_BPE_SQL}')) AS chars_per_bpe
+         / NULLIF(len(regexp_extract_all(text, '{_BPE_SQL}')), 0) AS chars_per_bpe
 FROM documents
 """,
 )
@@ -519,12 +532,17 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     RE2) — the standard 'how many tokens is this corpus' pipeline stage."""
     d = t(spark, sf_dir, "documents")
     bpe = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
-    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    ws = tokens(F.col("text"))
     return d.select(
         "doc_id",
         F.size(ws).cast("bigint").alias("n_ws_tokens"),
         F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
-        (F.length("text").cast("double") / F.size(bpe)).alias("chars_per_bpe"),
+        # nullif guards the empty-text doc: ANSI raises on 0.0/0 where
+        # DuckDB NULLs — a crash AND a parity break (review r06)
+        (
+            F.length("text").cast("double")
+            / F.nullif(F.size(bpe), F.lit(0))
+        ).alias("chars_per_bpe"),
     )
 
 

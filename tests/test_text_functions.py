@@ -53,3 +53,30 @@ def test_whitespace_collapse_is_noop_under_tokenization(spark):
     ).collect()
     for r in out:
         assert r.fast == r.canonical, (r.fast, r.canonical)
+
+
+def test_token_count_survives_empty_text(spark, tmp_path):
+    """Review r06: an empty-text document made chars_per_bpe evaluate
+    0.0/0 — Spark's default ANSI mode aborts the job where DuckDB NULLs.
+    The nullif guard must yield NULL on BOTH engines."""
+    import duckdb
+
+    from pipeline_calculator_v3_spark.queries import ORACLE_SQL, QUERIES
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", 11), (2, "", "en", 0)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r.chars_per_bpe for r in
+           QUERIES["q_token_count"](spark, str(tmp_path)).collect()}
+    assert got[2] is None and got[1] is not None
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    o = {r[0]: r[3] for r in
+         con.execute(ORACLE_SQL["q_token_count"]).fetchall()}
+    import math
+    assert o[2] is None or (isinstance(o[2], float) and math.isnan(o[2]))
