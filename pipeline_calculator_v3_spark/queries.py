@@ -359,8 +359,10 @@ from . import queries_analytics  # noqa: E402,F401
 #      + one representative per §2.B family) stays in-window every round,
 #   3. queries with the freshest green verdict rotate out (still oracle-gated
 #      every pytest run via tests/test_oracle_parity.py).
-# Queries registered later without a placement default to the FRONT: new
-# surface is unchecked by definition and must land inside the window.
+# Every query MUST appear in exactly one list; new surface takes an
+# explicit _NEVER_CHECKED_FIRST slot (unchecked by definition, must land
+# inside the window — and implicit front-placement silently evicted the
+# keep-list tail, review r06).
 # ---------------------------------------------------------------------------
 _NEVER_CHECKED_FIRST = [
     # r06 new surface: the polar-cap distance join over the
@@ -387,7 +389,7 @@ _NEVER_CHECKED_FIRST = [
     "q_string_funcs", "q_math_funcs", "q_date_funcs", "q_json_funcs",
     "q_map_funcs", "q_spatial_distance_join_xl", "q_parallel_overlap_xl",
     "q_udf_surface",
-    # r06 refresh, pool B: the oldest r03 oracle-backed verdicts — 20 of
+    # r06 refresh, pool B: the oldest r03 oracle-backed verdicts — 18 of
     # the 25 hash-backed r03 rows fill the remaining slots (q_token_count,
     # q_lang_id, q_text_quality, q_vocab_topk, q_tfidf,
     # q_join_big_sort_merge, q_join_salted_skew defer to r07 (slots
@@ -469,6 +471,15 @@ def _reorder_registry() -> None:
         len(_KEEP_IN_WINDOW),
     )
     unplaced = [n for n in QUERIES if n not in set(placed)]
+    # review r06: unplaced queries used to silently prepend, pushing the
+    # keep-list tail OUT of the 50-slot window with no assert firing (the
+    # r03 incident class).  Placement is now mandatory: a new query must
+    # take an explicit _NEVER_CHECKED_FIRST slot so the window arithmetic
+    # stays accounted.
+    assert not unplaced, (
+        f"new queries must be placed in _NEVER_CHECKED_FIRST (window "
+        f"accounting): {unplaced}"
+    )
     ordered = unplaced + placed
     reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()

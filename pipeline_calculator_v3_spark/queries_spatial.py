@@ -54,21 +54,16 @@ def q_spatial_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_POLAR_PAIR_DIST = haversine_sql(
-    "a.mid_lat", "a.mid_lon", "b.mid_lat", "b.mid_lon"
-)
-
-
 @query(
     "q_spatial_polar_join",
     oracle=f"""
 WITH {synth.POLAR_SEGMENTS_CTE}
 SELECT a.pipeline_id AS p1, b.pipeline_id AS p2,
        a.seg_index AS seg1, b.seg_index AS seg2,
-       {_POLAR_PAIR_DIST} AS dist_m
+       {_PAIR_DIST} AS dist_m
 FROM polar_segments a JOIN polar_segments b
   ON a.pipeline_id < b.pipeline_id
-WHERE {_POLAR_PAIR_DIST} <= {DETECTION_RANGE_M!r}
+WHERE {_PAIR_DIST} <= {DETECTION_RANGE_M!r}
 """,
 )
 def q_spatial_polar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,6 +112,39 @@ sections AS (
 )"""
 
 
+def _sessionized_sections(pairs: DataFrame, extra_aggs=()) -> DataFrame:
+    """The ONE spelling of the flag -> sessionize -> per-section rollup
+    pipeline (gap>2 break rule, 200 m HAVING gate) — shared by the
+    oracle-gated query and the scale-stress twin (review r06: the two
+    verbatim copies were a drift channel for the section contract)."""
+    w = Window.partitionBy("p1", "p2").orderBy("seg1", "seg2")
+    flagged = pairs.select(
+        "p1", "p2", "seg1", "seg2", "dist_m",
+        F.when(
+            (F.col("seg1") - F.lag("seg1").over(w) > 2)
+            | (F.col("seg2") - F.lag("seg2").over(w) > 2)
+            | F.lag("seg1").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    sessioned = flagged.withColumn(
+        "section",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessioned.groupBy(
+            "p1", "p2", F.col("section").cast("bigint").alias("section")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            (F.count(F.lit(1)) * SEG_LEN_M).alias("bundled_length_m"),
+            *extra_aggs,
+            F.avg("dist_m").alias("avg_separation_m"),
+        )
+        .where(F.col("bundled_length_m") >= MIN_PARALLEL_M)
+    )
+
+
 @query(
     "q_parallel_overlap",
     oracle=f"""
@@ -134,31 +162,14 @@ def q_parallel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = distance_self_join(
         synth.segments_df(spark, sf_dir), DETECTION_RANGE_M
     )
-    w = Window.partitionBy("p1", "p2").orderBy("seg1", "seg2")
-    flagged = pairs.select(
-        "p1", "p2", "seg1", "seg2", "dist_m",
-        F.when(
-            (F.col("seg1") - F.lag("seg1").over(w) > 2)
-            | (F.col("seg2") - F.lag("seg2").over(w) > 2)
-            | F.lag("seg1").over(w).isNull(),
-            1,
-        ).otherwise(0).alias("is_new"),
-    )
-    sessioned = flagged.withColumn(
-        "section",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return (
-        sessioned.groupBy("p1", "p2", F.col("section").cast("bigint").alias("section"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
-            (F.count(F.lit(1)) * SEG_LEN_M).alias("bundled_length_m"),
-            (F.count(F.lit(1)) * SEG_LEN_M / US_SURVEY_MILE_M).alias("bundled_length_mi"),
-            F.avg("dist_m").alias("avg_separation_m"),
+    return _sessionized_sections(
+        pairs,
+        extra_aggs=(
+            (F.count(F.lit(1)) * SEG_LEN_M / US_SURVEY_MILE_M)
+            .alias("bundled_length_mi"),
             F.min("seg1").alias("seg1_min"),
             F.max("seg1").alias("seg1_max"),
-        )
-        .where(F.col("bundled_length_m") >= MIN_PARALLEL_M)
+        ),
     )
 
 
@@ -254,31 +265,8 @@ def q_spatial_distance_join_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_parallel_overlap_xl")  # rows-only: scale-stress variant
 def q_parallel_overlap_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full sessionized overlap over the uncapped field."""
-    from pyspark.sql import Window
-
     pairs = distance_self_join(_segments_xl(spark, sf_dir), DETECTION_RANGE_M)
-    w = Window.partitionBy("p1", "p2").orderBy("seg1", "seg2")
-    flagged = pairs.select(
-        "p1", "p2", "seg1", "seg2", "dist_m",
-        F.when(
-            (F.col("seg1") - F.lag("seg1").over(w) > 2)
-            | (F.col("seg2") - F.lag("seg2").over(w) > 2)
-            | F.lag("seg1").over(w).isNull(),
-            1,
-        ).otherwise(0).alias("is_new"),
-    )
-    sessioned = flagged.withColumn(
-        "section", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    return (
-        sessioned.groupBy("p1", "p2", F.col("section").cast("bigint").alias("section"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
-            (F.count(F.lit(1)) * SEG_LEN_M).alias("bundled_length_m"),
-            F.avg("dist_m").alias("avg_separation_m"),
-        )
-        .where(F.col("bundled_length_m") >= MIN_PARALLEL_M)
-    )
+    return _sessionized_sections(pairs)
 
 
 @query(

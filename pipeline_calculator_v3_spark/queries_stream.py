@@ -81,7 +81,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_session",
     oracle="""
 WITH flagged AS (
-    SELECT user_id, epoch_us(ts) AS ts_us,
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 300000000
                   OR lag(epoch_us(ts)) OVER w IS NULL
                 THEN 1 ELSE 0 END AS is_new
@@ -89,8 +89,11 @@ WITH flagged AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 ),
 sess AS (
+    -- event_id tiebreak mirrors the flagged window (review r06: without
+    -- it, timestamp-tied rows could order the is_new=1 row after its
+    -- tied sibling in the running sum, splitting a session Spark merges)
     SELECT user_id, ts_us,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
     FROM flagged
 )
@@ -299,11 +302,17 @@ _LATE_WATERMARK = "30 minutes"
 @query(
     "q_stream_late_data",
     oracle="""
-WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+WITH wm AS (
+    -- Spark tracks event time / watermark at MILLISECOND truncation
+    -- (review r06: the full-microsecond form could admit a window whose
+    -- end the ms-truncated watermark has not reached; the
+    -- session-timeout oracle already models this)
+    SELECT (epoch_us(max(ts)) // 1000) * 1000 - 1800000000 AS w_us FROM events
+)
 SELECT epoch_us(time_bucket(INTERVAL 5 MINUTES, ts)) AS window_start_us,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events, wm
-WHERE time_bucket(INTERVAL 5 MINUTES, ts) + INTERVAL 5 MINUTES <= wm.w
+WHERE epoch_us(time_bucket(INTERVAL 5 MINUTES, ts)) + 300000000 <= wm.w_us
 GROUP BY window_start_us
 """,
 )

@@ -16,7 +16,7 @@ from .queries import query, t
     "q_tpch_q3_shipping_priority",
     oracle="""
 SELECT l.l_orderkey,
-       SUM(l.l_extendedprice * (1.0 - l.l_discount)) AS revenue,
+       ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS revenue,
        strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -42,7 +42,15 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         )
-        .agg(F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("revenue"))
+        # revenue rounded BEFORE ranking (the q15 selection-stability
+        # rule, review r06): ordering the LIMIT on a raw multi-row double
+        # sum lets cross-engine summation noise flip near-tied rows across
+        # the cutoff — a wholesale row-set mismatch no tolerance absorbs
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -90,7 +98,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q10_returned",
     oracle="""
 SELECT c.c_custkey, c.c_name,
-       SUM(l.l_extendedprice * (1.0 - l.l_discount)) AS revenue,
+       ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS revenue,
        n.n_name
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
@@ -113,7 +121,12 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("revenue"))
+        # rounded before ranking — same selection-stability rule as Q3/Q15
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
