@@ -44,7 +44,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.checksum import digest_residue, row_digest_generic
+from .functions.checksum import (
+    DIGEST_VERSION,
+    digest_residue,
+    row_digest_generic,
+)
 
 _MANIFEST = "_manifest.json"
 
@@ -124,6 +128,7 @@ def write_dataset(
     manifest = {
         "partition_by": partition_by,
         "key_cols": key_cols,
+        "digest_version": DIGEST_VERSION,
         "n_partitions": len(entries),
         "n_rows": sum(e["n_rows"] for e in entries),
         "partitions": entries,
@@ -133,22 +138,37 @@ def write_dataset(
     return manifest
 
 
-def diff_manifests(expected: dict, actual_entries: list[dict]) -> dict:
+def diff_manifests(
+    expected: dict, actual_entries: list[dict], counts_only: bool = False
+) -> dict:
     """Aggregate-vs-aggregate comparison of a stored manifest against
-    freshly computed entries.  Storage-agnostic."""
+    freshly computed entries.  Storage-agnostic.  ``counts_only`` compares
+    n_rows but not checksums — the degraded mode validate_dataset uses
+    when the stored manifest predates the current digest formula (its
+    checksums are incomparable, not wrong)."""
+
+    def _sig(e: dict) -> tuple:
+        return (e["n_rows"],) if counts_only else (e["n_rows"], e["checksum"])
+
     act = {
-        json.dumps(e["partition"], sort_keys=True): (e["n_rows"], e["checksum"])
+        json.dumps(e["partition"], sort_keys=True): _sig(e)
         for e in actual_entries
     }
     exp = {
-        json.dumps(e["partition"], sort_keys=True): (e["n_rows"], e["checksum"])
+        json.dumps(e["partition"], sort_keys=True): _sig(e)
         for e in expected["partitions"]
     }
+    def _side(sig: tuple) -> dict:
+        d = {"n_rows": sig[0]}
+        if not counts_only:
+            d["checksum"] = sig[1]
+        return d
+
     mismatches = [
         {
             "partition": json.loads(k),
-            "expected": {"n_rows": exp[k][0], "checksum": exp[k][1]},
-            "actual": {"n_rows": act[k][0], "checksum": act[k][1]},
+            "expected": _side(exp[k]),
+            "actual": _side(act[k]),
         }
         for k in sorted(exp.keys() & act.keys())
         if exp[k] != act[k]
@@ -200,16 +220,72 @@ def validate_dataset(spark: SparkSession, out_dir: str) -> dict:
     "unexpected": [...]}`` where mismatches carry both sides' counts and
     checksums.  |partitions| rows of comparison, no data movement beyond
     the recompute scan.  Self-heals a compaction interrupted between its
-    two renames before reading."""
+    two renames before reading.
+
+    Migration (advice r06): a manifest stamped with an older
+    ``digest_version`` (or none — the pre-versioning era) has checksums
+    from a DIFFERENT byte stream than today's formula; comparing them
+    would flag every NULL-bearing partition as spurious drift.  Such
+    manifests validate in a degraded counts-only mode, and the report
+    carries ``stale_digest_version`` naming both versions so deployments
+    can run :func:`restamp_manifest` once to restore full checksum
+    validation."""
     _recover_interrupted_swap(out_dir)
     with open(os.path.join(out_dir, _MANIFEST)) as f:
         manifest = json.load(f)
+    stored_ver = manifest.get("digest_version", 1)
+    stale = stored_ver != DIGEST_VERSION
     actual = _manifest_entries(
         _read_raw(spark, out_dir),
         manifest["partition_by"],
         manifest["key_cols"],
     )
-    return diff_manifests(manifest, actual)
+    report = diff_manifests(manifest, actual, counts_only=stale)
+    if stale:
+        report["stale_digest_version"] = {
+            "manifest": stored_ver,
+            "current": DIGEST_VERSION,
+            "note": "checksums skipped (incomparable formulas); run "
+            "restamp_manifest to restore full validation",
+        }
+    return report
+
+
+def restamp_manifest(spark: SparkSession, out_dir: str) -> dict:
+    """One-time migration for datasets whose manifest predates the current
+    digest formula (advice r06): recompute every partition entry from the
+    parquet actually on disk with today's formula and rewrite
+    ``_manifest.json`` stamped ``digest_version = DIGEST_VERSION``.
+
+    Counts are verified against the stored manifest FIRST (counts are
+    formula-independent) so a dataset that drifted while carrying a stale
+    manifest cannot be silently blessed — raises with the diff instead.
+    Returns the new manifest dict."""
+    _recover_interrupted_swap(out_dir)
+    with open(os.path.join(out_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    entries = _manifest_entries(
+        _read_raw(spark, out_dir),
+        manifest["partition_by"],
+        manifest["key_cols"],
+    )
+    counts = diff_manifests(manifest, entries, counts_only=True)
+    if not counts["ok"]:
+        raise RuntimeError(
+            f"restamp_manifest: row counts diverge from the stored "
+            f"manifest — real drift, not a formula change; refusing to "
+            f"re-stamp: {counts}"
+        )
+    manifest = {
+        **manifest,
+        "digest_version": DIGEST_VERSION,
+        "n_partitions": len(entries),
+        "n_rows": sum(e["n_rows"] for e in entries),
+        "partitions": entries,
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
 
 
 def compact_dataset(
@@ -258,6 +334,11 @@ def compact_dataset(
             shutil.rmtree(stale)
     with open(os.path.join(out_dir, _MANIFEST)) as f:
         manifest = json.load(f)
+    if manifest.get("digest_version", 1) != DIGEST_VERSION:
+        # re-stamp from the live original FIRST: validating the rewrite
+        # against a stale-formula manifest would degrade step 2's proof to
+        # counts-only exactly when it matters (advice r06 migration path)
+        manifest = restamp_manifest(spark, out_dir)
     partition_by = manifest["partition_by"]
     key_cols = manifest["key_cols"]
 

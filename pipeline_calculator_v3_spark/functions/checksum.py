@@ -22,6 +22,18 @@ from pyspark.sql import functions as F
 
 RESIDUE_MOD = 1_000_000_007
 
+# Version of the ``row_digest_generic`` formula, stamped into dataset
+# manifests (dataset.py) so a formula change is distinguishable from real
+# data drift (advice r06).  History:
+#   1 — to_json under the SESSION conf ``ignoreNullFields`` (digest of
+#       NULL-bearing rows depended on cluster config; never stamped —
+#       manifests without a ``digest_version`` field are treated as v1);
+#   2 — ``ignoreNullFields`` pinned to false per-call (run-invariant).
+# Bump this whenever the byte stream under the md5 changes for ANY input;
+# validate_dataset then degrades to counts-only until a re-stamp instead
+# of flagging every NULL-bearing partition as drifted.
+DIGEST_VERSION = 2
+
 
 def digest_residue(digest_hex: Column) -> Column:
     """48-bit prefix of an md5 hex digest as a bounded bigint residue."""

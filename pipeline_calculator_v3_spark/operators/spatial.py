@@ -52,13 +52,29 @@ _M_PER_DEG_SAFE = 110500.0
 # see _polar_pairs).  The band grid still serves everything at or below.
 _MAX_GRID_LAT_DEG = 85.0
 
+# The polar path caps the search radius at the largest value for which the
+# band half of the region split keeps >= 4 longitude columns at the
+# _MAX_GRID_LAT_DEG band (_lon_cols needs floor(360/cell) >= 4 for the
+# modular 3x3 neighborhood): radius <= 90 deg * m/deg * cos(85 deg)
+# ~= 866 km.  Deriving it here (instead of a hand-rounded 900 km, advice
+# r06) guarantees the cap guard fires BEFORE _lon_cols can raise its
+# generic degenerate-grid error from inside _region_split_pairs.
+_MAX_POLAR_RADIUS_M = math.floor(
+    (360.0 / 4.0)
+    * _M_PER_DEG_SAFE
+    * math.cos(math.radians(_MAX_GRID_LAT_DEG))
+)  # 866_764 m
+
 # Planar cell margin for the polar caps.  In the azimuthal equidistant
 # projection (radial distances exact, tangential stretched by
 # theta/sin(theta)), the plane map is Lipschitz with constant
-# theta_max/sin(theta_max) over the cap — 1.0018 at the ~6 deg colatitude
-# the extended cap can reach — so planar distance never exceeds 1.01x the
-# haversine distance and a cell of 1.01*radius guarantees every true pair
-# lands within the 3x3 neighborhood.
+# theta_max/sin(theta_max) over the cap.  Worst case (advice r06): the
+# extended cap reaches 5 deg past the boundary plus one full search
+# radius, i.e. 5 + _MAX_POLAR_RADIUS_M/_M_PER_DEG_SAFE ~= 12.9 deg of
+# colatitude, where theta/sin(theta) ~= 1.0085 — still under this 1.01
+# margin, so planar distance never exceeds 1.01x the haversine distance
+# and a cell of 1.01*radius guarantees every true pair lands within the
+# 3x3 neighborhood.  A radius-cap change must re-check that bound.
 _POLAR_CELL_MARGIN = 1.01
 
 
@@ -175,8 +191,9 @@ def _lon_cols(cell: float) -> int:
     if n < 4:
         raise ValueError(
             f"distance_self_join: radius so large the globe has {n} grid "
-            f"columns — the modular 3x3 neighborhood degenerates; use a "
-            f"radius below ~1,000 km"
+            f"columns at the widest latitude served — the modular 3x3 "
+            f"neighborhood needs floor(360/cell) >= 4; use a smaller "
+            f"radius (or restrict max_abs_lat_deg)"
         )
     return n
 
@@ -387,13 +404,17 @@ def distance_self_join(
             max_abs_lat_deg, lat_guard, cols,
         )
 
-    # the 1.01 planar margin's Lipschitz argument needs the extended cap's
-    # colatitude to stay small (theta/sin(theta) <= 1.01 up to ~14 deg);
-    # 900 km of search radius keeps it at <= 5 + 8.2 deg with slack —
-    # far beyond any corridor-proximity use (the reference's is ~30 m)
-    if radius_m > 900_000:
+    # two constraints meet at _MAX_POLAR_RADIUS_M (~866 km): the band half
+    # of the split needs >= 4 longitude columns at 85 deg, and the 1.01
+    # planar margin's Lipschitz argument needs the extended cap's
+    # colatitude small (theta/sin(theta) <= 1.01 up to ~14 deg; the cap
+    # reaches <= 5 + 7.9 ~= 12.9 deg at this radius) — both far beyond any
+    # corridor-proximity use (the reference's is ~30 m)
+    if radius_m > _MAX_POLAR_RADIUS_M:
         raise ValueError(
-            f"distance_self_join polar path supports radius_m <= 900000, "
+            f"distance_self_join polar path supports radius_m <= "
+            f"{_MAX_POLAR_RADIUS_M} (the band grid at "
+            f"{_MAX_GRID_LAT_DEG:g} deg needs >= 4 longitude columns), "
             f"got {radius_m}"
         )
     return _region_split_pairs(

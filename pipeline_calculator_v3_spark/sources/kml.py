@@ -304,16 +304,29 @@ def read_pipelines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     parsed = _read_binary(spark, paths).mapInPandas(gen, PIPELINES_SCHEMA)
     # pipeline_id is 0-based PER FILE (reference :117); across a multi-file
     # glob the ids would collide and downstream per-pipeline grouping would
-    # merge unrelated polylines (review r06).  Re-key deterministically over
-    # (file, local id) — a window over the pipeline METADATA rows (never
-    # the vertices), bounded by the pipeline count; single-file inputs keep
-    # their ids verbatim (orderBy(file, id) == orderBy(id) there, and the
-    # local ids are already dense 0-based).
+    # merge unrelated polylines (review r06).  Re-key deterministically
+    # over (file, local id); single-file inputs keep their ids verbatim
+    # (orderBy(file, id) == orderBy(id) there, and the local ids are
+    # already dense 0-based).  The unpartitioned row_number window runs
+    # over the LIGHTWEIGHT key pairs only — 16 bytes x |pipelines| through
+    # the single-partition funnel, never the geometry polyline arrays
+    # (advice r06: windowing `parsed` directly would drag every vertex
+    # through one task) — and the dense ids broadcast-join back.
     from pyspark.sql import Window
 
     w = Window.orderBy("file", "pipeline_id")
-    return parsed.withColumn(
-        "pipeline_id", (F.row_number().over(w) - 1).cast("bigint")
+    keys = (
+        parsed.select("file", "pipeline_id")
+        .distinct()
+        .withColumn(
+            "_global_id", (F.row_number().over(w) - 1).cast("bigint")
+        )
+    )
+    return (
+        parsed.join(F.broadcast(keys), ["file", "pipeline_id"])
+        .drop("pipeline_id")
+        .withColumnRenamed("_global_id", "pipeline_id")
+        .select("file", "pipeline_id", "objectid", "name", "attrs", "geometry")
     )
 
 

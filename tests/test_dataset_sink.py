@@ -345,3 +345,107 @@ def test_append_during_crash_window_restores_original_first(spark, docs, tmp_pat
     # sees a coherent manifest covering original + increment
     report = validate_dataset(spark, out)
     assert report["ok"]
+
+
+def test_manifest_carries_digest_version(spark, docs, tmp_path):
+    from pipeline_calculator_v3_spark.functions.checksum import (
+        DIGEST_VERSION,
+    )
+
+    out = str(tmp_path / "ds")
+    manifest = write_dataset(
+        docs, out, partition_by=["lang"], key_cols=["doc_id", "text"]
+    )
+    assert manifest["digest_version"] == DIGEST_VERSION
+    with open(os.path.join(out, "_manifest.json")) as f:
+        assert json.load(f)["digest_version"] == DIGEST_VERSION
+
+
+def _age_manifest(out: str) -> None:
+    """Simulate a pre-versioning (v1) manifest whose checksums came from a
+    different digest formula: strip the version stamp and perturb one
+    partition checksum."""
+    mpath = os.path.join(out, "_manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["digest_version"]
+    m["partitions"][0]["checksum"] += 1
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+
+def test_stale_digest_version_validates_counts_only(spark, docs, tmp_path):
+    """Advice r06: a manifest from the pre-pin digest formula must not
+    flag spurious drift — checksums are incomparable, counts are not."""
+    out = str(tmp_path / "ds")
+    write_dataset(
+        docs, out, partition_by=["lang"], key_cols=["doc_id", "text"]
+    )
+    _age_manifest(out)
+    report = validate_dataset(spark, out)
+    assert report["ok"], report
+    assert report["stale_digest_version"]["manifest"] == 1
+    # counts still guard: a vanished partition is real drift regardless
+    victim = next(d for d in os.listdir(out) if d.startswith("lang="))
+    shutil.rmtree(os.path.join(out, victim))
+    assert not validate_dataset(spark, out)["ok"]
+
+
+def test_restamp_restores_full_validation(spark, docs, tmp_path):
+    from pipeline_calculator_v3_spark.dataset import restamp_manifest
+    from pipeline_calculator_v3_spark.functions.checksum import (
+        DIGEST_VERSION,
+    )
+
+    out = str(tmp_path / "ds")
+    write_dataset(
+        docs, out, partition_by=["lang"], key_cols=["doc_id", "text"]
+    )
+    _age_manifest(out)
+    restamped = restamp_manifest(spark, out)
+    assert restamped["digest_version"] == DIGEST_VERSION
+    report = validate_dataset(spark, out)
+    assert report["ok"] and "stale_digest_version" not in report
+    # checksum tamper is detectable again after the re-stamp
+    mpath = os.path.join(out, "_manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["partitions"][0]["checksum"] += 1
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    assert not validate_dataset(spark, out)["ok"]
+
+
+def test_restamp_refuses_count_drift(spark, docs, tmp_path):
+    """A dataset that drifted while carrying a stale manifest cannot be
+    silently blessed by the migration path."""
+    from pipeline_calculator_v3_spark.dataset import restamp_manifest
+
+    out = str(tmp_path / "ds")
+    write_dataset(
+        docs, out, partition_by=["lang"], key_cols=["doc_id", "text"]
+    )
+    _age_manifest(out)
+    victim = next(d for d in os.listdir(out) if d.startswith("lang="))
+    shutil.rmtree(os.path.join(out, victim))
+    with pytest.raises(RuntimeError, match="refusing to re-stamp"):
+        restamp_manifest(spark, out)
+
+
+def test_compaction_restamps_stale_manifest(spark, docs, tmp_path):
+    """Compaction on a pre-versioning manifest re-stamps FIRST so its
+    rewrite validation keeps full checksum strength."""
+    from pipeline_calculator_v3_spark.dataset import compact_dataset
+    from pipeline_calculator_v3_spark.functions.checksum import (
+        DIGEST_VERSION,
+    )
+
+    out = str(tmp_path / "ds")
+    write_dataset(
+        docs, out, partition_by=["lang"], key_cols=["doc_id", "text"]
+    )
+    _age_manifest(out)
+    compact_dataset(spark, out, files_per_partition=1)
+    with open(os.path.join(out, "_manifest.json")) as f:
+        assert json.load(f)["digest_version"] == DIGEST_VERSION
+    assert validate_dataset(spark, out)["ok"]

@@ -256,3 +256,35 @@ def test_absurd_radius_rejected_not_degenerate(spark):
     rows = [(1, 0, 0.0, 0.0), (2, 0, 1.0, 0.0)]
     with pytest.raises(ValueError, match="grid columns"):
         distance_self_join(_df(spark, rows), 12_000_000.0).collect()
+
+
+def test_polar_radius_cap_fires_before_lon_cols(spark):
+    """Advice r06: a polar-path radius between the derived cap (~866 km)
+    and the old hand-rounded 900 km used to sail past the guard and die
+    inside _lon_cols with a misleading generic message.  The cap guard
+    must fire first, with the accurate message."""
+    from pipeline_calculator_v3_spark.operators.spatial import (
+        _MAX_POLAR_RADIUS_M,
+    )
+
+    rows = [(1, 0, 10.0, 86.0), (2, 0, 11.0, 86.5)]
+    with pytest.raises(ValueError, match="polar path supports radius_m"):
+        distance_self_join(
+            _df(spark, rows), _MAX_POLAR_RADIUS_M + 1.0,
+            max_abs_lat_deg=None,
+        ).collect()
+
+
+def test_polar_radius_at_cap_runs(spark):
+    """The derived cap itself is inside the supported envelope: the band
+    half keeps >= 4 longitude columns and the run completes (the planted
+    polar pair ~55 km apart is found)."""
+    from pipeline_calculator_v3_spark.operators.spatial import (
+        _MAX_POLAR_RADIUS_M,
+    )
+
+    rows = [(1, 0, 10.0, 86.0), (2, 0, 10.0, 86.5)]
+    got = distance_self_join(
+        _df(spark, rows), float(_MAX_POLAR_RADIUS_M), max_abs_lat_deg=None
+    ).collect()
+    assert len(got) == 1
