@@ -365,62 +365,60 @@ from . import queries_analytics  # noqa: E402,F401
 # keep-list tail, review r06).
 # ---------------------------------------------------------------------------
 _NEVER_CHECKED_FIRST = [
-    # r06 new surface: the polar-cap distance join over the
-    # boundary-crossing polar ladder, and the left-outer stream-stream
-    # interval join (both unchecked by definition)
-    "q_spatial_polar_join", "q_stream_outer_join",
-    # r06 re-checks (late): the shard formula widened from a 1-byte to a
-    # 32-bit digest prefix (review finding — skew/empty shards), changing
-    # these two queries' values; their oracles replay the new formula via
-    # the shared shard_sql helper
-    "q_shard_stats", "q_pack_sequences",
-    # r06 re-checks: the round-5 red (q_curation_e2e — every oracle UNION
-    # ALL branch now CAST ... AS BIGINT) and q_graph_pagerank, which gained
-    # a full DuckDB unrolled-power-iteration oracle this round (rows-only
-    # before; the Spark side now orders/limits by the ROUNDED rank)
-    "q_curation_e2e", "q_graph_pagerank",
-    # r06 refresh, pool A: the complete 24-query cohort whose freshest
-    # driver hash verdict is r02 — three rounds of code churn stale
-    # (VERDICT r05 'Next round' #3; list from VERDICT 'What's missing' #1)
-    "q_scan_project", "q_filter_pred", "q_case_dispatch", "q_sort_limit",
-    "q_cube", "q_grouping_sets", "q_window_lag_lead", "q_window_frame",
-    "q_set_union", "q_set_intersect", "q_set_except", "q_pivot",
-    "q_window_dist", "q_string_agg", "q_unpivot", "q_null_semantics",
-    "q_string_funcs", "q_math_funcs", "q_date_funcs", "q_json_funcs",
-    "q_map_funcs", "q_spatial_distance_join_xl", "q_parallel_overlap_xl",
-    "q_udf_surface",
-    # r06 refresh, pool B: the oldest r03 oracle-backed verdicts — 18 of
-    # the 25 hash-backed r03 rows fill the remaining slots (q_token_count,
-    # q_lang_id, q_text_quality, q_vocab_topk, q_tfidf,
-    # q_join_big_sort_merge, q_join_salted_skew defer to r07 (slots
-    # yielded to the two new r06 queries and the two shard re-checks):
-    # deterministic text analytics and pinned join strategies,
-    # parity-gated every pytest run, and refreshing them next round still
-    # keeps every verdict at r03-or-fresher after r06)
-    "q_contamination", "q_dedup_embedding", "q_dedup_minhash_md5",
-    "q_fingerprint",
-    "q_multimodal_decode", "q_quantile_profile", "q_sample_hash",
-    "q_similarity_topk", "q_sql_lateral_topn", "q_sql_shared_pricing",
-    "q_sql_shared_subquery", "q_stream_dedup", "q_text_analysis",
-    "q_tpch_q10_returned", "q_tpch_q1_pricing_summary",
-    "q_tpch_q3_shipping_priority", "q_tpch_q5_local_volume",
-    "q_tpch_q6_forecast_revenue",
+    # r07 new surface: PII scrub cascade (unchecked by definition)
+    "q_scrub_pii",
+    # r07 refresh, pool A: the complete 14-query cohort whose freshest
+    # driver verdict is r03 — the 7 refreshes VERDICT r06 explicitly
+    # deferred to this round, plus the remaining r03 rows-only family.
+    # q_dedup_clusters additionally gained a full DuckDB oracle this
+    # round (md5-LSH pairs + recursive-CTE connected components), so its
+    # first hash verdict lands here.
+    "q_token_count", "q_lang_id", "q_text_quality", "q_vocab_topk",
+    "q_tfidf", "q_join_big_sort_merge", "q_join_salted_skew",
+    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_clusters",
+    "q_similarity_ann_ivf", "q_dedup_minhash_xl", "q_quantile_approx",
+    "q_contamination_xl",
+    # r07 refresh, pool B: 33 of the 43 queries whose freshest verdict is
+    # r04 (VERDICT r06 'Next round' #1: TPC-H batch + streaming rows
+    # prioritized — those files were touched by r06 hardening).  The 10
+    # deferred to r08 are the rows-only members with operator-level
+    # pytest gates (q_segmentize, q_agg_approx_distinct,
+    # q_multimodal_features, q_multimodal_frames) and six single-shape
+    # relational joins/aggs parity-gated every pytest run (q_agg_hash,
+    # q_join_inner_hash, q_join_multi_way, q_join_left_semi,
+    # q_join_left_anti, q_join_outer).
+    "q_tpch_q4_order_priority", "q_tpch_q7_nation_volume",
+    "q_tpch_q8_market_share", "q_tpch_q13_order_distribution",
+    "q_tpch_q14_promo_share", "q_tpch_q15_top_supplier",
+    "q_tpch_q18_large_orders", "q_tpch_q19_disjunctive",
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_stateful", "q_stream_join",
+    "q_spatial_distance_join", "q_parallel_overlap", "q_effective_length",
+    "q_overlap_rollup", "q_overlap_summary", "q_geodesic_length_exact",
+    "q_sessionize", "q_join_asof", "q_join_theta_range",
+    "q_join_range_binned", "q_agg_distinct", "q_rollup",
+    "q_dedup_exact", "q_ngram_jaccard", "q_chunk_documents",
+    "q_chunk_documents_xl", "q_sample_stratified", "q_split_train_eval",
+    "q_cdc_upsert", "q_embed_centroids",
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length",
     "q_overlap_e2e",
 ]
 _ROTATED_OUT = [
-    # every remaining query is r03+-driver-green on its latest verdict and
+    # every remaining query is r04+-driver-green on its latest verdict and
     # (where oracle-backed) value-gated by tests/test_oracle_parity.py on
-    # every pytest run; the whole r05 window went green except
-    # q_curation_e2e, so the r05 batches rotate here wholesale.  The
-    # rows-only members each carry a clean rows-only driver row (r03-r05)
-    # plus operator-level pytest gates (goldens / planted pairs /
-    # invariants) — enumerated in tests/test_registry_order.py.
-    "q_vocab_topk",
-    "q_tfidf",
-    "q_join_big_sort_merge", "q_join_salted_skew",
+    # every pytest run; the whole r06 window went green, so its cohorts
+    # rotate here wholesale.  The rows-only members each carry a clean
+    # rows-only driver row plus operator-level pytest gates (goldens /
+    # planted pairs / invariants) — enumerated in
+    # tests/test_registry_order.py.  First block: the 10 r04 verdicts
+    # deferred to r08 (see pool B note above).
+    "q_segmentize", "q_agg_approx_distinct", "q_multimodal_features",
+    "q_multimodal_frames", "q_agg_hash", "q_join_inner_hash",
+    "q_join_multi_way", "q_join_left_semi", "q_join_left_anti",
+    "q_join_outer",
+    # r05-verified cohort
     "q_tpch_q17_small_qty", "q_tpch_q20_excess_supply",
     "q_tpch_q21_waiting_supplier", "q_tpch_q22_global_sales",
     "q_multimodal_decode_png", "q_tpch_q2_min_cost_supplier",
@@ -437,25 +435,26 @@ _ROTATED_OUT = [
     "q_data_quality", "q_profile_table", "q_rfm_segmentation",
     "q_join_bloom_pruned", "q_stream_session_timeout", "q_stream_late_data",
     "q_similarity_ann_lsh", "q_similarity_ann_recall", "q_agg_stats",
-    "q_array_funcs", "q_window_rank", "q_geodesic_length_exact",
-    "q_overlap_rollup", "q_spatial_distance_join", "q_ngram_jaccard",
-    "q_overlap_summary", "q_effective_length", "q_parallel_overlap",
-    "q_segmentize", "q_stream_tumbling", "q_stream_sliding",
-    "q_stream_session", "q_stream_stateful", "q_stream_join", "q_join_asof",
-    "q_sessionize", "q_multimodal_features", "q_multimodal_frames",
-    "q_tpch_q4_order_priority", "q_tpch_q7_nation_volume",
-    "q_tpch_q13_order_distribution", "q_tpch_q14_promo_share",
-    "q_tpch_q15_top_supplier", "q_tpch_q18_large_orders", "q_chunk_documents",
-    "q_sample_stratified", "q_split_train_eval",
-    "q_join_range_binned", "q_cdc_upsert", "q_tpch_q8_market_share",
-    "q_tpch_q19_disjunctive", "q_chunk_documents_xl", "q_embed_centroids",
-    "q_agg_hash", "q_join_inner_hash", "q_dedup_exact", "q_join_multi_way",
-    "q_join_left_semi", "q_join_left_anti", "q_join_outer",
-    "q_join_theta_range", "q_agg_distinct", "q_agg_approx_distinct",
-    "q_rollup", "q_text_quality", "q_lang_id", "q_dedup_simhash",
-    "q_dedup_clusters", "q_similarity_ann_ivf", "q_token_count",
-    "q_dedup_minhash", "q_dedup_minhash_xl", "q_quantile_approx",
-    "q_contamination_xl",
+    "q_array_funcs", "q_window_rank",
+    # r06-verified cohort (the full r06 window minus the two flagships)
+    "q_spatial_polar_join", "q_stream_outer_join",
+    "q_shard_stats", "q_pack_sequences",
+    "q_curation_e2e", "q_graph_pagerank",
+    "q_scan_project", "q_filter_pred", "q_case_dispatch", "q_sort_limit",
+    "q_cube", "q_grouping_sets", "q_window_lag_lead", "q_window_frame",
+    "q_set_union", "q_set_intersect", "q_set_except", "q_pivot",
+    "q_window_dist", "q_string_agg", "q_unpivot", "q_null_semantics",
+    "q_string_funcs", "q_math_funcs", "q_date_funcs", "q_json_funcs",
+    "q_map_funcs", "q_spatial_distance_join_xl", "q_parallel_overlap_xl",
+    "q_udf_surface",
+    "q_contamination", "q_dedup_embedding", "q_dedup_minhash_md5",
+    "q_fingerprint",
+    "q_multimodal_decode", "q_quantile_profile", "q_sample_hash",
+    "q_similarity_topk", "q_sql_lateral_topn", "q_sql_shared_pricing",
+    "q_sql_shared_subquery", "q_stream_dedup", "q_text_analysis",
+    "q_tpch_q10_returned", "q_tpch_q1_pricing_summary",
+    "q_tpch_q3_shipping_priority", "q_tpch_q5_local_volume",
+    "q_tpch_q6_forecast_revenue",
 ]
 
 

@@ -1130,10 +1130,19 @@ def curation_stages(
     )
 
 
-def curation_stages_from(d: DataFrame) -> list[tuple[str, DataFrame]]:
+def curation_stages_from(
+    d: DataFrame, scrub: bool = False
+) -> list[tuple[str, DataFrame]]:
     """The funnel over ANY (doc_id, text) corpus frame.  Each intermediate
     is persisted so a consumer that both inspects a stage and writes the
-    survivors does not re-run the funnel."""
+    survivors does not re-run the funnel.
+
+    ``scrub=True`` inserts the PII-redaction stage (functions/scrub.py)
+    after quality filtering — text, tokens and token counts downstream of
+    it are recomputed over the REDACTED text, so fingerprints/shingles
+    never embed raw PII.  Off by default: the synthetic corpus carries no
+    PII and q_curation_e2e's oracle replays the unscrubbed funnel
+    (redaction semantics are value-gated separately by q_scrub_pii)."""
     from pyspark.sql import Window
 
     from .operators.dedup import minhash_lsh_pairs_md5
@@ -1143,6 +1152,19 @@ def curation_stages_from(d: DataFrame) -> list[tuple[str, DataFrame]]:
         .where(F.col("ntok") > 0)
     )
     quality = persist_tracked(base.where(F.col("ntok") >= 30))
+    quality_stage = quality  # pre-scrub frame for the stage report
+    scrub_stage: list[tuple[str, DataFrame]] = []
+    if scrub:
+        from .functions.scrub import scrub_text
+
+        quality = persist_tracked(
+            quality.select(
+                "doc_id", scrub_text(F.col("text")).alias("text")
+            )
+            .withColumn("t", tokens(F.lower(F.col("text"))))
+            .withColumn("ntok", F.size("t"))
+        )
+        scrub_stage = [("scrubbed", quality)]
     # the repo's canonical exact-dedup key (fingerprint_md5 = md5 of
     # whitespace-collapsed lowercased text), NOT raw md5(text) — the same
     # normalization q_dedup_exact uses, replayed in the oracle
@@ -1182,9 +1204,92 @@ def curation_stages_from(d: DataFrame) -> list[tuple[str, DataFrame]]:
 
     return [
         ("raw", base),
-        ("quality", quality),
+        ("quality", quality_stage),
+        *scrub_stage,
         ("exact_dedup", exact),
         ("near_dedup", dedup),
         ("decontaminated", clean),
         ("sampled", sampled),
     ]
+
+
+from .functions.scrub import scrub_sql as _scrub_sql  # noqa: E402
+from .functions.scrub import scrub_with_counts  # noqa: E402
+
+_SCRUB_CLEAN, _SCRUB_COUNTS = _scrub_sql("t0")
+
+# The synthetic corpus carries no PII, so the query INJECTS deterministic
+# spans keyed on doc_id — identically on both sides — before scrubbing;
+# otherwise the oracle verdict would be a zero-hit triviality.
+_SCRUB_INJECT_SQL = (
+    "d.text"
+    " || CASE WHEN d.doc_id % 3 = 0 THEN ' contact user'"
+    " || CAST(d.doc_id AS VARCHAR) || '@example.com now' ELSE '' END"
+    " || CASE WHEN d.doc_id % 5 = 0 THEN ' call 415-555-'"
+    " || lpad(CAST(d.doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN d.doc_id % 7 = 0 THEN ' from 10.0.'"
+    " || CAST(d.doc_id % 256 AS VARCHAR) || '.'"
+    " || CAST((d.doc_id * 7) % 256 AS VARCHAR) ELSE '' END"
+)
+
+
+@query(
+    "q_scrub_pii",
+    oracle=f"""
+WITH inj AS (
+    SELECT d.doc_id, {_SCRUB_INJECT_SQL} AS t0 FROM documents d
+)
+SELECT doc_id,
+       {_SCRUB_CLEAN} AS clean_text,
+       {_SCRUB_COUNTS['email']} AS n_email,
+       {_SCRUB_COUNTS['ip']} AS n_ip,
+       {_SCRUB_COUNTS['phone']} AS n_phone
+FROM inj
+""",
+)
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/scrub.py): email -> IP -> phone
+    regexp_replace cascade with per-rule hit counts, the curation stage
+    between quality filtering and packing.  Regexes are Java/RE2-portable
+    and the oracle replays the cascade from the SAME rule table
+    (scrub_sql), so redaction semantics are value-gated, not rows-only.
+
+    Scale shape: scan-side whole-stage-codegen Column expressions — one
+    linear pass per rule, no shuffle, no UDF."""
+    d = _spread(t(spark, sf_dir, "documents"), spark)
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call 415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    staged = d.select("doc_id", injected.alias("t0"))
+    clean, counts = scrub_with_counts(F.col("t0"))
+    return staged.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        counts["email"].alias("n_email"),
+        counts["ip"].alias("n_ip"),
+        counts["phone"].alias("n_phone"),
+    )

@@ -116,10 +116,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and Jaccard verify are bit-identical across engines because every hash is
 # md5.  16 hashes x 4 bands: P(candidate | j) = 1-(1-j^4)^4 — j=0.9 pairs
 # collide w.p. ~0.986 (recall-gated in tests/test_minhash_recall.py).
-@query(
-    "q_dedup_minhash_md5",
-    oracle=f"""
-WITH tk AS (
+# Shared CTE chain (tk -> scored): q_dedup_minhash_md5 thresholds `scored`
+# directly; q_dedup_clusters chains connected components on top of the
+# SAME pair derivation, so the two oracles cannot drift apart.
+_MD5_LSH_CTES = f"""tk AS (
     SELECT doc_id, {_TOKENS} AS t FROM documents
 ),
 toks AS (
@@ -153,7 +153,13 @@ scored AS (
     FROM cand
     JOIN toks sa ON sa.doc_id = cand.id1
     JOIN toks sb ON sb.doc_id = cand.id2
-)
+)"""
+
+
+@query(
+    "q_dedup_minhash_md5",
+    oracle=f"""
+WITH {_MD5_LSH_CTES}
 SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.5
 """,
 )
@@ -546,15 +552,50 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_clusters")  # rows-only: built on xxhash64 minhash pairs
+# Connected components replayed in SQL (advice r06 / VERDICT r06 #3): the
+# md5-LSH pair chain above, then a recursive walk enumerating every
+# (node, reachable-origin) pair over the symmetrized edges — UNION (not
+# UNION ALL) dedups rows so cycles terminate — and min(origin) per node is
+# exactly the min-label component the pointer-jumping operator converges
+# to.  O(sum |C|^2) walk rows: fine at oracle scale, which is why the
+# distributed side uses O(log D) label propagation instead.
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_MD5_LSH_CTES},
+prs AS (
+    SELECT id1, id2 FROM scored WHERE jaccard >= 0.5
+),
+edges AS (
+    SELECT id1 AS a, id2 AS b FROM prs
+    UNION
+    SELECT id2 AS a, id1 AS b FROM prs
+),
+walk(id, origin) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT e.b, w.origin FROM walk w JOIN edges e ON e.a = w.id
+),
+comps AS (
+    SELECT id, min(origin) AS component FROM walk GROUP BY id
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS cluster,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS keep
+FROM documents d
+LEFT JOIN comps c ON c.id = d.doc_id
+""",
+)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full dedup decision: MinHash-LSH pairs -> connected components
-    (iterative label propagation, operators/clusters.py) -> one surviving
-    representative per near-dup cluster."""
+    """The full dedup decision: MinHash-LSH pairs (md5 face — same pair
+    derivation the q_dedup_minhash_md5 oracle replays) -> connected
+    components (pointer-jumping label propagation, operators/clusters.py)
+    -> one surviving representative per near-dup cluster.  The xxhash64
+    pair path stays the throughput variant (q_dedup_minhash/_xl)."""
     from .operators.clusters import dedup_clusters
 
     docs = _spread(t(spark, sf_dir, "documents"), spark)
-    pairs = minhash_lsh_pairs(docs, min_jaccard=0.5)
+    pairs = minhash_lsh_pairs_md5(docs, min_jaccard=0.5)
     return dedup_clusters(docs, pairs)
 
 
