@@ -80,13 +80,13 @@ def shard_of(key: Column, n_shards: int = 16) -> Column:
     return (hv.cast("bigint") % n_shards).alias("shard")
 
 
-def shard_sql(key_sql: str, n_shards: int) -> str:
-    """The EXACT shard_of formula as engine-portable SQL text (DuckDB has
+def md5_prefix_sql(key_sql: str) -> str:
+    """The 32-bit md5 digest prefix as engine-portable SQL text (DuckDB has
     no ``conv``, so the hex prefix is expanded Horner-style over the ANSI
-    ``position(ch IN alphabet)`` both engines share) — used by every
-    oracle that replays shard assignment, and runnable verbatim in Spark
-    too, so the Python and SQL spellings cannot drift apart
-    (tests/test_chunking.py::test_shard_sql_matches_shard_of)."""
+    ``position(ch IN alphabet)`` both engines share) — the shared numeric
+    core of :func:`shard_sql` and sampling's ``weighted_key_sql``, runnable
+    verbatim in Spark too, so the Python and SQL spellings cannot drift
+    apart (tests/test_chunking.py::test_shard_sql_matches_shard_of)."""
     # CAST to BIGINT per digit: the 16^7 Horner weights overflow INT32,
     # which Spark's ANSI mode turns into a runtime ArithmeticException
     # (DuckDB silently promotes — exactly the drift this helper prevents)
@@ -96,4 +96,11 @@ def shard_sql(key_sql: str, n_shards: int) -> str:
         f" * {16 ** (_SHARD_HEX_CHARS - 1 - i)}"
         for i in range(_SHARD_HEX_CHARS)
     )
-    return f"(({digits}) % {n_shards})"
+    return f"({digits})"
+
+
+def shard_sql(key_sql: str, n_shards: int) -> str:
+    """The EXACT shard_of formula as engine-portable SQL text — used by
+    every oracle that replays shard assignment (see
+    :func:`md5_prefix_sql` for the hex-expansion idiom and drift gate)."""
+    return f"({md5_prefix_sql(key_sql)} % {n_shards})"

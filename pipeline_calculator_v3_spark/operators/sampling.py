@@ -78,6 +78,29 @@ def stratified_sample_predicate(
     return F.md5(key.cast("string")) < thr
 
 
+def weighted_key_sql(key_sql: str, weight_sql: str) -> str:
+    """Efraimidis–Spirakis weighted-sampling key as engine-portable SQL
+    text: ``ln(u) / w`` where ``u = (md5_prefix + 1) / 2^32`` is a
+    deterministic uniform in (0, 1] derived from the row's md5 digest and
+    ``w`` is the row's weight (clamped to >= 1 so the division cannot hit
+    ANSI DIVIDE_BY_ZERO).  Selecting the k LARGEST keys draws a weighted
+    sample without replacement where row i is preferred proportionally to
+    ``w_i`` (ES 2006: key ``u^(1/w)``; ``ln`` is monotone, so ranking on
+    ``ln(u)/w`` selects the identical row set without the pow).
+
+    One spelling for both engines — the Spark side runs this verbatim via
+    ``F.expr`` and the oracle embeds the same text, so formula drift is
+    structurally impossible; determinism/portability properties are the
+    module header's (no RNG state, stable under repartitioning, retries,
+    and engines).  Scale shape: pure scan-side arithmetic; a global top-k
+    on the key is TakeOrderedAndProject, never a full sort.
+    """
+    from .chunking import md5_prefix_sql
+
+    u = f"((CAST({md5_prefix_sql(key_sql)} AS DOUBLE) + 1.0) / 4294967296.0)"
+    return f"(LN({u}) / GREATEST(CAST({weight_sql} AS DOUBLE), 1.0))"
+
+
 def split_assign(key: Column, train: float = 0.8, val: float = 0.1) -> Column:
     """Deterministic train/val/test assignment from the md5 digest prefix:
     u < train -> 'train', u < train+val -> 'val', else 'test'.  Stable under

@@ -365,8 +365,13 @@ from . import queries_analytics  # noqa: E402,F401
 # keep-list tail, review r06).
 # ---------------------------------------------------------------------------
 _NEVER_CHECKED_FIRST = [
-    # r07 new surface: PII scrub cascade (unchecked by definition)
-    "q_scrub_pii",
+    # r07 new surface: PII scrub cascade, ES weighted sampling, BM25
+    # retrieval scoring, bigram-LM next-token tables (all unchecked by
+    # definition).  The three window slots the late additions consumed
+    # came from pool B: q_agg_distinct / q_rollup / q_join_theta_range
+    # joined the ten single-shape relational r08 deferrals (same
+    # rationale — parity-gated on every pytest run).
+    "q_scrub_pii", "q_sample_weighted", "q_bm25_rank", "q_bigram_lm",
     # r07 refresh, pool A: the complete 14-query cohort whose freshest
     # driver verdict is r03 — the 7 refreshes VERDICT r06 explicitly
     # deferred to this round, plus the remaining r03 rows-only family.
@@ -395,8 +400,8 @@ _NEVER_CHECKED_FIRST = [
     "q_stream_stateful", "q_stream_join",
     "q_spatial_distance_join", "q_parallel_overlap", "q_effective_length",
     "q_overlap_rollup", "q_overlap_summary", "q_geodesic_length_exact",
-    "q_sessionize", "q_join_asof", "q_join_theta_range",
-    "q_join_range_binned", "q_agg_distinct", "q_rollup",
+    "q_sessionize", "q_join_asof",
+    "q_join_range_binned",
     "q_dedup_exact", "q_ngram_jaccard", "q_chunk_documents",
     "q_chunk_documents_xl", "q_sample_stratified", "q_split_train_eval",
     "q_cdc_upsert", "q_embed_centroids",
@@ -417,7 +422,7 @@ _ROTATED_OUT = [
     "q_segmentize", "q_agg_approx_distinct", "q_multimodal_features",
     "q_multimodal_frames", "q_agg_hash", "q_join_inner_hash",
     "q_join_multi_way", "q_join_left_semi", "q_join_left_anti",
-    "q_join_outer",
+    "q_join_outer", "q_agg_distinct", "q_rollup", "q_join_theta_range",
     # r05-verified cohort
     "q_tpch_q17_small_qty", "q_tpch_q20_excess_supply",
     "q_tpch_q21_waiting_supplier", "q_tpch_q22_global_sales",

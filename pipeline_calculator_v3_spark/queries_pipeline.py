@@ -67,6 +67,57 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.sampling import weighted_key_sql as _wkey_sql
+
+# ES key over doc_id with n_chars as the weight — ONE spelling, run
+# verbatim by BOTH engines (see weighted_key_sql).
+_WEIGHTED_KEY = _wkey_sql("CAST(doc_id AS STRING)", "n_chars")
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+           ROUND({_WEIGHTED_KEY}, 12) AS samp_key
+    FROM documents
+)
+SELECT doc_id, lang, weight, samp_key
+FROM keyed
+ORDER BY samp_key DESC, doc_id
+LIMIT 50
+""",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis via operators/sampling.weighted_key_sql): top-50
+    documents by the ES key ``ln(u)/w`` with ``w = n_chars`` — the
+    importance-sampling primitive for mixture construction (longer/higher-
+    quality documents preferred proportionally to weight, yet the selected
+    row SET is identical on every run, partitioning, and engine, unlike
+    any RNG-based sampler).  The oracle replays the identical SQL text, so
+    the row-level selection is value-checked.
+
+    Selection stability: ranked on the ROUNDED key (12 dp — the md5-derived
+    uniforms are identical across engines; only ln/division libm ulps
+    differ, ~1e-16 relative) with doc_id as tiebreak.
+
+    Scale shape: the key is scan-side arithmetic (one md5 per row, zero
+    shuffle); the global top-50 is TakeOrderedAndProject — per-partition
+    heaps, never a full sort."""
+    d = _spread(t(spark, sf_dir, "documents"), spark)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.round(F.expr(_WEIGHTED_KEY), 12).alias("samp_key"),
+        )
+        .orderBy(F.desc("samp_key"), "doc_id")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary statistics
 # ---------------------------------------------------------------------------

@@ -6,7 +6,7 @@ in the DuckDB oracle SQL (same regex, same double-precision arithmetic)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .caching import persist_tracked
@@ -850,4 +850,202 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pmi").desc(), "bigram")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval scoring: BM25 over a fixed query
+# ---------------------------------------------------------------------------
+# Query terms / parameters shared verbatim with the oracle text below.
+_BM25_TERMS = ("spark", "join", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{w}'" for w in _BM25_TERMS) + ")"
+
+
+@query(
+    "q_bm25_rank",
+    oracle=f"""
+WITH tk AS (
+    SELECT doc_id, {_TOKENS} AS tok FROM documents
+),
+dl AS (
+    SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM tk
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           AVG(CAST(dl AS DOUBLE)) AS avgdl
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(tok) AS w FROM tk)
+    WHERE w IN {_BM25_TERMS_SQL}
+    GROUP BY doc_id, w
+),
+df AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+scored AS (
+    SELECT tf.doc_id,
+           LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * ({_BM25_K1} + 1.0))
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                + {_BM25_B} * dl.dl / stats.avgdl)) AS s
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl USING (doc_id), stats
+)
+SELECT doc_id,
+       ROUND(SUM(s), 6) AS score,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM scored
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20
+""",
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson/Sparck Jones, k1=1.2 b=0.75) top-20 for a fixed
+    3-term query — the lexical-retrieval face of corpus curation (quality
+    re-ranking, benchmark-query mining, retrieval-augmented filtering).
+    The idf uses the standard ``ln((N - df + 0.5)/(df + 0.5) + 1)`` form
+    (always positive), and the oracle replays tokenizer, tf, df, dl, and
+    the exact double-precision scoring formula.
+
+    Selection stability: ranked on the ROUNDED score (6 dp) with doc_id
+    tiebreak — the per-doc sum spans <= 3 terms, so cross-engine
+    summation-order noise is 1-ulp scale, far below the rounding grain.
+
+    Scale shape: the corpus-side explode is filtered to the query terms AT
+    THE SCAN (a 3-element IN list — predicate-pushdown territory), so the
+    (doc, term) aggregate shuffles only matching occurrences; df (<= 3
+    rows) and the one-row corpus stats broadcast back; the top-20 is
+    TakeOrderedAndProject.  Nothing corpus-sized crosses an exchange
+    except the matched posting list."""
+    d = _spread(t(spark, sf_dir, "documents"), spark)
+    base = persist_tracked(
+        d.select("doc_id", tokens(F.lower(F.col("text"))).alias("tok"))
+    )
+    dl = base.select("doc_id", F.size("tok").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        base.select("doc_id", F.explode("tok").alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    s = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 6).alias("score"),
+            F.count("*").cast("bigint").alias("n_terms"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language model: conditional next-token distributions
+# ---------------------------------------------------------------------------
+@query(
+    "q_bigram_lm",
+    oracle=f"""
+WITH t AS (
+    SELECT {_TOKENS} AS tok FROM documents WHERE len({_TOKENS}) > 1
+),
+cnt AS (
+    SELECT split_part(b, ' ', 1) AS ctx, split_part(b, ' ', 2) AS nxt,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(list_transform(range(1, greatest(len(tok)-1, 0) + 1),
+                                       i -> tok[i] || ' ' || tok[i+1])) AS b
+          FROM t)
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS total FROM cnt GROUP BY ctx
+),
+top_ctx AS (
+    SELECT ctx, total FROM tot ORDER BY total DESC, ctx LIMIT 5
+),
+ranked AS (
+    SELECT c.ctx, c.nxt, c.cnt, tc.total,
+           ROW_NUMBER() OVER (PARTITION BY c.ctx
+                              ORDER BY c.cnt DESC, c.nxt) AS rnk
+    FROM cnt c JOIN top_ctx tc USING (ctx)
+)
+SELECT ctx, nxt, cnt,
+       ROUND(CAST(cnt AS DOUBLE) / total, 9) AS prob,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked
+WHERE rnk <= 3
+""",
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order n-gram language model: for the 5 highest-mass context
+    tokens, the top-3 next tokens with conditional probability
+    ``P(next|ctx) = c(ctx,next) / sum_next c(ctx,next)`` — the classical
+    LM-statistics primitive (next-token tables, perplexity baselines,
+    synthetic-text detection).  Context mass is defined over the bigram
+    table itself (no end-of-document unigram mismatch).
+
+    Every ranking key is an INTEGER count (ctx selection by total, next
+    selection by cnt) with text tiebreaks, so the selected row set has
+    zero float-boundary risk; the probability is display output only.
+
+    Scale shape: bigram counts are explode -> hash aggregate with map-side
+    combine (the exchange carries one row per distinct bigram per
+    partition); context totals re-aggregate the COUNTED table (tiny), the
+    5-row context list broadcasts back, and the per-context top-3 window
+    sorts only the 5 matching partitions' survivors."""
+    d = _spread(t(spark, sf_dir, "documents"), spark)
+    base = d.select(tokens(F.lower(F.col("text"))).alias("tok")).where(
+        F.size("tok") > 1
+    )
+    bigrams = shingles_from_tokens(F.col("tok"), 2)
+    cnt = persist_tracked(
+        base.select(F.explode(bigrams).alias("b"))
+        .select(
+            F.split("b", " ")[0].alias("ctx"),
+            F.split("b", " ")[1].alias("nxt"),
+        )
+        .groupBy("ctx", "nxt")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    tot = cnt.groupBy("ctx").agg(F.sum("cnt").cast("bigint").alias("total"))
+    top_ctx = tot.orderBy(F.desc("total"), "ctx").limit(5)
+    w = Window.partitionBy("ctx").orderBy(F.desc("cnt"), "nxt")
+    return (
+        cnt.join(F.broadcast(top_ctx), "ctx")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "ctx",
+            "nxt",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 9).alias(
+                "prob"
+            ),
+            "rnk",
+        )
     )
