@@ -863,10 +863,10 @@ _BM25_B = 0.75
 _BM25_TERMS_SQL = "(" + ", ".join(f"'{w}'" for w in _BM25_TERMS) + ")"
 
 
-@query(
-    "q_bm25_rank",
-    oracle=f"""
-WITH tk AS (
+# The BM25 scoring pipeline as shared oracle CTE text — ONE spelling used
+# by both q_bm25_rank and q_hybrid_rrf (the single-definition rule every
+# shared formula in this package follows).
+_BM25_CTES = f"""tk AS (
     SELECT doc_id, {_TOKENS} AS tok FROM documents
 ),
 dl AS (
@@ -886,7 +886,7 @@ tf AS (
 df AS (
     SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
 ),
-scored AS (
+bm25_terms AS (
     SELECT tf.doc_id,
            LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
              * (tf.tf * ({_BM25_K1} + 1.0))
@@ -895,34 +895,19 @@ scored AS (
     FROM tf
     JOIN df USING (term)
     JOIN dl USING (doc_id), stats
-)
-SELECT doc_id,
-       ROUND(SUM(s), 6) AS score,
-       CAST(COUNT(*) AS BIGINT) AS n_terms
-FROM scored
-GROUP BY doc_id
-ORDER BY score DESC, doc_id
-LIMIT 20
-""",
-)
-def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 (Robertson/Sparck Jones, k1=1.2 b=0.75) top-20 for a fixed
-    3-term query — the lexical-retrieval face of corpus curation (quality
-    re-ranking, benchmark-query mining, retrieval-augmented filtering).
-    The idf uses the standard ``ln((N - df + 0.5)/(df + 0.5) + 1)`` form
-    (always positive), and the oracle replays tokenizer, tf, df, dl, and
-    the exact double-precision scoring formula.
+),
+bm25_docs AS (
+    SELECT doc_id,
+           ROUND(SUM(s), 6) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM bm25_terms
+    GROUP BY doc_id
+)"""
 
-    Selection stability: ranked on the ROUNDED score (6 dp) with doc_id
-    tiebreak — the per-doc sum spans <= 3 terms, so cross-engine
-    summation-order noise is 1-ulp scale, far below the rounding grain.
 
-    Scale shape: the corpus-side explode is filtered to the query terms AT
-    THE SCAN (a 3-element IN list — predicate-pushdown territory), so the
-    (doc, term) aggregate shuffles only matching occurrences; df (<= 3
-    rows) and the one-row corpus stats broadcast back; the top-20 is
-    TakeOrderedAndProject.  Nothing corpus-sized crosses an exchange
-    except the matched posting list."""
+def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, n_terms) for every document matching >= 1 query
+    term — the Spark twin of the ``bm25_docs`` oracle CTE above."""
     d = _spread(t(spark, sf_dir, "documents"), spark)
     base = persist_tracked(
         d.select("doc_id", tokens(F.lower(F.col("text"))).alias("tok"))
@@ -960,6 +945,39 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s"), 6).alias("score"),
             F.count("*").cast("bigint").alias("n_terms"),
         )
+    )
+
+
+@query(
+    "q_bm25_rank",
+    oracle=f"""
+WITH {_BM25_CTES}
+SELECT doc_id, score, n_terms
+FROM bm25_docs
+ORDER BY score DESC, doc_id
+LIMIT 20
+""",
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson/Sparck Jones, k1=1.2 b=0.75) top-20 for a fixed
+    3-term query — the lexical-retrieval face of corpus curation (quality
+    re-ranking, benchmark-query mining, retrieval-augmented filtering).
+    The idf uses the standard ``ln((N - df + 0.5)/(df + 0.5) + 1)`` form
+    (always positive), and the oracle replays tokenizer, tf, df, dl, and
+    the exact double-precision scoring formula.
+
+    Selection stability: ranked on the ROUNDED score (6 dp) with doc_id
+    tiebreak — the per-doc sum spans <= 3 terms, so cross-engine
+    summation-order noise is 1-ulp scale, far below the rounding grain.
+
+    Scale shape: the corpus-side explode is filtered to the query terms AT
+    THE SCAN (a 3-element IN list — predicate-pushdown territory), so the
+    (doc, term) aggregate shuffles only matching occurrences; df (<= 3
+    rows) and the one-row corpus stats broadcast back; the top-20 is
+    TakeOrderedAndProject.  Nothing corpus-sized crosses an exchange
+    except the matched posting list."""
+    return (
+        _bm25_doc_scores(spark, sf_dir)
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
@@ -1048,4 +1066,150 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "rnk",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and dense cosine
+# ---------------------------------------------------------------------------
+_RRF_K = 60          # the canonical RRF damping constant (Cormack 2009)
+_RRF_SIGNAL_N = 50   # per-signal candidate depth fused
+
+
+@query(
+    "q_hybrid_rrf",
+    oracle=f"""
+WITH {_BM25_CTES},
+lex AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS r_lex
+    FROM bm25_docs
+    QUALIFY r_lex <= {_RRF_SIGNAL_N}
+),
+qv AS (
+    SELECT list(v ORDER BY d) AS qv
+    FROM (
+        SELECT d, AVG(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)) AS v
+        FROM (SELECT embedding, unnest(range(len(embedding))) AS d
+              FROM embeddings WHERE vec_id < 4)
+        GROUP BY d
+    )
+),
+dense_scored AS (
+    SELECT e.vec_id AS doc_id,
+           ROUND(
+             list_sum(list_transform(list_zip(e.embedding, qv.qv),
+                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(qv.qv, x -> x * x)))), 9)
+             AS cos
+    FROM embeddings e, qv
+    WHERE e.vec_id IN (SELECT doc_id FROM documents)
+),
+dense AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+             AS r_dense
+    FROM dense_scored
+    QUALIFY r_dense <= {_RRF_SIGNAL_N}
+)
+SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+       lex.r_lex AS r_lex, dense.r_dense AS r_dense,
+       ROUND(COALESCE(1.0 / ({_RRF_K} + lex.r_lex), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + dense.r_dense), 0.0), 9) AS rrf_score
+FROM lex FULL JOIN dense ON lex.doc_id = dense.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 20
+""",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack 2009,
+    ``sum 1/(60 + rank)``): the BM25 lexical ranking fused with a dense
+    cosine ranking against a fixed query vector (the element-wise mean of
+    embeddings 0-3).  The dense signal covers only the EMBEDDED subset of
+    the corpus (``vec_id IN documents.doc_id`` — partial embedding
+    coverage is the normal production state); documents outside it
+    contribute their lexical rank alone, and the FULL OUTER fusion keeps
+    single-signal documents in play.
+
+    Stability: both ranks order on ROUNDED scores (BM25 at 6 dp, cosine
+    at 9 dp) with doc_id tiebreaks, and the RRF score itself is a sum of
+    two rationals of small integers — bit-identical across engines.
+
+    Scale shape: the BM25 side is q_bm25_rank's scan-filtered posting
+    plan; the query vector is a 64-row aggregate broadcast as one row;
+    per-signal candidate depth is capped at _RRF_SIGNAL_N = 50
+    (TakeOrderedAndProject), so the fusion join touches at most 100 rows
+    regardless of corpus size."""
+    # Both signals cut to their top-N FIRST (orderBy+limit is
+    # TakeOrderedAndProject — per-partition heaps), so the unpartitioned
+    # rank window only ever sees _RRF_SIGNAL_N rows (the single-partition
+    # window funnel the KML re-key review caught cannot recur here).
+    lex_w = Window.orderBy(F.desc("score"), "doc_id")
+    lex = (
+        _bm25_doc_scores(spark, sf_dir)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_RRF_SIGNAL_N)
+        .select(
+            "doc_id", F.row_number().over(lex_w).cast("bigint").alias("r_lex")
+        )
+    )
+    e = _spread(t(spark, sf_dir, "embeddings"), spark)
+    d_ids = t(spark, sf_dir, "documents").select("doc_id")
+    qv = (
+        e.where(F.col("vec_id") < 4)
+        .select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.avg(F.col("x").cast("double")).alias("v"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("d"), F.col("v")))
+                ),
+                lambda s: s["v"],
+            ).alias("qv")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "qv", lambda a, b: a.cast("double") * b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    dense_w = Window.orderBy(F.desc("cos"), "doc_id")
+    dense = (
+        e.join(d_ids, e.vec_id == d_ids.doc_id, "left_semi")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 9)
+            .alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(_RRF_SIGNAL_N)
+        .select(
+            "doc_id",
+            F.row_number().over(dense_w).cast("bigint").alias("r_dense"),
+        )
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("r_dense")), F.lit(0.0)),
+        9,
+    )
+    return (
+        lex.join(dense, "doc_id", "full_outer")
+        .select("doc_id", "r_lex", "r_dense", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(20)
     )

@@ -184,3 +184,88 @@ def test_bigram_lm_probabilities_bounded(spark, sf_dir):
         assert len(ctx_rows) <= 3
         probs = [r["prob"] for r in ctx_rows]
         assert probs == sorted(probs, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# hybrid RRF
+# ---------------------------------------------------------------------------
+def test_hybrid_rrf_matches_python_recompute(spark, sf_dir):
+    """Full-fusion third check: BM25 ranks, dense cosine ranks against the
+    mean-of-vectors-0..3 query, and the RRF combination, recomputed with
+    stdlib + numpy only."""
+    import numpy as np
+
+    docs = {
+        r["doc_id"]: _tok(r["text"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n_docs
+    k1, b = qt._BM25_K1, qt._BM25_B
+
+    def bm25(toks):
+        s = 0.0
+        for term in qt._BM25_TERMS:
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for t in docs.values() if term in t)
+            s += (
+                math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                * tf * (k1 + 1.0)
+                / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+            )
+        return round(s, 6)
+
+    lex_ranked = sorted(
+        ((bm25(tk), i) for i, tk in docs.items() if bm25(tk) > 0),
+        key=lambda p: (-p[0], p[1]),
+    )[: qt._RRF_SIGNAL_N]
+    r_lex = {i: r + 1 for r, (_, i) in enumerate(lex_ranked)}
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    qv = np.mean([emb[i] for i in range(4)], axis=0)
+    cos = {
+        vid: round(
+            float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))), 9
+        )
+        for vid, v in emb.items()
+        if vid in docs
+    }
+    dense_ranked = sorted(cos.items(), key=lambda p: (-p[1], p[0]))[
+        : qt._RRF_SIGNAL_N
+    ]
+    r_dense = {i: r + 1 for r, (i, _) in enumerate(dense_ranked)}
+
+    fused = {}
+    for i in set(r_lex) | set(r_dense):
+        s = 0.0
+        if i in r_lex:
+            s += 1.0 / (qt._RRF_K + r_lex[i])
+        if i in r_dense:
+            s += 1.0 / (qt._RRF_K + r_dense[i])
+        fused[i] = round(s, 9)
+    expected = sorted(fused.items(), key=lambda p: (-p[1], p[0]))[:20]
+
+    got = Q.QUERIES["q_hybrid_rrf"](spark, sf_dir).collect()
+    assert [(r["doc_id"], r["rrf_score"]) for r in got] == [
+        (i, pytest.approx(s, abs=1e-9)) for i, s in expected
+    ]
+    for r in got:
+        assert r["r_lex"] == r_lex.get(r["doc_id"])
+        assert r["r_dense"] == r_dense.get(r["doc_id"])
+
+
+def test_hybrid_rrf_single_signal_docs_survive(spark, sf_dir):
+    """The FULL OUTER fusion must keep documents present in only one
+    signal (NULL rank on the other side) rather than dropping them."""
+    rows = Q.QUERIES["q_hybrid_rrf"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(
+        r["r_lex"] is not None or r["r_dense"] is not None for r in rows
+    )
