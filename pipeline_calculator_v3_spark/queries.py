@@ -369,10 +369,11 @@ _NEVER_CHECKED_FIRST = [
     # retrieval scoring, bigram-LM next-token tables (all unchecked by
     # definition).  The three window slots the late additions consumed
     # came from pool B: q_agg_distinct / q_rollup / q_join_theta_range /
-    # q_join_range_binned joined the ten single-shape relational r08
-    # deferrals (same rationale — parity-gated on every pytest run).
+    # q_join_range_binned / q_cdc_upsert joined the ten single-shape
+    # relational r08 deferrals (same rationale — parity-gated on every
+    # pytest run).
     "q_scrub_pii", "q_sample_weighted", "q_bm25_rank", "q_bigram_lm",
-    "q_hybrid_rrf",
+    "q_hybrid_rrf", "q_kmeans_embed",
     # r07 refresh, pool A: the complete 14-query cohort whose freshest
     # driver verdict is r03 — the 7 refreshes VERDICT r06 explicitly
     # deferred to this round, plus the remaining r03 rows-only family.
@@ -404,7 +405,7 @@ _NEVER_CHECKED_FIRST = [
     "q_sessionize", "q_join_asof",
     "q_dedup_exact", "q_ngram_jaccard", "q_chunk_documents",
     "q_chunk_documents_xl", "q_sample_stratified", "q_split_train_eval",
-    "q_cdc_upsert", "q_embed_centroids",
+    "q_embed_centroids",
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length",
@@ -423,7 +424,7 @@ _ROTATED_OUT = [
     "q_multimodal_frames", "q_agg_hash", "q_join_inner_hash",
     "q_join_multi_way", "q_join_left_semi", "q_join_left_anti",
     "q_join_outer", "q_agg_distinct", "q_rollup", "q_join_theta_range",
-    "q_join_range_binned",
+    "q_join_range_binned", "q_cdc_upsert",
     # r05-verified cohort
     "q_tpch_q17_small_qty", "q_tpch_q20_excess_supply",
     "q_tpch_q21_waiting_supplier", "q_tpch_q22_global_sales",

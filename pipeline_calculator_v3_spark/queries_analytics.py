@@ -559,3 +559,93 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("recency_days").alias("best_recency_days"),
         F.max("frequency").alias("max_frequency"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd k-means over the embedding corpus
+# ---------------------------------------------------------------------------
+def _sqdist_sql(a: str, b: str) -> str:
+    """Squared-L2 oracle spelling (DuckDB list HOFs; sequential list_sum
+    matches the Spark left-fold in operators/kmeans.sqdist)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) "
+        f"* (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))))"
+    )
+
+
+@query(
+    "q_kmeans_embed",
+    oracle=f"""
+WITH seeds AS MATERIALIZED (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+s1 AS MATERIALIZED (
+    SELECT e.vec_id, s.cid,
+           {_sqdist_sql('e.embedding', 's.cvec')} AS sqd
+    FROM embeddings e, seeds s
+),
+a1 AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sqd, cid) AS rn
+        FROM s1) WHERE rn = 1
+),
+c1 AS MATERIALIZED (
+    SELECT cid, list(m ORDER BY d) AS cvec FROM (
+        SELECT a1.cid, e.d,
+               ROUND(AVG(CAST(e.x AS DOUBLE)), 9) AS m
+        FROM a1
+        JOIN (SELECT vec_id, unnest(embedding) AS x,
+                     unnest(range(len(embedding))) AS d
+              FROM embeddings) e USING (vec_id)
+        GROUP BY a1.cid, e.d)
+    GROUP BY cid
+),
+s2 AS MATERIALIZED (
+    SELECT e.vec_id, c.cid,
+           {_sqdist_sql('e.embedding', 'c.cvec')} AS sqd
+    FROM embeddings e, c1 c
+),
+a2 AS (
+    SELECT vec_id, cid, sqd FROM (
+        SELECT vec_id, cid, sqd,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sqd, cid) AS rn
+        FROM s2) WHERE rn = 1
+)
+SELECT cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(AVG(sqd), 6) AS avg_sqdist
+FROM a2
+GROUP BY cid
+""",
+)
+def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (k=8, one update iteration + final assignment) over
+    the embedding corpus: per-cluster sizes and mean squared distance —
+    the oracle-checkable face of iterative vector clustering
+    (operators/kmeans.py; the IVF coarse quantizer's refinement loop is
+    the rows-only throughput cousin).  Deterministic contract: lowest-id
+    seeds, (sqdist, cid) tie-break, centroid means rounded to 9 dp on
+    both engines so summation-order noise cannot propagate into
+    assignments.  The oracle unrolls the iteration as MATERIALIZED CTEs
+    (the pagerank-oracle pattern — non-materialized CTEs re-inline
+    exponentially).
+
+    Scale shape: centroids broadcast; per-iteration cost is one map-side
+    scoring pass (min_by partial agg — vectors cross one exchange for
+    the (cid, dim) mean, never k times) — no vector state on the driver,
+    state O(k x dim) per executor."""
+    from .operators.kmeans import kmeans_assign
+
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        kmeans_assign(e, k=8, iters=1)
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.avg("sqd"), 6).alias("avg_sqdist"),
+        )
+    )

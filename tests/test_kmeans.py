@@ -1,0 +1,106 @@
+"""operators/kmeans.py — Lloyd k-means determinism + numpy third check.
+
+The q_kmeans_embed oracle and the Spark implementation were authored
+together, so parity alone can't catch a shared formula error; the full
+pipeline (seeds -> assign -> rounded means -> reassign -> stats) is
+replayed here in numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_calculator_v3_spark import queries as Q
+from pipeline_calculator_v3_spark.operators.kmeans import kmeans_assign, sqdist
+
+
+def _np_kmeans(emb: dict[int, np.ndarray], k: int, iters: int):
+    """(assignments, sqd) replaying the exact operator contract."""
+    cents = {i: emb[i].astype(np.float64) for i in sorted(emb)[:k]}
+
+    def assign(cents):
+        out = {}
+        for vid, v in emb.items():
+            best = min(
+                ((float(np.sum((v - c) * (v - c))), cid)
+                 for cid, c in cents.items()),
+            )
+            out[vid] = (best[1], best[0])
+        return out
+
+    for _ in range(iters):
+        a = assign(cents)
+        new = {}
+        for cid in {c for c, _ in a.values()}:
+            members = np.stack([emb[v] for v, (c, _) in a.items() if c == cid])
+            new[cid] = np.round(members.astype(np.float64).mean(axis=0), 9)
+        cents = new
+    return assign(cents)
+
+
+def test_kmeans_query_matches_numpy(spark, sf_dir):
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    a = _np_kmeans(emb, k=8, iters=1)
+    expected = {}
+    for cid in {c for c, _ in a.values()}:
+        ds = [d for c, d in a.values() if c == cid]
+        expected[cid] = (len(ds), round(sum(ds) / len(ds), 6))
+
+    got = {
+        r["cluster_id"]: (r["n_vectors"], r["avg_sqdist"])
+        for r in Q.QUERIES["q_kmeans_embed"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for cid in expected:
+        assert got[cid][0] == expected[cid][0], cid
+        assert got[cid][1] == pytest.approx(expected[cid][1], abs=2e-6), cid
+
+
+def test_kmeans_assign_deterministic_and_total(spark, sf_dir):
+    """Every vector gets exactly one cluster; two runs agree row-for-row
+    (no RNG, no partitioning sensitivity)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a1 = {r["vid"]: r["cid"] for r in kmeans_assign(e, k=8, iters=1).collect()}
+    a2 = {
+        r["vid"]: r["cid"]
+        for r in kmeans_assign(e.repartition(7), k=8, iters=1).collect()
+    }
+    assert a1 == a2
+    assert len(a1) == e.count()
+
+
+def test_kmeans_zero_iters_assigns_to_seeds(spark):
+    """iters=0: seeds are their own nearest centroid at distance 0."""
+    df = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 5).cast("double"), F.lit(0.0)
+        ).alias("embedding"),
+    )
+    rows = {r["vid"]: r for r in kmeans_assign(df, k=3, iters=0).collect()}
+    for seed in range(3):
+        assert rows[seed]["cid"] == seed
+        assert rows[seed]["sqd"] == 0.0
+
+
+def test_kmeans_rejects_bad_params(spark):
+    df = spark.range(4).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
+    )
+    with pytest.raises(ValueError):
+        kmeans_assign(df, k=0)
+    with pytest.raises(ValueError):
+        kmeans_assign(df, iters=-1)
+
+
+def test_sqdist_column_matches_numpy(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, -3.0], [0.5, -1.0, 2.0])], "a array<double>, b array<double>"
+    )
+    got = df.select(sqdist(F.col("a"), F.col("b")).alias("d")).first()["d"]
+    assert got == pytest.approx(0.25 + 9.0 + 25.0, rel=1e-15)
