@@ -72,6 +72,11 @@ HEADLINE = [
     "q_pack_sequences_xl",        #  headline so their sf0.1 cost is
     "q_contamination_xl",         #  tracked per-round)
     "q_scrub_pii",                # added r07 (PII regexp cascade)
+    "q_sample_weighted",          # added r07 (ES weighted sampling)
+    "q_bm25_rank",                # added r07 (BM25 posting-list scoring)
+    "q_bigram_lm",                # added r07 (bigram next-token tables)
+    "q_hybrid_rrf",               # added r07 (BM25 + dense RRF fusion)
+    "q_kmeans_embed",             # added r07 (iterative Lloyd k-means)
     "q_overlap_e2e",
 ]
 
