@@ -36,3 +36,38 @@ def cosine(a: Column, b: Column) -> Column:
     raises DIVIDE_BY_ZERO and one zero embedding (a padding row, a dead
     feature) kills the whole job."""
     return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def elementwise_mean(
+    df,
+    group_cols: list[str],
+    vec_col: str,
+    out_col: str,
+    round_dp: int | None = None,
+):
+    """Element-wise mean of a vector column per group, rebuilt as an
+    ordered array: posexplode -> (group, dim) hash aggregate (map-side
+    combine collapses each partition to |groups| x dim rows) ->
+    array_sort(collect_list(struct(dim, mean))) reassembly.  The ONE
+    spelling of the dimension-ordering subtlety (struct sort leads on the
+    dim field) shared by the kmeans centroid update and the hybrid-RRF
+    query vector — review r07 caught the two hand-rolled copies.
+
+    ``round_dp`` rounds each mean (kmeans rounds to 9 dp so cross-engine
+    summation noise cannot propagate); None keeps raw doubles.
+    """
+    m = F.avg(F.col("_x").cast("double"))
+    if round_dp is not None:
+        m = F.round(m, round_dp)
+    dims = df.select(*group_cols, F.posexplode(vec_col).alias("_d", "_x"))
+    return (
+        dims.groupBy(*group_cols, "_d")
+        .agg(m.alias("_m"))
+        .groupBy(*group_cols)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_d", "_m"))),
+                lambda s: s["_m"],
+            ).alias(out_col)
+        )
+    )

@@ -93,18 +93,11 @@ def kmeans_assign(
         .limit(k)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     )
+    from ..functions.vectors import elementwise_mean
+
     for _ in range(iters):
         assigned = _assign(vecs, cents, id_col, vec_col)
-        cents = (
-            assigned.select("cid", F.posexplode("v").alias("d", "x"))
-            .groupBy("cid", "d")
-            .agg(F.round(F.avg(F.col("x").cast("double")), 9).alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("d", "m"))),
-                    lambda s: s["m"],
-                ).alias("cvec")
-            )
+        cents = elementwise_mean(
+            assigned, ["cid"], "v", "cvec", round_dp=9
         )
     return _assign(vecs, cents, id_col, vec_col).select("vid", "cid", "sqd")

@@ -366,8 +366,9 @@ from . import queries_analytics  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 _NEVER_CHECKED_FIRST = [
     # r07 new surface: PII scrub cascade, ES weighted sampling, BM25
-    # retrieval scoring, bigram-LM next-token tables (all unchecked by
-    # definition).  The three window slots the late additions consumed
+    # retrieval scoring, bigram-LM next-token tables, hybrid RRF fusion,
+    # Lloyd k-means (all unchecked by definition).  The five window
+    # slots the late additions consumed
     # came from pool B: q_agg_distinct / q_rollup / q_join_theta_range /
     # q_join_range_binned / q_cdc_upsert joined the ten single-shape
     # relational r08 deferrals (same rationale — parity-gated on every
@@ -385,15 +386,16 @@ _NEVER_CHECKED_FIRST = [
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_clusters",
     "q_similarity_ann_ivf", "q_dedup_minhash_xl", "q_quantile_approx",
     "q_contamination_xl",
-    # r07 refresh, pool B: 33 of the 43 queries whose freshest verdict is
+    # r07 refresh, pool B: 28 of the 43 queries whose freshest verdict is
     # r04 (VERDICT r06 'Next round' #1: TPC-H batch + streaming rows
-    # prioritized — those files were touched by r06 hardening).  The 10
+    # prioritized — those files were touched by r06 hardening).  The 15
     # deferred to r08 are the rows-only members with operator-level
     # pytest gates (q_segmentize, q_agg_approx_distinct,
-    # q_multimodal_features, q_multimodal_frames) and six single-shape
+    # q_multimodal_features, q_multimodal_frames) and eleven single-shape
     # relational joins/aggs parity-gated every pytest run (q_agg_hash,
     # q_join_inner_hash, q_join_multi_way, q_join_left_semi,
-    # q_join_left_anti, q_join_outer).
+    # q_join_left_anti, q_join_outer, plus the five evicted for the new
+    # surface above).
     "q_tpch_q4_order_priority", "q_tpch_q7_nation_volume",
     "q_tpch_q8_market_share", "q_tpch_q13_order_distribution",
     "q_tpch_q14_promo_share", "q_tpch_q15_top_supplier",

@@ -578,7 +578,10 @@ def _sqdist_sql(a: str, b: str) -> str:
     "q_kmeans_embed",
     oracle=f"""
 WITH seeds AS MATERIALIZED (
-    SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    -- the operator contract is "k LOWEST-id vectors", not "id < k"
+    -- (equivalent on contiguous fixtures only — review r07)
+    SELECT vec_id AS cid, embedding AS cvec
+    FROM embeddings ORDER BY vec_id LIMIT 8
 ),
 s1 AS MATERIALIZED (
     SELECT e.vec_id, s.cid,

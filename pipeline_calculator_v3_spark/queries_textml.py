@@ -1101,9 +1101,9 @@ dense_scored AS (
            ROUND(
              list_sum(list_transform(list_zip(e.embedding, qv.qv),
                       z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(e.embedding,
+             / NULLIF(sqrt(list_sum(list_transform(e.embedding,
                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(qv.qv, x -> x * x)))), 9)
+              * sqrt(list_sum(list_transform(qv.qv, x -> x * x))), 0.0), 9)
              AS cos
     FROM embeddings e, qv
     WHERE e.vec_id IN (SELECT doc_id FROM documents)
@@ -1113,6 +1113,7 @@ dense AS (
            CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
              AS r_dense
     FROM dense_scored
+    WHERE cos IS NOT NULL
     QUALIFY r_dense <= {_RRF_SIGNAL_N}
 )
 SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
@@ -1156,35 +1157,12 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.row_number().over(lex_w).cast("bigint").alias("r_lex")
         )
     )
+    from .functions.vectors import cosine, elementwise_mean
+
     e = _spread(t(spark, sf_dir, "embeddings"), spark)
     d_ids = t(spark, sf_dir, "documents").select("doc_id")
-    qv = (
-        e.where(F.col("vec_id") < 4)
-        .select(F.posexplode("embedding").alias("d", "x"))
-        .groupBy("d")
-        .agg(F.avg(F.col("x").cast("double")).alias("v"))
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("d"), F.col("v")))
-                ),
-                lambda s: s["v"],
-            ).alias("qv")
-        )
-    )
-    dot = F.aggregate(
-        F.zip_with(
-            "embedding", "qv", lambda a, b: a.cast("double") * b
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    qv = elementwise_mean(
+        e.where(F.col("vec_id") < 4), [], "embedding", "qv"
     )
     dense_w = Window.orderBy(F.desc("cos"), "doc_id")
     dense = (
@@ -1192,9 +1170,13 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 9)
-            .alias("cos"),
+            # vectors.cosine NULLIF-guards the zero-norm divisor (ANSI
+            # DIVIDE_BY_ZERO / cross-engine NULL divergence — review r07);
+            # NULL-cosine rows carry no dense signal and are dropped on
+            # both sides
+            F.round(cosine(F.col("embedding"), F.col("qv")), 9).alias("cos"),
         )
+        .where(F.col("cos").isNotNull())
         .orderBy(F.desc("cos"), "doc_id")
         .limit(_RRF_SIGNAL_N)
         .select(

@@ -102,6 +102,12 @@ def test_bm25_matches_python_recompute(spark, sf_dir):
     n_docs = len(docs)
     avgdl = sum(len(t) for t in docs.values()) / n_docs
     k1, b = qt._BM25_K1, qt._BM25_B
+    # df hoisted out of the per-doc loop (review r07: recomputing it per
+    # score() call made this test O(N^2) in corpus size)
+    dfreq = {
+        term: sum(1 for t in docs.values() if term in t)
+        for term in qt._BM25_TERMS
+    }
 
     def score(toks: list[str]) -> tuple[float, int]:
         s, n = 0.0, 0
@@ -109,8 +115,7 @@ def test_bm25_matches_python_recompute(spark, sf_dir):
             tf = toks.count(term)
             if tf == 0:
                 continue
-            df = sum(1 for t in docs.values() if term in t)
-            idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            idf = math.log((n_docs - dfreq[term] + 0.5) / (dfreq[term] + 0.5) + 1.0)
             s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
             n += 1
         return s, n
@@ -122,9 +127,9 @@ def test_bm25_matches_python_recompute(spark, sf_dir):
         assert r["score"] == pytest.approx(round(exp_s, 6), abs=2e-6)
         assert r["n_terms"] == exp_n
     # and the 20 returned docs are the true argmax set under the recompute
+    scores = {i: score(tk)[0] for i, tk in docs.items()}
     ranked = sorted(
-        ((round(score(tk)[0], 6), -i) for i, tk in docs.items()
-         if score(tk)[0] > 0),
+        ((round(sc, 6), -i) for i, sc in scores.items() if sc > 0),
         reverse=True,
     )[:20]
     expected_ids = {-neg for _, neg in ranked}
@@ -205,22 +210,27 @@ def test_hybrid_rrf_matches_python_recompute(spark, sf_dir):
     avgdl = sum(len(t) for t in docs.values()) / n_docs
     k1, b = qt._BM25_K1, qt._BM25_B
 
+    dfreq = {
+        term: sum(1 for t in docs.values() if term in t)
+        for term in qt._BM25_TERMS
+    }
+
     def bm25(toks):
         s = 0.0
         for term in qt._BM25_TERMS:
             tf = toks.count(term)
             if tf == 0:
                 continue
-            df = sum(1 for t in docs.values() if term in t)
             s += (
-                math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                math.log((n_docs - dfreq[term] + 0.5) / (dfreq[term] + 0.5) + 1.0)
                 * tf * (k1 + 1.0)
                 / (tf + k1 * (1 - b + b * len(toks) / avgdl))
             )
         return round(s, 6)
 
+    bm25_scores = {i: bm25(tk) for i, tk in docs.items()}
     lex_ranked = sorted(
-        ((bm25(tk), i) for i, tk in docs.items() if bm25(tk) > 0),
+        ((sc, i) for i, sc in bm25_scores.items() if sc > 0),
         key=lambda p: (-p[0], p[1]),
     )[: qt._RRF_SIGNAL_N]
     r_lex = {i: r + 1 for r, (_, i) in enumerate(lex_ranked)}
