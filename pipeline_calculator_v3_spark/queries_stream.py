@@ -9,8 +9,9 @@ tests/test_streaming.py proves batch == readStream on identical input.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from .queries import events_t, query
+from .queries import events_t, query, t
 from .streaming import windows
 
 
@@ -475,3 +476,109 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_rollup(
         events_t(spark, sf_dir), t(spark, sf_dir, "customer")
     )
+
+
+_CDC_RUNS = [0]
+
+
+@query(
+    "q_stream_cdc_merge",
+    oracle="""
+WITH merged AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 21 = 0 THEN 'Y'
+                WHEN o_orderkey % 7 = 0 THEN 'X'
+                ELSE o_orderstatus END AS status,
+           CASE WHEN o_orderkey % 21 = 0 THEN 3
+                WHEN o_orderkey % 7 = 0 THEN 2
+                ELSE 1 END AS version
+    FROM orders
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MAX(version) AS BIGINT) AS max_version
+FROM merged
+GROUP BY status
+""",
+)
+def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC merge (streaming/cdc.py): a two-file change stream
+    (version-2 'X' flips for every 7th order, then version-3 'Y' flips
+    for every 21st) folds into a materialized orders table through
+    foreachBatch copy-on-write upserts — each micro-batch merges via
+    operators/cdc.upsert_latest and atomically swaps the dataset.py
+    table.  This RUNS the real stream (sequential micro-batches, real
+    manifest writes and swaps); the oracle replays the two-generation
+    merge declaratively, so the fold's final state is value-gated.
+
+    The final per-status rollup is materialized before the temp table is
+    torn down (bounded: one row per status).
+
+    Scale shape: the stream holds NO state-store state — the table is
+    the state; per-batch cost is the copy-on-write rewrite (the
+    documented trade; partition pruning bounds it exactly as in
+    compact_dataset)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .dataset import _read_raw
+    from .dataset import write_dataset
+    from .streaming.cdc import merge_stream_into_table
+
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit(1).cast("bigint").alias("version"),
+        F.lit(0).cast("bigint").alias("seq"),
+    )
+    u1 = base.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.lit(2).cast("bigint").alias("version"),
+        F.lit(1).cast("bigint").alias("seq"),
+    )
+    u2 = base.where(F.col("o_orderkey") % 21 == 0).select(
+        "o_orderkey",
+        F.lit("Y").alias("o_orderstatus"),
+        F.lit(3).cast("bigint").alias("version"),
+        F.lit(2).cast("bigint").alias("seq"),
+    )
+    d = tempfile.mkdtemp(prefix="pcv3_cdc_")
+    _CDC_RUNS[0] += 1
+    try:
+        table_dir = os.path.join(d, "table")
+        updates_dir = os.path.join(d, "updates")
+        os.makedirs(updates_dir)
+        write_dataset(
+            base, table_dir, ["o_orderstatus"], ["o_orderkey", "version"]
+        )
+        # one file per generation => one micro-batch per generation (the
+        # harness-only driver-side staging every q_stream_* query uses)
+        for i, u in enumerate((u1, u2)):
+            u.coalesce(1).write.parquet(os.path.join(updates_dir, f"g{i}"))
+        merge_stream_into_table(
+            spark,
+            updates_dir + "/g*",
+            "o_orderkey bigint, o_orderstatus string, "
+            "version bigint, seq bigint",
+            table_dir,
+            key="o_orderkey",
+            version="version",
+            tiebreak="seq",
+            partition_by=["o_orderstatus"],
+            key_cols=["o_orderkey", "version"],
+        )
+        rolled = (
+            _read_raw(spark, table_dir)
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.max("version").cast("bigint").alias("max_version"),
+            )
+        )
+        # materialize before the temp table is deleted (bounded rows)
+        return spark.createDataFrame(rolled.collect(), rolled.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
