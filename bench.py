@@ -77,6 +77,9 @@ HEADLINE = [
     "q_bigram_lm",                # added r07 (bigram next-token tables)
     "q_hybrid_rrf",               # added r07 (BM25 + dense RRF fusion)
     "q_kmeans_embed",             # added r07 (iterative Lloyd k-means)
+    "q_stream_cdc_merge",         # added r07 (foreachBatch COW merge — the
+                                  #  cost tracked is two table rewrites)
+    "q_bpe_merges",               # added r07 (BPE tokenizer-training steps)
     "q_overlap_e2e",
 ]
 

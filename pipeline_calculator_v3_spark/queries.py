@@ -367,15 +367,17 @@ from . import queries_analytics  # noqa: E402,F401
 _NEVER_CHECKED_FIRST = [
     # r07 new surface: PII scrub cascade, ES weighted sampling, BM25
     # retrieval scoring, bigram-LM next-token tables, hybrid RRF fusion,
-    # Lloyd k-means, streaming CDC merge (all unchecked by definition).  The six window
+    # Lloyd k-means, streaming CDC merge, BPE merges (all unchecked by definition).  The seven window
     # slots the late additions consumed
     # came from pool B: q_agg_distinct / q_rollup / q_join_theta_range /
-    # q_join_range_binned / q_cdc_upsert / q_embed_centroids joined the
+    # q_join_range_binned / q_cdc_upsert / q_embed_centroids /
+    # q_sample_stratified joined the
     # ten single-shape
     # relational r08 deferrals (same rationale — parity-gated on every
     # pytest run).
     "q_scrub_pii", "q_sample_weighted", "q_bm25_rank", "q_bigram_lm",
     "q_hybrid_rrf", "q_kmeans_embed", "q_stream_cdc_merge",
+    "q_bpe_merges",
     # r07 refresh, pool A: the complete 14-query cohort whose freshest
     # driver verdict is r03 — the 7 refreshes VERDICT r06 explicitly
     # deferred to this round, plus the remaining r03 rows-only family.
@@ -387,15 +389,15 @@ _NEVER_CHECKED_FIRST = [
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_clusters",
     "q_similarity_ann_ivf", "q_dedup_minhash_xl", "q_quantile_approx",
     "q_contamination_xl",
-    # r07 refresh, pool B: 27 of the 43 queries whose freshest verdict is
+    # r07 refresh, pool B: 26 of the 43 queries whose freshest verdict is
     # r04 (VERDICT r06 'Next round' #1: TPC-H batch + streaming rows
-    # prioritized — those files were touched by r06 hardening).  The 16
+    # prioritized — those files were touched by r06 hardening).  The 17
     # deferred to r08 are the rows-only members with operator-level
     # pytest gates (q_segmentize, q_agg_approx_distinct,
-    # q_multimodal_features, q_multimodal_frames) and twelve single-shape
+    # q_multimodal_features, q_multimodal_frames) and thirteen single-shape
     # relational joins/aggs parity-gated every pytest run (q_agg_hash,
     # q_join_inner_hash, q_join_multi_way, q_join_left_semi,
-    # q_join_left_anti, q_join_outer, plus the six evicted for the new
+    # q_join_left_anti, q_join_outer, plus the seven evicted for the new
     # surface above).
     "q_tpch_q4_order_priority", "q_tpch_q7_nation_volume",
     "q_tpch_q8_market_share", "q_tpch_q13_order_distribution",
@@ -407,7 +409,7 @@ _NEVER_CHECKED_FIRST = [
     "q_overlap_rollup", "q_overlap_summary", "q_geodesic_length_exact",
     "q_sessionize", "q_join_asof",
     "q_dedup_exact", "q_ngram_jaccard", "q_chunk_documents",
-    "q_chunk_documents_xl", "q_sample_stratified", "q_split_train_eval",
+    "q_chunk_documents_xl", "q_split_train_eval",
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length",
@@ -427,6 +429,7 @@ _ROTATED_OUT = [
     "q_join_multi_way", "q_join_left_semi", "q_join_left_anti",
     "q_join_outer", "q_agg_distinct", "q_rollup", "q_join_theta_range",
     "q_join_range_binned", "q_cdc_upsert", "q_embed_centroids",
+    "q_sample_stratified",
     # r05-verified cohort
     "q_tpch_q17_small_qty", "q_tpch_q20_excess_supply",
     "q_tpch_q21_waiting_supplier", "q_tpch_q22_global_sales",

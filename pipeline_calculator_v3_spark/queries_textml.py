@@ -1195,3 +1195,144 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer training: BPE merge steps over the corpus vocabulary
+# ---------------------------------------------------------------------------
+from .operators.bpe import SEP as _BSEP  # noqa: E402
+from .operators.bpe import adjacent_pairs as _bpe_pairs  # noqa: E402
+from .operators.bpe import chars as _bpe_chars  # noqa: E402
+from .operators.bpe import merge_pair as _bpe_merge  # noqa: E402
+from .operators.bpe import top_pair as _bpe_top  # noqa: E402
+
+
+def _bpe_pairs_cte(src: str) -> str:
+    """Adjacent-pair weights CTE body over vocab relation ``src``."""
+    return f"""
+    SELECT p, CAST(SUM(tf) AS BIGINT) AS w FROM (
+        SELECT tf, unnest(list_transform(range(1, greatest(len(syms)-1, 0) + 1),
+                    i -> syms[i] || '{_BSEP}' || syms[i+1])) AS p
+        FROM {src})
+    GROUP BY p"""
+
+
+def _bpe_merge_cte(vsrc: str, bsrc: str) -> str:
+    """Merged-vocab CTE body: apply ``bsrc``'s winning pair to ``vsrc``
+    via the separator-encoded replace (operators/bpe.py semantics,
+    spelled identically)."""
+    return f"""
+    SELECT v.tok, v.tf,
+           str_split(trim(replace(
+               list_aggregate(list_transform(v.syms,
+                   x -> '{_BSEP}' || x || '{_BSEP}'), 'string_agg', ''),
+               '{_BSEP}' || replace(b.p, '{_BSEP}', '{_BSEP}{_BSEP}') || '{_BSEP}',
+               '{_BSEP}' || replace(b.p, '{_BSEP}', '') || '{_BSEP}'),
+             '{_BSEP}'), '{_BSEP}{_BSEP}') AS syms
+    FROM {vsrc} v, {bsrc} b"""
+
+
+@query(
+    "q_bpe_merges",
+    oracle=f"""
+WITH v0 AS MATERIALIZED (
+    SELECT tok, tf,
+           list_transform(range(1, len(tok) + 1), i -> tok[i:i]) AS syms
+    FROM (SELECT token AS tok, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
+          WHERE position('{_BSEP}' IN token) = 0
+          GROUP BY token)
+),
+pw1 AS MATERIALIZED ({_bpe_pairs_cte('v0')}),
+b1 AS MATERIALIZED (SELECT p, w FROM pw1 ORDER BY w DESC, p LIMIT 1),
+v1 AS MATERIALIZED ({_bpe_merge_cte('v0', 'b1')}),
+pw2 AS MATERIALIZED ({_bpe_pairs_cte('v1')}),
+b2 AS MATERIALIZED (SELECT p, w FROM pw2 ORDER BY w DESC, p LIMIT 1),
+v2 AS MATERIALIZED ({_bpe_merge_cte('v1', 'b2')}),
+pw3 AS MATERIALIZED ({_bpe_pairs_cte('v2')}),
+rest AS (
+    SELECT p, w, ROW_NUMBER() OVER (ORDER BY w DESC, p) AS rn
+    FROM pw3 QUALIFY rn <= 5
+)
+SELECT CAST(1 AS BIGINT) AS step, CAST(1 AS BIGINT) AS rnk,
+       split_part(p, '{_BSEP}', 1) AS p1, split_part(p, '{_BSEP}', 2) AS p2,
+       CAST(w AS BIGINT) AS weight
+FROM b1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+       split_part(p, '{_BSEP}', 1), split_part(p, '{_BSEP}', 2),
+       CAST(w AS BIGINT)
+FROM b2
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(rn AS BIGINT),
+       split_part(p, '{_BSEP}', 1), split_part(p, '{_BSEP}', 2),
+       CAST(w AS BIGINT)
+FROM rest
+""",
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first two merge steps (operators/bpe.py):
+    the corpus collapses once into a (token, tf) vocabulary; each step
+    counts adjacent symbol pairs weighted by tf, broadcasts the one-row
+    winner, and merges it left-to-right non-overlapping via the
+    separator-encoded replace().  Output: the two chosen merges (steps
+    1-2) and the top-5 pair candidates remaining after them (step 3) —
+    every ranking key an integer weight with pair-string tiebreaks, so
+    zero float-boundary risk.  The oracle unrolls both steps as
+    MATERIALIZED CTEs with the identical encode/replace spelling.
+
+    Scale shape: after the one corpus explode+aggregate, every iteration
+    is vocab-sized (HOF array expressions + one tiny pair aggregate);
+    the winner is a one-row broadcast.  No Python, no driver-side vocab
+    state — the loop that tokenizer trainers usually run in memory here
+    stays distributed and restartable."""
+    d = _spread(t(spark, sf_dir, "documents"), spark)
+    vocab = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .where(~F.col("tok").contains(_BSEP))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    v0 = persist_tracked(
+        vocab.select("tok", "tf", _bpe_chars("tok").alias("syms"))
+    )
+    b1 = _bpe_top(v0, "syms", "tf")  # (pair, weight), 1 row
+    v1 = persist_tracked(
+        v0.crossJoin(F.broadcast(b1)).select(
+            "tok", "tf", _bpe_merge(F.col("syms"), F.col("pair")).alias("syms")
+        )
+    )
+    b2 = _bpe_top(v1, "syms", "tf")
+    v2 = v1.crossJoin(F.broadcast(b2)).select(
+        "tok", "tf", _bpe_merge(F.col("syms"), F.col("pair")).alias("syms")
+    )
+    rest = (
+        v2.select(F.explode(_bpe_pairs(F.col("syms"))).alias("pair"), "tf")
+        .groupBy("pair")
+        .agg(F.sum("tf").cast("bigint").alias("weight"))
+        .orderBy(F.desc("weight"), "pair")
+        .limit(5)
+        .select(
+            "pair",
+            "weight",
+            F.row_number()
+            .over(Window.orderBy(F.desc("weight"), "pair"))
+            .cast("bigint")
+            .alias("rn"),
+        )
+    )
+
+    def _shape(df, step, rnk_col):
+        return df.select(
+            F.lit(step).cast("bigint").alias("step"),
+            rnk_col.cast("bigint").alias("rnk"),
+            F.split("pair", _BSEP)[0].alias("p1"),
+            F.split("pair", _BSEP)[1].alias("p2"),
+            F.col("weight"),
+        )
+
+    return (
+        _shape(b1, 1, F.lit(1))
+        .unionByName(_shape(b2, 2, F.lit(1)))
+        .unionByName(_shape(rest, 3, F.col("rn")))
+    )
