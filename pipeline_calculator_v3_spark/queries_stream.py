@@ -470,15 +470,11 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the dimension broadcasts — the enrichment is map-side on
     the stream, and the only shuffle is the bounded (segment, type)
     rollup."""
-    from .queries import t
     from .streaming.enrich import enrich_rollup
 
     return enrich_rollup(
         events_t(spark, sf_dir), t(spark, sf_dir, "customer")
     )
-
-
-_CDC_RUNS = [0]
 
 
 @query(
@@ -546,7 +542,6 @@ def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).cast("bigint").alias("seq"),
     )
     d = tempfile.mkdtemp(prefix="pcv3_cdc_")
-    _CDC_RUNS[0] += 1
     try:
         table_dir = os.path.join(d, "table")
         updates_dir = os.path.join(d, "updates")

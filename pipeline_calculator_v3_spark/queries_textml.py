@@ -1202,9 +1202,8 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 from .operators.bpe import SEP as _BSEP  # noqa: E402
 from .operators.bpe import adjacent_pairs as _bpe_pairs  # noqa: E402
+from .operators.bpe import bpe_merge_step as _bpe_step  # noqa: E402
 from .operators.bpe import chars as _bpe_chars  # noqa: E402
-from .operators.bpe import merge_pair as _bpe_merge  # noqa: E402
-from .operators.bpe import top_pair as _bpe_top  # noqa: E402
 
 
 def _bpe_pairs_cte(src: str) -> str:
@@ -1296,16 +1295,18 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = persist_tracked(
         vocab.select("tok", "tf", _bpe_chars("tok").alias("syms"))
     )
-    b1 = _bpe_top(v0, "syms", "tf")  # (pair, weight), 1 row
-    v1 = persist_tracked(
-        v0.crossJoin(F.broadcast(b1)).select(
-            "tok", "tf", _bpe_merge(F.col("syms"), F.col("pair")).alias("syms")
-        )
-    )
-    b2 = _bpe_top(v1, "syms", "tf")
-    v2 = v1.crossJoin(F.broadcast(b2)).select(
-        "tok", "tf", _bpe_merge(F.col("syms"), F.col("pair")).alias("syms")
-    )
+    # each step's winner rides along as constant merge_pair/merge_weight
+    # columns, so a limit(1) off the persisted frame recovers it without
+    # re-running the pair aggregate
+    s1 = persist_tracked(_bpe_step(v0, "syms", "tf"))
+    b1 = s1.select(
+        F.col("merge_pair").alias("pair"), F.col("merge_weight").alias("weight")
+    ).limit(1)
+    s2 = persist_tracked(_bpe_step(s1.select("tok", "tf", "syms"), "syms", "tf"))
+    b2 = s2.select(
+        F.col("merge_pair").alias("pair"), F.col("merge_weight").alias("weight")
+    ).limit(1)
+    v2 = s2
     rest = (
         v2.select(F.explode(_bpe_pairs(F.col("syms"))).alias("pair"), "tf")
         .groupBy("pair")

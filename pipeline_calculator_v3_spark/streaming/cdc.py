@@ -70,9 +70,8 @@ def merge_stream_into_table(
         tmp = table_dir.rstrip("/") + ".__merge__"
         old = table_dir.rstrip("/") + ".__old__"
         ds._recover_interrupted_swap(table_dir)
-        for stale in (tmp,):
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
         current = ds._read_raw(spark, table_dir)
         merged = upsert_latest(
             current, batch_df, key=key, version=version, tiebreak=tiebreak

@@ -47,7 +47,9 @@ def _py_bpe(vocab: dict[str, int], steps: int):
         for w, syms in table.items():
             for a, b in zip(syms, syms[1:]):
                 cnt[(a, b)] += vocab[w]
-        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        # engines break weight ties on the SEP-joined pair string, not
+        # the (p1, p2) tuple — match that exactly
+        best = min(cnt.items(), key=lambda kv: (-kv[1], SEP.join(kv[0])))
         merges.append(best)
         table = {w: _py_merge(s, best[0]) for w, s in table.items()}
     return merges, table
@@ -91,7 +93,13 @@ def test_bpe_query_matches_python_reference(spark, sf_dir):
         .select("text")
         .collect()
     ):
-        vocab.update(t for t in re.split(r"\s+", r["text"].lower()) if t)
+        # re.ASCII: Java and RE2 \s are ASCII-only; SEP-bearing tokens
+        # are excluded by the pipeline up front
+        vocab.update(
+            t
+            for t in re.split(r"\s+", r["text"].lower(), flags=re.ASCII)
+            if t and SEP not in t
+        )
     merges, table = _py_bpe(dict(vocab), steps=2)
 
     got = Q.QUERIES["q_bpe_merges"](spark, sf_dir).collect()
@@ -108,6 +116,6 @@ def test_bpe_query_matches_python_reference(spark, sf_dir):
     for word, syms in table.items():
         for a, b in zip(syms, syms[1:]):
             cnt[(a, b)] += vocab[word]
-    expected = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    expected = sorted(cnt.items(), key=lambda kv: (-kv[1], SEP.join(kv[0])))[:5]
     got3 = sorted(by_step[3], key=lambda r: r["rnk"])
     assert [((r["p1"], r["p2"]), r["weight"]) for r in got3] == expected
