@@ -378,6 +378,10 @@ _NEVER_CHECKED_FIRST = [
     "q_scrub_pii", "q_sample_weighted", "q_bm25_rank", "q_bigram_lm",
     "q_hybrid_rrf", "q_kmeans_embed", "q_stream_cdc_merge",
     "q_bpe_merges",
+    # late r07 addition: bigram-LM perplexity quality filter; its slot
+    # came from pool B (q_join_asof, r04-green, parity-gated every
+    # pytest run, joins the r08 deferrals).
+    "q_lm_perplexity",
     # r07 refresh, pool A: the complete 14-query cohort whose freshest
     # driver verdict is r03 — the 7 refreshes VERDICT r06 explicitly
     # deferred to this round, plus the remaining r03 rows-only family.
@@ -407,7 +411,7 @@ _NEVER_CHECKED_FIRST = [
     "q_stream_stateful", "q_stream_join",
     "q_spatial_distance_join", "q_parallel_overlap", "q_effective_length",
     "q_overlap_rollup", "q_overlap_summary", "q_geodesic_length_exact",
-    "q_sessionize", "q_join_asof",
+    "q_sessionize",
     "q_dedup_exact", "q_ngram_jaccard", "q_chunk_documents",
     "q_chunk_documents_xl", "q_split_train_eval",
 ]
@@ -429,7 +433,7 @@ _ROTATED_OUT = [
     "q_join_multi_way", "q_join_left_semi", "q_join_left_anti",
     "q_join_outer", "q_agg_distinct", "q_rollup", "q_join_theta_range",
     "q_join_range_binned", "q_cdc_upsert", "q_embed_centroids",
-    "q_sample_stratified",
+    "q_sample_stratified", "q_join_asof",
     # r05-verified cohort
     "q_tpch_q17_small_qty", "q_tpch_q20_excess_supply",
     "q_tpch_q21_waiting_supplier", "q_tpch_q22_global_sales",

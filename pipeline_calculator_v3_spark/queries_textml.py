@@ -1070,6 +1070,128 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LM-perplexity quality filter: score documents under the corpus bigram LM
+# ---------------------------------------------------------------------------
+_LM_ALPHA = 0.5  # add-alpha (Lidstone) smoothing constant
+
+
+@query(
+    "q_lm_perplexity",
+    oracle=f"""
+WITH tk AS (
+    SELECT doc_id, {_TOKENS} AS tok FROM documents WHERE len({_TOKENS}) > 1
+),
+bi AS (
+    SELECT doc_id, split_part(b, ' ', 1) AS ctx, split_part(b, ' ', 2) AS nxt
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(tok)-1, 0) + 1),
+                                       i -> tok[i] || ' ' || tok[i+1])) AS b
+          FROM tk)
+),
+cnt AS (
+    SELECT ctx, nxt, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi GROUP BY 1, 2
+),
+model AS (
+    SELECT c.ctx, c.nxt, c.cnt, t.total
+    FROM cnt c
+    JOIN (SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS total
+          FROM cnt GROUP BY ctx) t USING (ctx)
+),
+vocab AS (
+    SELECT CAST(COUNT(DISTINCT tkn) AS BIGINT) AS v
+    FROM (SELECT unnest(tok) AS tkn FROM tk)
+),
+scored AS (
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           SUM(-log2((m.cnt + {_LM_ALPHA})
+                     / (m.total + {_LM_ALPHA} * v.v))) AS nll_sum
+    FROM bi b
+    JOIN model m ON b.ctx = m.ctx AND b.nxt = m.nxt
+    CROSS JOIN vocab v
+    GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams,
+       ROUND(nll_sum / n_bigrams, 6) AS nll_bits,
+       ROUND(power(2.0, ROUND(nll_sum / n_bigrams, 6)), 4) AS ppl
+FROM scored
+ORDER BY nll_bits DESC, doc_id
+LIMIT 20
+""",
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality filter (CCNet, Wenzek 2020): score every
+    document under the bigram model trained on the corpus itself —
+    per-bigram negative log2-likelihood with add-0.5 (Lidstone)
+    smoothing over the observed vocabulary, averaged per document — and
+    surface the 20 highest-perplexity outliers (the boilerplate/garbled
+    tail a curation funnel drops).  Training on the scored corpus means
+    every document bigram exists in the model table, so the smoothed
+    probability is exact on both engines (no OOV backoff branch).
+
+    Selection stability: ranked on the ROUNDED (6 dp) per-doc mean with
+    doc_id tiebreak; the perplexity column is 2^rounded, so it is a pure
+    function of the ranking key.
+
+    Scale shape: two corpus-sized exchanges — the bigram-count hash
+    aggregate (map-side combine) and the (ctx, nxt)-keyed scoring join of
+    the document bigram stream against the model table (bigram-type-
+    bounded, far smaller than the corpus; AQE handles stopword-pair
+    skew).  The vocabulary size is a one-row broadcast, the context
+    totals join is model-sized, and the top-20 is
+    TakeOrderedAndProject — no vocab or corpus state ever reaches the
+    driver."""
+    d = _spread(t(spark, sf_dir, "documents"), spark)
+    base = persist_tracked(
+        d.select(
+            "doc_id", tokens(F.lower(F.col("text"))).alias("tok")
+        ).where(F.size("tok") > 1)
+    )
+    bi = persist_tracked(
+        base.select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("tok"), 2)).alias("b"),
+        ).select(
+            "doc_id",
+            F.split("b", " ")[0].alias("ctx"),
+            F.split("b", " ")[1].alias("nxt"),
+        )
+    )
+    cnt = bi.groupBy("ctx", "nxt").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tot = cnt.groupBy("ctx").agg(F.sum("cnt").cast("bigint").alias("total"))
+    model = cnt.join(tot, "ctx")
+    vrow = base.select(F.explode("tok").alias("tkn")).agg(
+        F.countDistinct("tkn").cast("bigint").alias("v")
+    )
+    nll_term = -F.log2(
+        (F.col("cnt") + F.lit(_LM_ALPHA))
+        / (F.col("total") + F.lit(_LM_ALPHA) * F.col("v"))
+    )
+    scored = (
+        bi.join(model, ["ctx", "nxt"])
+        .crossJoin(F.broadcast(vrow))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(nll_term).alias("nll_sum"),
+        )
+    )
+    nll = F.round(F.col("nll_sum") / F.col("n_bigrams"), 6)
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            nll.alias("nll_bits"),
+            F.round(F.pow(F.lit(2.0), nll), 4).alias("ppl"),
+        )
+        .orderBy(F.desc("nll_bits"), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval: reciprocal-rank fusion of BM25 and dense cosine
 # ---------------------------------------------------------------------------
 _RRF_K = 60          # the canonical RRF damping constant (Cormack 2009)
