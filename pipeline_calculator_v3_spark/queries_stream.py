@@ -501,19 +501,23 @@ def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC merge (streaming/cdc.py): a two-file change stream
     (version-2 'X' flips for every 7th order, then version-3 'Y' flips
     for every 21st) folds into a materialized orders table through
-    foreachBatch copy-on-write upserts — each micro-batch merges via
-    operators/cdc.upsert_latest and atomically swaps the dataset.py
-    table.  This RUNS the real stream (sequential micro-batches, real
-    manifest writes and swaps); the oracle replays the two-generation
-    merge declaratively, so the fold's final state is value-gated.
+    foreachBatch PARTITION-PRUNED copy-on-write upserts — each
+    micro-batch merges via operators/cdc.upsert_latest and commits via
+    the redo-log intent protocol, rewriting only the partition dirs the
+    batch touches.  This RUNS the real stream (sequential micro-batches,
+    real manifest writes and commits); the oracle replays the
+    two-generation merge declaratively, so the fold's final state is
+    value-gated.
 
     The final per-status rollup is materialized before the temp table is
     torn down (bounded: one row per status).
 
     Scale shape: the stream holds NO state-store state — the table is
-    the state; per-batch cost is the copy-on-write rewrite (the
-    documented trade; partition pruning bounds it exactly as in
-    compact_dataset)."""
+    the state; per-batch cost is the touched-partition rewrite plus (the
+    partition column is mutable here: a flip moves the row) one
+    column-pruned key-locating semi-join scan — never a full-table
+    rewrite (tests/test_stream_cdc.py proves untouched partition files
+    stay byte-identical)."""
     import os
     import shutil
     import tempfile
