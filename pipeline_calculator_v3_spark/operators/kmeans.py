@@ -84,8 +84,11 @@ def kmeans_assign(
 
     Each iteration costs one broadcast-scored map pass + one (cid, dim)
     mean exchange; centroid means are rounded to 9 dp (see module
-    docstring).  The caller aggregates cluster stats or joins labels
-    back as needed."""
+    docstring).  A centroid that loses every member during an iteration
+    is CARRIED FORWARD unchanged (classical Lloyd / MLlib behavior) —
+    without the carry, the mean aggregate emits no row for the empty cid
+    and k silently shrinks (advice r07).  The caller aggregates cluster
+    stats or joins labels back as needed."""
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1, iters >= 0; got k={k}, iters={iters}")
     cents = (
@@ -97,7 +100,16 @@ def kmeans_assign(
 
     for _ in range(iters):
         assigned = _assign(vecs, cents, id_col, vec_col)
-        cents = elementwise_mean(
+        updated = elementwise_mean(
             assigned, ["cid"], "v", "cvec", round_dp=9
+        )
+        # empty-cluster carry-forward: k rows in, k rows out, always
+        cents = (
+            cents.alias("p")
+            .join(F.broadcast(updated.alias("u")), "cid", "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("u.cvec"), F.col("p.cvec")).alias("cvec"),
+            )
         )
     return _assign(vecs, cents, id_col, vec_col).select("vid", "cid", "sqd")

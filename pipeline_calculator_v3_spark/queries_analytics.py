@@ -595,7 +595,7 @@ a1 AS MATERIALIZED (
                                   ORDER BY sqd, cid) AS rn
         FROM s1) WHERE rn = 1
 ),
-c1 AS MATERIALIZED (
+u1 AS MATERIALIZED (
     SELECT cid, list(m ORDER BY d) AS cvec FROM (
         SELECT a1.cid, e.d,
                ROUND(AVG(CAST(e.x AS DOUBLE)), 9) AS m
@@ -605,6 +605,12 @@ c1 AS MATERIALIZED (
               FROM embeddings) e USING (vec_id)
         GROUP BY a1.cid, e.d)
     GROUP BY cid
+),
+c1 AS MATERIALIZED (
+    -- empty-cluster carry-forward: a centroid with no members keeps its
+    -- previous vector (classical Lloyd; mirrors operators/kmeans.py)
+    SELECT s.cid, COALESCE(u.cvec, s.cvec) AS cvec
+    FROM seeds s LEFT JOIN u1 u USING (cid)
 ),
 s2 AS MATERIALIZED (
     SELECT e.vec_id, c.cid,

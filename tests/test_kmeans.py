@@ -32,7 +32,7 @@ def _np_kmeans(emb: dict[int, np.ndarray], k: int, iters: int):
 
     for _ in range(iters):
         a = assign(cents)
-        new = {}
+        new = dict(cents)  # empty-cluster carry-forward (advice r07)
         for cid in {c for c, _ in a.values()}:
             members = np.stack([emb[v] for v, (c, _) in a.items() if c == cid])
             new[cid] = np.round(members.astype(np.float64).mean(axis=0), 9)
@@ -104,3 +104,24 @@ def test_sqdist_column_matches_numpy(spark):
     )
     got = df.select(sqdist(F.col("a"), F.col("b")).alias("d")).first()["d"]
     assert got == pytest.approx(0.25 + 9.0 + 25.0, rel=1e-15)
+
+
+def test_empty_cluster_carried_forward(spark):
+    """A seed centroid that loses every member must survive the iteration
+    (advice r07: without the carry, k silently shrinks).  Two identical
+    seeds: every vector tie-breaks to the lower cid, starving cid=1; the
+    carried [0.0] centroid then wins the origin vectors back in the final
+    assignment — k stays 2."""
+    rows = [
+        (0, [0.0]), (1, [0.0]), (2, [10.0]), (3, [10.0]),
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    got = {
+        r["vid"]: r["cid"]
+        for r in kmeans_assign(vecs, k=2, iters=1).collect()
+    }
+    # updated c0 = mean of ALL four = [5.0]; carried c1 = [0.0]
+    assert got == {0: 1, 1: 1, 2: 0, 3: 0}
+    assert len(set(got.values())) == 2
