@@ -71,3 +71,25 @@ def elementwise_mean(
             ).alias(out_col)
         )
     )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB oracle spelling of :func:`cosine` over already-DOUBLE list
+    columns — sequential ``list_sum`` matches the Spark left-fold order
+    (the oracle-helper pattern: ONE helper emits the formula both engines
+    run, so a tweak cannot silently fork them)."""
+    return (
+        f"(list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]))"
+        f" / NULLIF(sqrt(list_sum(list_transform({a}, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x * x))), 0.0))"
+    )
+
+
+def sqdist_sql(a: str, b: str) -> str:
+    """DuckDB oracle spelling of operators/kmeans.sqdist (squared L2 as a
+    sequential list_sum left-fold; ``pow`` could round differently)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) "
+        f"* (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))))"
+    )

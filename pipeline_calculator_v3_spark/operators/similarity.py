@@ -353,3 +353,52 @@ def embedding_dedup_pairs(
         )
         .where(F.col("cos_sim") >= min_cosine)
     )
+
+
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 1,
+    min_cosine: float = 0.99,
+    n_groups: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs — the third dedup axis
+    (exact=fingerprint, lexical=minhash, semantic=embedding-cluster).
+
+    Plan (Abbas et al., SemDeDup): Lloyd k-means partitions the corpus
+    (operators/kmeans.py — broadcast centroids, map-side argmin), then
+    exact double-precision cosine pairs are scored ONLY within a cluster —
+    never all-pairs; candidate count is the sum of per-cluster quadratic
+    terms, and the within-cluster self-join is skew-salted
+    (salted_self_pairs) so a hot cluster splits n_groups^2 ways.  At 100 TB
+    the knob is k: clusters of ~N/k vectors bound each task's pair count;
+    boundary pairs split across clusters are the documented recall trade
+    (SemDeDup accepts it; sign-prefix blocking — embedding_dedup_pairs —
+    is the overlapping-block alternative).
+
+    Returns (id1, id2, cluster_id, cos_sim), id1 < id2, deterministic on
+    both engines (kmeans determinism contract + exact cosine)."""
+    from .joins import salted_self_pairs
+    from .kmeans import kmeans_assign
+
+    assigned = kmeans_assign(
+        vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    labeled = (
+        vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .join(assigned.select("vid", F.col("cid").alias("blk")), "vid")
+    )
+    pairs = salted_self_pairs(labeled, "blk", "vid", n_groups=n_groups).where(
+        F.col("a_vid") < F.col("b_vid")
+    )
+    return (
+        pairs.select(
+            F.col("a_vid").alias("id1"),
+            F.col("b_vid").alias("id2"),
+            F.col("a_blk").alias("cluster_id"),
+            cosine(F.col("a_v"), F.col("b_v")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min_cosine)
+    )

@@ -365,112 +365,85 @@ from . import queries_analytics  # noqa: E402,F401
 # keep-list tail, review r06).
 # ---------------------------------------------------------------------------
 _NEVER_CHECKED_FIRST = [
-    # r07 new surface: PII scrub cascade, ES weighted sampling, BM25
-    # retrieval scoring, bigram-LM next-token tables, hybrid RRF fusion,
-    # Lloyd k-means, streaming CDC merge, BPE merges (all unchecked by definition).  The seven window
-    # slots the late additions consumed
-    # came from pool B: q_agg_distinct / q_rollup / q_join_theta_range /
-    # q_join_range_binned / q_cdc_upsert / q_embed_centroids /
-    # q_sample_stratified joined the
-    # ten single-shape
-    # relational r08 deferrals (same rationale — parity-gated on every
-    # pytest run).
-    "q_scrub_pii", "q_sample_weighted", "q_bm25_rank", "q_bigram_lm",
-    "q_hybrid_rrf", "q_kmeans_embed", "q_stream_cdc_merge",
-    "q_bpe_merges",
-    # late r07 addition: bigram-LM perplexity quality filter; its slot
-    # came from pool B (q_join_asof, r04-green, parity-gated every
-    # pytest run, joins the r08 deferrals).
-    "q_lm_perplexity",
-    # r07 refresh, pool A: the complete 14-query cohort whose freshest
-    # driver verdict is r03 — the 7 refreshes VERDICT r06 explicitly
-    # deferred to this round, plus the remaining r03 rows-only family.
-    # q_dedup_clusters additionally gained a full DuckDB oracle this
-    # round (md5-LSH pairs + recursive-CTE connected components), so its
-    # first hash verdict lands here.
-    "q_token_count", "q_lang_id", "q_text_quality", "q_vocab_topk",
-    "q_tfidf", "q_join_big_sort_merge", "q_join_salted_skew",
-    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_clusters",
-    "q_similarity_ann_ivf", "q_dedup_minhash_xl", "q_quantile_approx",
-    "q_contamination_xl",
-    # r07 refresh, pool B: 26 of the 43 queries whose freshest verdict is
-    # r04 (VERDICT r06 'Next round' #1: TPC-H batch + streaming rows
-    # prioritized — those files were touched by r06 hardening).  The 17
-    # deferred to r08 are the rows-only members with operator-level
-    # pytest gates (q_segmentize, q_agg_approx_distinct,
-    # q_multimodal_features, q_multimodal_frames) and thirteen single-shape
-    # relational joins/aggs parity-gated every pytest run (q_agg_hash,
-    # q_join_inner_hash, q_join_multi_way, q_join_left_semi,
-    # q_join_left_anti, q_join_outer, plus the seven evicted for the new
-    # surface above).
-    "q_tpch_q4_order_priority", "q_tpch_q7_nation_volume",
-    "q_tpch_q8_market_share", "q_tpch_q13_order_distribution",
-    "q_tpch_q14_promo_share", "q_tpch_q15_top_supplier",
-    "q_tpch_q18_large_orders", "q_tpch_q19_disjunctive",
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_stateful", "q_stream_join",
-    "q_spatial_distance_join", "q_parallel_overlap", "q_effective_length",
-    "q_overlap_rollup", "q_overlap_summary", "q_geodesic_length_exact",
-    "q_sessionize",
-    "q_dedup_exact", "q_ngram_jaccard", "q_chunk_documents",
-    "q_chunk_documents_xl", "q_split_train_eval",
+    # r08 new/changed surface: SemDeDup semantic dedup (new, first check);
+    # q_kmeans_embed (empty-cluster carry-forward landed in operator AND
+    # oracle), q_stream_cdc_merge (partition-pruned COW rewrite — verdict
+    # r07 #1), q_dedup_simhash (md5-face oracle upgrade), and
+    # q_similarity_ann_ivf (one-step-kmeans CTE oracle) — changed queries
+    # re-earn their hash verdict.
+    "q_dedup_semantic", "q_kmeans_embed", "q_stream_cdc_merge",
+    "q_dedup_simhash", "q_similarity_ann_ivf",
+    # r08 refresh, pool A: the COMPLETE r04-era backlog (verdict r07 #2) —
+    # the 16 single-shape relational/join/agg rows deferred across r06/r07
+    # plus the two rows-only members (q_segmentize, q_agg_approx_distinct).
+    # After this round nothing older than r05 carries the latest verdict.
+    "q_agg_hash", "q_agg_distinct", "q_rollup", "q_join_inner_hash",
+    "q_join_multi_way", "q_join_left_semi", "q_join_left_anti",
+    "q_join_outer", "q_join_theta_range", "q_join_asof",
+    "q_join_range_binned", "q_cdc_upsert", "q_embed_centroids",
+    "q_sample_stratified", "q_multimodal_features", "q_multimodal_frames",
+    "q_segmentize", "q_agg_approx_distinct",
+    # r08 refresh, pool B: the oldest r05 cohort — the TPC-H r05 batch
+    # first (those files were touched by the r06/r07 sweeps), then the
+    # analytics + training-pipeline families.
+    "q_tpch_q2_min_cost_supplier", "q_tpch_q9_product_profit",
+    "q_tpch_q11_important_stock", "q_tpch_q12_shipmode_priority",
+    "q_tpch_q16_supplier_cnt", "q_tpch_q17_small_qty",
+    "q_tpch_q20_excess_supply", "q_tpch_q21_waiting_supplier",
+    "q_tpch_q22_global_sales", "q_multimodal_decode_png",
+    "q_markov_transitions", "q_anomaly_zscore", "q_ewma_smooth",
+    "q_data_quality", "q_profile_table", "q_rfm_segmentation",
+    "q_funnel_conversion", "q_first_touch_attribution", "q_retention_cohorts",
+    "q_boilerplate_spans", "q_mixture_plan", "q_repetition_filter",
+    "q_heavy_hitters", "q_zipf_profile", "q_pmi_bigrams",
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length",
     "q_overlap_e2e",
 ]
 _ROTATED_OUT = [
-    # every remaining query is r04+-driver-green on its latest verdict and
+    # every remaining query is r05+-driver-green on its latest verdict and
     # (where oracle-backed) value-gated by tests/test_oracle_parity.py on
-    # every pytest run; the whole r06 window went green, so its cohorts
-    # rotate here wholesale.  The rows-only members each carry a clean
-    # rows-only driver row plus operator-level pytest gates (goldens /
-    # planted pairs / invariants) — enumerated in
-    # tests/test_registry_order.py.  First block: the 10 r04 verdicts
-    # deferred to r08 (see pool B note above).
-    "q_segmentize", "q_agg_approx_distinct", "q_multimodal_features",
-    "q_multimodal_frames", "q_agg_hash", "q_join_inner_hash",
-    "q_join_multi_way", "q_join_left_semi", "q_join_left_anti",
-    "q_join_outer", "q_agg_distinct", "q_rollup", "q_join_theta_range",
-    "q_join_range_binned", "q_cdc_upsert", "q_embed_centroids",
-    "q_sample_stratified", "q_join_asof",
-    # r05-verified cohort
-    "q_tpch_q17_small_qty", "q_tpch_q20_excess_supply",
-    "q_tpch_q21_waiting_supplier", "q_tpch_q22_global_sales",
-    "q_multimodal_decode_png", "q_tpch_q2_min_cost_supplier",
-    "q_tpch_q9_product_profit", "q_tpch_q11_important_stock",
-    "q_tpch_q12_shipmode_priority", "q_tpch_q16_supplier_cnt",
-    "q_boilerplate_spans", "q_mixture_plan",
-    "q_repetition_filter", "q_stream_static_join", "q_window_time_range",
-    "q_scd2_history", "q_sql_recursive_tree", "q_table_checksum",
-    "q_variant_extract", "q_pmi_bigrams", "q_embed_quantize",
-    "q_pack_sequences_xl", "q_funnel_conversion", "q_graph_triangles",
-    "q_snapshot_diff", "q_udtf_surface", "q_heavy_hitters", "q_zipf_profile",
-    "q_interval_union", "q_first_touch_attribution", "q_retention_cohorts",
-    "q_markov_transitions", "q_anomaly_zscore", "q_ewma_smooth",
-    "q_data_quality", "q_profile_table", "q_rfm_segmentation",
-    "q_join_bloom_pruned", "q_stream_session_timeout", "q_stream_late_data",
-    "q_similarity_ann_lsh", "q_similarity_ann_recall", "q_agg_stats",
-    "q_array_funcs", "q_window_rank",
-    # r06-verified cohort (the full r06 window minus the two flagships)
-    "q_spatial_polar_join", "q_stream_outer_join",
-    "q_shard_stats", "q_pack_sequences",
-    "q_curation_e2e", "q_graph_pagerank",
-    "q_scan_project", "q_filter_pred", "q_case_dispatch", "q_sort_limit",
-    "q_cube", "q_grouping_sets", "q_window_lag_lead", "q_window_frame",
-    "q_set_union", "q_set_intersect", "q_set_except", "q_pivot",
-    "q_window_dist", "q_string_agg", "q_unpivot", "q_null_semantics",
-    "q_string_funcs", "q_math_funcs", "q_date_funcs", "q_json_funcs",
-    "q_map_funcs", "q_spatial_distance_join_xl", "q_parallel_overlap_xl",
-    "q_udf_surface",
-    "q_contamination", "q_dedup_embedding", "q_dedup_minhash_md5",
-    "q_fingerprint",
-    "q_multimodal_decode", "q_quantile_profile", "q_sample_hash",
-    "q_similarity_topk", "q_sql_lateral_topn", "q_sql_shared_pricing",
-    "q_sql_shared_subquery", "q_stream_dedup", "q_text_analysis",
-    "q_tpch_q10_returned", "q_tpch_q1_pricing_summary",
-    "q_tpch_q3_shipping_priority", "q_tpch_q5_local_volume",
-    "q_tpch_q6_forecast_revenue",
+    # every pytest run; rows-only members carry operator-level pytest gates
+    # (goldens / planted pairs / invariants) enumerated in
+    # tests/test_registry_order.py.  The whole r07 window went green, so
+    # its cohorts rotate here wholesale (minus the changed queries above).
+    "q_agg_stats", "q_array_funcs", "q_bigram_lm", "q_bm25_rank",
+    "q_bpe_merges", "q_case_dispatch", "q_chunk_documents",
+    "q_chunk_documents_xl", "q_contamination", "q_contamination_xl", "q_cube",
+    "q_curation_e2e", "q_date_funcs", "q_dedup_clusters", "q_dedup_embedding",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_minhash_md5",
+    "q_dedup_minhash_xl", "q_effective_length", "q_embed_quantize",
+    "q_filter_pred", "q_fingerprint", "q_geodesic_length_exact",
+    "q_graph_pagerank", "q_graph_triangles", "q_grouping_sets",
+    "q_hybrid_rrf", "q_interval_union", "q_join_big_sort_merge",
+    "q_join_bloom_pruned", "q_join_salted_skew", "q_json_funcs", "q_lang_id",
+    "q_lm_perplexity", "q_map_funcs", "q_math_funcs", "q_multimodal_decode",
+    "q_ngram_jaccard", "q_null_semantics", "q_overlap_rollup",
+    "q_overlap_summary", "q_pack_sequences", "q_pack_sequences_xl",
+    "q_parallel_overlap", "q_parallel_overlap_xl", "q_pivot",
+    "q_quantile_approx", "q_quantile_profile", "q_sample_hash",
+    "q_sample_weighted", "q_scan_project", "q_scd2_history", "q_scrub_pii",
+    "q_sessionize", "q_set_except", "q_set_intersect", "q_set_union",
+    "q_shard_stats", "q_similarity_ann_lsh", "q_similarity_ann_recall",
+    "q_similarity_topk", "q_snapshot_diff", "q_sort_limit",
+    "q_spatial_distance_join", "q_spatial_distance_join_xl",
+    "q_spatial_polar_join", "q_split_train_eval", "q_sql_lateral_topn",
+    "q_sql_recursive_tree", "q_sql_shared_pricing", "q_sql_shared_subquery",
+    "q_stream_dedup", "q_stream_join", "q_stream_late_data",
+    "q_stream_outer_join", "q_stream_session", "q_stream_session_timeout",
+    "q_stream_sliding", "q_stream_stateful", "q_stream_static_join",
+    "q_stream_tumbling", "q_string_agg", "q_string_funcs", "q_table_checksum",
+    "q_text_analysis", "q_text_quality", "q_tfidf", "q_token_count",
+    "q_tpch_q10_returned", "q_tpch_q13_order_distribution",
+    "q_tpch_q14_promo_share", "q_tpch_q15_top_supplier",
+    "q_tpch_q18_large_orders", "q_tpch_q19_disjunctive",
+    "q_tpch_q1_pricing_summary", "q_tpch_q3_shipping_priority",
+    "q_tpch_q4_order_priority", "q_tpch_q5_local_volume",
+    "q_tpch_q6_forecast_revenue", "q_tpch_q7_nation_volume",
+    "q_tpch_q8_market_share", "q_udf_surface", "q_udtf_surface", "q_unpivot",
+    "q_variant_extract", "q_vocab_topk", "q_window_dist", "q_window_frame",
+    "q_window_lag_lead", "q_window_rank", "q_window_time_range",
 ]
 
 

@@ -564,14 +564,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Lloyd k-means over the embedding corpus
 # ---------------------------------------------------------------------------
-def _sqdist_sql(a: str, b: str) -> str:
-    """Squared-L2 oracle spelling (DuckDB list HOFs; sequential list_sum
-    matches the Spark left-fold in operators/kmeans.sqdist)."""
-    return (
-        f"list_sum(list_transform(list_zip({a}, {b}), "
-        f"z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) "
-        f"* (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))))"
-    )
+from .functions.vectors import sqdist_sql as _sqdist_sql  # noqa: E402
 
 
 @query(

@@ -356,6 +356,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact double-precision cosine >= 0.99 (operators/similarity.py)."""
     from .operators.similarity import embedding_dedup_pairs
 
+    corpus = _planted_embedding_corpus(spark, sf_dir)
+    return embedding_dedup_pairs(_spread(corpus, spark), min_cosine=0.99)
+
+
+def _planted_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + deterministic perturbed copies (vec_id+100000 for
+    vec_id < 50, per-dim factor 1 + 0.002*(i%7-3)) — the planted near-dup
+    corpus shared by q_dedup_embedding and q_dedup_semantic (the real
+    table has no near-dups: max all-pairs cosine 0.513 at sf0.01)."""
     e = t(spark, sf_dir, "embeddings")
     planted = e.where(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -365,11 +374,129 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1.0) + 0.002 * ((i % 7) - 3).cast("double")),
         ).alias("embedding"),
     )
-    corpus = e.select(
+    return e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     ).unionAll(planted)
-    return embedding_dedup_pairs(_spread(corpus, spark), min_cosine=0.99)
+
+
+# the same planted corpus, as oracle CTE text
+_SEM_CORPUS_CTES = """base AS MATERIALIZED (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+planted AS MATERIALIZED (
+    SELECT vec_id + 100000 AS vec_id,
+           list_transform(list_zip(embedding, range(0, 64)),
+                          z -> CAST(z[1] AS DOUBLE) * (1.0 + 0.002 * (z[2] % 7 - 3))) AS v
+    FROM embeddings WHERE vec_id < 50
+),
+corpus AS MATERIALIZED (SELECT * FROM base UNION ALL SELECT * FROM planted)"""
+
+
+from .functions.vectors import cosine_sql as _COS_SQL  # noqa: E402
+from .functions.vectors import sqdist_sql as _SQD_SQL  # noqa: E402
+
+
+# SemDeDup (Abbas et al. 2023): k-means partition, then cosine pairs ONLY
+# within a cluster, then connected components -> one representative.  The
+# oracle composes the two proven r07 unrolls — the q_kmeans_embed
+# MATERIALIZED-CTE Lloyd iteration (incl. the empty-cluster carry-forward)
+# and the q_dedup_clusters recursive-CTE component walk — over the planted
+# corpus.
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+WITH RECURSIVE {_SEM_CORPUS_CTES},
+seeds AS MATERIALIZED (
+    SELECT vec_id AS cid, v AS cvec FROM corpus ORDER BY vec_id LIMIT 8
+),
+s1 AS MATERIALIZED (
+    SELECT e.vec_id, s.cid, {_SQD_SQL('e.v', 's.cvec')} AS sqd
+    FROM corpus e, seeds s
+),
+a1 AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sqd, cid) AS rn
+        FROM s1) WHERE rn = 1
+),
+u1 AS MATERIALIZED (
+    SELECT cid, list(m ORDER BY d) AS cvec FROM (
+        SELECT a1.cid, e.d, ROUND(AVG(e.x), 9) AS m
+        FROM a1
+        JOIN (SELECT vec_id, unnest(v) AS x,
+                     unnest(range(len(v))) AS d
+              FROM corpus) e USING (vec_id)
+        GROUP BY a1.cid, e.d)
+    GROUP BY cid
+),
+c1 AS MATERIALIZED (
+    SELECT s.cid, COALESCE(u.cvec, s.cvec) AS cvec
+    FROM seeds s LEFT JOIN u1 u USING (cid)
+),
+s2 AS MATERIALIZED (
+    SELECT e.vec_id, c.cid, {_SQD_SQL('e.v', 'c.cvec')} AS sqd
+    FROM corpus e, c1 c
+),
+a2 AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sqd, cid) AS rn
+        FROM s2) WHERE rn = 1
+),
+labeled AS MATERIALIZED (
+    SELECT c.vec_id, c.v, a2.cid FROM corpus c JOIN a2 USING (vec_id)
+),
+prs AS MATERIALIZED (
+    SELECT a.vec_id AS id1, b.vec_id AS id2
+    FROM labeled a JOIN labeled b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL('a.v', 'b.v')} >= 0.99
+),
+edges AS (
+    SELECT id1 AS a, id2 AS b FROM prs
+    UNION
+    SELECT id2 AS a, id1 AS b FROM prs
+),
+walk(id, origin) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT e.b, w.origin FROM walk w JOIN edges e ON e.a = w.id
+),
+comps AS (
+    SELECT id, min(origin) AS component FROM walk GROUP BY id
+)
+SELECT c.vec_id,
+       COALESCE(p.component, c.vec_id) AS cluster,
+       COALESCE(p.component, c.vec_id) = c.vec_id AS keep
+FROM corpus c LEFT JOIN comps p ON p.id = c.vec_id
+""",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup decision over the planted corpus:
+    k-means partition (k=8, one Lloyd iteration — operators/kmeans.py) ->
+    exact cosine >= 0.99 pairs ONLY within a cluster (skew-salted
+    self-join, operators/similarity.semantic_dedup_pairs) -> connected
+    components -> per-vector (cluster, keep) with the minimum id
+    surviving (operators/clusters.py).  Completes the dedup triad: exact
+    (q_dedup_exact), lexical (q_dedup_minhash/_clusters), semantic.
+
+    Scale shape: centroids broadcast (vectors cross one exchange per
+    iteration); pair generation is cluster-scoped — sum of per-cluster
+    quadratic terms, never all-pairs — with hot clusters split
+    n_groups^2 ways; components converge in O(log D) pointer-jumping
+    rounds.  Boundary pairs split across clusters are the documented
+    SemDeDup recall trade (tests/test_semantic_dedup.py measures planted
+    recall)."""
+    from .operators.clusters import dedup_clusters
+    from .operators.similarity import semantic_dedup_pairs
+
+    corpus = _spread(_planted_embedding_corpus(spark, sf_dir), spark)
+    pairs = semantic_dedup_pairs(corpus, k=8, iters=1, min_cosine=0.99)
+    return dedup_clusters(corpus, pairs, id_col="vec_id")
 
 
 @query(

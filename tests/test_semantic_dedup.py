@@ -1,0 +1,84 @@
+"""operators/similarity.semantic_dedup_pairs + q_dedup_semantic — SemDeDup
+(k-means partition -> within-cluster cosine -> components).
+
+Gates: (1) planted near-duplicate recall on the shared perturbed corpus;
+(2) pairs are cluster-scoped by construction (cluster_id consistency);
+(3) transitive closure on a crafted 3-member family (the pair face only
+emits edges; the decision table must merge them into one cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipeline_calculator_v3_spark.operators.clusters import dedup_clusters
+from pipeline_calculator_v3_spark.operators.similarity import (
+    semantic_dedup_pairs,
+)
+from pipeline_calculator_v3_spark.queries import QUERIES
+from pipeline_calculator_v3_spark.queries_textml import (
+    _planted_embedding_corpus,
+)
+
+
+def test_planted_family_recall(spark, sf_dir):
+    """Every planted (v, v+100000) perturbed pair must be recovered: the
+    0.6%-scale perturbation keeps cosine >= 0.99, and on this corpus no
+    planted twin lands across a cluster boundary (deterministic — assert
+    exact recall 1.0, not a floor)."""
+    corpus = _planted_embedding_corpus(spark, sf_dir)
+    pairs = semantic_dedup_pairs(corpus, k=8, iters=1, min_cosine=0.99)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    planted = {(v, v + 100000) for v in range(50)}
+    assert planted <= got
+    # the real corpus has no near-dups (max all-pairs cosine 0.513): the
+    # planted pairs are EXACTLY the answer
+    assert got == planted
+
+
+def test_pairs_carry_their_cluster(spark, sf_dir):
+    """cluster_id on each pair matches the k-means assignment of BOTH
+    members — pair generation never crossed a cluster boundary."""
+    from pipeline_calculator_v3_spark.operators.kmeans import kmeans_assign
+
+    corpus = _planted_embedding_corpus(spark, sf_dir)
+    assigned = {
+        r["vid"]: r["cid"]
+        for r in kmeans_assign(corpus, k=8, iters=1).collect()
+    }
+    for r in semantic_dedup_pairs(corpus, k=8, iters=1).collect():
+        assert assigned[r["id1"]] == r["cluster_id"]
+        assert assigned[r["id2"]] == r["cluster_id"]
+
+
+def test_family_transitive_closure(spark):
+    """Three near-identical vectors + two far points: the family collapses
+    to ONE cluster with the minimum id surviving, far points stay
+    singletons."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 1e-4]),
+        (2, [1.0, 2e-4]),
+        (10, [-1.0, 0.0]),
+        (11, [0.0, -1.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pairs = semantic_dedup_pairs(vecs, k=2, iters=1, min_cosine=0.99)
+    decision = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in dedup_clusters(vecs, pairs, id_col="vec_id").collect()
+    }
+    assert decision[0] == (0, True)
+    assert decision[1] == (0, False)
+    assert decision[2] == (0, False)
+    assert decision[10] == (10, True)
+    assert decision[11] == (11, True)
+
+
+def test_query_decision_matches_pair_face(spark, sf_dir):
+    """q_dedup_semantic keep=False exactly for the planted copies."""
+    out = QUERIES["q_dedup_semantic"](spark, sf_dir)
+    dropped = {
+        r["vec_id"] for r in out.where(~F.col("keep")).collect()
+    }
+    assert dropped == {v + 100000 for v in range(50)}
