@@ -371,7 +371,8 @@ _NEVER_CHECKED_FIRST = [
     # r07 #1), q_dedup_simhash (md5-face oracle upgrade), and
     # q_similarity_ann_ivf (one-step-kmeans CTE oracle) — changed queries
     # re-earn their hash verdict.
-    "q_dedup_semantic", "q_kmeans_embed", "q_stream_cdc_merge",
+    "q_dedup_semantic", "q_bpe_encode", "q_kmeans_embed",
+    "q_stream_cdc_merge",
     "q_dedup_simhash", "q_similarity_ann_ivf",
     # r08 refresh, pool A: the COMPLETE r04-era backlog (verdict r07 #2) —
     # the 16 single-shape relational/join/agg rows deferred across r06/r07
@@ -395,7 +396,7 @@ _NEVER_CHECKED_FIRST = [
     "q_data_quality", "q_profile_table", "q_rfm_segmentation",
     "q_funnel_conversion", "q_first_touch_attribution", "q_retention_cohorts",
     "q_boilerplate_spans", "q_mixture_plan", "q_repetition_filter",
-    "q_heavy_hitters", "q_zipf_profile", "q_pmi_bigrams",
+    "q_heavy_hitters", "q_zipf_profile",
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length",
@@ -444,6 +445,7 @@ _ROTATED_OUT = [
     "q_tpch_q8_market_share", "q_udf_surface", "q_udtf_surface", "q_unpivot",
     "q_variant_extract", "q_vocab_topk", "q_window_dist", "q_window_frame",
     "q_window_lag_lead", "q_window_rank", "q_window_time_range",
+    "q_pmi_bigrams",
 ]
 
 

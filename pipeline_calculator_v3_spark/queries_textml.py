@@ -1586,3 +1586,97 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_shape(b2, 2, F.lit(1)))
         .unionByName(_shape(rest, 3, F.col("rn")))
     )
+
+
+_BPE_V0_CTE = f"""v0 AS MATERIALIZED (
+    SELECT tok, tf,
+           list_transform(range(1, len(tok) + 1), i -> tok[i:i]) AS syms
+    FROM (SELECT token AS tok, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
+          WHERE position('{_BSEP}' IN token) = 0
+          GROUP BY token)
+)"""
+
+
+def _bpe_train_ctes(steps: int) -> str:
+    """v0 + ``steps`` unrolled (pair-weights, winner, merged-vocab) CTE
+    triples — the q_bpe_merges machinery generalized to N steps.  All
+    MATERIALIZED: a non-materialized chain re-inlines exponentially."""
+    parts = [_BPE_V0_CTE]
+    for i in range(1, steps + 1):
+        parts.append(f"pw{i} AS MATERIALIZED ({_bpe_pairs_cte(f'v{i-1}')})")
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT p, w FROM pw{i} "
+            f"ORDER BY w DESC, p LIMIT 1)"
+        )
+        parts.append(
+            f"v{i} AS MATERIALIZED ({_bpe_merge_cte(f'v{i-1}', f'b{i}')})"
+        )
+    return ",\n".join(parts)
+
+
+@query(
+    "q_bpe_encode",
+    oracle=f"""
+WITH {_bpe_train_ctes(4)},
+enc AS MATERIALIZED (
+    SELECT tok, CAST(len(syms) AS BIGINT) AS n_syms FROM v4
+),
+dt AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(e.n_syms) AS BIGINT) AS n_bpe,
+       CAST(SUM(length(d.tok)) AS BIGINT) AS n_chars,
+       CAST(SUM(length(d.tok)) AS DOUBLE) / NULLIF(SUM(e.n_syms), 0)
+           AS chars_per_bpe
+FROM dt d JOIN enc e USING (tok)
+GROUP BY d.doc_id
+""",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION (the encode face q_bpe_merges lacked —
+    verdict r07 #4): train 4 merge steps on the corpus vocabulary, apply
+    the learned merges by keeping the training chain's rewritten symbol
+    column (after step N, each vocab row's ``syms`` IS its encoding under
+    the first N merges — application and training share
+    operators/bpe.merge_pair), then join the per-token symbol counts back
+    to the documents: tokens/doc, BPE symbols/doc, and chars-per-symbol
+    compression.
+
+    Scale shape: the corpus collapses ONCE to the (token, tf) vocabulary;
+    all 4 iterations run vocab-sized with one-row broadcast winners; the
+    encode join is (doc tokens) x (vocab tokenization) on the token key —
+    the vocab side is bounded by distinct-token count, so AQE broadcasts
+    it at real corpus scales and the per-doc rollup shares the explode's
+    doc_id distribution.  No Python, no driver-side vocab state."""
+    d = _spread(t(spark, sf_dir, "documents"), spark)
+    vocab = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .where(~F.col("tok").contains(_BSEP))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    v = persist_tracked(
+        vocab.select("tok", "tf", _bpe_chars("tok").alias("syms"))
+    )
+    for _ in range(4):
+        v = persist_tracked(
+            _bpe_step(v.select("tok", "tf", "syms"), "syms", "tf")
+        )
+    enc = v.select("tok", F.size("syms").cast("bigint").alias("n_syms"))
+    dt = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    return (
+        dt.join(enc, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe"),
+            F.sum(F.length("tok")).cast("bigint").alias("n_chars"),
+            (
+                F.sum(F.length("tok")).cast("double")
+                / F.nullif(F.sum("n_syms"), F.lit(0))
+            ).alias("chars_per_bpe"),
+        )
+    )

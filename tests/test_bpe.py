@@ -119,3 +119,39 @@ def test_bpe_query_matches_python_reference(spark, sf_dir):
     expected = sorted(cnt.items(), key=lambda kv: (-kv[1], SEP.join(kv[0])))[:5]
     got3 = sorted(by_step[3], key=lambda r: r["rnk"])
     assert [((r["p1"], r["p2"]), r["weight"]) for r in got3] == expected
+
+
+def test_bpe_encode_matches_python_reference(spark, sf_dir):
+    """q_bpe_encode third check: the 4-step trained table applied to every
+    document in pure Python — per-doc token/symbol/char counts match."""
+    import re
+
+    docs = {
+        r["doc_id"]: [
+            t
+            for t in re.split(r"\s+", r["text"].lower(), flags=re.ASCII)
+            if t
+        ]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    vocab: Counter = Counter()
+    for toks in docs.values():
+        vocab.update(t for t in toks if SEP not in t)
+    _, table = _py_bpe(dict(vocab), steps=4)
+
+    expected = {}
+    for doc_id, toks in docs.items():
+        enc = [t for t in toks if SEP not in t]
+        if not enc:
+            continue
+        n_bpe = sum(len(table[t]) for t in enc)
+        n_chars = sum(len(t) for t in enc)
+        expected[doc_id] = (len(enc), n_bpe, n_chars)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_bpe"], r["n_chars"])
+        for r in Q.QUERIES["q_bpe_encode"](spark, sf_dir).collect()
+    }
+    assert got == expected
