@@ -80,6 +80,8 @@ HEADLINE = [
     "q_stream_cdc_merge",         # added r07 (foreachBatch COW merge — the
                                   #  cost tracked is two table rewrites)
     "q_bpe_merges",               # added r07 (BPE tokenizer-training steps)
+    "q_bm25_rank_xl",             # added r08 (growing-corpus retrieval twin)
+    "q_kmeans_embed_xl",          # added r08 (growing-corpus clustering twin)
     "q_overlap_e2e",
 ]
 
@@ -95,6 +97,8 @@ SCALE_TWINS = [
     "q_chunk_documents_xl",
     "q_pack_sequences_xl",
     "q_contamination_xl",
+    "q_bm25_rank_xl",      # added r08 (VERDICT r07 #7)
+    "q_kmeans_embed_xl",   # added r08 (VERDICT r07 #7)
 ]
 SCALE_EXPONENT_MAX = 1.2
 
@@ -183,11 +187,17 @@ def main() -> None:
                 "t_sf0.1": timings[name],
                 "exponent": round(exp, 3),
             }
-            assert exp <= SCALE_EXPONENT_MAX, (
-                f"{name}: 10x-growth exponent {exp:.3f} exceeds "
-                f"{SCALE_EXPONENT_MAX} — plan regressed superlinear "
-                f"(all-pairs/lost-broadcast/skew?): {scaling[name]}"
-            )
+
+    # A superlinear exponent still fails the run (nonzero exit), but only
+    # AFTER the JSON summary prints (advice r07): raising first discarded
+    # the whole round's timings and recall data over one bad twin.
+    violations = [
+        f"{name}: 10x-growth exponent {s['exponent']:.3f} exceeds "
+        f"{SCALE_EXPONENT_MAX} — plan regressed superlinear "
+        f"(all-pairs/lost-broadcast/skew?): {s}"
+        for name, s in scaling.items()
+        if s["exponent"] > SCALE_EXPONENT_MAX
+    ]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -199,11 +209,14 @@ def main() -> None:
                 "queries": timings,
                 "recall": recall,
                 "scaling": scaling,
+                "scaling_violations": violations,
                 "sf": sf,
             }
         )
     )
     spark.stop()
+    if violations:
+        raise AssertionError("; ".join(violations))
 
 
 if __name__ == "__main__":

@@ -63,7 +63,7 @@ _MAX_POLAR_RADIUS_M = math.floor(
     (360.0 / 4.0)
     * _M_PER_DEG_SAFE
     * math.cos(math.radians(_MAX_GRID_LAT_DEG))
-)  # 866_764 m
+)  # 866_763 m
 
 # Planar cell margin for the polar caps.  In the azimuthal equidistant
 # projection (radial distances exact, tangential stretched by

@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..shipping import ensure_pkg_shipped
 
 PIPELINES_SCHEMA = (
@@ -301,7 +302,12 @@ def read_pipelines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
                 columns=["file", "pipeline_id", "objectid", "name", "attrs", "geometry"],
             )
 
-    parsed = _read_binary(spark, paths).mapInPandas(gen, PIPELINES_SCHEMA)
+    # persist: the mapInPandas parse feeds BOTH the key projection below
+    # and the re-key join — unpersisted, every file parsed twice
+    # (advice r07).
+    parsed = persist_tracked(
+        _read_binary(spark, paths).mapInPandas(gen, PIPELINES_SCHEMA)
+    )
     # pipeline_id is 0-based PER FILE (reference :117); across a multi-file
     # glob the ids would collide and downstream per-pipeline grouping would
     # merge unrelated polylines (review r06).  Re-key deterministically

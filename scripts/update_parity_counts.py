@@ -41,12 +41,21 @@ def registry_counts() -> dict[str, int]:
 
 
 def test_count() -> int:
-    out = subprocess.run(
+    proc = subprocess.run(
         [sys.executable, "-m", "pytest", "--collect-only", "-q", "tests"],
         cwd=ROOT, capture_output=True, text=True, timeout=300,
-    ).stdout
-    m = re.search(r"(\d+) tests collected", out)
-    return int(m.group(1)) if m else -1
+    )
+    m = re.search(r"(\d+) tests collected", proc.stdout)
+    if m is None:
+        # Fail loudly (advice r07): a silent -1 would stamp "pytest suite
+        # -1 tests" into PARITY.md on a collection error or a pytest
+        # output-format change instead of surfacing the problem.
+        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+        raise RuntimeError(
+            "could not parse 'N tests collected' from pytest --collect-only "
+            f"output (rc={proc.returncode})"
+        )
+    return int(m.group(1))
 
 
 def render(c: dict[str, int], n_tests: int) -> str:
