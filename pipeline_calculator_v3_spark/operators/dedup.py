@@ -292,3 +292,98 @@ def simhash64(text: Column, shingle_n: int = 3) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
     )
+
+
+def simhash64_md5_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_hamming: int = 16,
+    n_groups: int = 8,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs on md5 bit lanes — the
+    oracle-checkable face of simhash dedup (VERDICT r07 #6), exactly the
+    minhash-md5 move (:func:`minhash_lsh_pairs_md5`) applied to simhash:
+    every hash in the pipeline is md5, so signatures, blocking, candidates
+    and hamming scores replay value-for-value in ANSI SQL.
+
+    Bit j (0..63) of a document's simhash is the sign of
+    ``sum over distinct shingles of (2*bit_j(md5(shingle)) - 1)`` where
+    bit_j reads the md5 hex digest MSB-first (bit j lives in hex nibble
+    j//4 at in-nibble position j%4 from the high bit).  Docs with no
+    shingles (< ``shingle_n`` tokens) are excluded on both engines — an
+    all-zero signature would otherwise collide globally.
+
+    Shape (the scale path, mirroring the measured minhash-md5 lesson that
+    interpreted HOF aggregates re-allocating a wide array per shingle are
+    ~4x slower than explode + codegen aggregates): explode distinct
+    shingles -> md5 -> 16 nibble columns (one conv each) -> 64 parallel
+    SUM aggregates with map-side combine -> pack to one BIGINT -> 16-bit
+    prefix blocking -> ``salted_self_pairs`` (hot blocks split
+    n_groups^2 ways, identical output) -> XOR bit_count hamming filter.
+    The xxhash64 face (:func:`simhash64`) stays the single-pass Column
+    variant for throughput callers.
+
+    Returns (id1, id2, hamming) with id1 < id2 and hamming <= max_hamming.
+    """
+    from .joins import salted_self_pairs
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).where(F.size("sh") > 0)
+    hashed = base.select("id", F.explode("sh").alias("s")).select(
+        "id", F.md5("s").alias("h")
+    )
+    # one conv per nibble, referenced by 4 bit-sums each — inlining the conv
+    # into every sum would run it 4x per row
+    nibs = hashed.select(
+        "id",
+        *[
+            F.conv(F.substring("h", q + 1, 1), 16, 10).cast("int").alias(f"n{q}")
+            for q in range(16)
+        ],
+    )
+    votes = nibs.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col(f"n{j // 4}"), 3 - j % 4)
+                .bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    # pack votes MSB-first: bit j=0 is the BIGINT sign bit, so the packed
+    # value's top 16 bits are exactly bits 0..15 (the blocking prefix)
+    packed = None
+    for j in range(64):
+        w = -(1 << 63) if j == 0 else (1 << (63 - j))
+        term = (
+            F.when(F.col(f"v{j}") > 0, F.lit(w).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        packed = term if packed is None else packed.bitwiseOR(term)
+    keyed = votes.select(
+        F.col("id").alias("doc_id"),
+        packed.alias("sh64"),
+    ).withColumn(
+        # & 65535 normalizes away the arithmetic-shift sign fill, so the
+        # block value matches the oracle's bit-string key bijectively
+        "block",
+        F.shiftright("sh64", 48).bitwiseAND(F.lit(65535)),
+    )
+    return (
+        salted_self_pairs(keyed, "block", "doc_id", n_groups=n_groups)
+        .where(F.col("a_doc_id") < F.col("b_doc_id"))
+        .select(
+            F.col("a_doc_id").alias("id1"),
+            F.col("b_doc_id").alias("id2"),
+            F.bit_count(F.col("a_sh64").bitwiseXOR(F.col("b_sh64")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -91,6 +91,13 @@ def kmeans_assign(
     stats or joins labels back as needed."""
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1, iters >= 0; got k={k}, iters={iters}")
+    # persist: the vector frame feeds the seed scan plus one full scoring
+    # pass PER iteration (+ the final assignment) — unpersisted, a derived
+    # input (e.g. the synthesized xl corpus) re-runs its whole upstream
+    # plan iters+2 times
+    from ..caching import persist_tracked
+
+    vecs = persist_tracked(vecs)
     cents = (
         vecs.orderBy(id_col)
         .limit(k)

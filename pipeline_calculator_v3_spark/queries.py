@@ -374,6 +374,12 @@ _NEVER_CHECKED_FIRST = [
     "q_dedup_semantic", "q_bpe_encode", "q_kmeans_embed",
     "q_stream_cdc_merge",
     "q_dedup_simhash", "q_similarity_ann_ivf",
+    # r08 new scale twins (VERDICT r07 #7): rows-only by design, first
+    # driver look; their cost/growth is gated in bench.py's scaling block.
+    "q_bm25_rank_xl", "q_kmeans_embed_xl",
+    # r08 new curation surface: exact-substring dedup (Lee et al. 2022)
+    # and DSIR-style importance weighting — both full-oracle, first check.
+    "q_dedup_substring", "q_dsir_weights",
     # r08 refresh, pool A: the COMPLETE r04-era backlog (verdict r07 #2) —
     # the 16 single-shape relational/join/agg rows deferred across r06/r07
     # plus the two rows-only members (q_segmentize, q_agg_approx_distinct).
@@ -395,8 +401,11 @@ _NEVER_CHECKED_FIRST = [
     "q_markov_transitions", "q_anomaly_zscore", "q_ewma_smooth",
     "q_data_quality", "q_profile_table", "q_rfm_segmentation",
     "q_funnel_conversion", "q_first_touch_attribution", "q_retention_cohorts",
-    "q_boilerplate_spans", "q_mixture_plan", "q_repetition_filter",
-    "q_heavy_hitters", "q_zipf_profile",
+    "q_boilerplate_spans",
+    # (q_heavy_hitters, q_zipf_profile, q_mixture_plan and
+    # q_repetition_filter yielded their pool-B slots to the four new r08
+    # entries above; all four are r05 hash-green and stay
+    # oracle-parity-gated every pytest run — next-oldest refresh pool.)
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length",
@@ -417,13 +426,16 @@ _ROTATED_OUT = [
     "q_dedup_minhash_xl", "q_effective_length", "q_embed_quantize",
     "q_filter_pred", "q_fingerprint", "q_geodesic_length_exact",
     "q_graph_pagerank", "q_graph_triangles", "q_grouping_sets",
-    "q_hybrid_rrf", "q_interval_union", "q_join_big_sort_merge",
+    "q_heavy_hitters", "q_hybrid_rrf", "q_interval_union",
+    "q_join_big_sort_merge",
     "q_join_bloom_pruned", "q_join_salted_skew", "q_json_funcs", "q_lang_id",
-    "q_lm_perplexity", "q_map_funcs", "q_math_funcs", "q_multimodal_decode",
+    "q_lm_perplexity", "q_map_funcs", "q_math_funcs", "q_mixture_plan",
+    "q_multimodal_decode",
     "q_ngram_jaccard", "q_null_semantics", "q_overlap_rollup",
     "q_overlap_summary", "q_pack_sequences", "q_pack_sequences_xl",
     "q_parallel_overlap", "q_parallel_overlap_xl", "q_pivot",
-    "q_quantile_approx", "q_quantile_profile", "q_sample_hash",
+    "q_quantile_approx", "q_quantile_profile", "q_repetition_filter",
+    "q_sample_hash",
     "q_sample_weighted", "q_scan_project", "q_scd2_history", "q_scrub_pii",
     "q_sessionize", "q_set_except", "q_set_intersect", "q_set_union",
     "q_shard_stats", "q_similarity_ann_lsh", "q_similarity_ann_recall",
@@ -445,7 +457,7 @@ _ROTATED_OUT = [
     "q_tpch_q8_market_share", "q_udf_surface", "q_udtf_surface", "q_unpivot",
     "q_variant_extract", "q_vocab_topk", "q_window_dist", "q_window_frame",
     "q_window_lag_lead", "q_window_rank", "q_window_time_range",
-    "q_pmi_bigrams",
+    "q_pmi_bigrams", "q_zipf_profile",
 ]
 
 

@@ -17,11 +17,12 @@ from .functions.text import (
     shingles_from_tokens,
     tokens,
 )
+from .functions.vectors import cosine_sql
 from .operators.dedup import (
     fingerprint_dedup,
     minhash_lsh_pairs,
     minhash_lsh_pairs_md5,
-    simhash64,
+    simhash64_md5_pairs,
 )
 from .operators.similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh
 from .queries import query, t
@@ -119,7 +120,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared CTE chain (tk -> scored): q_dedup_minhash_md5 thresholds `scored`
 # directly; q_dedup_clusters chains connected components on top of the
 # SAME pair derivation, so the two oracles cannot drift apart.
-_MD5_LSH_CTES = f"""tk AS (
+# tk -> toks: distinct trigram shingles per doc — shared by the minhash-md5
+# chain below AND the simhash-md5 oracle (q_dedup_simhash), so the two
+# dedup faces derive their feature sets from one SQL spelling.
+_MD5_SHINGLE_CTES = f"""tk AS (
     SELECT doc_id, {_TOKENS} AS t FROM documents
 ),
 toks AS (
@@ -127,7 +131,9 @@ toks AS (
            list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
     FROM tk
-),
+)"""
+
+_MD5_LSH_CTES = f"""{_MD5_SHINGLE_CTES},
 sigs AS (
     SELECT doc_id, sh,
            list_transform(range(0, 16), i ->
@@ -173,34 +179,317 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_simhash")  # rows-only: xxhash64-based
+# Exact substring dedup (the Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better" primitive, word-level): any 8-token span
+# occurring MORE THAN ONCE anywhere in the corpus (other docs OR a repeat
+# inside the same doc) is duplicated text; per doc, the union of duplicated
+# span positions gives the duplicated-token count/fraction — the signal the
+# curation funnel thresholds to drop or trim boilerplate-heavy documents.
+# Every stage is exact and engine-portable (md5 span keys, integer interval
+# arithmetic, gaps-and-islands union — the proven q_interval_union MAX-end
+# formulation), so the whole pipeline gets a value-level oracle.
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+WITH tk AS (
+    SELECT doc_id, {_TOKENS} AS t FROM documents
+),
+spans AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                  i -> {{'s': i,
+                        'h': md5(list_aggregate(t[i:i+7],
+                                                'string_agg', ' '))}})) AS sp
+    FROM tk
+),
+sp2 AS (
+    SELECT doc_id, sp.s AS s, sp.s + 7 AS e, sp.h AS h FROM spans
+),
+dups AS (
+    SELECT h FROM sp2 GROUP BY h HAVING COUNT(*) >= 2
+),
+cov AS (
+    SELECT sp2.doc_id, s, e FROM sp2 JOIN dups USING (h)
+),
+flagged AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM cov
+),
+islands AS (
+    SELECT doc_id, s, e,
+           SUM(is_new) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM flagged
+),
+merged AS (
+    SELECT doc_id, island, MIN(s) AS ms, MAX(e) AS me
+    FROM islands GROUP BY doc_id, island
+),
+per_doc AS (
+    SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT) AS dup_tokens
+    FROM merged GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       CAST(len(tk.t) AS BIGINT) AS ntok,
+       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       ROUND(CASE WHEN len(tk.t) > 0
+                  THEN CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(tk.t)
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM tk LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup: per-document duplicated-token count and
+    fraction, where a token is 'duplicated' if it sits inside any 8-token
+    span that occurs >= 2 times in the corpus (cross-doc or intra-doc) —
+    the Lee et al. 2022 exact-substring primitive at word granularity,
+    completing the dedup family (exact / lexical-minhash / simhash /
+    semantic / substring).
+
+    Scale shape: spans explode to (doc_id, position, md5) rows — ~1 row
+    per token, 16-byte keys; ONE groupBy-h exchange finds duplicated
+    spans (map-side partial counts); the cover join is a shuffle join on
+    h (the dup set is corpus-scale, never broadcast); the interval union
+    is the q_interval_union gaps-and-islands family — one doc_id exchange
+    serves both windows and both rollups.  Nothing quadratic anywhere:
+    cost is O(tokens) + two exchanges regardless of dup density."""
+    d = _spread(t(spark, sf_dir, "documents"), spark)
+    base = persist_tracked(
+        d.select("doc_id", tokens(F.lower(F.col("text"))).alias("t"))
+    )
+    spans = persist_tracked(
+        base.select(
+            "doc_id",
+            F.posexplode(shingles_from_tokens(F.col("t"), 8)).alias("p", "sp"),
+        ).select(
+            "doc_id",
+            (F.col("p") + 1).alias("s"),
+            (F.col("p") + 8).alias("e"),
+            F.md5("sp").alias("h"),
+        )
+    )
+    dups = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= 2)
+        .select("h")
+    )
+    cov = spans.join(dups, "h").select("doc_id", "s", "e")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_end = F.max("e").over(w_prev)
+    flagged = cov.select(
+        "doc_id", "s", "e",
+        F.when(prev_max_end.isNull() | (F.col("s") > prev_max_end), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "doc_id", "s", "e", F.sum("is_new").over(w_run).alias("island")
+    )
+    per_doc = (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("me") - F.col("ms") + 1).cast("bigint")
+            .alias("dup_tokens")
+        )
+    )
+    ntok = base.select("doc_id", F.size("t").cast("bigint").alias("ntok"))
+    dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0).cast("bigint"))
+    return ntok.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "ntok",
+        dup_tokens.alias("dup_tokens"),
+        F.round(
+            F.when(
+                F.col("ntok") > 0,
+                dup_tokens.cast("double") / F.col("ntok"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): hashed n-gram bucket counts
+# give a target LM and a raw LM; each document scores
+# sum_feats ln(p_target/p_raw) — the standard quality-targeting signal a
+# curation pipeline samples against.  Target here = the English slice of
+# the corpus (lang = 'en'); features = unigrams + bigrams hashed into
+# 1024 buckets via md5 (engine-portable), add-1 smoothed.
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+WITH tk AS (
+    SELECT doc_id, lang, {_TOKENS} AS t FROM documents
+),
+feats AS (
+    SELECT doc_id, lang,
+           unnest(list_concat(t,
+               list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                              i -> t[i] || ' ' || t[i+1]))) AS f
+    FROM tk
+),
+fb AS (
+    SELECT doc_id, lang,
+           list_sum(list_transform(range(1, 7), i ->
+               (strpos('0123456789abcdef',
+                       substr(md5(f), CAST(i AS INT), 1)) - 1)
+               * ([1048576, 65536, 4096, 256, 16, 1])[CAST(i AS INT)]))
+           % 1024 AS b
+    FROM feats
+),
+ct AS (
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM fb
+    WHERE lang = 'en' GROUP BY b
+),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM fb WHERE lang = 'en'),
+cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM fb GROUP BY b),
+tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS tr FROM fb),
+db AS (
+    SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n
+    FROM fb GROUP BY doc_id, b
+)
+SELECT db.doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_feats,
+       ROUND(SUM(n * (LN((COALESCE(ct.ct, 0) + 1.0) / (tt.tt + 1024.0))
+                    - LN((cr.cr + 1.0) / (tr.tr + 1024.0)))), 6)
+           AS log_weight
+FROM db LEFT JOIN ct USING (b) JOIN cr USING (b), tt, tr
+GROUP BY db.doc_id
+""",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights per document: hashed unigram+bigram
+    features (md5 -> 1024 buckets), add-1-smoothed bucket LMs for the
+    target slice (lang='en') vs the raw corpus, per-doc
+    ``sum n_b * (ln p_target(b) - ln p_raw(b))`` rounded to 6 dp (the
+    per-doc sum is bucket-count-weighted, so cross-engine summation-order
+    noise is ~1e-13 — far under the rounding grain).
+
+    Scale shape: ONE corpus-sized exchange — the (doc_id, bucket) count.
+    Both LM tables are <= 1024 rows and BROADCAST back; the totals are
+    one-row broadcasts.  At 100 TB the raw-vs-target statistics cost one
+    extra reduce over the same exploded features, not a second corpus
+    pass, because target counts derive from the lang-tagged feature frame
+    the raw counts already read."""
+    d = _spread(t(spark, sf_dir, "documents"), spark)
+    base = d.select(
+        "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("t")
+    )
+    feats = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(F.col("t"), shingles_from_tokens(F.col("t"), 2))
+        ).alias("f"),
+    )
+    fb = persist_tracked(
+        feats.select(
+            "doc_id",
+            "lang",
+            F.pmod(
+                F.conv(F.substring(F.md5("f"), 1, 6), 16, 10).cast("bigint"),
+                F.lit(1024),
+            ).alias("b"),
+        )
+    )
+    tgt = fb.where(F.col("lang") == "en")
+    ct = tgt.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    tt = tgt.agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
+    cr = fb.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("cr"))
+    tr = fb.agg(F.count(F.lit(1)).cast("bigint").alias("tr"))
+    db = fb.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    term = F.col("n") * (
+        F.log(
+            (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+            / (F.col("tt") + 1024.0)
+        )
+        - F.log((F.col("cr") + 1.0) / (F.col("tr") + 1024.0))
+    )
+    return (
+        db.join(F.broadcast(ct), "b", "left")
+        .join(F.broadcast(cr), "b")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_feats"),
+            F.round(F.sum(term), 6).alias("log_weight"),
+        )
+    )
+
+
+# SimHash replayed bit-for-bit in SQL (VERDICT r07 #6, the minhash-md5 move
+# applied to simhash): bit j of a doc's signature is the sign of the vote
+# sum over distinct shingles of (2*bit_j(md5(shingle)) - 1), reading the
+# md5 hex digest MSB-first (nibble j//4, in-nibble bit j%4 from the top).
+# Blocking key = the first 16 bits as a string; hamming = differing-bit
+# count over the full 64.  Docs with no shingles are excluded on both
+# engines (an all-zero signature would collide globally).
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+WITH {_MD5_SHINGLE_CTES},
+sims AS (
+    SELECT doc_id,
+           list_transform(range(0, 64), j ->
+               CASE WHEN list_sum(list_transform(hsl, h ->
+                   CASE WHEN ((strpos('0123456789abcdef',
+                                      substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                              & (8 >> CAST(j % 4 AS INT))) <> 0
+                        THEN 1 ELSE -1 END)) > 0
+               THEN 1 ELSE 0 END) AS bits
+    FROM (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hsl
+          FROM toks WHERE len(sh) > 0)
+),
+keyed AS (
+    SELECT doc_id, bits,
+           list_aggregate(list_transform(bits[1:16],
+                          x -> CAST(x AS VARCHAR)), 'string_agg', '') AS block
+    FROM sims
+),
+scored AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN a.bits[CAST(i AS INT)] <> b.bits[CAST(i AS INT)]
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+    FROM keyed a JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id
+)
+SELECT id1, id2, hamming FROM scored WHERE hamming <= 16
+""",
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup candidate PAIRS: every same-block pair
-    (16-bit prefix blocking) whose hamming distance is <= 16 — the
-    candidate-set face of simhash dedup, not a per-doc nearest-sibling
-    reduction (review r06: the docstring previously promised one row per
-    doc; output is one row per qualifying pair).
+    """64-bit SimHash near-dup candidate PAIRS on md5 bit lanes: every
+    same-block pair (16-bit prefix blocking) whose hamming distance is
+    <= 16 — upgraded from the xxhash64 face to the oracle-checkable md5
+    face (VERDICT r07 #6); the whole pipeline (bit votes, blocking,
+    candidates, hamming) replays in ANSI SQL for a value-level verdict.
+    The xxhash64 single-pass Column face (operators/dedup.py::simhash64)
+    stays the throughput variant.
 
     Blocking tops out at 65k buckets, so real corpora WILL concentrate:
     pair generation goes through ``salted_self_pairs`` (same output,
     n_groups^2-way split of each bucket's quadratic work)."""
-    from .operators.joins import salted_self_pairs
-
-    d = _spread(t(spark, sf_dir, "documents"), spark).select(
-        "doc_id", simhash64(F.col("text")).alias("sh")
-    )
-    block = F.shiftright("sh", 48)
-    base = d.select("doc_id", "sh", block.alias("block"))
-    return (
-        salted_self_pairs(base, "block", "doc_id", n_groups=8)
-        .where(F.col("a_doc_id") < F.col("b_doc_id"))
-        .select(
-            F.col("a_doc_id").alias("id1"),
-            F.col("b_doc_id").alias("id2"),
-            F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).cast("bigint")
-            .alias("hamming"),
-        )
-        .where(F.col("hamming") <= 16)
+    return simhash64_md5_pairs(
+        _spread(t(spark, sf_dir, "documents"), spark), max_hamming=16
     )
 
 
@@ -252,10 +541,66 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_similarity_ann_ivf")  # rows-only: approximate by construction
+# IVF replayed in SQL (VERDICT r07 #9): with kmeans_iters=0 the coarse
+# quantizer is fully deterministic — centroids are the 32 lowest-vec_id
+# corpus vectors, every vector joins its (cosine-desc, centroid_id-asc)
+# nearest list, queries probe their 3 nearest lists, candidates rescore
+# exactly.  Probe-set membership and the final rank are therefore
+# value-replayable; the cosine spelling is the shared helper the
+# hash-green q_similarity_topk oracle already proved.
+@query(
+    "q_similarity_ann_ivf",
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cent_v
+    FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 32)
+),
+scored_all AS (
+    SELECT e.vec_id AS vid, c.centroid_id,
+           {cosine_sql('e.v', 'c.cent_v')} AS csim
+    FROM e CROSS JOIN cents c
+),
+c_assigned AS (
+    SELECT vid, centroid_id FROM (
+        SELECT vid, centroid_id,
+               row_number() OVER (PARTITION BY vid
+                                  ORDER BY csim DESC, centroid_id) AS r
+        FROM scored_all) WHERE r = 1
+),
+q_assigned AS (
+    SELECT vid, centroid_id FROM (
+        SELECT vid, centroid_id,
+               row_number() OVER (PARTITION BY vid
+                                  ORDER BY csim DESC, centroid_id) AS r
+        FROM scored_all WHERE vid < 8) WHERE r <= 3
+),
+cand AS (
+    SELECT DISTINCT q.vid AS qid, c.vid AS cid
+    FROM q_assigned q JOIN c_assigned c ON q.centroid_id = c.centroid_id
+    WHERE q.vid <> c.vid
+),
+scored AS (
+    SELECT cand.qid, cand.cid, {cosine_sql('qe.v', 'ce.v')} AS score
+    FROM cand JOIN e qe ON qe.vec_id = cand.qid
+              JOIN e ce ON ce.vec_id = cand.cid
+)
+SELECT qid, cid, score,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY score DESC, cid) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+)
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (32 inverted lists, nprobe=3): clustered-data
-    scale path; recall >> hyperplane LSH on weakly-separated vectors."""
+    scale path; recall >> hyperplane LSH on weakly-separated vectors.
+    Oracle-backed since r08: the kmeans_iters=0 quantizer is deterministic
+    (seed centroids + argmax-cosine assignment), so inverted lists, probe
+    sets and the rescored rank replay exactly in SQL."""
     e = _spread(t(spark, sf_dir, "embeddings"), spark)
     return cosine_topk_ivf(
         e.where(F.col("vec_id") < 8), e, k=10, n_centroids=32, nprobe=3
@@ -718,7 +1063,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation the q_dedup_minhash_md5 oracle replays) -> connected
     components (pointer-jumping label propagation, operators/clusters.py)
     -> one surviving representative per near-dup cluster.  The xxhash64
-    pair path stays the throughput variant (q_dedup_minhash/_xl)."""
+    pair path stays the throughput variant (q_dedup_minhash/_xl).
+
+    Oracle-tax decision (VERDICT r07 #8, profiled in PERF_NOTES r08): the
+    md5 signature pass costs ~2 s over xxhash64 at sf0.1; this entry keeps
+    md5 because the value-level verdict outranks that — throughput callers
+    compose ``dedup_clusters(docs, minhash_lsh_pairs(docs))`` instead (the
+    operator is pair-face-agnostic)."""
     from .operators.clusters import dedup_clusters
 
     docs = _spread(t(spark, sf_dir, "documents"), spark)
@@ -775,6 +1126,73 @@ def _synth_docs_from_lineitem(lineitem, as_tokens: bool = False) -> DataFrame:
     if as_tokens:
         return keys.select("doc_id", toks.alias("t"))
     return keys.select("doc_id", F.concat_ws(" ", toks).alias("text"))
+
+
+@query("q_bm25_rank_xl")  # rows-only: scale-stress retrieval twin
+def q_bm25_rank_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 over the GROWING synthetic corpus (one ~40-token doc per
+    lineitem order; documents is fixed at 5000 rows) — the scale twin for
+    q_bm25_rank (VERDICT r07 #7), sharing its exact scoring pipeline via
+    ``_bm25_scores``.  Query terms are drawn from the synthetic vocab
+    (``w0``..``w4999``), so df and match cardinality grow with the corpus.
+    Wired into bench.py's scaling block: the 10x-growth exponent is gated
+    <= 1.2, converting 'the posting-list explode is scan-filtered, df and
+    corpus stats broadcast' from prose into a measured regression gate."""
+    base = persist_tracked(
+        _synth_docs_from_lineitem(
+            t(spark, sf_dir, "lineitem"), as_tokens=True
+        ).select("doc_id", F.col("t").alias("tok"))
+    )
+    return (
+        _bm25_scores(base, ["w17", "w423", "w1777"])
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+def _synth_vecs_from_lineitem(lineitem, dim: int = 16) -> DataFrame:
+    """One deterministic ``dim``-float vector per order — the growing
+    vector-corpus generator for the k-means scale twin.  Same
+    aggregate-before-synthesize shape as ``_synth_docs_from_lineitem``:
+    one (partkey, suppkey) survivor struct per order crosses the groupBy
+    exchange; the 16-double arrays are built AFTER the shuffle."""
+    keys = lineitem.groupBy(F.col("l_orderkey").alias("vec_id")).agg(
+        F.min(F.struct("l_partkey", "l_suppkey")).alias("ps")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda d: (
+            F.pmod(
+                F.col("ps.l_partkey") * d + F.col("ps.l_suppkey") * (d + 7),
+                F.lit(997),
+            ).cast("double")
+            / 997.0
+        ),
+    )
+    return keys.select("vec_id", vec.alias("embedding"))
+
+
+@query("q_kmeans_embed_xl")  # rows-only: scale-stress clustering twin
+def q_kmeans_embed_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (k=8, 2 update iterations) over a vector corpus that
+    GROWS with sf (one synthetic 16-dim vector per lineitem order; the
+    embeddings table is fixed at 1k rows) — the scale twin for
+    q_kmeans_embed (VERDICT r07 #7).  Per iteration the vectors cross
+    exactly one exchange (the (cid, dim) mean); assignment is a
+    broadcast-scored map pass collapsed by min_by.  bench.py gates the
+    10x-growth exponent <= 1.2 so a lost broadcast or a window sneaking
+    into assignment fails the run."""
+    from .operators.kmeans import kmeans_assign
+
+    vecs = _synth_vecs_from_lineitem(t(spark, sf_dir, "lineitem"))
+    return (
+        kmeans_assign(vecs, k=8, iters=2)
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.avg("sqd"), 6).alias("avg_sqdist"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1039,6 +1457,15 @@ def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = persist_tracked(
         d.select("doc_id", tokens(F.lower(F.col("text"))).alias("tok"))
     )
+    return _bm25_scores(base, _BM25_TERMS)
+
+
+def _bm25_scores(base: DataFrame, terms: list[str]) -> DataFrame:
+    """BM25 (doc_id, score, n_terms) over an already-tokenized corpus
+    ``base = (doc_id, tok)`` — shared by the documents-table query above
+    and the growing-corpus scale twin (q_bm25_rank_xl), so the scoring
+    formula and its scale shape (scan-filtered posting explode, broadcast
+    df + corpus stats, map-side partial aggs) are written once."""
     dl = base.select("doc_id", F.size("tok").cast("bigint").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -1046,7 +1473,7 @@ def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = (
         base.select("doc_id", F.explode("tok").alias("term"))
-        .where(F.col("term").isin(*_BM25_TERMS))
+        .where(F.col("term").isin(*terms))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("bigint").alias("tf"))
     )

@@ -71,8 +71,8 @@ def test_rotated_out_remain_pytest_gated():
         assert name in ORACLE_SQL or name in (
             "q_agg_approx_distinct", "q_udf_surface",
             "q_spatial_distance_join_xl", "q_parallel_overlap_xl",
-            "q_dedup_minhash", "q_dedup_simhash",
-            "q_dedup_minhash_xl", "q_similarity_ann_ivf",
+            "q_dedup_minhash",  # q_dedup_simhash + q_similarity_ann_ivf
+            "q_dedup_minhash_xl",  # gained full oracles in r08
             "q_quantile_approx", "q_contamination_xl",
             "q_chunk_documents_xl",  # rows-only scale twin, clean r04 row
             "q_geodesic_length_exact",  # Karney geodesic — no SQL oracle
