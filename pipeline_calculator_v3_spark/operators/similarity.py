@@ -402,3 +402,72 @@ def semantic_dedup_pairs(
         )
         .where(F.col("cos_sim") >= min_cosine)
     )
+
+
+def embedding_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_dims: int = 8,
+    min_cosine: float = 0.95,
+    n_groups: int = 4,
+) -> DataFrame:
+    """Semantic train/eval contamination: training vectors whose embedding
+    is near-duplicate (cosine >= ``min_cosine``) to ANY evaluation vector —
+    the vector-space face of benchmark decontamination (the n-gram face is
+    q_contamination; paraphrased leaks that share no 8-gram still land next
+    to their source in embedding space).
+
+    Plan: sign-prefix block BOTH sides (axis-aligned, hash-free — the same
+    oracle-checkable blocking as :func:`embedding_dedup_pairs`), bipartite
+    equi-join on the block key, exact double-precision cosine, then one
+    row per contaminated train vector via ``max_by`` (highest cosine,
+    lowest eval id on exact ties).
+
+    Skew: a hot block's work is |train_b| x |eval_b| in one task under a
+    plain join.  The EVAL side (small by contract) replicates ``n_groups``
+    ways and each train row picks one deterministic group, so the physical
+    key (blk, g) splits a hot block's bipartite workload n_groups ways
+    with identical output — the one-sided analogue of salted_self_pairs.
+
+    Returns (train_id, eval_id, cos_sim).
+    """
+    blk = sign_prefix_block(F.col(vec_col), sign_dims)
+    g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int")
+    tb = train.select(
+        F.col(id_col).alias("train_id"),
+        F.col(vec_col).alias("tv"),
+        blk.alias("blk"),
+        g.alias("g"),
+    )
+    eb = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("ev"),
+        blk.alias("blk"),
+        F.explode(F.array(*[F.lit(i) for i in range(n_groups)])).alias("g"),
+    )
+    scored = (
+        tb.join(eb, ["blk", "g"])
+        .select(
+            "train_id",
+            "eval_id",
+            cosine(F.col("tv"), F.col("ev")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min_cosine)
+    )
+    best = F.max_by(
+        F.struct(F.col("eval_id").alias("eval_id"),
+                 F.col("cos_sim").alias("cos_sim")),
+        F.struct(F.col("cos_sim").alias("s"),
+                 (-F.col("eval_id")).alias("t")),
+    )
+    return (
+        scored.groupBy("train_id")
+        .agg(best.alias("b"))
+        .select(
+            "train_id",
+            F.col("b.eval_id").alias("eval_id"),
+            F.col("b.cos_sim").alias("cos_sim"),
+        )
+    )

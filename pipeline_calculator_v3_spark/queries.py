@@ -377,9 +377,11 @@ _NEVER_CHECKED_FIRST = [
     # r08 new scale twins (VERDICT r07 #7): rows-only by design, first
     # driver look; their cost/growth is gated in bench.py's scaling block.
     "q_bm25_rank_xl", "q_kmeans_embed_xl",
-    # r08 new curation surface: exact-substring dedup (Lee et al. 2022)
-    # and DSIR-style importance weighting — both full-oracle, first check.
+    # r08 new curation surface: exact-substring dedup (Lee et al. 2022),
+    # DSIR-style importance weighting, CCNet perplexity terciles and
+    # semantic train/eval contamination — all full-oracle, first check.
     "q_dedup_substring", "q_dsir_weights",
+    "q_ppl_buckets", "q_contamination_semantic",
     # r08 refresh, pool A: the COMPLETE r04-era backlog (verdict r07 #2) —
     # the 16 single-shape relational/join/agg rows deferred across r06/r07
     # plus the two rows-only members (q_segmentize, q_agg_approx_distinct).
@@ -400,12 +402,12 @@ _NEVER_CHECKED_FIRST = [
     "q_tpch_q22_global_sales", "q_multimodal_decode_png",
     "q_markov_transitions", "q_anomaly_zscore", "q_ewma_smooth",
     "q_data_quality", "q_profile_table", "q_rfm_segmentation",
-    "q_funnel_conversion", "q_first_touch_attribution", "q_retention_cohorts",
-    "q_boilerplate_spans",
-    # (q_heavy_hitters, q_zipf_profile, q_mixture_plan and
-    # q_repetition_filter yielded their pool-B slots to the four new r08
-    # entries above; all four are r05 hash-green and stay
-    # oracle-parity-gated every pytest run — next-oldest refresh pool.)
+    "q_funnel_conversion", "q_first_touch_attribution",
+    # (q_heavy_hitters, q_zipf_profile, q_mixture_plan,
+    # q_repetition_filter, q_retention_cohorts and q_boilerplate_spans
+    # yielded their pool-B slots to the six new r08 entries above; all are
+    # r05 hash-green and stay oracle-parity-gated every pytest run —
+    # next-oldest refresh pool.)
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length",
@@ -419,7 +421,8 @@ _ROTATED_OUT = [
     # tests/test_registry_order.py.  The whole r07 window went green, so
     # its cohorts rotate here wholesale (minus the changed queries above).
     "q_agg_stats", "q_array_funcs", "q_bigram_lm", "q_bm25_rank",
-    "q_bpe_merges", "q_case_dispatch", "q_chunk_documents",
+    "q_boilerplate_spans", "q_bpe_merges", "q_case_dispatch",
+    "q_chunk_documents",
     "q_chunk_documents_xl", "q_contamination", "q_contamination_xl", "q_cube",
     "q_curation_e2e", "q_date_funcs", "q_dedup_clusters", "q_dedup_embedding",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_minhash_md5",
@@ -435,7 +438,7 @@ _ROTATED_OUT = [
     "q_overlap_summary", "q_pack_sequences", "q_pack_sequences_xl",
     "q_parallel_overlap", "q_parallel_overlap_xl", "q_pivot",
     "q_quantile_approx", "q_quantile_profile", "q_repetition_filter",
-    "q_sample_hash",
+    "q_retention_cohorts", "q_sample_hash",
     "q_sample_weighted", "q_scan_project", "q_scd2_history", "q_scrub_pii",
     "q_sessionize", "q_set_except", "q_set_intersect", "q_set_union",
     "q_shard_stats", "q_similarity_ann_lsh", "q_similarity_ann_recall",

@@ -844,6 +844,71 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(corpus, pairs, id_col="vec_id")
 
 
+# Semantic train/eval contamination over the planted corpus: eval = every
+# 10th base vector; train = everything else INCLUDING the planted perturbed
+# copies, so the planted twins of eval vectors (orig 0,10,20,30,40 ->
+# train ids 100000,100010,...) are guaranteed leaks the query must flag —
+# paraphrase-style contamination that shares no n-gram with the benchmark
+# but sits at cosine ~1 in embedding space.  The whole pipeline (sign
+# blocking, bipartite candidates, cosine, per-train argmax) replays in SQL.
+@query(
+    "q_contamination_semantic",
+    oracle=f"""
+WITH {_SEM_CORPUS_CTES},
+ev AS (
+    SELECT vec_id, v FROM corpus
+    WHERE vec_id % 10 = 0 AND vec_id < 100000
+),
+tr AS (
+    SELECT vec_id, v FROM corpus
+    WHERE NOT (vec_id % 10 = 0 AND vec_id < 100000)
+),
+tb AS (
+    SELECT vec_id, v,
+           list_aggregate(list_transform(v[1:8],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+               'string_agg', '') AS blk
+    FROM tr
+),
+eb AS (
+    SELECT vec_id, v,
+           list_aggregate(list_transform(v[1:8],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+               'string_agg', '') AS blk
+    FROM ev
+),
+scored AS (
+    SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+           {_COS_SQL('t.v', 'e.v')} AS cos_sim
+    FROM tb t JOIN eb e USING (blk)
+),
+flt AS (SELECT * FROM scored WHERE cos_sim >= 0.95),
+best AS (
+    SELECT train_id, eval_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY train_id
+                              ORDER BY cos_sim DESC, eval_id) AS rn
+    FROM flt
+)
+SELECT train_id, eval_id, cos_sim FROM best WHERE rn = 1
+""",
+)
+def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: train vectors with
+    cosine >= 0.95 to any eval vector, one row per contaminated train
+    vector with its closest eval twin (operators/similarity.py::
+    embedding_contamination — sign-prefix blocked bipartite join, never
+    all-pairs; the eval side replicates across salt groups so a hot block
+    splits).  Complements q_contamination's exact-8-gram face: paraphrased
+    leaks share no shingle but keep their embedding neighborhood."""
+    from .operators.similarity import embedding_contamination
+
+    corpus = _spread(_planted_embedding_corpus(spark, sf_dir), spark)
+    is_eval = (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 100000)
+    return embedding_contamination(
+        corpus.where(~is_eval), corpus.where(is_eval), min_cosine=0.95
+    )
+
+
 @query(
     "q_text_analysis",
     oracle=f"""
@@ -1629,10 +1694,10 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_ALPHA = 0.5  # add-alpha (Lidstone) smoothing constant
 
 
-@query(
-    "q_lm_perplexity",
-    oracle=f"""
-WITH tk AS (
+# tk -> scored: per-document bigram-LM negative-log-likelihood sums —
+# shared by the q_lm_perplexity tail ranking and the q_ppl_buckets
+# per-language terciles, so the smoothing formula cannot fork.
+_LM_SCORED_CTES = f"""tk AS (
     SELECT doc_id, {_TOKENS} AS tok FROM documents WHERE len({_TOKENS}) > 1
 ),
 bi AS (
@@ -1664,7 +1729,13 @@ scored AS (
     JOIN model m ON b.ctx = m.ctx AND b.nxt = m.nxt
     CROSS JOIN vocab v
     GROUP BY b.doc_id
-)
+)"""
+
+
+@query(
+    "q_lm_perplexity",
+    oracle=f"""
+WITH {_LM_SCORED_CTES}
 SELECT doc_id, n_bigrams,
        ROUND(nll_sum / n_bigrams, 6) AS nll_bits,
        ROUND(power(2.0, ROUND(nll_sum / n_bigrams, 6)), 4) AS ppl
@@ -1695,6 +1766,21 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals join is model-sized, and the top-20 is
     TakeOrderedAndProject — no vocab or corpus state ever reaches the
     driver."""
+    return (
+        _lm_doc_nll(spark, sf_dir)
+        .withColumn(
+            "ppl", F.round(F.pow(F.lit(2.0), F.col("nll_bits")), 4)
+        )
+        .orderBy(F.desc("nll_bits"), "doc_id")
+        .limit(20)
+    )
+
+
+def _lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, nll_bits) for every document with >= 2 tokens —
+    the Spark twin of the ``scored`` oracle CTE chain above, with the
+    per-doc mean already ROUNDED to 6 dp (the ranking grain both
+    consumers select on)."""
     d = _spread(t(spark, sf_dir, "documents"), spark)
     base = persist_tracked(
         d.select(
@@ -1732,16 +1818,65 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(nll_term).alias("nll_sum"),
         )
     )
-    nll = F.round(F.col("nll_sum") / F.col("n_bigrams"), 6)
-    return (
-        scored.select(
-            "doc_id",
-            "n_bigrams",
-            nll.alias("nll_bits"),
-            F.round(F.pow(F.lit(2.0), nll), 4).alias("ppl"),
-        )
-        .orderBy(F.desc("nll_bits"), "doc_id")
-        .limit(20)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("nll_sum") / F.col("n_bigrams"), 6).alias("nll_bits"),
+    )
+
+
+# CCNet's actual FILTERING move on top of the perplexity score (Wenzek
+# 2020): split each language's documents into perplexity terciles
+# (head / middle / tail) and report the bucket profile — pipelines keep
+# head+middle and drop (or re-weight) the tail.  ntile(3) over the rounded
+# score with doc_id tiebreak is deterministic and identically specified in
+# Spark and DuckDB (groups differ in size by at most one, larger first).
+@query(
+    "q_ppl_buckets",
+    oracle=f"""
+WITH {_LM_SCORED_CTES},
+perdoc AS (
+    SELECT doc_id, ROUND(nll_sum / n_bigrams, 6) AS nll_bits FROM scored
+),
+bucketed AS (
+    SELECT d.lang, p.nll_bits,
+           ntile(3) OVER (PARTITION BY d.lang
+                          ORDER BY p.nll_bits, p.doc_id) AS bucket
+    FROM perdoc p JOIN documents d USING (doc_id)
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(nll_bits), 6) AS avg_nll_bits
+FROM bucketed
+GROUP BY lang, bucket
+""",
+)
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language perplexity terciles (CCNet head/middle/tail): every
+    document's bigram-LM nll joins its language tag; ntile(3) over
+    (rounded nll, doc_id) within each language assigns the bucket; output
+    is the (lang, bucket) profile with doc counts and mean nll — the
+    decision table a CCNet-style filter thresholds on.
+
+    Scale shape: the per-doc scores reuse the q_lm_perplexity pipeline
+    (two corpus-sized exchanges); the tercile window partitions on LANG —
+    a handful of partitions, each globally sorted.  That per-lang sort is
+    the oracle-exact face: it sorts 20-byte projected rows, and at 100 TB
+    the same bucket assignment comes from comparing nll against per-lang
+    approximate tercile thresholds (the GK-sketch machinery behind
+    q_quantile_approx) instead of ranking every row — the standard
+    exactness-for-scale trade, stated openly."""
+    d = _spread(t(spark, sf_dir, "documents"), spark)
+    perdoc = _lm_doc_nll(spark, sf_dir).select("doc_id", "nll_bits")
+    w = Window.partitionBy("lang").orderBy("nll_bits", "doc_id")
+    bucketed = (
+        perdoc.join(d.select("doc_id", "lang"), "doc_id")
+        .select("lang", "nll_bits", "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w).cast("bigint"))
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("nll_bits"), 6).alias("avg_nll_bits"),
     )
 
 

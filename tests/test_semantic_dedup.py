@@ -82,3 +82,18 @@ def test_query_decision_matches_pair_face(spark, sf_dir):
         r["vec_id"] for r in out.where(~F.col("keep")).collect()
     }
     assert dropped == {v + 100000 for v in range(50)}
+
+
+def test_semantic_contamination_flags_planted_eval_leaks(spark, sf_dir):
+    """q_contamination_semantic must flag EXACTLY the planted twins of
+    eval vectors (orig 0,10,20,30,40 -> train ids +100000), each matched
+    to its own source at cosine ~1 — the natural corpus has no cross-pair
+    above 0.52, so any extra or missing row is a blocking/threshold bug."""
+    out = {
+        r["train_id"]: (r["eval_id"], r["cos_sim"])
+        for r in QUERIES["q_contamination_semantic"](spark, sf_dir).collect()
+    }
+    assert set(out) == {100000 + v for v in range(0, 50, 10)}
+    for train_id, (eval_id, cos) in out.items():
+        assert eval_id == train_id - 100000
+        assert cos > 0.999
