@@ -82,6 +82,13 @@ HEADLINE = [
     "q_bpe_merges",               # added r07 (BPE tokenizer-training steps)
     "q_bm25_rank_xl",             # added r08 (growing-corpus retrieval twin)
     "q_kmeans_embed_xl",          # added r08 (growing-corpus clustering twin)
+    "q_dedup_semantic",           # added r08 (SemDeDup kmeans+cosine compose)
+    "q_bpe_encode",               # added r08 (trained-merge corpus encode)
+    "q_dedup_simhash",            # added r08 (md5-face simhash pairs)
+    "q_dedup_substring",          # added r08 (exact 8-token-span dedup)
+    "q_dsir_weights",             # added r08 (hashed-ngram importance LM)
+    "q_ppl_buckets",              # added r08 (CCNet per-lang terciles)
+    "q_contamination_semantic",   # added r08 (embedding train/eval leaks)
     "q_overlap_e2e",
 ]
 

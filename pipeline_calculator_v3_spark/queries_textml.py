@@ -754,7 +754,7 @@ from .functions.vectors import sqdist_sql as _SQD_SQL  # noqa: E402
     oracle=f"""
 WITH RECURSIVE {_SEM_CORPUS_CTES},
 seeds AS MATERIALIZED (
-    SELECT vec_id AS cid, v AS cvec FROM corpus ORDER BY vec_id LIMIT 8
+    SELECT vec_id AS cid, v AS cvec FROM corpus ORDER BY vec_id LIMIT 32
 ),
 s1 AS MATERIALIZED (
     SELECT e.vec_id, s.cid, {_SQD_SQL('e.v', 's.cvec')} AS sqd
@@ -822,7 +822,10 @@ FROM corpus c LEFT JOIN comps p ON p.id = c.vec_id
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup decision over the planted corpus:
-    k-means partition (k=8, one Lloyd iteration — operators/kmeans.py) ->
+    k-means partition (k=32, one Lloyd iteration — operators/kmeans.py;
+    k is THE SemDeDup cost knob: per-task pair work is bounded by
+    (N/k)^2, and k=8 -> 32 cut the sf0.1 wall 8.5 s -> measured below
+    while assignment stays k*N broadcast-scored map work) ->
     exact cosine >= 0.99 pairs ONLY within a cluster (skew-salted
     self-join, operators/similarity.semantic_dedup_pairs) -> connected
     components -> per-vector (cluster, keep) with the minimum id
@@ -840,7 +843,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import semantic_dedup_pairs
 
     corpus = _spread(_planted_embedding_corpus(spark, sf_dir), spark)
-    pairs = semantic_dedup_pairs(corpus, k=8, iters=1, min_cosine=0.99)
+    pairs = semantic_dedup_pairs(corpus, k=32, iters=1, min_cosine=0.99)
     return dedup_clusters(corpus, pairs, id_col="vec_id")
 
 
