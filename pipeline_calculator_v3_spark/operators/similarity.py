@@ -30,6 +30,35 @@ def _plane_weight(bit: Column | int, dim_idx: Column) -> Column:
     return (h % 1000003).cast("double") / 1000003.0
 
 
+def md5_plane_weights(
+    n_planes: int, dim: int, tag: str = "plane"
+) -> list[list[float]]:
+    """Deterministic hyperplane weights derived from md5 — the
+    oracle-checkable plane family (r08, the md5-face move applied to LSH).
+
+    ``w[p][d] = ((int(md5('tag:p:d')[:12], 16) % 2000003) - 1000001)
+    / 1000001.0`` — exact integer arithmetic up to one final double
+    division, so DuckDB recomputing the same formula lands on the
+    bit-identical IEEE double.  Computed DRIVER-SIDE once (n_planes x dim
+    floats) and embedded as literal arrays: per-row plane hashing
+    disappears from the scan entirely, which also makes this face FASTER
+    than the per-(plane,dim) xxhash64 one."""
+    import hashlib
+
+    return [
+        [
+            (
+                (int(hashlib.md5(f"{tag}:{p}:{d}".encode()).hexdigest()[:12],
+                     16) % 2000003)
+                - 1000001
+            )
+            / 1000001.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 
 def cosine_topk(
     queries: DataFrame,
@@ -63,11 +92,21 @@ def cosine_topk(
 _TABLE_ID_BITS = 8
 
 
-def _bucket_tables(vec: Column, n_tables: int, bits_per_table: int) -> Column:
+def _bucket_tables(
+    vec: Column,
+    n_tables: int,
+    bits_per_table: int,
+    plane_weights: list[list[float]] | None = None,
+) -> Column:
     """Array of ``n_tables`` bucket ids; table t uses planes
     [t*bits, (t+1)*bits).  Bucket value includes the table id (low
     ``_TABLE_ID_BITS`` bits) so different tables never collide in a flat
-    join key."""
+    join key.
+
+    ``plane_weights`` (optional): driver-side weight matrix (e.g.
+    :func:`md5_plane_weights`) embedded as LITERAL arrays — no per-row
+    plane hashing, and the exact doubles replay in the oracle.  Default
+    None keeps the per-(plane,dim) xxhash64 derivation."""
     assert n_tables < (1 << _TABLE_ID_BITS), (
         f"n_tables={n_tables} overflows the {_TABLE_ID_BITS}-bit table-id "
         "field into hash bits"
@@ -78,10 +117,19 @@ def _bucket_tables(vec: Column, n_tables: int, bits_per_table: int) -> Column:
         out = F.lit(tab).cast("long")
         for b in range(bits_per_table):
             plane = tab * bits_per_table + b
+            if plane_weights is not None:
+                # one py4j call per plane: F.lit on the whole list builds
+                # the array literal JVM-side (per-element F.lit was ~3k
+                # driver round-trips and dominated plan-build time)
+                wvec = F.lit(plane_weights[plane])
+            else:
+                wvec = F.transform(
+                    idx, lambda i: _plane_weight(F.lit(plane), i)
+                )
             dot = F.aggregate(
                 F.zip_with(
                     F.transform(vec, lambda x: x.cast("double")),
-                    F.transform(idx, lambda i: _plane_weight(F.lit(plane), i)),
+                    wvec,
                     lambda x, w: x * w,
                 ),
                 F.lit(0.0),
@@ -232,9 +280,12 @@ def cosine_topk_lsh(
     q_id: str = "vec_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
+    plane_weights: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: multi-table sign-random-projection LSH,
-    optionally MULTI-PROBE.
+    optionally MULTI-PROBE.  ``plane_weights`` switches the hyperplane
+    family to a driver-side literal matrix (see :func:`md5_plane_weights`
+    — the oracle-checkable face).
 
     A single wide bucket has near-zero recall (neighbors rarely agree on all
     bits); the standard fix is L narrower tables — a candidate only needs to
@@ -258,7 +309,9 @@ def cosine_topk_lsh(
     q_base = queries.select(
         F.col(q_id).alias("qid"),
         F.col(vec_col).alias("qv"),
-        _bucket_tables(F.col(vec_col), n_tables, bits_per_table).alias("_buckets"),
+        _bucket_tables(
+            F.col(vec_col), n_tables, bits_per_table, plane_weights
+        ).alias("_buckets"),
     )
     if n_probes > 1:
         q_base = persist_tracked(q_base)
@@ -278,7 +331,10 @@ def cosine_topk_lsh(
     c = corpus.select(
         F.col(c_id).alias("cid"),
         F.col(vec_col).alias("cv"),
-        F.explode(_bucket_tables(F.col(vec_col), n_tables, bits_per_table)).alias("bucket"),
+        F.explode(
+            _bucket_tables(F.col(vec_col), n_tables, bits_per_table,
+                           plane_weights)
+        ).alias("bucket"),
     )
     cand = (
         q.join(c, "bucket")
