@@ -89,6 +89,8 @@ HEADLINE = [
     "q_dsir_weights",             # added r08 (hashed-ngram importance LM)
     "q_ppl_buckets",              # added r08 (CCNet per-lang terciles)
     "q_contamination_semantic",   # added r08 (embedding train/eval leaks)
+    "q_dedup_incremental",        # added r08 (bipartite batch-vs-corpus LSH)
+    "q_dedup_substring_xl",       # added r08 (growing-corpus substring twin)
     "q_overlap_e2e",
 ]
 
@@ -106,6 +108,7 @@ SCALE_TWINS = [
     "q_contamination_xl",
     "q_bm25_rank_xl",      # added r08 (VERDICT r07 #7)
     "q_kmeans_embed_xl",   # added r08 (VERDICT r07 #7)
+    "q_dedup_substring_xl",  # added r08 (substring-dedup growth gate)
 ]
 SCALE_EXPONENT_MAX = 1.2
 

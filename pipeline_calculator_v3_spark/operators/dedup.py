@@ -204,6 +204,26 @@ def minhash_lsh_pairs_md5(
     from the standalone dedup queries fails a test instead of silently
     shipping.
     """
+    staged, with_bands = _md5_staged_bands(
+        docs, text_col, id_col, num_hashes, bands, shingle_n, tokens_col
+    )
+    return _verify_candidates(with_bands, staged, ["key"], min_jaccard)
+
+
+def _md5_staged_bands(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    tokens_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(staged, with_bands) for the md5 LSH family: staged = (id, distinct
+    shingle set), with_bands = (id, band key).  Shared by the self-join
+    pair face (:func:`minhash_lsh_pairs_md5`) and the bipartite
+    incremental-ingest match (:func:`minhash_lsh_match_md5`), so the
+    signature derivation cannot fork between them."""
     rows = num_hashes // bands
     staged = (
         docs.select(
@@ -227,7 +247,7 @@ def minhash_lsh_pairs_md5(
             F.array_distinct(shingles_from_tokens(F.col("t"), shingle_n)).alias("sh"),
         )
     )
-    staged = persist_tracked(staged)  # reused: signature + two shingle re-joins
+    staged = persist_tracked(staged)  # reused: signature + shingle re-joins
     sig = persist_tracked(
         staged.select("id", F.explode("sh").alias("s"))
         .groupBy("id")
@@ -237,7 +257,7 @@ def minhash_lsh_pairs_md5(
                 for i in range(num_hashes)
             ]
         )
-    )  # the band self-join reads both sides from this (id x 16 hex) table;
+    )  # the band join reads both sides from this (id x 16 hex) table;
     # unpersisted, the explode+aggregate signature pass would run twice
     with_bands = sig.select(
         "id",
@@ -256,7 +276,79 @@ def minhash_lsh_pairs_md5(
             )
         ).alias("key"),
     )
-    return _verify_candidates(with_bands, staged, ["key"], min_jaccard)
+    return staged, with_bands
+
+
+def minhash_lsh_match_md5(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental-ingest near-dup match: which BATCH documents duplicate
+    something already in the CORPUS — the shape a streaming/append pipeline
+    actually runs (dedup the increment against the existing table without
+    re-pairing the corpus against itself).
+
+    Same md5 signature family as :func:`minhash_lsh_pairs_md5` (shared
+    stager), but the band join is BIPARTITE: batch keys x corpus keys only
+    — no corpus self-join, so per-ingest cost scales with
+    |batch| x bucket-hit-rate, not |corpus|^2.  Candidates verify with
+    exact Jaccard on the distinct shingle sets; each flagged batch doc
+    reports its best corpus match (max Jaccard, lowest corpus id on exact
+    ties, via map-side ``max_by``).
+
+    Returns (batch_id, corpus_id, jaccard) with jaccard >= min_jaccard.
+    """
+    sb, bb = _md5_staged_bands(
+        batch, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    sc, bc = _md5_staged_bands(
+        corpus, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    cand = (
+        bb.select(F.col("id").alias("batch_id"), "key")
+        .join(bc.select(F.col("id").alias("corpus_id"), "key"), "key")
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    scored = (
+        cand.join(
+            sb.select(F.col("id").alias("batch_id"), F.col("sh").alias("sh1")),
+            "batch_id",
+        )
+        .join(
+            sc.select(F.col("id").alias("corpus_id"), F.col("sh").alias("sh2")),
+            "corpus_id",
+        )
+        .select(
+            "batch_id",
+            "corpus_id",
+            (
+                F.size(F.array_intersect("sh1", "sh2"))
+                / F.size(F.array_union("sh1", "sh2"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+    best = F.max_by(
+        F.struct(F.col("corpus_id").alias("corpus_id"),
+                 F.col("jaccard").alias("jaccard")),
+        F.struct(F.col("jaccard").alias("s"), (-F.col("corpus_id")).alias("t")),
+    )
+    return (
+        scored.groupBy("batch_id")
+        .agg(best.alias("b"))
+        .select(
+            "batch_id",
+            F.col("b.corpus_id").alias("corpus_id"),
+            F.col("b.jaccard").alias("jaccard"),
+        )
+    )
 
 
 def simhash64(text: Column, shingle_n: int = 3) -> Column:

@@ -385,6 +385,9 @@ _NEVER_CHECKED_FIRST = [
     # r08 changed late in the round: ANN-LSH gained the md5-plane oracle
     # face and the recall probe now reports it — both re-earn verdicts.
     "q_similarity_ann_lsh", "q_similarity_ann_recall",
+    # r08 incremental-ingest dedup (bipartite minhash match, full oracle)
+    # and the substring-dedup scale twin (rows-only, bench-gated).
+    "q_dedup_incremental", "q_dedup_substring_xl",
     # r08 refresh, pool A: the COMPLETE r04-era backlog (verdict r07 #2) —
     # the 16 single-shape relational/join/agg rows deferred across r06/r07
     # plus the two rows-only members (q_segmentize, q_agg_approx_distinct).
@@ -404,7 +407,7 @@ _NEVER_CHECKED_FIRST = [
     "q_tpch_q20_excess_supply", "q_tpch_q21_waiting_supplier",
     "q_tpch_q22_global_sales", "q_multimodal_decode_png",
     "q_markov_transitions", "q_anomaly_zscore", "q_ewma_smooth",
-    "q_data_quality", "q_profile_table", "q_rfm_segmentation",
+    "q_data_quality",
     # (q_heavy_hitters, q_zipf_profile, q_mixture_plan,
     # q_repetition_filter, q_retention_cohorts, q_boilerplate_spans,
     # q_funnel_conversion and q_first_touch_attribution yielded their
@@ -441,7 +444,8 @@ _ROTATED_OUT = [
     "q_ngram_jaccard", "q_null_semantics", "q_overlap_rollup",
     "q_overlap_summary", "q_pack_sequences", "q_pack_sequences_xl",
     "q_parallel_overlap", "q_parallel_overlap_xl", "q_pivot",
-    "q_quantile_approx", "q_quantile_profile", "q_repetition_filter",
+    "q_profile_table", "q_quantile_approx", "q_quantile_profile",
+    "q_repetition_filter", "q_rfm_segmentation",
     "q_retention_cohorts", "q_sample_hash",
     "q_sample_weighted", "q_scan_project", "q_scd2_history", "q_scrub_pii",
     "q_sessionize", "q_set_except", "q_set_intersect", "q_set_union",

@@ -20,6 +20,7 @@ from .functions.text import (
 from .functions.vectors import cosine_sql
 from .operators.dedup import (
     fingerprint_dedup,
+    minhash_lsh_match_md5,
     minhash_lsh_pairs,
     minhash_lsh_pairs_md5,
     simhash64_md5_pairs,
@@ -133,7 +134,10 @@ toks AS (
     FROM tk
 )"""
 
-_MD5_LSH_CTES = f"""{_MD5_SHINGLE_CTES},
+# shingles -> signatures -> band keys: shared by the self-join pair chain
+# (_MD5_LSH_CTES) AND the bipartite incremental-ingest match
+# (q_dedup_incremental), so the signature derivation cannot fork.
+_MD5_SIG_BAND_CTES = f"""{_MD5_SHINGLE_CTES},
 sigs AS (
     SELECT doc_id, sh,
            list_transform(range(0, 16), i ->
@@ -147,7 +151,9 @@ bands AS (
            CAST(b AS VARCHAR) || ':' ||
            list_aggregate(sig[b*4+1 : b*4+4], 'string_agg', ',') AS key
     FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)
-),
+)"""
+
+_MD5_LSH_CTES = f"""{_MD5_SIG_BAND_CTES},
 cand AS (
     SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
     FROM bands a JOIN bands b ON a.key = b.key AND a.doc_id < b.doc_id
@@ -176,6 +182,52 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     The xxhash64 variant (q_dedup_minhash) remains the throughput path."""
     return minhash_lsh_pairs_md5(
         _spread(t(spark, sf_dir, "documents"), spark), min_jaccard=0.5
+    )
+
+
+# Incremental-ingest dedup: the append-pipeline shape — dedup the NEW batch
+# against the EXISTING corpus without re-pairing the corpus with itself.
+# Batch = every 20th document (the synthetic "increment"); signatures and
+# band keys come from the SAME shared CTE chain as the self-join face, only
+# the candidate stage changes to a bipartite key join.
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+WITH {_MD5_SIG_BAND_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+    FROM bands a JOIN bands b ON a.key = b.key
+    WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
+),
+scored AS (
+    SELECT batch_id, corpus_id,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+    FROM cand
+    JOIN toks sa ON sa.doc_id = cand.batch_id
+    JOIN toks sb ON sb.doc_id = cand.corpus_id
+),
+flt AS (SELECT * FROM scored WHERE jaccard >= 0.5),
+best AS (
+    SELECT batch_id, corpus_id, jaccard,
+           ROW_NUMBER() OVER (PARTITION BY batch_id
+                              ORDER BY jaccard DESC, corpus_id) AS rn
+    FROM flt
+)
+SELECT batch_id, corpus_id, jaccard FROM best WHERE rn = 1
+""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup check of an ingest batch (every 20th doc)
+    against the standing corpus: md5 MinHash-LSH with a BIPARTITE band
+    join (operators/dedup.py::minhash_lsh_match_md5) — per-ingest cost
+    scales with the batch's bucket hits, never the corpus self-join.
+    One row per flagged batch doc with its best corpus match (max
+    Jaccard, lowest corpus id on ties)."""
+    d = _spread(t(spark, sf_dir, "documents"), spark)
+    is_batch = F.pmod(F.col("doc_id"), F.lit(20)) == 0
+    return minhash_lsh_match_md5(
+        d.where(is_batch), d.where(~is_batch), min_jaccard=0.5
     )
 
 
@@ -262,14 +314,23 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = persist_tracked(
         d.select("doc_id", tokens(F.lower(F.col("text"))).alias("t"))
     )
+    return _substring_dup_stats(base)
+
+
+def _substring_dup_stats(base: DataFrame, span_n: int = 8) -> DataFrame:
+    """(doc_id, ntok, dup_tokens, dup_frac) over a tokenized corpus
+    ``base = (doc_id, t)`` — the substring-dedup pipeline shared by the
+    documents-table query above and the growing-corpus scale twin."""
     spans = persist_tracked(
         base.select(
             "doc_id",
-            F.posexplode(shingles_from_tokens(F.col("t"), 8)).alias("p", "sp"),
+            F.posexplode(
+                shingles_from_tokens(F.col("t"), span_n)
+            ).alias("p", "sp"),
         ).select(
             "doc_id",
             (F.col("p") + 1).alias("s"),
-            (F.col("p") + 8).alias("e"),
+            (F.col("p") + span_n).alias("e"),
             F.md5("sp").alias("h"),
         )
     )
@@ -1285,6 +1346,23 @@ def _synth_docs_from_lineitem(lineitem, as_tokens: bool = False) -> DataFrame:
     if as_tokens:
         return keys.select("doc_id", toks.alias("t"))
     return keys.select("doc_id", F.concat_ws(" ", toks).alias("text"))
+
+
+@query("q_dedup_substring_xl")  # rows-only: scale-stress substring twin
+def q_dedup_substring_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup over the GROWING synthetic corpus (one
+    ~40-token doc per lineitem order) — the scale twin for
+    q_dedup_substring, sharing its pipeline via ``_substring_dup_stats``.
+    The synthetic corpus plants dup families wherever (partkey, suppkey)
+    repeats, so the duplicated-span join carries real traffic.  Wired
+    into bench's scaling block: the exponent gate proves the span
+    explode + dup-span groupBy + interval union stays ~linear."""
+    base = persist_tracked(
+        _synth_docs_from_lineitem(
+            t(spark, sf_dir, "lineitem"), as_tokens=True
+        ).select("doc_id", "t")
+    )
+    return _substring_dup_stats(base)
 
 
 @query("q_bm25_rank_xl")  # rows-only: scale-stress retrieval twin

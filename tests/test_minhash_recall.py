@@ -144,3 +144,29 @@ def test_short_doc_edge_cases(spark):
     for fn in (minhash_lsh_pairs, minhash_lsh_pairs_md5):
         pairs = fn(edge, min_jaccard=0.5).collect()
         assert [(r.id1, r.id2, r.jaccard) for r in pairs] == [(4, 5, 1.0)], fn.__name__
+
+
+def test_incremental_match_flags_planted_batch_dup(spark):
+    """minhash_lsh_match_md5: a batch doc identical to a corpus doc must be
+    flagged at jaccard 1.0 against THAT doc; a batch doc with no corpus
+    twin must not appear.  Bipartite contract: corpus-internal dups never
+    show up (no corpus self-join)."""
+    from pipeline_calculator_v3_spark.operators.dedup import (
+        minhash_lsh_match_md5,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely unrelated telemetry calibration handbook for deep space"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, base), (101, "nothing like anything else in the corpus at all")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.batch_id: (r.corpus_id, r.jaccard)
+        for r in minhash_lsh_match_md5(batch, corpus, min_jaccard=0.5).collect()
+    }
+    assert set(out) == {100}
+    assert out[100] == (1, 1.0)  # ties break to the lowest corpus id
