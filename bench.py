@@ -91,6 +91,8 @@ HEADLINE = [
     "q_contamination_semantic",   # added r08 (embedding train/eval leaks)
     "q_dedup_incremental",        # added r08 (bipartite batch-vs-corpus LSH)
     "q_dedup_substring_xl",       # added r08 (growing-corpus substring twin)
+    "q_quality_classifier",       # added r08 (frozen linear quality model)
+    "q_knn_graph",                # added r08 (blocked kNN adjacency)
     "q_overlap_e2e",
 ]
 

@@ -1,0 +1,137 @@
+"""Model-based quality filtering: a linear classifier over handcrafted
+text features — the "quality model" stage (fastText / logistic filters a
+la GPT-3 WebText scoring, CCNet's linear head) that sits between the
+heuristic filters and packing in a pre-training curation funnel.
+
+The model ships in its DEPLOYMENT form: a fixed (feature -> weight) table
+of literals (the offline training loop that produced them is out of
+scope — at 100 TB you score with a frozen model, you don't refit it in
+the scoring pass).  Every feature is a pure Column expression over the
+staged (text, tok) pair, and the SAME table emits the oracle SQL
+(`quality_z_sql`) so the Spark cascade and the DuckDB replay cannot
+drift — the scrub.py shared-rule-table pattern.
+
+Decision contract: keep iff the raw margin z >= 0 (NOT `score >= 0.5`
+post-sigmoid — the margin compares exactly in double arithmetic on both
+engines, while the sigmoid crosses libm `exp`).  The reported score is
+sigmoid(z) rounded to 6 dp, which absorbs cross-libm noise.
+
+Scale shape: scan-side Column expressions only (regexp + HOFs inside
+whole-stage codegen), zero shuffles, zero UDFs — scoring cost is one
+linear pass over the text bytes, embarrassingly parallel over any
+partitioning of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import EN_STOPWORDS, TOKENS_SQL, tokens
+
+# (feature name, weight) — ordered; z is accumulated IN THIS ORDER on both
+# engines so the double additions associate identically.
+QUALITY_BIAS = -6.0
+QUALITY_WEIGHTS: list[tuple[str, float]] = [
+    ("f_log_tokens", 0.8),   # ln(1+ntok): longer docs carry more signal
+    ("f_stopword", 8.0),     # function-word ratio: natural prose marker
+    ("f_avg_token_len", 0.35),
+    ("f_uniq", 2.0),         # distinct/total tokens: anti-repetition
+    ("f_punct", -4.0),       # punctuation walls / markup debris
+    ("f_digit", -6.0),       # digit dumps, serial-number tables
+]
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+def _feature_cols(text: Column, tok: Column) -> dict[str, Column]:
+    """The feature table, Spark face.  ``tok`` must be the staged
+    non-empty lowercase token array (HOF subexpressions are excluded from
+    Catalyst CSE — inlining the tokenizer re-runs it per feature)."""
+    ntok = F.size(tok).cast("double")
+    nchars = F.length(text).cast("double")
+    n_punct = F.length(text) - F.length(
+        F.regexp_replace(text, "[.,!?;:]", "")
+    )
+    n_digit = F.length(text) - F.length(F.regexp_replace(text, "[0-9]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    return {
+        "f_log_tokens": F.log(F.lit(1.0) + ntok),
+        "f_stopword": (
+            F.size(F.filter(tok, lambda x: F.array_contains(stop_arr, x)))
+            .cast("double")
+            / ntok
+        ),
+        "f_avg_token_len": (
+            F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("double")
+            / ntok
+        ),
+        "f_uniq": F.size(F.array_distinct(tok)).cast("double") / ntok,
+        "f_punct": n_punct.cast("double") / nchars,
+        "f_digit": n_digit.cast("double") / nchars,
+    }
+
+
+def _feature_sql() -> dict[str, str]:
+    """The SAME feature table as DuckDB SQL over the ``documents``
+    schema (column ``text``; tokens via the shared TOKENS_SQL macro)."""
+    tok = TOKENS_SQL
+    return {
+        "f_log_tokens": f"ln(1.0 + len({tok}))",
+        "f_stopword": (
+            f"CAST(len(list_filter({tok}, x -> list_contains("
+            f"{_STOPLIST_SQL}, x))) AS DOUBLE) / len({tok})"
+        ),
+        "f_avg_token_len": (
+            f"CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({tok})"
+        ),
+        "f_uniq": f"CAST(len(list_distinct({tok})) AS DOUBLE) / len({tok})",
+        "f_punct": (
+            "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', "
+            "'', 'g')) AS DOUBLE) / length(text)"
+        ),
+        "f_digit": (
+            "CAST(length(text) - length(regexp_replace(text, '[0-9]', "
+            "'', 'g')) AS DOUBLE) / length(text)"
+        ),
+    }
+
+
+def classify_quality(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Score every document with the frozen linear quality model.
+
+    Returns (id, z margin rounded 6 dp, score = round(sigmoid(z), 6),
+    keep) — one row per doc with at least one token.  ``keep`` is the
+    sign of the UNROUNDED margin (see module contract).  z is rounded in
+    the output because f_log_tokens crosses libm ``log`` (Java Math.log
+    vs DuckDB's C log can differ in the last ulp); the keep decision
+    tolerates that only because corpus margins sit far from 0 — the
+    oracle-parity test is the guard."""
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        tokens(F.lower(F.col(text_col))).alias("tok"),
+    ).where(F.size("tok") > 0)
+    feats = _feature_cols(F.col("text"), F.col("tok"))
+    z: Column = F.lit(QUALITY_BIAS)
+    for name, w in QUALITY_WEIGHTS:
+        z = z + F.lit(w) * feats[name]
+    return staged.select(
+        "doc_id",
+        F.round(z, 6).alias("z"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        (z >= 0).alias("keep"),
+    )
+
+
+def quality_z_sql() -> str:
+    """The z-margin expression in DuckDB SQL, weight terms accumulated in
+    QUALITY_WEIGHTS order (FP-associativity parity with the Column
+    face)."""
+    sql = _feature_sql()
+    terms = [str(QUALITY_BIAS)]
+    for name, w in QUALITY_WEIGHTS:
+        terms.append(f"{w} * ({sql[name]})")
+    return "(" + "\n     + ".join(terms) + ")"

@@ -527,3 +527,62 @@ def embedding_contamination(
             F.col("b.cos_sim").alias("cos_sim"),
         )
     )
+
+
+def knn_graph(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    sign_dims: int = 4,
+) -> DataFrame:
+    """k-nearest-neighbor graph over an embedding corpus — the semantic
+    adjacency structure downstream diversity sampling, graph-based dedup
+    and cluster-repair passes consume (each node's k best cosine
+    neighbors, not just a global top-k).
+
+    Plan: sign-prefix block (``sign_dims`` axis-aligned hyperplanes,
+    hash-free so the whole graph replays in ANSI SQL) -> skew-salted
+    UNORDERED within-block pairs (each cosine computed ONCE per pair) ->
+    mirror both directions -> per-source window rank, keep rank <= k.
+    Candidates for a node are its blockmates only — never all-pairs; at
+    100 TB the blocking key coarsens/multi-probes exactly like
+    cosine_topk_lsh, and the one shuffle partitions by source node.
+
+    Returns (src, dst, rank, cos_sim rounded 6 dp); nodes whose block has
+    no other member emit no rows (documented: isolated under this index).
+    Cosine is pure double arithmetic (dot/sqrt, same fold order both
+    engines), so ranking ties are impossible up to bit-identity and the
+    (cos DESC, dst ASC) order is deterministic."""
+    from .joins import salted_self_pairs
+
+    base = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        sign_prefix_block(F.col(vec_col), sign_dims).alias("blk"),
+    )
+    und = (
+        salted_self_pairs(base, "blk", "vid", n_groups=4)
+        .where(F.col("a_vid") < F.col("b_vid"))
+        .select(
+            F.col("a_vid").alias("id1"),
+            F.col("b_vid").alias("id2"),
+            cosine(F.col("a_v"), F.col("b_v")).alias("c"),
+        )
+    )
+    directed = und.unionAll(
+        und.select(
+            F.col("id2").alias("id1"), F.col("id1").alias("id2"), "c"
+        )
+    )
+    w = Window.partitionBy("id1").orderBy(F.desc("c"), F.asc("id2"))
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id1").alias("src"),
+            F.col("id2").alias("dst"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("c", 6).alias("cos_sim"),
+        )
+    )

@@ -388,6 +388,10 @@ _NEVER_CHECKED_FIRST = [
     # r08 incremental-ingest dedup (bipartite minhash match, full oracle)
     # and the substring-dedup scale twin (rows-only, bench-gated).
     "q_dedup_incremental", "q_dedup_substring_xl",
+    # r08 model-based quality filtering (frozen linear classifier, full
+    # oracle via the shared weight table) and the kNN semantic adjacency
+    # graph (sign-prefix blocked, full oracle).
+    "q_quality_classifier", "q_knn_graph",
     # r08 refresh, pool A: the COMPLETE r04-era backlog (verdict r07 #2) —
     # the 16 single-shape relational/join/agg rows deferred across r06/r07
     # plus the two rows-only members (q_segmentize, q_agg_approx_distinct).
@@ -406,9 +410,10 @@ _NEVER_CHECKED_FIRST = [
     "q_tpch_q16_supplier_cnt", "q_tpch_q17_small_qty",
     "q_tpch_q20_excess_supply", "q_tpch_q21_waiting_supplier",
     "q_tpch_q22_global_sales", "q_multimodal_decode_png",
-    "q_markov_transitions", "q_anomaly_zscore", "q_ewma_smooth",
-    "q_data_quality",
-    # (q_heavy_hitters, q_zipf_profile, q_mixture_plan,
+    "q_markov_transitions", "q_anomaly_zscore",
+    # (q_data_quality and q_ewma_smooth yielded their pool-B slots to
+    # q_quality_classifier and q_knn_graph;
+    # q_heavy_hitters, q_zipf_profile, q_mixture_plan,
     # q_repetition_filter, q_retention_cohorts, q_boilerplate_spans,
     # q_funnel_conversion and q_first_touch_attribution yielded their
     # pool-B slots to the eight new/changed r08 entries above; all are
@@ -430,9 +435,11 @@ _ROTATED_OUT = [
     "q_boilerplate_spans", "q_bpe_merges", "q_case_dispatch",
     "q_chunk_documents",
     "q_chunk_documents_xl", "q_contamination", "q_contamination_xl", "q_cube",
-    "q_curation_e2e", "q_date_funcs", "q_dedup_clusters", "q_dedup_embedding",
+    "q_curation_e2e", "q_data_quality", "q_date_funcs",
+    "q_dedup_clusters", "q_dedup_embedding",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_minhash_md5",
     "q_dedup_minhash_xl", "q_effective_length", "q_embed_quantize",
+    "q_ewma_smooth",
     "q_filter_pred", "q_fingerprint", "q_first_touch_attribution",
     "q_funnel_conversion", "q_geodesic_length_exact",
     "q_graph_pagerank", "q_graph_triangles", "q_grouping_sets",

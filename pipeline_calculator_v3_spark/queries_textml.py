@@ -857,6 +857,58 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dedup_pairs(_spread(corpus, spark), min_cosine=0.99)
 
 
+@query(
+    "q_knn_graph",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+blocked AS (
+    SELECT vec_id, v,
+           list_aggregate(list_transform(v[1:4],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '') AS blk
+    FROM base
+),
+und AS (
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS c
+    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.vec_id < b.vec_id
+),
+directed AS (
+    SELECT id1, id2, c FROM und
+    UNION ALL
+    SELECT id2 AS id1, id1 AS id2, c FROM und
+),
+rk AS (
+    SELECT id1, id2, c,
+           ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY c DESC, id2) AS rank
+    FROM directed
+)
+SELECT id1 AS src, id2 AS dst, CAST(rank AS BIGINT) AS rank,
+       ROUND(c, 6) AS cos_sim
+FROM rk WHERE rank <= 5
+""",
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor graph over the embeddings corpus
+    (operators/similarity.py::knn_graph): each node's 5 best cosine
+    neighbors among its sign-prefix blockmates (4 axis-aligned planes, 16
+    buckets — hash-free, so blocking + cosine + ranking all value-replay
+    in the oracle).  The adjacency feed for diversity sampling and
+    graph-based dedup.
+
+    Scale shape: never all-pairs (per-block quadratic bounded by salted
+    pair generation), one window shuffle keyed by source node."""
+    from .operators.similarity import knn_graph
+
+    return knn_graph(
+        _spread(t(spark, sf_dir, "embeddings"), spark), k=5, sign_dims=4
+    )
+
+
 def _planted_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings + deterministic perturbed copies (vec_id+100000 for
     vec_id < 50, per-dim factor 1 + 0.002*(i%7-3)) — the planted near-dup
@@ -1139,6 +1191,40 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_tokens") > 0)
     )
+
+
+def _quality_classifier_oracle() -> str:
+    from .operators.classifier import quality_z_sql
+
+    return f"""
+WITH f AS (
+    SELECT doc_id, {quality_z_sql()} AS z
+    FROM documents
+    WHERE len({_TOKENS}) > 0
+)
+SELECT doc_id,
+       ROUND(z, 6) AS z,
+       ROUND(1.0 / (1.0 + exp(-z)), 6) AS score,
+       z >= 0 AS keep
+FROM f
+"""
+
+
+@query("q_quality_classifier", oracle=_quality_classifier_oracle())
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators/classifier.py): a frozen
+    linear classifier — six handcrafted features x literal weights,
+    sigmoid score, keep = margin sign — the trained-quality-model stage
+    (GPT-3 WebText scorer / CCNet linear head shape) a curation funnel
+    runs after the heuristic filters.  The weight table emits BOTH the
+    Column cascade and the oracle SQL (scrub.py pattern), so the model
+    itself is value-gated, not just the plumbing.
+
+    Scale shape: scan-side whole-stage-codegen expressions, zero
+    shuffles/UDFs — one linear pass over text bytes at any corpus size."""
+    from .operators.classifier import classify_quality
+
+    return classify_quality(t(spark, sf_dir, "documents"))
 
 
 @query(

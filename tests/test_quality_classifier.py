@@ -1,0 +1,62 @@
+"""Planted-fixture gates for the frozen linear quality classifier
+(operators/classifier.py) — the model itself, not just the plumbing:
+natural prose must score above junk, and the margin decision must match
+the sigmoid threshold it stands in for."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pipeline_calculator_v3_spark.operators.classifier import (
+    QUALITY_BIAS,
+    QUALITY_WEIGHTS,
+    classify_quality,
+)
+
+PROSE = (
+    "the expedition set out at dawn and the river was calm for a time "
+    "as the crew worked in silence with a steady wind at their backs"
+)
+REPETITIVE = "buy now " * 30
+DIGIT_DUMP = "4821 9937 1002 8457 3321 9984 1273 5538 0091 7265 4410 882"
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    docs = spark.createDataFrame(
+        [(1, PROSE), (2, REPETITIVE), (3, DIGIT_DUMP), (4, "   "), (5, "")],
+        "doc_id long, text string",
+    )
+    return {r.doc_id: r for r in classify_quality(docs).collect()}
+
+
+def test_prose_beats_junk_and_junk_is_dropped(scored):
+    assert scored[1].keep, "natural prose must be kept"
+    assert scored[1].score > scored[2].score > 0.0
+    assert scored[1].score > scored[3].score
+    assert not scored[3].keep, "digit dump must be dropped"
+    assert not scored[2].keep, "30x-repeated bigram must be dropped"
+
+
+def test_empty_and_whitespace_docs_emit_no_row(scored):
+    assert set(scored) == {1, 2, 3}
+
+
+def test_score_is_sigmoid_of_margin(scored):
+    for r in scored.values():
+        assert r.score == pytest.approx(
+            1.0 / (1.0 + math.exp(-r.z)), abs=2e-6
+        )
+        assert r.keep == (r.z >= 0)
+
+
+def test_weight_table_is_the_contract():
+    # the oracle SQL is generated from this exact table — a drive-by edit
+    # to the model must be a deliberate, test-visible act
+    assert QUALITY_BIAS == -6.0
+    assert [n for n, _ in QUALITY_WEIGHTS] == [
+        "f_log_tokens", "f_stopword", "f_avg_token_len",
+        "f_uniq", "f_punct", "f_digit",
+    ]
