@@ -93,6 +93,7 @@ HEADLINE = [
     "q_dedup_substring_xl",       # added r08 (growing-corpus substring twin)
     "q_quality_classifier",       # added r08 (frozen linear quality model)
     "q_knn_graph",                # added r08 (blocked kNN adjacency)
+    "q_stream_ingest_dedup",      # added r08 (streaming near-dup admission)
     "q_overlap_e2e",
 ]
 

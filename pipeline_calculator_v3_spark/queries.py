@@ -392,6 +392,9 @@ _NEVER_CHECKED_FIRST = [
     # oracle via the shared weight table) and the kNN semantic adjacency
     # graph (sign-prefix blocked, full oracle).
     "q_quality_classifier", "q_knn_graph",
+    # r08 streaming near-dup-gated ingest (real stream, declarative
+    # two-generation replay oracle).
+    "q_stream_ingest_dedup",
     # r08 refresh, pool A: the COMPLETE r04-era backlog (verdict r07 #2) —
     # the 16 single-shape relational/join/agg rows deferred across r06/r07
     # plus the two rows-only members (q_segmentize, q_agg_approx_distinct).
@@ -410,9 +413,10 @@ _NEVER_CHECKED_FIRST = [
     "q_tpch_q16_supplier_cnt", "q_tpch_q17_small_qty",
     "q_tpch_q20_excess_supply", "q_tpch_q21_waiting_supplier",
     "q_tpch_q22_global_sales", "q_multimodal_decode_png",
-    "q_markov_transitions", "q_anomaly_zscore",
-    # (q_data_quality and q_ewma_smooth yielded their pool-B slots to
-    # q_quality_classifier and q_knn_graph;
+    "q_markov_transitions",
+    # (q_data_quality, q_ewma_smooth and q_anomaly_zscore yielded their
+    # pool-B slots to q_quality_classifier, q_knn_graph and
+    # q_stream_ingest_dedup;
     # q_heavy_hitters, q_zipf_profile, q_mixture_plan,
     # q_repetition_filter, q_retention_cohorts, q_boilerplate_spans,
     # q_funnel_conversion and q_first_touch_attribution yielded their
@@ -431,7 +435,8 @@ _ROTATED_OUT = [
     # (goldens / planted pairs / invariants) enumerated in
     # tests/test_registry_order.py.  The whole r07 window went green, so
     # its cohorts rotate here wholesale (minus the changed queries above).
-    "q_agg_stats", "q_array_funcs", "q_bigram_lm", "q_bm25_rank",
+    "q_agg_stats", "q_anomaly_zscore",
+    "q_array_funcs", "q_bigram_lm", "q_bm25_rank",
     "q_boilerplate_spans", "q_bpe_merges", "q_case_dispatch",
     "q_chunk_documents",
     "q_chunk_documents_xl", "q_contamination", "q_contamination_xl", "q_cube",

@@ -581,3 +581,112 @@ def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rolled.collect(), rolled.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# Streaming near-dup-gated ingest: the continuous-crawl front door.  Two
+# document generations stream into a corpus seeded with the doc_id%3==0
+# third; each micro-batch is admitted only where it near-duplicates
+# neither the standing index nor a lower-id doc in its own batch.  The
+# md5 signature family makes the ENTIRE fold value-replayable: the oracle
+# derives every band key once (the SAME shared sig/band CTE chain the
+# self-join and bipartite dedup oracles use), then replays generation 1
+# against the base and generation 2 against base+admitted-1.
+from .queries_textml import _MD5_SIG_BAND_CTES as _SIG_BAND_CTES  # noqa: E402
+
+
+@query(
+    "q_stream_ingest_dedup",
+    oracle=f"""
+WITH {_SIG_BAND_CTES},
+jac AS (
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+    FROM bands a JOIN bands b ON a.key = b.key AND a.doc_id <> b.doc_id
+),
+good AS (
+    SELECT c.id1, c.id2
+    FROM jac c
+    JOIN toks sa ON sa.doc_id = c.id1
+    JOIN toks sb ON sb.doc_id = c.id2
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+),
+rej1 AS (
+    SELECT DISTINCT id1 AS doc_id FROM good
+    WHERE id1 % 3 = 1
+      AND (id2 % 3 = 0 OR (id2 % 3 = 1 AND id2 < id1))
+),
+acc1 AS (
+    SELECT doc_id FROM documents
+    WHERE doc_id % 3 = 1
+      AND doc_id NOT IN (SELECT doc_id FROM rej1)
+),
+rej2 AS (
+    SELECT DISTINCT id1 AS doc_id FROM good
+    WHERE id1 % 3 = 2
+      AND (id2 % 3 = 0
+           OR (id2 % 3 = 1 AND id2 IN (SELECT doc_id FROM acc1))
+           OR (id2 % 3 = 2 AND id2 < id1))
+),
+acc2 AS (
+    SELECT doc_id FROM documents
+    WHERE doc_id % 3 = 2
+      AND doc_id NOT IN (SELECT doc_id FROM rej2)
+)
+SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS gen
+FROM (
+    SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+    UNION ALL SELECT doc_id FROM acc1
+    UNION ALL SELECT doc_id FROM acc2
+)
+""",
+)
+def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup-gated corpus ingest (streaming/ingest.py): the
+    doc_id%3==0 third of `documents` seeds an on-disk LSH index; the
+    other two thirds stream in as two micro-batch generations, each
+    admitted only if it near-duplicates (md5 MinHash-LSH candidates +
+    exact Jaccard >= 0.5) neither the index nor a lower-id batchmate
+    (greedy lowest-id-wins).  RUNS the real stream — foreachBatch
+    bipartite band joins against the growing index, generation-keyed
+    idempotent appends — and returns the admitted membership (doc_id,
+    gen), which the oracle replays declaratively.
+
+    Scale shape: the corpus never self-joins and its text is never
+    re-scanned — per-batch cost is the batch's signatures plus a
+    band-key lookup against the index (bucketable by key at 100 TB)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.ingest import ingest_stream_dedup, read_admitted
+
+    d = t(spark, sf_dir, "documents")
+    gen = (F.col("doc_id") % 3).cast("bigint")
+    docs = d.select("doc_id", "text", gen.alias("gen"))
+    base = docs.where(F.col("gen") == 0)
+    work = tempfile.mkdtemp(prefix="pcv3_ingest_")
+    try:
+        updates_dir = os.path.join(work, "updates")
+        os.makedirs(updates_dir)
+        for i in (1, 2):
+            _stage_batch_file(
+                docs.where(F.col("gen") == i),
+                os.path.join(updates_dir, f"g{i}.parquet"),
+                mtime=1_700_000_000.0 + i,
+            )
+        ingest_stream_dedup(
+            spark,
+            updates_dir + "/g*.parquet",
+            "doc_id bigint, text string, gen bigint",
+            base,
+            os.path.join(work, "corpus"),
+            min_jaccard=0.5,
+        )
+        out = read_admitted(spark, os.path.join(work, "corpus")).select(
+            "doc_id", "gen"
+        )
+        # materialize before the temp dirs are deleted (membership rows
+        # only — bounded by the documents table, not by pair counts)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1,0 +1,186 @@
+"""Streaming near-dup-gated corpus ingest: admit each micro-batch of
+documents into a standing corpus only if it is NOT a near-duplicate of
+anything already admitted — the continuous-crawl front door of a
+training-data pipeline (the batch face is
+operators/dedup.py::minhash_lsh_match_md5; this module runs the same
+decision as a Structured Streaming fold).
+
+The corpus is represented by its on-disk LSH INDEX, not its text: two
+append-only parquet tables, ``index/bands`` (id, band key) and
+``index/shingles`` (id, distinct shingle set), each written as one
+subdirectory per generation.  Every batch
+
+1. stages its own signatures once (the shared md5 stager — the same
+   derivation the self-join and bipartite faces use, so the three
+   ingest-dedup surfaces cannot fork),
+2. band-joins batch keys x INDEX keys (bipartite — per-batch cost scales
+   with the batch's bucket hits, never the corpus size, and the index
+   read is a column-pruned scan that at scale would be bucketed by key),
+3. verifies candidates with exact Jaccard against the index shingle
+   sets,
+4. rejects batch-INTERNAL near-dups by the greedy lowest-id-wins rule
+   (a batch doc with a qualifying pair against any lower-id batch doc is
+   rejected, regardless of that doc's own fate — deterministic and
+   EXISTS-replayable in SQL),
+5. appends the survivors' rows, bands and shingles under
+   generation-keyed subdirectories.
+
+Idempotence: every write is ``mode=overwrite`` into a path keyed by the
+micro-batch id, so foreachBatch's at-least-once redelivery (crash
+between the three writes included) converges to the same on-disk state.
+
+State contract: NOTHING lives in the streaming state store — the index
+is the state, which is what makes the fold restartable and what a 100 TB
+deployment needs anyway (the index outlives any single stream run).
+
+Scale shape per batch: one band-key shuffle (batch side tiny), one
+candidate-verify join against the shingle index pruned to candidate ids,
+zero full-corpus scans of text.  The growing cost center is the index
+band table scan, which bucketing by ``key`` turns into a pruned lookup.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..caching import persist_tracked
+from ..operators.dedup import _md5_staged_bands, _verify_candidates
+from ..shipping import ensure_pkg_shipped
+
+
+def _write_index(
+    rows: DataFrame,
+    bands_df: DataFrame,
+    shingles_df: DataFrame,
+    work_dir: str,
+    gen_tag: str,
+) -> None:
+    """Admit step: write (membership rows, band keys, shingle sets) under
+    generation subdir ``gen_tag`` — shared by the seed and every batch,
+    and fed from the SAME staged frames the matching joins read, so each
+    batch's signatures are derived exactly once."""
+    rows.write.mode("overwrite").parquet(
+        os.path.join(work_dir, "accepted", gen_tag)
+    )
+    bands_df.select("id", "key").write.mode("overwrite").parquet(
+        os.path.join(work_dir, "index", "bands", gen_tag)
+    )
+    shingles_df.select("id", "sh").write.mode("overwrite").parquet(
+        os.path.join(work_dir, "index", "shingles", gen_tag)
+    )
+
+
+def ingest_stream_dedup(
+    spark: SparkSession,
+    updates_dir: str,
+    updates_schema: str,
+    base_docs: DataFrame,
+    work_dir: str,
+    min_jaccard: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Seed the index from ``base_docs`` (gen 0), then fold every update
+    file under ``updates_dir`` through the near-dup admission gate, one
+    micro-batch per file, and block until the stream drains.
+
+    ``base_docs`` and the update files must carry (doc_id, text, gen)."""
+    ensure_pkg_shipped(spark)
+    seed_staged, seed_bands = _md5_staged_bands(
+        base_docs, "text", "doc_id", num_hashes, bands, shingle_n
+    )
+    _write_index(
+        base_docs.select("doc_id", "gen"), seed_bands, seed_staged,
+        work_dir, "b0",
+    )
+
+    def _admit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        staged, with_bands = _md5_staged_bands(
+            batch_df, "text", "doc_id", num_hashes, bands, shingle_n
+        )
+        with_bands = persist_tracked(with_bands)  # corpus + internal joins
+        # generation subdirs are plain (non-hive) dirs: recurse explicitly
+        idx_bands = spark.read.option("recursiveFileLookup", "true").parquet(
+            os.path.join(work_dir, "index", "bands")
+        )
+        idx_sh = spark.read.option("recursiveFileLookup", "true").parquet(
+            os.path.join(work_dir, "index", "shingles")
+        )
+        cand = (
+            with_bands.select(F.col("id").alias("bid"), "key")
+            .join(idx_bands.select(F.col("id").alias("cid"), "key"), "key")
+            .select("bid", "cid")
+            .dropDuplicates(["bid", "cid"])
+        )
+        corpus_rejected = (
+            cand.join(
+                staged.select(F.col("id").alias("bid"), F.col("sh").alias("sh1")),
+                "bid",
+            )
+            .join(
+                idx_sh.select(F.col("id").alias("cid"), F.col("sh").alias("sh2")),
+                "cid",
+            )
+            .where(
+                (
+                    F.size(F.array_intersect("sh1", "sh2"))
+                    / F.size(F.array_union("sh1", "sh2"))
+                )
+                >= min_jaccard
+            )
+            .select(F.col("bid").alias("doc_id"))
+            .distinct()
+        )
+        internal_rejected = (
+            _verify_candidates(with_bands, staged, ["key"], min_jaccard)
+            .select(F.col("id2").alias("doc_id"))  # greedy lowest-id-wins
+            .distinct()
+        )
+        rejected = corpus_rejected.unionByName(internal_rejected).distinct()
+        accepted_ids = persist_tracked(
+            batch_df.select("doc_id").join(rejected, "doc_id", "left_anti")
+        )  # read by three index writes below
+        acc = F.broadcast(accepted_ids)
+        _write_index(
+            batch_df.join(acc, "doc_id", "left_semi").select("doc_id", "gen"),
+            with_bands.join(
+                acc.select(F.col("doc_id").alias("id")), "id", "left_semi"
+            ),
+            staged.join(
+                acc.select(F.col("doc_id").alias("id")), "id", "left_semi"
+            ),
+            work_dir,
+            f"b{batch_id + 1}",
+        )
+
+    stream = (
+        spark.readStream.schema(updates_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(updates_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_admit_batch)
+        .option(
+            "checkpointLocation", work_dir.rstrip("/") + ".__ckpt__"
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_admitted(spark: SparkSession, work_dir: str) -> DataFrame:
+    """The admitted corpus membership table (doc_id, gen) — the fold's
+    final state."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(work_dir, "accepted")
+    )

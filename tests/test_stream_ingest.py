@@ -1,0 +1,69 @@
+"""Planted-scenario gates for streaming/ingest.py — the near-dup-gated
+admission fold: bipartite rejection against the index, greedy
+lowest-id-wins inside a batch, and index growth across generations."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+# registry first: queries_stream begins with `from .queries import ...`,
+# so importing it before queries.py finishes its submodule sweep leaves
+# the q_stream_* registrations missing at _reorder_registry time
+import pipeline_calculator_v3_spark.queries  # noqa: F401  (import order)
+from pipeline_calculator_v3_spark.queries_stream import _stage_batch_file
+from pipeline_calculator_v3_spark.streaming.ingest import (
+    ingest_stream_dedup,
+    read_admitted,
+)
+
+A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+C = "one two three four five six seven eight nine ten eleven twelve"
+F_UNIQ = "completely fresh material nothing resembles this run of words here"
+
+
+def _stage(spark, frame, path, mtime):
+    _stage_batch_file(frame, path, mtime)
+
+
+@pytest.fixture(scope="module")
+def admitted(spark, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("ingest"))
+    base = spark.createDataFrame(
+        [(1, A, 0)], "doc_id long, text string, gen long"
+    )
+    gen1 = spark.createDataFrame(
+        [(10, A, 1),        # exact dup of base -> rejected (bipartite)
+         (11, C, 1),        # unique -> admitted
+         (12, C, 1)],       # dup of lower-id batchmate 11 -> rejected
+        "doc_id long, text string, gen long",
+    )
+    gen2 = spark.createDataFrame(
+        [(20, C, 2),        # dup of gen-1 ADMITTED doc 11 -> rejected
+         (21, F_UNIQ, 2),   # unique -> admitted
+         (22, A, 2)],       # dup of the ORIGINAL seed -> rejected
+        "doc_id long, text string, gen long",
+    )
+    updates = os.path.join(work, "updates")
+    os.makedirs(updates)
+    _stage(spark, gen1, os.path.join(updates, "g1.parquet"), 1.7e9 + 1)
+    _stage(spark, gen2, os.path.join(updates, "g2.parquet"), 1.7e9 + 2)
+    ingest_stream_dedup(
+        spark,
+        updates + "/g*.parquet",
+        "doc_id bigint, text string, gen bigint",
+        base,
+        os.path.join(work, "corpus"),
+        min_jaccard=0.5,
+    )
+    rows = read_admitted(spark, os.path.join(work, "corpus")).collect()
+    return {r.doc_id: r.gen for r in rows}
+
+
+def test_admission_decisions(admitted):
+    assert admitted == {1: 0, 11: 1, 21: 2}
+
+
+def test_gen_labels_survive_the_fold(admitted):
+    assert admitted[11] == 1 and admitted[21] == 2
