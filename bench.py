@@ -94,6 +94,7 @@ HEADLINE = [
     "q_quality_classifier",       # added r08 (frozen linear quality model)
     "q_knn_graph",                # added r08 (blocked kNN adjacency)
     "q_stream_ingest_dedup",      # added r08 (streaming near-dup admission)
+    "q_dedup_best_quality",       # added r08 (best-copy-wins dedup collapse)
     "q_overlap_e2e",
 ]
 

@@ -146,3 +146,53 @@ def dedup_clusters(
             (F.coalesce("component", F.col("id")) == F.col("id")).alias("keep"),
         )
     )
+
+
+def dedup_clusters_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "z",
+    src: str = "id1",
+    dst: str = "id2",
+) -> DataFrame:
+    """Quality-aware dedup decision table: every doc -> (cluster, keep),
+    where each cluster's survivor is its HIGHEST-scoring member (ties to
+    the lowest id) instead of :func:`dedup_clusters`'s min-id rule — what
+    a curation pipeline actually wants from near-dup collapse: keep the
+    best copy, not the first-crawled one.
+
+    ``scores`` is (id_col, score_col); docs absent from it (e.g. the
+    quality classifier emits no row for token-less text) rank at -1e9 —
+    harmless for singletons, last-pick inside real clusters.  The score
+    must be DETERMINISTICALLY rounded upstream (classify_quality rounds
+    to 6 dp) so cross-engine ordering cannot flip on libm noise.
+
+    Scale shape: components via O(log D) pointer jumping, then ONE
+    cluster-keyed window — no per-cluster collects, no quadratic step."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, src, dst)
+    base = (
+        docs.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .join(
+            scores.select(
+                F.col(id_col).alias("id"), F.col(score_col).alias("__s")
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("cluster"),
+            F.coalesce("__s", F.lit(-1e9)).alias("__s"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("__s"), F.asc("id"))
+    return base.select(
+        F.col("id").alias(id_col),
+        "cluster",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

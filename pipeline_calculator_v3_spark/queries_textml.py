@@ -1337,10 +1337,11 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly the min-label component the pointer-jumping operator converges
 # to.  O(sum |C|^2) walk rows: fine at oracle scale, which is why the
 # distributed side uses O(log D) label propagation instead.
-@query(
-    "q_dedup_clusters",
-    oracle=f"""
-WITH RECURSIVE {_MD5_LSH_CTES},
+# pair chain -> symmetrized edges -> recursive reachability walk ->
+# min-origin components: shared VERBATIM by q_dedup_clusters and the
+# quality-aware q_dedup_best_quality, so the component derivation cannot
+# fork between the min-id and best-quality representative rules.
+_MD5_CC_CTES = f"""{_MD5_LSH_CTES},
 prs AS (
     SELECT id1, id2 FROM scored WHERE jaccard >= 0.5
 ),
@@ -1356,7 +1357,13 @@ walk(id, origin) AS (
 ),
 comps AS (
     SELECT id, min(origin) AS component FROM walk GROUP BY id
-)
+)"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_MD5_CC_CTES}
 SELECT d.doc_id,
        COALESCE(c.component, d.doc_id) AS cluster,
        COALESCE(c.component, d.doc_id) = d.doc_id AS keep
@@ -1381,6 +1388,55 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(t(spark, sf_dir, "documents"), spark)
     pairs = minhash_lsh_pairs_md5(docs, min_jaccard=0.5)
     return dedup_clusters(docs, pairs)
+
+
+def _dedup_best_quality_oracle() -> str:
+    from .operators.classifier import quality_z_sql
+
+    return f"""
+WITH RECURSIVE {_MD5_CC_CTES},
+qual AS (
+    SELECT doc_id, ROUND({quality_z_sql()}, 6) AS z
+    FROM documents
+    WHERE len({_TOKENS}) > 0
+),
+sd AS (
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster,
+           COALESCE(q.z, -1e9) AS z
+    FROM documents d
+    LEFT JOIN comps c ON c.id = d.doc_id
+    LEFT JOIN qual q ON q.doc_id = d.doc_id
+),
+rk AS (
+    SELECT doc_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY z DESC, doc_id) AS rn
+    FROM sd
+)
+SELECT doc_id, cluster, rn = 1 AS keep FROM rk
+"""
+
+
+@query("q_dedup_best_quality", oracle=_dedup_best_quality_oracle())
+def q_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup collapse: the SAME md5 MinHash-LSH pairs and
+    connected components as q_dedup_clusters (shared pair + walk CTE
+    text), but each cluster's survivor is its highest-quality member
+    under the frozen linear classifier (operators/classifier.py), ties
+    to the lowest id — keep the best copy, not the first-crawled one.
+    Composes three oracle-green operators (LSH pairs, pointer-jumping
+    CC, quality margin) into the decision a curation funnel ships.
+
+    Scale shape: pair detection bucketed, components O(log D), then one
+    cluster-keyed window — nothing quadratic, nothing driver-side."""
+    from .operators.classifier import classify_quality
+    from .operators.clusters import dedup_clusters_best
+
+    docs = _spread(t(spark, sf_dir, "documents"), spark)
+    pairs = minhash_lsh_pairs_md5(docs, min_jaccard=0.5)
+    scores = classify_quality(docs).select("doc_id", "z")
+    return dedup_clusters_best(docs, pairs, scores)
 
 
 @query("q_dedup_minhash_xl")  # rows-only: scale-stress dedup surface

@@ -60,3 +60,27 @@ def test_weight_table_is_the_contract():
         "f_log_tokens", "f_stopword", "f_avg_token_len",
         "f_uniq", "f_punct", "f_digit",
     ]
+
+
+def test_best_quality_cluster_representative(spark):
+    """dedup_clusters_best: in a near-dup cluster the HIGHER-quality doc
+    survives even with the higher id (the min-id rule would pick the
+    other); singletons always keep themselves."""
+    from pyspark.sql import functions as F
+
+    from pipeline_calculator_v3_spark.operators.clusters import (
+        dedup_clusters_best,
+    )
+
+    docs = spark.createDataFrame(
+        [(1,), (2,), (9,)], "doc_id long"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    scores = spark.createDataFrame(
+        [(1, -1.0), (2, 3.0)], "doc_id long, z double"
+    )  # doc 9 unscored -> -1e9 fill, still keeps its singleton
+    out = {
+        r.doc_id: (r.cluster, r.keep)
+        for r in dedup_clusters_best(docs, pairs, scores).collect()
+    }
+    assert out == {1: (1, False), 2: (1, True), 9: (9, True)}
