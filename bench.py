@@ -95,6 +95,7 @@ HEADLINE = [
     "q_knn_graph",                # added r08 (blocked kNN adjacency)
     "q_stream_ingest_dedup",      # added r08 (streaming near-dup admission)
     "q_dedup_best_quality",       # added r08 (best-copy-wins dedup collapse)
+    "q_source_report",            # added r08 (per-source curation rollup)
     "q_overlap_e2e",
 ]
 

@@ -561,7 +561,7 @@ def knn_graph(
         F.col(vec_col).alias("v"),
         sign_prefix_block(F.col(vec_col), sign_dims).alias("blk"),
     )
-    und = (
+    und = persist_tracked(
         salted_self_pairs(base, "blk", "vid", n_groups=4)
         .where(F.col("a_vid") < F.col("b_vid"))
         .select(
@@ -569,7 +569,7 @@ def knn_graph(
             F.col("b_vid").alias("id2"),
             cosine(F.col("a_v"), F.col("b_v")).alias("c"),
         )
-    )
+    )  # mirrored below: unpersisted, the block join + cosine runs twice
     directed = und.unionAll(
         und.select(
             F.col("id2").alias("id1"), F.col("id1").alias("id2"), "c"

@@ -396,6 +396,9 @@ _NEVER_CHECKED_FIRST = [
     # two-generation replay oracle) and quality-aware dedup collapse
     # (best-copy-wins representatives, full oracle).
     "q_stream_ingest_dedup", "q_dedup_best_quality",
+    # r08 per-source curation report (classifier x clusters x tokens
+    # rollup, full oracle).
+    "q_source_report",
     # r08 refresh, pool A: the COMPLETE r04-era backlog (verdict r07 #2) —
     # the 16 single-shape relational/join/agg rows deferred across r06/r07
     # plus the two rows-only members (q_segmentize, q_agg_approx_distinct).
@@ -413,11 +416,11 @@ _NEVER_CHECKED_FIRST = [
     "q_tpch_q11_important_stock", "q_tpch_q12_shipmode_priority",
     "q_tpch_q16_supplier_cnt", "q_tpch_q17_small_qty",
     "q_tpch_q20_excess_supply", "q_tpch_q21_waiting_supplier",
-    "q_tpch_q22_global_sales", "q_multimodal_decode_png",
-    # (q_data_quality, q_ewma_smooth, q_anomaly_zscore and
-    # q_markov_transitions yielded their pool-B slots to
-    # q_quality_classifier, q_knn_graph, q_stream_ingest_dedup and
-    # q_dedup_best_quality;
+    "q_tpch_q22_global_sales",
+    # (q_data_quality, q_ewma_smooth, q_anomaly_zscore,
+    # q_markov_transitions and q_multimodal_decode_png yielded their
+    # pool-B slots to q_quality_classifier, q_knn_graph,
+    # q_stream_ingest_dedup, q_dedup_best_quality and q_source_report;
     # q_heavy_hitters, q_zipf_profile, q_mixture_plan,
     # q_repetition_filter, q_retention_cohorts, q_boilerplate_spans,
     # q_funnel_conversion and q_first_touch_attribution yielded their
@@ -454,7 +457,7 @@ _ROTATED_OUT = [
     "q_join_bloom_pruned", "q_join_salted_skew", "q_json_funcs", "q_lang_id",
     "q_lm_perplexity", "q_map_funcs", "q_markov_transitions",
     "q_math_funcs", "q_mixture_plan",
-    "q_multimodal_decode",
+    "q_multimodal_decode", "q_multimodal_decode_png",
     "q_ngram_jaccard", "q_null_semantics", "q_overlap_rollup",
     "q_overlap_summary", "q_pack_sequences", "q_pack_sequences_xl",
     "q_parallel_overlap", "q_parallel_overlap_xl", "q_pivot",

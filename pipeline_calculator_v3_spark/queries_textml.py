@@ -1439,6 +1439,94 @@ def q_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters_best(docs, pairs, scores)
 
 
+def _source_report_oracle() -> str:
+    from .operators.classifier import quality_z_sql
+
+    return f"""
+WITH RECURSIVE {_MD5_CC_CTES},
+qual AS (
+    SELECT doc_id, ROUND({quality_z_sql()}, 6) AS z
+    FROM documents
+    WHERE len({_TOKENS}) > 0
+),
+sd AS (
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster,
+           COALESCE(q.z, -1e9) AS zfill
+    FROM documents d
+    LEFT JOIN comps c ON c.id = d.doc_id
+    LEFT JOIN qual q ON q.doc_id = d.doc_id
+),
+rk AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY zfill DESC, doc_id) AS rn
+    FROM sd
+),
+per AS (
+    SELECT d.doc_id, d.source,
+           CAST(len({_TOKENS}) AS BIGINT) AS ntok,
+           COALESCE(q.z >= 0, FALSE) AS kept,
+           r.rn > 1 AS is_dup,
+           q.z
+    FROM documents d
+    LEFT JOIN qual q ON q.doc_id = d.doc_id
+    JOIN rk r ON r.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       ROUND(AVG(CASE WHEN kept THEN 1.0 ELSE 0.0 END), 6) AS kept_frac,
+       ROUND(AVG(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END), 6) AS dup_frac,
+       ROUND(AVG(z), 6) AS mean_z
+FROM per
+GROUP BY source
+"""
+
+
+@query("q_source_report", oracle=_source_report_oracle())
+def q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard — the report a corpus owner reads
+    before committing a mixture: for every `source`, doc and token
+    counts, the frozen classifier's keep rate, the near-dup loss rate
+    under the best-copy-wins collapse, and the mean quality margin.
+    Composes three oracle-green r08 surfaces (classifier, md5 LSH
+    clusters, best-quality representatives) into one bounded rollup.
+
+    Scale shape: everything per-doc is scan-side or already-shuffled
+    (the cluster window); the report itself is one tiny per-source
+    aggregate.  keep/kept decisions compare the ROUNDED margin on both
+    engines so the report cannot flip on libm noise."""
+    from .operators.classifier import classify_quality
+    from .operators.clusters import dedup_clusters_best
+
+    d = _spread(t(spark, sf_dir, "documents"), spark)
+    pairs = minhash_lsh_pairs_md5(d, min_jaccard=0.5)
+    scores = persist_tracked(classify_quality(d).select("doc_id", "z"))
+    best = dedup_clusters_best(d, pairs, scores)
+    per = (
+        d.select(
+            "doc_id", "source",
+            F.size(tokens(F.lower(F.col("text")))).cast("bigint").alias("ntok"),
+        )
+        .join(scores, "doc_id", "left")
+        .join(best.select("doc_id", "keep"), "doc_id")
+        .select(
+            "source", "ntok",
+            F.coalesce(F.col("z") >= 0, F.lit(False)).alias("kept"),
+            (~F.col("keep")).alias("is_dup"),
+            "z",
+        )
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("n_tokens"),
+        F.round(F.avg(F.when(F.col("kept"), 1.0).otherwise(0.0)), 6).alias("kept_frac"),
+        F.round(F.avg(F.when(F.col("is_dup"), 1.0).otherwise(0.0)), 6).alias("dup_frac"),
+        F.round(F.avg("z"), 6).alias("mean_z"),
+    )
+
+
 @query("q_dedup_minhash_xl")  # rows-only: scale-stress dedup surface
 def q_dedup_minhash_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH over a corpus that GROWS with sf (documents is fixed at
