@@ -96,6 +96,7 @@ HEADLINE = [
     "q_stream_ingest_dedup",      # added r08 (streaming near-dup admission)
     "q_dedup_best_quality",       # added r08 (best-copy-wins dedup collapse)
     "q_source_report",            # added r08 (per-source curation rollup)
+    "q_jsonl_roundtrip",          # added r08 (JSONL source quarantine trip)
     "q_overlap_e2e",
 ]
 

@@ -1344,3 +1344,90 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["ip"].alias("n_ip"),
         counts["phone"].alias("n_phone"),
     )
+
+
+# JSONL round trip: documents -> .jsonl shards -> permissive re-read with
+# quarantine, value-gated byte-for-byte against the parquet originals.
+# The two planted malformed lines ('{broken' = 7 chars, '[1,2' = 4) land
+# in the '__corrupt__' bucket: 2 lines, 11 raw chars, 0 text matches.
+@query(
+    "q_jsonl_roundtrip",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS n_chars_total,
+       CAST(COUNT(*) AS BIGINT) AS n_text_match
+FROM documents
+GROUP BY source
+UNION ALL
+SELECT '__corrupt__', 2, 11, 0
+""",
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink round trip (sources/jsonl.py): write the
+    documents table as .jsonl shards, re-read them under the explicit
+    schema with PERMISSIVE quarantine (two planted malformed lines land
+    in `_corrupt_record`, never kill the scan), and prove per-source
+    identity — `n_text_match` counts docs whose (text, lang, source,
+    n_chars) survive the trip null-safe-equal, and the oracle asserts it
+    equals the source's row count.  The quarantine bucket reports the
+    planted lines' count and raw length.
+
+    Scale shape: JSONL splits by newline (parallel shard parse, Jackson
+    JVM-side, no UDF); the comparison join is doc_id-keyed; the report
+    is a tiny per-source rollup materialized before temp cleanup."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.jsonl import read_documents_jsonl, write_jsonl
+
+    d = t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="pcv3_jsonl_")
+    try:
+        write_jsonl(d, work)
+        with open(os.path.join(work, "corrupt.json"), "w") as f:
+            f.write("{broken\n[1,2\n")
+        parsed, quarantined = read_documents_jsonl(spark, work)
+        o = d.select(
+            "doc_id",
+            F.col("text").alias("o_text"),
+            F.col("lang").alias("o_lang"),
+            F.col("source").alias("o_source"),
+            F.col("n_chars").alias("o_n_chars"),
+        )
+        per_source = (
+            parsed.join(o, "doc_id")
+            .select(
+                "source",
+                F.length("text").alias("len_text"),
+                (
+                    F.col("text").eqNullSafe(F.col("o_text"))
+                    & F.col("lang").eqNullSafe(F.col("o_lang"))
+                    & F.col("source").eqNullSafe(F.col("o_source"))
+                    & F.col("n_chars").eqNullSafe(F.col("o_n_chars"))
+                ).cast("long").alias("match"),
+            )
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.coalesce(F.sum("len_text"), F.lit(0))
+                .cast("bigint")
+                .alias("n_chars_total"),
+                F.sum("match").cast("bigint").alias("n_text_match"),
+            )
+        )
+        corrupt = quarantined.agg(
+            F.lit("__corrupt__").alias("source"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(F.length("raw")), F.lit(0))
+            .cast("bigint")
+            .alias("n_chars_total"),
+            F.lit(0).cast("bigint").alias("n_text_match"),
+        )
+        out = per_source.unionByName(corrupt)
+        # materialize before the temp shards are deleted (bounded: one
+        # row per source + the quarantine bucket)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
