@@ -1364,7 +1364,7 @@ SELECT '__corrupt__', 2, 11, 0
 """,
 )
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSONL source/sink round trip (sources/jsonl.py): write the
+    """JSONL source/sink round trip (sources/formats.py): write the
     documents table as .jsonl shards, re-read them under the explicit
     schema with PERMISSIVE quarantine (two planted malformed lines land
     in `_corrupt_record`, never kill the scan), and prove per-source
@@ -1380,7 +1380,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from .sources.jsonl import read_documents_jsonl, write_jsonl
+    from .sources.formats import read_jsonl_quarantined, write_jsonl
 
     d = t(spark, sf_dir, "documents")
     work = tempfile.mkdtemp(prefix="pcv3_jsonl_")
@@ -1388,7 +1388,11 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_jsonl(d, work)
         with open(os.path.join(work, "corrupt.json"), "w") as f:
             f.write("{broken\n[1,2\n")
-        parsed, quarantined = read_documents_jsonl(spark, work)
+        parsed, quarantined = read_jsonl_quarantined(
+            spark, work,
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        )
         o = d.select(
             "doc_id",
             F.col("text").alias("o_text"),

@@ -124,6 +124,27 @@ def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def read_jsonl_quarantined(
+    spark: SparkSession, path: str, schema: str, corrupt_col: str = "_corrupt"
+) -> tuple[DataFrame, DataFrame]:
+    """(parsed, quarantined) from ONE cached permissive scan — the
+    split every corpus ingest actually performs on :func:`read_jsonl`'s
+    output: typed rows for lines that parsed, (raw line,) for lines that
+    did not.  The split predicate is `corrupt_col IS NULL` — Spark
+    leaves the column null exactly when the whole line parsed under the
+    explicit schema.  Cached both because the split reads the scan twice
+    and because of the corrupt-column-only restriction documented on
+    :func:`read_jsonl`."""
+    from ..caching import persist_tracked
+
+    raw = persist_tracked(read_jsonl(spark, path, schema, corrupt_col))
+    parsed = raw.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantined = raw.where(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw")
+    )
+    return parsed, quarantined
+
+
 def read_csv_corpus(
     spark: SparkSession,
     path: str,

@@ -1,6 +1,7 @@
-"""sources/jsonl.py gates: quarantine semantics and round-trip fidelity
-on the inputs JSON actually mangles — unicode, newlines, quotes, nulls,
-empty strings."""
+"""sources/formats.py::read_jsonl_quarantined gates: quarantine
+semantics and round-trip fidelity on the inputs JSON actually mangles —
+unicode, newlines, quotes, nulls, empty strings.  (Complements
+tests/test_formats.py, which gates the underlying read_jsonl.)"""
 
 from __future__ import annotations
 
@@ -8,10 +9,13 @@ import os
 
 import pytest
 
-from pipeline_calculator_v3_spark.sources.jsonl import (
-    DOCUMENTS_JSONL_SCHEMA,
-    read_documents_jsonl,
+from pipeline_calculator_v3_spark.sources.formats import (
+    read_jsonl_quarantined,
     write_jsonl,
+)
+
+DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
 )
 
 ROWS = [
@@ -32,7 +36,7 @@ def tripped(spark, tmp_path_factory):
     write_jsonl(df, work)
     with open(os.path.join(work, "junk.json"), "w") as f:
         f.write('{"doc_id": oops}\nnot json at all\n')
-    parsed, quarantined = read_documents_jsonl(spark, work)
+    parsed, quarantined = read_jsonl_quarantined(spark, work, DOCS_SCHEMA)
     return (
         {r.doc_id: (r.text, r.lang, r.source, r.n_chars) for r in parsed.collect()},
         sorted(r.raw for r in quarantined.collect()),
