@@ -97,6 +97,7 @@ HEADLINE = [
     "q_dedup_best_quality",       # added r08 (best-copy-wins dedup collapse)
     "q_source_report",            # added r08 (per-source curation rollup)
     "q_jsonl_roundtrip",          # added r08 (JSONL source quarantine trip)
+    "q_epoch_plan",               # added r08 (curriculum/shuffle/shard plan)
     "q_overlap_e2e",
 ]
 

@@ -400,6 +400,9 @@ _NEVER_CHECKED_FIRST = [
     # rollup, full oracle) and the JSONL source/sink round-trip identity
     # gate (permissive quarantine, full oracle).
     "q_source_report", "q_jsonl_roundtrip",
+    # r08 epoch composition plan (curriculum terciles + shuffle key +
+    # shard, full oracle).
+    "q_epoch_plan",
     # r08 refresh, pool A: the COMPLETE r04-era backlog (verdict r07 #2) —
     # the 16 single-shape relational/join/agg rows deferred across r06/r07
     # plus the two rows-only members (q_segmentize, q_agg_approx_distinct).
@@ -416,11 +419,12 @@ _NEVER_CHECKED_FIRST = [
     "q_tpch_q2_min_cost_supplier", "q_tpch_q9_product_profit",
     "q_tpch_q11_important_stock", "q_tpch_q12_shipmode_priority",
     "q_tpch_q16_supplier_cnt", "q_tpch_q17_small_qty",
-    "q_tpch_q20_excess_supply", "q_tpch_q21_waiting_supplier",
+    "q_tpch_q20_excess_supply",
     # (q_data_quality, q_ewma_smooth, q_anomaly_zscore,
-    # q_markov_transitions, q_multimodal_decode_png and
-    # q_tpch_q22_global_sales yielded their pool-B slots to the six new
-    # r08 entries above (q_quality_classifier .. q_jsonl_roundtrip);
+    # q_markov_transitions, q_multimodal_decode_png,
+    # q_tpch_q22_global_sales and q_tpch_q21_waiting_supplier yielded
+    # their pool-B slots to the seven new r08 entries above
+    # (q_quality_classifier .. q_epoch_plan);
     # q_heavy_hitters, q_zipf_profile, q_mixture_plan,
     # q_repetition_filter, q_retention_cohorts, q_boilerplate_spans,
     # q_funnel_conversion and q_first_touch_attribution yielded their
@@ -479,7 +483,7 @@ _ROTATED_OUT = [
     "q_tpch_q10_returned", "q_tpch_q13_order_distribution",
     "q_tpch_q14_promo_share", "q_tpch_q15_top_supplier",
     "q_tpch_q18_large_orders", "q_tpch_q19_disjunctive",
-    "q_tpch_q22_global_sales",
+    "q_tpch_q21_waiting_supplier", "q_tpch_q22_global_sales",
     "q_tpch_q1_pricing_summary", "q_tpch_q3_shipping_priority",
     "q_tpch_q4_order_priority", "q_tpch_q5_local_volume",
     "q_tpch_q6_forecast_revenue", "q_tpch_q7_nation_volume",

@@ -1435,3 +1435,77 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# Epoch composition: the plan a training run reads — each doc's curriculum
+# bucket (quality terciles), deterministic shuffle key and shard — all
+# scan-side; the only aggregation is the one-row tercile thresholds,
+# broadcast back (NO global ntile window: a single-partition window over
+# the corpus is the thing to avoid at 100 TB, and percentile thresholds
+# are the scalable spelling — approx_percentile is the documented swap at
+# scale, exact here for the value gate).
+def _epoch_plan_oracle() -> str:
+    from .operators.classifier import quality_z_sql
+
+    return f"""
+WITH q AS (
+    SELECT doc_id, ROUND({quality_z_sql()}, 6) AS z
+    FROM documents
+    WHERE len({_TOKENS}) > 0
+),
+th AS (
+    SELECT quantile_cont(z, 1.0/3) AS p33, quantile_cont(z, 2.0/3) AS p66
+    FROM q
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN q.z <= th.p33 THEN 1
+                 WHEN q.z <= th.p66 THEN 2
+                 ELSE 3 END AS BIGINT) AS bucket,
+       CAST({_SHARD16.replace("doc_id", "d.doc_id")} AS BIGINT) AS shard,
+       md5(CAST(d.doc_id AS VARCHAR)) AS skey
+FROM documents d
+LEFT JOIN q ON q.doc_id = d.doc_id
+CROSS JOIN th
+"""
+
+
+@query("q_epoch_plan", oracle=_epoch_plan_oracle())
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-epoch composition plan: per document, its curriculum
+    bucket (1 = lowest quality tercile .. 3 = highest, thresholds from
+    the frozen classifier margin), its deterministic shuffle key (md5 of
+    doc_id — the RNG-free epoch permutation, stable under retries), and
+    its md5 shard (operators/chunking.py::shard_of).  A trainer sorts by
+    (bucket, skey) within shard to get curriculum-ordered, shuffled,
+    resumable epochs.
+
+    Scale shape: everything per-doc is a scan-side projection; the ONLY
+    aggregate is the one-row tercile threshold frame, broadcast back via
+    crossJoin.  Docs with no tokens carry no margin and land in bucket 3
+    (CASE fall-through, identical both engines).  At 100 TB the exact
+    percentile swaps for approx_percentile — same plan shape, documented
+    trade (the q_ppl_buckets pattern)."""
+    from .operators.chunking import shard_of
+    from .operators.classifier import classify_quality
+
+    d = t(spark, sf_dir, "documents")
+    q = classify_quality(d).select("doc_id", "z")
+    th = q.agg(
+        F.percentile("z", F.lit(1.0 / 3)).alias("p33"),
+        F.percentile("z", F.lit(2.0 / 3)).alias("p66"),
+    )
+    return (
+        d.select("doc_id")
+        .join(q, "doc_id", "left")
+        .crossJoin(F.broadcast(th))
+        .select(
+            "doc_id",
+            F.when(F.col("z") <= F.col("p33"), 1)
+            .when(F.col("z") <= F.col("p66"), 2)
+            .otherwise(3)
+            .cast("bigint")
+            .alias("bucket"),
+            shard_of(F.col("doc_id"), 16).cast("bigint").alias("shard"),
+            F.md5(F.col("doc_id").cast("string")).alias("skey"),
+        )
+    )
