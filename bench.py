@@ -98,6 +98,9 @@ HEADLINE = [
     "q_source_report",            # added r08 (per-source curation rollup)
     "q_jsonl_roundtrip",          # added r08 (JSONL source quarantine trip)
     "q_epoch_plan",               # added r08 (curriculum/shuffle/shard plan)
+    "q_gopher_rules",             # added r08 (Gopher rule-based filter)
+    "q_zorder_layout",            # added r08 (Morton-key layout statistics)
+    "q_embed_project",            # added r08 (JL literal-plane projection)
     "q_overlap_e2e",
 ]
 

@@ -403,6 +403,14 @@ _NEVER_CHECKED_FIRST = [
     # r08 epoch composition plan (curriculum terciles + shuffle key +
     # shard, full oracle).
     "q_epoch_plan",
+    # r08 late additions (resumed session): Gopher rule-based quality
+    # filter (full oracle), z-order layout face for the zorder infra
+    # operator (full oracle), and JL random-projection embedding
+    # compression (md5-literal planes, full oracle).  Each takes a pool-B
+    # slot from an r05 hash-green TPC-H refresh (new surface has no
+    # verdict at all; the refreshes stay oracle-parity-gated every pytest
+    # run and rotate back next round).
+    "q_gopher_rules", "q_zorder_layout", "q_embed_project",
     # r08 refresh, pool A: the COMPLETE r04-era backlog (verdict r07 #2) —
     # the 16 single-shape relational/join/agg rows deferred across r06/r07
     # plus the two rows-only members (q_segmentize, q_agg_approx_distinct).
@@ -418,8 +426,9 @@ _NEVER_CHECKED_FIRST = [
     # analytics + training-pipeline families.
     "q_tpch_q2_min_cost_supplier", "q_tpch_q9_product_profit",
     "q_tpch_q11_important_stock", "q_tpch_q12_shipmode_priority",
-    "q_tpch_q16_supplier_cnt", "q_tpch_q17_small_qty",
-    "q_tpch_q20_excess_supply",
+    # (q_tpch_q16_supplier_cnt, q_tpch_q17_small_qty and
+    # q_tpch_q20_excess_supply yielded their pool-B slots to the three
+    # late-r08 entries above — r05 hash-green, parity-gated every run.)
     # (q_data_quality, q_ewma_smooth, q_anomaly_zscore,
     # q_markov_transitions, q_multimodal_decode_png,
     # q_tpch_q22_global_sales and q_tpch_q21_waiting_supplier yielded
@@ -482,7 +491,9 @@ _ROTATED_OUT = [
     "q_text_analysis", "q_text_quality", "q_tfidf", "q_token_count",
     "q_tpch_q10_returned", "q_tpch_q13_order_distribution",
     "q_tpch_q14_promo_share", "q_tpch_q15_top_supplier",
+    "q_tpch_q16_supplier_cnt", "q_tpch_q17_small_qty",
     "q_tpch_q18_large_orders", "q_tpch_q19_disjunctive",
+    "q_tpch_q20_excess_supply",
     "q_tpch_q21_waiting_supplier", "q_tpch_q22_global_sales",
     "q_tpch_q1_pricing_summary", "q_tpch_q3_shipping_priority",
     "q_tpch_q4_order_priority", "q_tpch_q5_local_volume",

@@ -302,3 +302,85 @@ def q_overlap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.countDistinct("seg") * SEG_LEN_M).alias("bundled_length_m"),
         (F.countDistinct("seg") * SEG_LEN_M / US_SURVEY_MILE_M).alias("bundled_length_mi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (operators/zorder.py registry face, r08): the write-time
+# data-layout primitive, driver-checked.  Points are spread over the globe
+# arithmetically from `orders` (integer formulas shared verbatim with the
+# oracle, the synth.py pattern), keyed with the 16-bit Morton interleave,
+# and rolled up per coarse tile (top 10 key bits) — exactly the per-file
+# statistics a z-clustered write produces for bbox pruning.
+# ---------------------------------------------------------------------------
+_ZBITS = 16
+_ZTILE_SHIFT = 2 * _ZBITS - 10  # top 10 bits -> up to 1024 coarse tiles
+_ZPTS_CTE = """
+zpts AS (
+    SELECT o_orderkey AS k,
+           ((o_orderkey * 37) % 18000) / 100.0 - 90.0 AS lat,
+           ((o_orderkey * 101) % 36000) / 100.0 - 180.0 AS lon
+    FROM orders
+)"""
+
+
+def _zorder_oracle() -> str:
+    from .operators.zorder import quantize_sql, zorder_key_sql
+
+    return f"""
+WITH {_ZPTS_CTE},
+q AS (
+    SELECT k, lat, lon,
+           {quantize_sql("lat", -90.0, 90.0, _ZBITS)} AS qlat,
+           {quantize_sql("lon", -180.0, 180.0, _ZBITS)} AS qlon
+    FROM zpts
+),
+z AS (
+    SELECT k, lat, lon, {zorder_key_sql("qlat", "qlon", _ZBITS)} AS zkey
+    FROM q
+)
+SELECT CAST(zkey >> {_ZTILE_SHIFT} AS BIGINT) AS tile,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       MIN(zkey) AS min_z, MAX(zkey) AS max_z,
+       ROUND(MIN(lat), 6) AS lat_lo, ROUND(MAX(lat), 6) AS lat_hi,
+       ROUND(MIN(lon), 6) AS lon_lo, ROUND(MAX(lon), 6) AS lon_hi
+FROM z
+GROUP BY tile
+"""
+
+
+@query("q_zorder_layout", oracle=_zorder_oracle())
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys + per-tile layout statistics
+    (operators/zorder.py, previously infra-only): quantize lat/lon to
+    16-bit cells, interleave into the BIGINT z-key, roll up per coarse
+    tile (top 10 bits).  The tile rows ARE the min/max file statistics a
+    z-clustered table write produces — the bbox-pruning contract at
+    100 TB, value-gated here.
+
+    Scale shape: the key is pure scan-side bit arithmetic inside
+    whole-stage codegen (no UDF); the rollup is one hash aggregate with
+    map-side combine on a bounded key domain (<= 1024 tiles)."""
+    from .queries import t
+    from .operators.zorder import zorder_key
+
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderkey").alias("k"),
+        (((F.col("o_orderkey") * 37) % 18000) / 100.0 - 90.0).alias("lat"),
+        (((F.col("o_orderkey") * 101) % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    z = pts.select(
+        "k", "lat", "lon",
+        zorder_key(F.col("lat"), F.col("lon"), _ZBITS).alias("zkey"),
+    )
+    return z.groupBy(
+        F.shiftright("zkey", _ZTILE_SHIFT).cast("bigint").alias("tile")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.min("zkey").alias("min_z"),
+        F.max("zkey").alias("max_z"),
+        F.round(F.min("lat"), 6).alias("lat_lo"),
+        F.round(F.max("lat"), 6).alias("lat_hi"),
+        F.round(F.min("lon"), 6).alias("lon_lo"),
+        F.round(F.max("lon"), 6).alias("lon_hi"),
+    )

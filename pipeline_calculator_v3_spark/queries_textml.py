@@ -2644,3 +2644,213 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_bpe"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models", §A1.1).
+# The published rule set, with thresholds kept verbatim where the synthetic
+# corpus can express them; formulas are written once here and interpolated
+# into BOTH faces so Spark and DuckDB score bit-identical doubles.
+# ---------------------------------------------------------------------------
+_GOPHER = {
+    "min_words": 50,          # paper: 50
+    "max_words": 100_000,     # paper: 100 000
+    "min_mean_len": 3.0,      # paper: 3
+    "max_mean_len": 10.0,     # paper: 10
+    "max_symbol_ratio": 0.1,  # paper: 0.1 (# and "..." per word)
+    "min_alpha_frac": 0.8,    # paper: 80% of words contain an alphabetic char
+    "min_stopwords": 2,       # paper: >= 2 of a small English stoplist
+}
+
+
+def _gopher_oracle() -> str:
+    g = _GOPHER
+    toks = _TOKENS
+    return f"""
+WITH feats AS (
+    SELECT doc_id, lang,
+           CAST(len({toks}) AS BIGINT) AS n_words,
+           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+               / len({toks}) AS mean_word_len,
+           CAST(len(list_filter({toks}, x -> regexp_matches(x, '[a-z]')))
+                AS DOUBLE) / len({toks}) AS alpha_frac,
+           CAST(len(list_filter({toks}, x -> list_contains({_STOPLIST}, x)))
+                AS BIGINT) AS n_stopwords,
+           (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+            + (length(text) - length(replace(text, '...', ''))) / 3.0)
+               / len({toks}) AS symbol_ratio
+    FROM documents
+    WHERE len({toks}) > 0
+),
+-- rules compare the ROUNDED features (the emitted columns), matching the
+-- Spark face exactly; comparing raw doubles would open a threshold-edge
+-- divergence channel between the two engines
+r AS (
+    SELECT doc_id, lang, n_words,
+           ROUND(mean_word_len, 6) AS mean_word_len,
+           ROUND(alpha_frac, 6) AS alpha_frac,
+           n_stopwords,
+           ROUND(symbol_ratio, 6) AS symbol_ratio
+    FROM feats
+)
+SELECT doc_id, lang, n_words, mean_word_len, alpha_frac, n_stopwords,
+       symbol_ratio,
+       (n_words BETWEEN {g["min_words"]} AND {g["max_words"]}) AS r_word_count,
+       (mean_word_len BETWEEN {g["min_mean_len"]} AND {g["max_mean_len"]})
+           AS r_mean_len,
+       (symbol_ratio <= {g["max_symbol_ratio"]}) AS r_symbol,
+       (alpha_frac >= {g["min_alpha_frac"]}) AS r_alpha,
+       (n_stopwords >= {g["min_stopwords"]}) AS r_stopwords,
+       ((n_words BETWEEN {g["min_words"]} AND {g["max_words"]})
+        AND (mean_word_len BETWEEN {g["min_mean_len"]} AND {g["max_mean_len"]})
+        AND (symbol_ratio <= {g["max_symbol_ratio"]})
+        AND (alpha_frac >= {g["min_alpha_frac"]})
+        AND (n_stopwords >= {g["min_stopwords"]})) AS keep
+FROM r
+"""
+
+
+@query("q_gopher_rules", oracle=_gopher_oracle())
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1): word-count
+    bounds, mean-word-length window, symbol-to-word ratio, alphabetic-word
+    fraction, and the minimum-stopword English gate — the standard
+    rule-based pre-filter a curation funnel runs before model-based
+    scoring (q_quality_classifier).  Per-document rule flags are emitted
+    individually (a funnel wants WHY a document dropped, not just that it
+    did), plus the conjunctive keep.
+
+    Scale shape: identical to q_text_quality — the token array is staged
+    once as a real column (HOF subexpressions are excluded from Catalyst
+    CSE; the r06 measured trap), every feature and flag is a scan-side
+    Column expression inside whole-stage codegen, zero shuffles, zero
+    UDFs.  One linear pass over text bytes at any corpus size."""
+    g = _GOPHER
+    d = t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", "lang", "text",
+        tokens(F.lower(F.col("text"))).alias("tok"),
+    ).where(F.size("tok") > 0)
+    toks = F.col("tok")
+    n_words = F.size(toks).cast("bigint")
+    nonws = F.length(F.regexp_replace("text", r"\s", ""))
+    mean_word_len = nonws.cast("double") / F.size(toks)
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double")
+        / F.size(toks)
+    )
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(
+        F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+    ).cast("bigint")
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ellipsis = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3.0
+    symbol_ratio = (n_hash.cast("double") + n_ellipsis) / F.size(toks)
+    feats = staged.select(
+        "doc_id", "lang",
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+    )
+    r_word_count = F.col("n_words").between(g["min_words"], g["max_words"])
+    r_mean_len = F.col("mean_word_len").between(
+        g["min_mean_len"], g["max_mean_len"]
+    )
+    r_symbol = F.col("symbol_ratio") <= g["max_symbol_ratio"]
+    r_alpha = F.col("alpha_frac") >= g["min_alpha_frac"]
+    r_stopwords = F.col("n_stopwords") >= g["min_stopwords"]
+    return feats.select(
+        "*",
+        r_word_count.alias("r_word_count"),
+        r_mean_len.alias("r_mean_len"),
+        r_symbol.alias("r_symbol"),
+        r_alpha.alias("r_alpha"),
+        r_stopwords.alias("r_stopwords"),
+        (r_word_count & r_mean_len & r_symbol & r_alpha & r_stopwords)
+        .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random-projection compression (r08): 64-dim
+# embeddings -> 8 dims through md5-derived literal hyperplanes (the
+# q_similarity_ann_lsh md5-face family, reused as a projection matrix
+# rather than sign buckets).  The weights are interpolated into the oracle
+# as plain double literals (repr round-trips exactly), so the WHOLE
+# projection is value-gated — not just the plumbing.
+# ---------------------------------------------------------------------------
+_JL_DIMS = 8
+_JL_TAG = "jl8"
+
+
+def _jl_weights() -> list[list[float]]:
+    from .operators.similarity import md5_plane_weights
+
+    return md5_plane_weights(_JL_DIMS, 64, tag=_JL_TAG)
+
+
+def _embed_project_oracle() -> str:
+    planes = _jl_weights()
+    projs = ", ".join(
+        "ROUND(list_sum(list_transform(list_zip(v, ["
+        + ", ".join(repr(x) for x in w)
+        + "]), z -> z[1] * z[2])), 6)"
+        for w in planes
+    )
+    return f"""
+WITH e AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+p AS (
+    SELECT vec_id, label, [{projs}] AS proj
+    FROM e
+)
+SELECT vec_id, label, proj,
+       ROUND(sqrt(list_sum(list_transform(proj, x -> x * x))), 6)
+           AS proj_norm
+FROM p
+"""
+
+
+@query("q_embed_project", oracle=_embed_project_oracle())
+def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (JL transform): project
+    each 64-dim embedding onto 8 deterministic md5-derived hyperplanes —
+    the standard cheap pre-step before clustering / ANN / dedup when the
+    embedding column dominates shuffle width (8x narrower vectors cut
+    every downstream exchange by the same factor; JL keeps pairwise
+    distances within (1 +- eps) at this dim ratio).
+
+    Scale shape: the plane matrix is a driver-side literal (zero per-row
+    hashing); each component is one sequential-fold dot product inside
+    whole-stage codegen — no UDF, no shuffle, a pure map over the corpus.
+    Components and the derived norm are rounded to 6 dp on BOTH faces so
+    cross-engine float noise cannot propagate."""
+    from .functions.vectors import dot
+
+    e = t(spark, sf_dir, "embeddings")
+    planes = _jl_weights()
+    proj = F.array(
+        *[
+            F.round(dot(F.col("embedding"), F.lit(w)), 6)
+            for w in planes
+        ]
+    )
+    p = e.select("vec_id", "label", proj.alias("proj"))
+    return p.select(
+        "vec_id", "label", "proj",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("proj"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+            6,
+        ).alias("proj_norm"),
+    )
