@@ -73,6 +73,103 @@ def _write_index(
     )
 
 
+def _gen_paths(root: str, upto: int) -> list[str]:
+    """Generation subdirs ``b0..b{upto}`` under ``root`` (driver-side
+    listing; one entry per generation, bounded by batch count — a real
+    deployment compacts generations periodically).
+
+    Excluding generations ABOVE the current batch is what makes
+    at-least-once redelivery idempotent: a crash between the index writes
+    and the checkpoint commit re-runs the batch, and reading its own
+    already-written generation would self-match every previously-accepted
+    doc (Jaccard 1.0 against its own signatures), reject the whole batch,
+    and overwrite the generation with the empty set — silent divergence.
+    (On an object store the listing becomes one FS list call; still one
+    entry per generation.)"""
+    out = []
+    for name in sorted(os.listdir(root)):
+        if name.startswith("b") and name[1:].isdigit() and int(name[1:]) <= upto:
+            out.append(os.path.join(root, name))
+    return out
+
+
+def admit_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    work_dir: str,
+    min_jaccard: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """One micro-batch through the near-dup admission gate (module
+    docstring steps 1-5).  Exposed module-level so redelivery can be
+    exercised directly: calling this twice with the same (batch_df,
+    batch_id) must leave the on-disk index byte-stable."""
+    if batch_df.isEmpty():
+        return
+    staged, with_bands = _md5_staged_bands(
+        batch_df, "text", "doc_id", num_hashes, bands, shingle_n
+    )
+    with_bands = persist_tracked(with_bands)  # corpus + internal joins
+    # read ONLY generations b0..b{batch_id}: the seed plus every COMMITTED
+    # earlier batch — never this batch's own (possibly partially written)
+    # b{batch_id+1} generation (see _gen_paths)
+    idx_bands = spark.read.parquet(
+        *_gen_paths(os.path.join(work_dir, "index", "bands"), batch_id)
+    )
+    idx_sh = spark.read.parquet(
+        *_gen_paths(os.path.join(work_dir, "index", "shingles"), batch_id)
+    )
+    cand = (
+        with_bands.select(F.col("id").alias("bid"), "key")
+        .join(idx_bands.select(F.col("id").alias("cid"), "key"), "key")
+        .select("bid", "cid")
+        .dropDuplicates(["bid", "cid"])
+    )
+    corpus_rejected = (
+        cand.join(
+            staged.select(F.col("id").alias("bid"), F.col("sh").alias("sh1")),
+            "bid",
+        )
+        .join(
+            idx_sh.select(F.col("id").alias("cid"), F.col("sh").alias("sh2")),
+            "cid",
+        )
+        .where(
+            (
+                F.size(F.array_intersect("sh1", "sh2"))
+                / F.size(F.array_union("sh1", "sh2"))
+            )
+            >= min_jaccard
+        )
+        .select(F.col("bid").alias("doc_id"))
+        .distinct()
+    )
+    internal_rejected = (
+        _verify_candidates(with_bands, staged, ["key"], min_jaccard)
+        .select(F.col("id2").alias("doc_id"))  # greedy lowest-id-wins
+        .distinct()
+    )
+    rejected = corpus_rejected.unionByName(internal_rejected).distinct()
+    accepted_ids = persist_tracked(
+        batch_df.select("doc_id").join(rejected, "doc_id", "left_anti")
+    )  # read by three index writes below
+    acc = F.broadcast(accepted_ids)
+    _write_index(
+        batch_df.join(acc, "doc_id", "left_semi").select("doc_id", "gen"),
+        with_bands.join(
+            acc.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        ),
+        staged.join(
+            acc.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        ),
+        work_dir,
+        f"b{batch_id + 1}",
+    )
+
+
 def ingest_stream_dedup(
     spark: SparkSession,
     updates_dir: str,
@@ -100,64 +197,10 @@ def ingest_stream_dedup(
     )
 
     def _admit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        staged, with_bands = _md5_staged_bands(
-            batch_df, "text", "doc_id", num_hashes, bands, shingle_n
-        )
-        with_bands = persist_tracked(with_bands)  # corpus + internal joins
-        # generation subdirs are plain (non-hive) dirs: recurse explicitly
-        idx_bands = spark.read.option("recursiveFileLookup", "true").parquet(
-            os.path.join(work_dir, "index", "bands")
-        )
-        idx_sh = spark.read.option("recursiveFileLookup", "true").parquet(
-            os.path.join(work_dir, "index", "shingles")
-        )
-        cand = (
-            with_bands.select(F.col("id").alias("bid"), "key")
-            .join(idx_bands.select(F.col("id").alias("cid"), "key"), "key")
-            .select("bid", "cid")
-            .dropDuplicates(["bid", "cid"])
-        )
-        corpus_rejected = (
-            cand.join(
-                staged.select(F.col("id").alias("bid"), F.col("sh").alias("sh1")),
-                "bid",
-            )
-            .join(
-                idx_sh.select(F.col("id").alias("cid"), F.col("sh").alias("sh2")),
-                "cid",
-            )
-            .where(
-                (
-                    F.size(F.array_intersect("sh1", "sh2"))
-                    / F.size(F.array_union("sh1", "sh2"))
-                )
-                >= min_jaccard
-            )
-            .select(F.col("bid").alias("doc_id"))
-            .distinct()
-        )
-        internal_rejected = (
-            _verify_candidates(with_bands, staged, ["key"], min_jaccard)
-            .select(F.col("id2").alias("doc_id"))  # greedy lowest-id-wins
-            .distinct()
-        )
-        rejected = corpus_rejected.unionByName(internal_rejected).distinct()
-        accepted_ids = persist_tracked(
-            batch_df.select("doc_id").join(rejected, "doc_id", "left_anti")
-        )  # read by three index writes below
-        acc = F.broadcast(accepted_ids)
-        _write_index(
-            batch_df.join(acc, "doc_id", "left_semi").select("doc_id", "gen"),
-            with_bands.join(
-                acc.select(F.col("doc_id").alias("id")), "id", "left_semi"
-            ),
-            staged.join(
-                acc.select(F.col("doc_id").alias("id")), "id", "left_semi"
-            ),
-            work_dir,
-            f"b{batch_id + 1}",
+        admit_batch(
+            spark, batch_df, batch_id, work_dir,
+            min_jaccard=min_jaccard, num_hashes=num_hashes,
+            bands=bands, shingle_n=shingle_n,
         )
 
     stream = (

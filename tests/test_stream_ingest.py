@@ -1,6 +1,7 @@
 """Planted-scenario gates for streaming/ingest.py — the near-dup-gated
 admission fold: bipartite rejection against the index, greedy
-lowest-id-wins inside a batch, and index growth across generations."""
+lowest-id-wins inside a batch, index growth across generations, and
+at-least-once redelivery idempotence."""
 
 from __future__ import annotations
 
@@ -14,6 +15,7 @@ import pytest
 import pipeline_calculator_v3_spark.queries  # noqa: F401  (import order)
 from pipeline_calculator_v3_spark.queries_stream import _stage_batch_file
 from pipeline_calculator_v3_spark.streaming.ingest import (
+    admit_batch,
     ingest_stream_dedup,
     read_admitted,
 )
@@ -22,42 +24,46 @@ A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
 C = "one two three four five six seven eight nine ten eleven twelve"
 F_UNIQ = "completely fresh material nothing resembles this run of words here"
 
+GEN2_ROWS = [(20, C, 2),   # dup of gen-1 ADMITTED doc 11 -> rejected
+             (21, F_UNIQ, 2),   # unique -> admitted
+             (22, A, 2)]        # dup of the ORIGINAL seed -> rejected
+DOC_SCHEMA = "doc_id long, text string, gen long"
+
 
 def _stage(spark, frame, path, mtime):
     _stage_batch_file(frame, path, mtime)
 
 
 @pytest.fixture(scope="module")
-def admitted(spark, tmp_path_factory):
+def ingest_run(spark, tmp_path_factory):
     work = str(tmp_path_factory.mktemp("ingest"))
-    base = spark.createDataFrame(
-        [(1, A, 0)], "doc_id long, text string, gen long"
-    )
+    base = spark.createDataFrame([(1, A, 0)], DOC_SCHEMA)
     gen1 = spark.createDataFrame(
         [(10, A, 1),        # exact dup of base -> rejected (bipartite)
          (11, C, 1),        # unique -> admitted
          (12, C, 1)],       # dup of lower-id batchmate 11 -> rejected
-        "doc_id long, text string, gen long",
+        DOC_SCHEMA,
     )
-    gen2 = spark.createDataFrame(
-        [(20, C, 2),        # dup of gen-1 ADMITTED doc 11 -> rejected
-         (21, F_UNIQ, 2),   # unique -> admitted
-         (22, A, 2)],       # dup of the ORIGINAL seed -> rejected
-        "doc_id long, text string, gen long",
-    )
+    gen2 = spark.createDataFrame(GEN2_ROWS, DOC_SCHEMA)
     updates = os.path.join(work, "updates")
     os.makedirs(updates)
     _stage(spark, gen1, os.path.join(updates, "g1.parquet"), 1.7e9 + 1)
     _stage(spark, gen2, os.path.join(updates, "g2.parquet"), 1.7e9 + 2)
+    corpus = os.path.join(work, "corpus")
     ingest_stream_dedup(
         spark,
         updates + "/g*.parquet",
         "doc_id bigint, text string, gen bigint",
         base,
-        os.path.join(work, "corpus"),
+        corpus,
         min_jaccard=0.5,
     )
-    rows = read_admitted(spark, os.path.join(work, "corpus")).collect()
+    return corpus
+
+
+@pytest.fixture(scope="module")
+def admitted(spark, ingest_run):
+    rows = read_admitted(spark, ingest_run).collect()
     return {r.doc_id: r.gen for r in rows}
 
 
@@ -67,3 +73,32 @@ def test_admission_decisions(admitted):
 
 def test_gen_labels_survive_the_fold(admitted):
     assert admitted[11] == 1 and admitted[21] == 2
+
+
+def _index_rows(spark, corpus):
+    bands = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(corpus, "index", "bands")
+    )
+    sh = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(corpus, "index", "shingles")
+    )
+    return (
+        sorted((r.id, r.key) for r in bands.collect()),
+        sorted((r.id, tuple(sorted(r.sh))) for r in sh.collect()),
+    )
+
+
+def test_redelivery_is_idempotent(spark, ingest_run, admitted):
+    """foreachBatch is at-least-once: a crash after the three index writes
+    but before the checkpoint commit re-runs the SAME batch against an
+    index that already contains its own generation.  Without the
+    generation cutoff in _gen_paths, every previously-admitted doc
+    self-matches (Jaccard 1.0 against its own signatures) and the re-run
+    overwrites the generation with the empty set."""
+    before_bands, before_sh = _index_rows(spark, ingest_run)
+    gen2 = spark.createDataFrame(GEN2_ROWS, DOC_SCHEMA)
+    # redeliver the SECOND micro-batch (batch_id=1, which wrote b2)
+    admit_batch(spark, gen2, 1, ingest_run, min_jaccard=0.5)
+    rows = read_admitted(spark, ingest_run).collect()
+    assert {r.doc_id: r.gen for r in rows} == {1: 0, 11: 1, 21: 2}
+    assert _index_rows(spark, ingest_run) == (before_bands, before_sh)
