@@ -101,6 +101,7 @@ HEADLINE = [
     "q_gopher_rules",             # added r08 (Gopher rule-based filter)
     "q_zorder_layout",            # added r08 (Morton-key layout statistics)
     "q_embed_project",            # added r08 (JL literal-plane projection)
+    "q_dedup_semantic_xl",        # added r08 (growing-corpus SemDeDup twin)
     "q_overlap_e2e",
 ]
 
@@ -119,6 +120,8 @@ SCALE_TWINS = [
     "q_bm25_rank_xl",      # added r08 (VERDICT r07 #7)
     "q_kmeans_embed_xl",   # added r08 (VERDICT r07 #7)
     "q_dedup_substring_xl",  # added r08 (substring-dedup growth gate)
+    "q_dedup_semantic_xl",   # added r08 (SemDeDup growth gate; k scales
+                             #  with N so pair work stays linear)
 ]
 SCALE_EXPONENT_MAX = 1.2
 

@@ -45,13 +45,23 @@ def connected_components(
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     converged = False
     spark = edges.sparkSession
+    # pin the INCOMING edge frame before symmetrizing: the union references
+    # it twice, so an unpersisted (and typically expensive — LSH bands,
+    # within-cluster cosine) pair plan would execute twice inside the sym
+    # checkpoint job (measured 2x the whole pair stage on the SemDeDup
+    # twin, r08)
+    e_ids: list[int] = []
+    e0 = local_checkpoint_tracked(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")),
+        ids_sink=e_ids,
+    )
     sym_ids: list[int] = []
     sym = local_checkpoint_tracked(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        e0.unionAll(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct(),
         ids_sink=sym_ids,
     )
+    unpersist_ids(spark, e_ids)
     labels_ids: list[int] = []
     labels = local_checkpoint_tracked(
         sym.select(F.col("a").alias("id"))

@@ -1662,6 +1662,73 @@ def q_kmeans_embed_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_semantic_xl")  # rows-only: scale-stress SemDeDup twin
+def q_dedup_semantic_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over a vector corpus that GROWS with sf (one synthetic
+    16-dim vector per lineitem order + an exact-direction twin planted
+    for every 20th — cosine exactly 1.0, so planted recall is structural),
+    composing the same operators as q_dedup_semantic
+    (semantic_dedup_pairs -> dedup_clusters).
+
+    The scale story this twin pins down: k GROWS with the corpus
+    (k = N / 500, the SemDeDup deployment rule) so per-cluster pair work
+    stays (N/k)^2 * k = N * 500 — linear — while assignment stays k
+    broadcast centroids x N map-side argmin.  A fixed k would make the
+    within-cluster self-join quadratic at 10x growth and fail the bench
+    exponent gate; growing k is what a 100 TB deployment does (FAISS-
+    style coarse quantizers size k to the corpus for the same reason).
+    The corpus count needed for k is one bounded aggregate (the
+    q_heavy_hitters build-time precedent)."""
+    from .operators.clusters import dedup_clusters
+    from .operators.similarity import semantic_dedup_pairs
+
+    # hash-random centered components, NOT _synth_vecs_from_lineitem: that
+    # generator's components are arithmetic progressions mod 997 (fine for
+    # the kmeans cost twin), so vectors sharing a step are near-parallel
+    # and ~97% of the corpus REALLY is cosine >= 0.99 — the first
+    # measurement collapsed almost everything and paid an all-pairs-sized
+    # CC.  xxhash64 components give near-orthogonal directions (only the
+    # planted twins cross the threshold — the workload SemDeDup faces);
+    # the twin is rows-only, so the Spark-specific hash is fine here.
+    base = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("vec_id"))
+        # every 4th order: still sf-proportional, but keeps the twin's
+        # absolute bench cost in line with the other xl rows (the N x
+        # (cluster_size + k) joined-row volume is inherent to the
+        # composition, ~125M rows at the full sf0.1 corpus)
+        .where(F.col("vec_id") % 4 == 0)
+        .distinct()
+        .select(
+            "vec_id",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda d: (
+                    F.pmod(F.xxhash64(F.col("vec_id"), d), F.lit(1000003))
+                    .cast("double")
+                    / 1000003.0
+                )
+                * 2.0
+                - 1.0,
+            ).alias("embedding"),
+        )
+    )
+    twins = base.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.000001).alias("embedding"),
+    )
+    corpus = persist_tracked(base.unionByName(twins))
+    n = corpus.count()
+    k = max(8, n // 500)
+    pairs = semantic_dedup_pairs(corpus, k=k, iters=1, min_cosine=0.99)
+    out = dedup_clusters(corpus, pairs, id_col="vec_id")
+    return out.agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.sum((~F.col("keep")).cast("bigint")).alias("n_dropped"),
+        F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition-based quality filter (Gopher-style rules)
 # ---------------------------------------------------------------------------
