@@ -102,6 +102,7 @@ HEADLINE = [
     "q_zorder_layout",            # added r08 (Morton-key layout statistics)
     "q_embed_project",            # added r08 (JL literal-plane projection)
     "q_dedup_semantic_xl",        # added r08 (growing-corpus SemDeDup twin)
+    "q_minhash_sketch_err",       # added r08 (sketch est-vs-exact accuracy)
     "q_overlap_e2e",
 ]
 

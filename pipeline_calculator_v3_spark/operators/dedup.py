@@ -487,3 +487,66 @@ def simhash64_md5_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_sketch_error_md5(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Sketch-accuracy probe: for every LSH candidate pair, the MinHash
+    ESTIMATE of Jaccard (matching signature lanes / num_hashes) next to
+    the exact shingle-set Jaccard and their absolute error — the
+    measurement that justifies trusting the sketch at a scale where the
+    exact verify join is the cost you want to drop.  est is k/16 (exact
+    in doubles) and the Jaccard is the same int ratio on both engines,
+    so the whole frame is oracle-checkable with no rounding.
+
+    Same staged signature family as :func:`minhash_lsh_pairs_md5`; the
+    exact side reuses :func:`_verify_candidates` with threshold 0.0 (all
+    candidates kept).  One extra join against the persisted signature
+    table — no new shuffle family."""
+    staged, with_bands = _md5_staged_bands(
+        docs, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    pairs = _verify_candidates(with_bands, staged, ["key"], 0.0)
+    # the signature table is persisted inside the stager; rebuild the same
+    # frame from the staged shingles (cache hit on `staged`, one explode +
+    # num_hashes min() aggregates — the identical derivation, so lanes
+    # cannot fork from the band keys)
+    sig = (
+        staged.select("id", F.explode("sh").alias("s"))
+        .groupBy("id")
+        .agg(
+            *[
+                F.min(F.md5(F.concat(F.col("s"), F.lit(f"|{i}")))).alias(f"m{i}")
+                for i in range(num_hashes)
+            ]
+        )
+    )
+    sa = sig.select(
+        F.col("id").alias("id1"),
+        *[F.col(f"m{i}").alias(f"_a{i}") for i in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col("id").alias("id2"),
+        *[F.col(f"m{i}").alias(f"_b{i}") for i in range(num_hashes)],
+    )
+    lanes = None
+    for i in range(num_hashes):
+        term = (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int")
+        lanes = term if lanes is None else lanes + term
+    est = lanes.cast("double") / float(num_hashes)
+    return (
+        pairs.join(sa, "id1")
+        .join(sb, "id2")
+        .select(
+            "id1", "id2",
+            est.alias("est_jaccard"),
+            "jaccard",
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
+    )

@@ -415,6 +415,9 @@ _NEVER_CHECKED_FIRST = [
     # over a growing corpus with k scaled to N (rows-only, bench-gated;
     # takes q_tpch_q12's pool-B slot).
     "q_dedup_semantic_xl",
+    # r08 MinHash sketch-accuracy probe (est vs exact Jaccard per
+    # candidate pair, full oracle; takes q_tpch_q11's pool-B slot).
+    "q_minhash_sketch_err",
     # r08 refresh, pool A: the COMPLETE r04-era backlog (verdict r07 #2) —
     # the 16 single-shape relational/join/agg rows deferred across r06/r07
     # plus the two rows-only members (q_segmentize, q_agg_approx_distinct).
@@ -429,11 +432,10 @@ _NEVER_CHECKED_FIRST = [
     # first (those files were touched by the r06/r07 sweeps), then the
     # analytics + training-pipeline families.
     "q_tpch_q2_min_cost_supplier", "q_tpch_q9_product_profit",
-    "q_tpch_q11_important_stock",
-    # (q_tpch_q12_shipmode_priority, q_tpch_q16_supplier_cnt,
-    # q_tpch_q17_small_qty and q_tpch_q20_excess_supply yielded their
-    # pool-B slots to the four late-r08 entries above — r05 hash-green,
-    # parity-gated every run.)
+    # (q_tpch_q11_important_stock, q_tpch_q12_shipmode_priority,
+    # q_tpch_q16_supplier_cnt, q_tpch_q17_small_qty and
+    # q_tpch_q20_excess_supply yielded their pool-B slots to the five
+    # late-r08 entries above — r05 hash-green, parity-gated every run.)
     # (q_data_quality, q_ewma_smooth, q_anomaly_zscore,
     # q_markov_transitions, q_multimodal_decode_png,
     # q_tpch_q22_global_sales and q_tpch_q21_waiting_supplier yielded
@@ -494,7 +496,8 @@ _ROTATED_OUT = [
     "q_stream_sliding", "q_stream_stateful", "q_stream_static_join",
     "q_stream_tumbling", "q_string_agg", "q_string_funcs", "q_table_checksum",
     "q_text_analysis", "q_text_quality", "q_tfidf", "q_token_count",
-    "q_tpch_q10_returned", "q_tpch_q12_shipmode_priority",
+    "q_tpch_q10_returned", "q_tpch_q11_important_stock",
+    "q_tpch_q12_shipmode_priority",
     "q_tpch_q13_order_distribution",
     "q_tpch_q14_promo_share", "q_tpch_q15_top_supplier",
     "q_tpch_q16_supplier_cnt", "q_tpch_q17_small_qty",

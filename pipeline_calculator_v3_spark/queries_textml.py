@@ -185,6 +185,48 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sketch-accuracy probe over the SAME md5 signature family: estimated vs
+# exact Jaccard per candidate pair.  est = matching-lanes/16 is k/16 (exact
+# in doubles) and the exact side is the same int ratio on both engines, so
+# the whole frame value-gates with no rounding.
+@query(
+    "q_minhash_sketch_err",
+    oracle=f"""
+WITH {_MD5_LSH_CTES},
+est AS (
+    SELECT c.id1, c.id2,
+           list_sum(list_transform(range(1, 17),
+               i -> CASE WHEN a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)]
+                         THEN 1 ELSE 0 END)) / 16.0 AS est_jaccard
+    FROM cand c
+    JOIN sigs a ON a.doc_id = c.id1
+    JOIN sigs b ON b.doc_id = c.id2
+)
+SELECT s.id1, s.id2, e.est_jaccard, s.jaccard,
+       ABS(e.est_jaccard - s.jaccard) AS abs_err
+FROM scored s JOIN est e ON e.id1 = s.id1 AND e.id2 = s.id2
+""",
+)
+def q_minhash_sketch_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch accuracy (operators/dedup.py::minhash_sketch_error_md5):
+    every LSH candidate pair with its 16-lane MinHash Jaccard ESTIMATE,
+    the exact shingle-set Jaccard, and the absolute error — the
+    measurement behind dropping the exact-verify join at 100 TB (where
+    re-reading both shingle sets per candidate is the dominant dedup
+    cost, an operator trusts the sketch once its error distribution is
+    pinned).  Unthresholded: the error profile matters across the whole
+    candidate range, not just above the near-dup cut.
+
+    Scale shape: identical exchanges to q_dedup_minhash_md5 plus one join
+    against the persisted 16-lane signature table — no new shuffle
+    family, no UDFs."""
+    from .operators.dedup import minhash_sketch_error_md5
+
+    return minhash_sketch_error_md5(
+        _spread(t(spark, sf_dir, "documents"), spark)
+    )
+
+
 # Incremental-ingest dedup: the append-pipeline shape — dedup the NEW batch
 # against the EXISTING corpus without re-pairing the corpus with itself.
 # Batch = every 20th document (the synthetic "increment"); signatures and
