@@ -418,6 +418,9 @@ _NEVER_CHECKED_FIRST = [
     # r08 MinHash sketch-accuracy probe (est vs exact Jaccard per
     # candidate pair, full oracle; takes q_tpch_q11's pool-B slot).
     "q_minhash_sketch_err",
+    # r08 time-series gap fill + LOCF (densify to a regular bucket grid,
+    # forward-fill; full oracle; takes q_tpch_q9's pool-B slot).
+    "q_gap_fill",
     # r08 refresh, pool A: the COMPLETE r04-era backlog (verdict r07 #2) —
     # the 16 single-shape relational/join/agg rows deferred across r06/r07
     # plus the two rows-only members (q_segmentize, q_agg_approx_distinct).
@@ -431,11 +434,12 @@ _NEVER_CHECKED_FIRST = [
     # r08 refresh, pool B: the oldest r05 cohort — the TPC-H r05 batch
     # first (those files were touched by the r06/r07 sweeps), then the
     # analytics + training-pipeline families.
-    "q_tpch_q2_min_cost_supplier", "q_tpch_q9_product_profit",
-    # (q_tpch_q11_important_stock, q_tpch_q12_shipmode_priority,
-    # q_tpch_q16_supplier_cnt, q_tpch_q17_small_qty and
-    # q_tpch_q20_excess_supply yielded their pool-B slots to the five
-    # late-r08 entries above — r05 hash-green, parity-gated every run.)
+    "q_tpch_q2_min_cost_supplier",
+    # (q_tpch_q9_product_profit, q_tpch_q11_important_stock,
+    # q_tpch_q12_shipmode_priority, q_tpch_q16_supplier_cnt,
+    # q_tpch_q17_small_qty and q_tpch_q20_excess_supply yielded their
+    # pool-B slots to the six late-r08 entries above — r05 hash-green,
+    # parity-gated every run.)
     # (q_data_quality, q_ewma_smooth, q_anomaly_zscore,
     # q_markov_transitions, q_multimodal_decode_png,
     # q_tpch_q22_global_sales and q_tpch_q21_waiting_supplier yielded
@@ -507,7 +511,8 @@ _ROTATED_OUT = [
     "q_tpch_q1_pricing_summary", "q_tpch_q3_shipping_priority",
     "q_tpch_q4_order_priority", "q_tpch_q5_local_volume",
     "q_tpch_q6_forecast_revenue", "q_tpch_q7_nation_volume",
-    "q_tpch_q8_market_share", "q_udf_surface", "q_udtf_surface", "q_unpivot",
+    "q_tpch_q8_market_share", "q_tpch_q9_product_profit",
+    "q_udf_surface", "q_udtf_surface", "q_unpivot",
     "q_variant_extract", "q_vocab_topk", "q_window_dist", "q_window_frame",
     "q_window_lag_lead", "q_window_rank", "q_window_time_range",
     "q_pmi_bigrams", "q_zipf_profile",

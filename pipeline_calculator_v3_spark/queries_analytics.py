@@ -651,3 +651,92 @@ def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("sqd"), 6).alias("avg_sqdist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill + LOCF (r08): densify each user's event series onto a
+# regular 6-hour bucket grid and forward-fill missing buckets with the last
+# observation carried forward — the TimescaleDB time_bucket_gapfill/locf
+# analog, and the resampling step an ML feature pipeline runs before
+# training on regular windows.
+# ---------------------------------------------------------------------------
+_GAPFILL_BUCKET_US = 21_600_000_000  # 6 h in microseconds
+
+
+@query(
+    "q_gap_fill",
+    oracle=f"""
+WITH b AS (
+    SELECT user_id,
+           CAST(floor(epoch_us(ts) / {_GAPFILL_BUCKET_US}) AS BIGINT)
+               AS bucket,
+           value
+    FROM events
+),
+agg AS (
+    SELECT user_id, bucket, ROUND(AVG(value), 6) AS v
+    FROM b GROUP BY user_id, bucket
+),
+span AS (
+    SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+    FROM agg GROUP BY user_id
+),
+dense AS (
+    SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM span
+),
+j AS (
+    SELECT d.user_id, d.bucket, a.v
+    FROM dense d LEFT JOIN agg a USING (user_id, bucket)
+)
+SELECT user_id, bucket,
+       last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_filled,
+       v IS NULL AS is_gap
+FROM j
+""",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill + last-observation-carried-forward: per-user 6-hour mean
+    buckets, densified from each user's first to last bucket
+    (explode(sequence)), missing buckets filled with the running
+    ``last(value, ignorenulls)`` window — regular-grid resampling for
+    downstream feature windows.  Bucket means are rounded BEFORE the fill
+    so carried values replay exactly in the oracle; the first bucket per
+    user is an observation by construction (span comes from the data), so
+    no leading NULL survives.
+
+    Scale shape: one (user, bucket) hash aggregate, a per-user span
+    aggregate whose sequence explode regenerates the grid WITHOUT a
+    second scan of events, and one user-partitioned ordered window — the
+    window and both aggregates share the user_id key, so at 100 TB this
+    is one exchange family (AQE coalesces the reuse), never a global
+    sort.  Grid size is bounded by span/bucket (~120 rows per user over
+    the 30-day corpus), not by event count."""
+    e = events_t(spark, sf_dir)
+    b = e.select(
+        "user_id",
+        F.floor(F.col("ts_us") / _GAPFILL_BUCKET_US).cast("bigint").alias("bucket"),
+        "value",
+    )
+    agg = b.groupBy("user_id", "bucket").agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    span = agg.groupBy("user_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    dense = span.select(
+        "user_id", F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    j = dense.join(agg, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id", "bucket",
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("v").isNull().alias("is_gap"),
+    )
