@@ -687,33 +687,57 @@ dense AS (
 j AS (
     SELECT d.user_id, d.bucket, a.v
     FROM dense d LEFT JOIN agg a USING (user_id, bucket)
+),
+w AS (
+    SELECT user_id, bucket, v,
+           last_value(v IGNORE NULLS) OVER wp AS vp,
+           last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER wp AS bp,
+           first_value(v IGNORE NULLS) OVER wn AS vn,
+           first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER wn AS bn
+    FROM j
+    WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY user_id ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT user_id, bucket,
-       last_value(v IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY bucket
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS value_filled,
+       vp AS value_filled,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN vn IS NULL THEN vp
+            -- floor-quantize, NOT ROUND: the interpolated double can land
+            -- exactly on a .5 tie of the 6th decimal, and the engines'
+            -- ROUND tie rules differ (caught at sf0.01); floor(x*1e6+0.5)
+            -- is the same IEEE ops on both sides
+            ELSE floor((vp + (vn - vp) * (bucket - bp) / (bn - bp))
+                       * 1000000 + 0.5) / 1000000
+       END AS value_interp,
        v IS NULL AS is_gap
-FROM j
+FROM w
 """,
 )
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap fill + last-observation-carried-forward: per-user 6-hour mean
+    """Gap fill with BOTH standard resamplers: per-user 6-hour mean
     buckets, densified from each user's first to last bucket
-    (explode(sequence)), missing buckets filled with the running
-    ``last(value, ignorenulls)`` window — regular-grid resampling for
-    downstream feature windows.  Bucket means are rounded BEFORE the fill
-    so carried values replay exactly in the oracle; the first bucket per
-    user is an observation by construction (span comes from the data), so
-    no leading NULL survives.
+    (explode(sequence)), missing buckets filled with (a) the running
+    ``last(value, ignorenulls)`` LOCF window and (b) linear interpolation
+    between the bracketing observations (trailing gaps, which have no
+    next observation, fall back to LOCF) — the time_bucket_gapfill
+    locf/interpolate pair, regular-grid resampling for downstream
+    feature windows.  Bucket means are rounded BEFORE the fill so
+    carried/interpolated values replay exactly in the oracle; the first
+    bucket per user is an observation by construction (span comes from
+    the data), so no leading NULL survives.
 
     Scale shape: one (user, bucket) hash aggregate, a per-user span
     aggregate whose sequence explode regenerates the grid WITHOUT a
-    second scan of events, and one user-partitioned ordered window — the
-    window and both aggregates share the user_id key, so at 100 TB this
-    is one exchange family (AQE coalesces the reuse), never a global
-    sort.  Grid size is bounded by span/bucket (~120 rows per user over
-    the 30-day corpus), not by event count."""
+    second scan of events, and user-partitioned ordered windows (the
+    preceding and following frames share one sort) — the windows and
+    both aggregates share the user_id key, so at 100 TB this is one
+    exchange family (AQE coalesces the reuse), never a global sort.
+    Grid size is bounded by span/bucket (~120 rows per user over the
+    30-day corpus), not by event count."""
     e = events_t(spark, sf_dir)
     b = e.select(
         "user_id",
@@ -730,13 +754,38 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.explode(F.sequence("b0", "b1")).alias("bucket")
     )
     j = dense.join(agg, ["user_id", "bucket"], "left")
-    w = (
+    wp = (
         Window.partitionBy("user_id")
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col("v")
+    obs_bucket = F.when(v.isNotNull(), F.col("bucket"))
+    vp = F.last(v, ignorenulls=True).over(wp)
+    bp = F.last(obs_bucket, ignorenulls=True).over(wp)
+    vn = F.first(v, ignorenulls=True).over(wn)
+    bn = F.first(obs_bucket, ignorenulls=True).over(wn)
+    # floor-quantize instead of round(): see the oracle comment — round()
+    # tie rules diverge between engines on exact .5 of the 6th decimal
+    lerp = (
+        F.floor(
+            (vp + (vn - vp) * (F.col("bucket") - bp) / (bn - bp))
+            * 1000000
+            + 0.5
+        )
+        / 1000000
+    )
     return j.select(
         "user_id", "bucket",
-        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
-        F.col("v").isNull().alias("is_gap"),
+        vp.alias("value_filled"),
+        F.when(v.isNotNull(), v)
+        .when(vn.isNull(), vp)
+        .otherwise(lerp)
+        .alias("value_interp"),
+        v.isNull().alias("is_gap"),
     )
