@@ -205,23 +205,29 @@ def main() -> None:
                 dt = round(time.perf_counter() - t0, 3)
                 small[name] = min(small.get(name, dt), dt)
                 release_caches(spark)
+        raw_exp: dict[str, float] = {}
         for name in SCALE_TWINS:
             exp = math.log10(timings[name] / small[name])
+            raw_exp[name] = exp
             scaling[name] = {
                 "t_sf0.01": small[name],
                 "t_sf0.1": timings[name],
                 "exponent": round(exp, 3),
             }
+    else:
+        raw_exp = {}
 
     # A superlinear exponent still fails the run (nonzero exit), but only
     # AFTER the JSON summary prints (advice r07): raising first discarded
-    # the whole round's timings and recall data over one bad twin.
+    # the whole round's timings and recall data over one bad twin.  The
+    # gate compares the RAW exponent, not the 3-dp display rounding —
+    # round() would silently admit exponents in (1.2, 1.2005] (review r08).
     violations = [
-        f"{name}: 10x-growth exponent {s['exponent']:.3f} exceeds "
+        f"{name}: 10x-growth exponent {raw_exp[name]:.6f} exceeds "
         f"{SCALE_EXPONENT_MAX} — plan regressed superlinear "
-        f"(all-pairs/lost-broadcast/skew?): {s}"
-        for name, s in scaling.items()
-        if s["exponent"] > SCALE_EXPONENT_MAX
+        f"(all-pairs/lost-broadcast/skew?): {scaling[name]}"
+        for name in scaling
+        if raw_exp[name] > SCALE_EXPONENT_MAX
     ]
 
     total = round(sum(timings.values()), 3)

@@ -25,6 +25,12 @@ EN_STOPWORDS = (
     "this that from not have has had but they you we he she his her its"
 ).split()
 
+# The stoplist as a DuckDB list literal — ONE spelling shared by every
+# oracle that filters tokens against it (queries_textml and the quality
+# classifier each used to build an identical copy; a future quoting fix
+# applied to one would have forked the oracles — review r08).
+STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
 
 def tokens(text: Column) -> Column:
     """Split on whitespace, drop empty tokens."""

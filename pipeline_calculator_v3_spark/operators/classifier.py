@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import EN_STOPWORDS, TOKENS_SQL, tokens
+from ..functions.text import (
+    EN_STOPWORDS,
+    STOPLIST_SQL as _STOPLIST_SQL,
+    TOKENS_SQL,
+    tokens,
+)
 
 # (feature name, weight) — ordered; z is accumulated IN THIS ORDER on both
 # engines so the double additions associate identically.
@@ -40,8 +45,6 @@ QUALITY_WEIGHTS: list[tuple[str, float]] = [
     ("f_punct", -4.0),       # punctuation walls / markup debris
     ("f_digit", -6.0),       # digit dumps, serial-number tables
 ]
-
-_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 
 
 def _feature_cols(text: Column, tok: Column) -> dict[str, Column]:

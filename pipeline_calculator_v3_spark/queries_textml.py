@@ -33,8 +33,8 @@ from .operators.partitioning import spread_small_input as _spread  # noqa: E402
 
 # SQL fragments shared by several oracles.
 from .functions.text import TOKENS_SQL as _TOKENS
+from .functions.text import STOPLIST_SQL as _STOPLIST  # noqa: E402
 _NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
-_STOPLIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 
 
 @query(

@@ -99,15 +99,13 @@ def test_semantic_contamination_flags_planted_eval_leaks(spark, sf_dir):
         assert cos > 0.999
 
 
-def test_xl_twin_planted_recall(spark):
+def test_xl_twin_planted_recall(spark, sf_dir):
     """The scale twin's planted exact-direction duplicates are recovered
     structurally: n_dropped == planted count (a scaled copy lands in its
     base's cluster and scores cosine 1.0)."""
     from pipeline_calculator_v3_spark.queries import QUERIES
 
-    row = QUERIES["q_dedup_semantic_xl"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()[0]
+    row = QUERIES["q_dedup_semantic_xl"](spark, sf_dir).collect()[0]
     n_base = row.n_vectors - row.n_dropped
     # planted = every 20th base id (the %20==0 subset of the %4==0 corpus)
     assert row.n_dropped > 0
