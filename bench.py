@@ -104,6 +104,7 @@ HEADLINE = [
     "q_dedup_semantic_xl",        # added r08 (growing-corpus SemDeDup twin)
     "q_minhash_sketch_err",       # added r08 (sketch est-vs-exact accuracy)
     "q_gap_fill",                 # added r08 (bucket densify + LOCF window)
+    "q_dense_ids",                # added r08 (range+offset global row ids)
     "q_overlap_e2e",
 ]
 

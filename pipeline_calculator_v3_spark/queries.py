@@ -421,6 +421,10 @@ _NEVER_CHECKED_FIRST = [
     # r08 time-series gap fill + LOCF (densify to a regular bucket grid,
     # forward-fill; full oracle; takes q_tpch_q9's pool-B slot).
     "q_gap_fill",
+    # r08 dense-id assignment: global row_number semantics through the
+    # two-phase range+offset plan (full oracle = the naive window; takes
+    # the final pool-B slot from q_tpch_q2).
+    "q_dense_ids",
     # r08 refresh, pool A: the COMPLETE r04-era backlog (verdict r07 #2) —
     # the 16 single-shape relational/join/agg rows deferred across r06/r07
     # plus the two rows-only members (q_segmentize, q_agg_approx_distinct).
@@ -434,12 +438,11 @@ _NEVER_CHECKED_FIRST = [
     # r08 refresh, pool B: the oldest r05 cohort — the TPC-H r05 batch
     # first (those files were touched by the r06/r07 sweeps), then the
     # analytics + training-pipeline families.
-    "q_tpch_q2_min_cost_supplier",
-    # (q_tpch_q9_product_profit, q_tpch_q11_important_stock,
-    # q_tpch_q12_shipmode_priority, q_tpch_q16_supplier_cnt,
-    # q_tpch_q17_small_qty and q_tpch_q20_excess_supply yielded their
-    # pool-B slots to the six late-r08 entries above — r05 hash-green,
-    # parity-gated every run.)
+    # (the whole pool-B TPC-H refresh batch — q_tpch_q2, q9, q11, q12,
+    # q16, q17, q20 — yielded its slots to the seven late-r08 entries
+    # above: new surface has no driver verdict at all, while these rows
+    # are r05 hash-green and stay oracle-parity-gated on every pytest
+    # run; they rotate back in r09.)
     # (q_data_quality, q_ewma_smooth, q_anomaly_zscore,
     # q_markov_transitions, q_multimodal_decode_png,
     # q_tpch_q22_global_sales and q_tpch_q21_waiting_supplier yielded
@@ -489,6 +492,7 @@ _ROTATED_OUT = [
     "q_repetition_filter", "q_rfm_segmentation",
     "q_retention_cohorts", "q_sample_hash",
     "q_sample_weighted", "q_scan_project", "q_scd2_history", "q_scrub_pii",
+    "q_tpch_q2_min_cost_supplier",
     "q_sessionize", "q_set_except", "q_set_intersect", "q_set_union",
     "q_shard_stats",
     "q_similarity_topk", "q_snapshot_diff", "q_sort_limit",

@@ -1333,3 +1333,41 @@ def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dense sequential ids (r08): row_number() OVER (ORDER BY ...) semantics
+# through the two-phase range-partition + offset pattern — the oracle runs
+# the naive global window, the Spark face never materializes a
+# single-partition exchange over the data (operators/ids.py).
+# ---------------------------------------------------------------------------
+@query(
+    "q_dense_ids",
+    oracle="""
+SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+            AS BIGINT) AS rid
+FROM lineitem
+""",
+)
+def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0..N-1 id assignment over lineitem ordered by its unique
+    (l_orderkey, l_linenumber) key — the shard/sample/train-index
+    numbering primitive.  The oracle is the naive global window; the
+    Spark plan is the scalable two-phase spelling (range exchange +
+    per-partition parallel windows + broadcast offsets), value-identical
+    by construction: offset + local rank composes to the global rank
+    wherever the sampled range boundaries land.
+
+    Scale shape: one distributed range exchange + one pid-keyed exchange
+    over the data; the only single-partition window in the plan runs
+    over the <= n_partitions COUNT rows.  The naive spelling funnels the
+    whole table through one sort task — the difference between this
+    query finishing and not at 100 TB."""
+    from .operators.ids import dense_ids
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_linenumber").cast("bigint").alias("l_linenumber")
+    )
+    return dense_ids(li, ["l_orderkey", "l_linenumber"], id_col="rid")
