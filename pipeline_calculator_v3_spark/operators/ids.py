@@ -47,11 +47,19 @@ def dense_ids(
     parts = n_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+    from ..caching import persist_tracked
+
     ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_by])
     # pid must be materialized BEFORE any further exchange: it is the
     # range-partition index, which increases with the key by the
-    # repartitionByRange contract
-    staged = ranged.select("*", F.spark_partition_id().alias("_pid"))
+    # repartitionByRange contract.  PERSISTED: the counts branch and the
+    # id branch both read this frame — unpersisted, the counts subtree
+    # re-ran the full scan + range exchange (two parquet scans in the
+    # executed plan, a second full pass over the table at 100 TB; caught
+    # in the PLANS.md audit, r08)
+    staged = persist_tracked(
+        ranged.select("*", F.spark_partition_id().alias("_pid"))
+    )
     counts = staged.groupBy("_pid").agg(F.count("*").alias("_n"))
     # the ONLY unpartitioned window: a prefix sum over <= n_partitions
     # count rows (bytes, not data)

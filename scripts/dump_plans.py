@@ -163,6 +163,27 @@ AUDIT: list[tuple[str, str]] = [
         " and closing joins read one materialization; every join keys on"
         " vertices/edge pairs — no unblocked N^2 anywhere.",
     ),
+    (
+        "q_dense_ids",
+        "Global row_number SEMANTICS without the global window: the data"
+        " crosses a parallel range exchange plus one pid-keyed exchange;"
+        " the only Exchange SinglePartition in the plan feeds the"
+        " prefix-sum over <= n_partitions COUNT rows (bytes, not data),"
+        " and the offsets come back as a BroadcastHashJoin.  The ranged"
+        " frame is persisted: the counts branch and the id branch both"
+        " read the SAME materialization (InMemoryTableScan x2) — the"
+        " first cut re-ran the scan + range exchange for the counts, a"
+        " second full table pass at 100 TB.  The naive Window.orderBy"
+        " spelling would funnel the whole table through one sort task.",
+    ),
+    (
+        "q_gap_fill",
+        "Bucket aggregate, span aggregate, grid left-join and both fill"
+        " windows (LOCF preceding-frame + interpolation following-frame"
+        " sharing one sort) all key on user_id — one exchange family;"
+        " the dense grid regenerates from the span via explode(sequence),"
+        " never a second scan of events.",
+    ),
 ]
 
 
