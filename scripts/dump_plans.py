@@ -164,6 +164,76 @@ AUDIT: list[tuple[str, str]] = [
         " vertices/edge pairs — no unblocked N^2 anywhere.",
     ),
     (
+        "q_markov_transitions",
+        "One wide shuffle (the per-user lag window); the transition rollup"
+        " reduces to |types|^2 rows and the P(next|prev) normalization"
+        " window runs on that tiny aggregate.",
+    ),
+    (
+        "q_anomaly_zscore",
+        "The stats window and the final rollup share the single event_type"
+        " exchange — one shuffle end-to-end; no join-back (window form"
+        " keeps each row co-located with its segment stats).",
+    ),
+    (
+        "q_ewma_smooth",
+        "Both window passes (8 FIR lags asc + row_number desc) and the"
+        " per-user rollup run inside ONE user_id exchange; two sorts, zero"
+        " extra shuffles.",
+    ),
+    (
+        "q_data_quality",
+        "Six predicate rules + the duplicate-key distinct fold into ONE"
+        " lineitem aggregation (Expand is the multi-distinct strategy); the"
+        " FK check is a broadcast LEFT ANTI reduced to a count; both 1-row"
+        " aggregates cross-join for free before the 7-row stack unpivot.",
+    ),
+    (
+        "q_profile_table",
+        "Entire profile is ONE aggregation pass: Expand replicates rows"
+        " once per distinct-column group, partial aggregation collapses"
+        " each stream map-side before the single exchange pair.",
+    ),
+    (
+        "q_rfm_segmentation",
+        "Per-customer rollup is one custkey hash-agg shuffle; the three"
+        " ntile windows are single-partition sorts over the"
+        " |customers|-row aggregate (exact global quantile rank semantics,"
+        " deliberately pinned; approx_percentile cutpoints are the 100 TB"
+        " swap).",
+    ),
+    (
+        "q_curation_e2e",
+        "Six-stage funnel: quality is a pushed scan filter; exact dedup"
+        " one md5-fingerprint window shuffle; near-dup the banded-LSH"
+        " bucket join from operators/dedup.py (persisted signature stage,"
+        " never all-pairs); decontamination a broadcast LEFT SEMI against"
+        " the benchmark 8-gram set; sampling a scan-side md5 threshold."
+        "  Stage frames persist once (InMemoryTableScan reuse visible) and"
+        " feed both the next stage and the 1-row rollups; the final union"
+        " is 6 rows.",
+    ),
+    (
+        "q_join_bloom_pruned",
+        "The bitmap builds distributed (explode -> bit_or hash agg ->"
+        " range left-join densify -> 1-row collect_list), broadcasts once,"
+        " and the probe predicate (element_at + shiftleft masks) filters"
+        " the fact scan BEFORE the join; the final BroadcastHashJoin sees"
+        " only survivors.  Oracle is the plain join: identity =="
+        " no-false-negatives.",
+    ),
+    (
+        "q_spatial_polar_join",
+        "REBUILT late r06 as one region-tagged join: each row emits its"
+        " applicable (rg, cx, cy) keys in a single projection (degree-grid"
+        " band at or below 85, planar cap grid per pole above; two entries"
+        " only in the one-radius overlap strip) and ONE equi-join on the"
+        " tagged key finds every pair, with disjoint region ownership"
+        " keeping each pair unique.  sf0.1 plan: 6 exchanges / 2 joins /"
+        " zero cartesian products, input read once per join side (the"
+        " first cut unioned three scans — 18 exchanges / 6 joins).",
+    ),
+    (
         "q_dense_ids",
         "Global row_number SEMANTICS without the global window: the data"
         " crosses a parallel range exchange plus one pid-keyed exchange;"
