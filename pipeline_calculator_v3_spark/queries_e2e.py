@@ -12,6 +12,7 @@ from . import ANGULAR_TOLERANCE_DEG
 from .operators.spatial import distance_self_join
 from .plans import synth
 from .plans.overlap import analyze_pipelines, overlap_summary
+from .caching import persist_tracked
 from .queries import query
 from .queries_spatial import _PAIRS_CTE, DETECTION_RANGE_M, MIN_PARALLEL_M, SEG_LEN_M
 
@@ -84,7 +85,10 @@ def q_overlap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas-UDF resampling stays rows-only as q_overlap_e2e).  Float sums
     round to 6 dp on both sides for hash stability."""
     seg = synth.segments_df(spark, sf_dir)
-    pairs = distance_self_join(seg, DETECTION_RANGE_M)
+    # persisted: the mirror union below references the distance join twice,
+    # and unpersisted the grid join + haversine recheck would execute twice
+    # (the connected-components edge-pin finding, r08)
+    pairs = persist_tracked(distance_self_join(seg, DETECTION_RANGE_M))
     neighbors = pairs.select(
         F.col("p1").alias("p"), F.col("seg1").alias("i"), F.col("p2").alias("o")
     ).unionAll(

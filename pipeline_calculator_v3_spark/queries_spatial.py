@@ -16,6 +16,7 @@ from .functions.geodesy import US_SURVEY_MILE_M, haversine_sql
 from .operators.segmentize import segmentize
 from .operators.spatial import distance_self_join
 from .plans import synth
+from .caching import persist_tracked
 from .queries import query
 
 DETECTION_RANGE_M = 15.0  # src/pipeline_calculator_v3.py:38
@@ -202,7 +203,10 @@ def q_effective_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines + 1 (src/pipeline_calculator_v3.py:824-833); attribute len/k
     (:835-837); unmatched segments contribute full length (k=1)."""
     seg = synth.segments_df(spark, sf_dir)
-    pairs = distance_self_join(seg, DETECTION_RANGE_M)
+    # persisted: the mirror union below references the distance join twice,
+    # and unpersisted the grid join + haversine recheck would execute twice
+    # (the connected-components edge-pin finding, r08)
+    pairs = persist_tracked(distance_self_join(seg, DETECTION_RANGE_M))
     neighbors = pairs.select(
         F.col("p1").alias("p"), F.col("seg1").alias("i"), F.col("p2").alias("o")
     ).unionAll(
@@ -291,7 +295,10 @@ def q_overlap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 18: per-pipeline distinct bundled-segment rollup
     (src/pipeline_calculator_v3.py:714-716,748-756) — the set-union of
     bundled segment indices becomes explode + countDistinct."""
-    pairs = distance_self_join(synth.segments_df(spark, sf_dir), DETECTION_RANGE_M)
+    # persisted: the explode union references the join twice (see above)
+    pairs = persist_tracked(
+        distance_self_join(synth.segments_df(spark, sf_dir), DETECTION_RANGE_M)
+    )
     exploded = pairs.select(
         F.col("p1").alias("pipeline_id"), F.col("seg1").alias("seg")
     ).unionAll(
