@@ -87,3 +87,21 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
                 f"{c}: first mismatch at row {mism.idxmax()}: "
                 f"{av[mism.idxmax()]!r} vs {bv[mism.idxmax()]!r}"
             )
+
+
+def assert_no_plan_antipatterns(df) -> None:
+    """Physical-plan lint for every registry query: a CartesianProduct is
+    never acceptable in this engine (the legitimate tiny-side cross joins
+    broadcast, planning as BroadcastNestedLoopJoin; a CartesianProduct
+    means a join lost its keys or its broadcast and would all-pairs at
+    100 TB).  Swept clean across all 185 registry plans at r08 — this
+    keeps it that way.  Checkpointed frames hide their build-time
+    subtrees; those operators carry their own plan gates in
+    tests/test_plans.py."""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "CartesianProduct" not in plan, (
+        "CartesianProduct in physical plan — a join lost its keys or its "
+        "broadcast:\n" + plan
+    )

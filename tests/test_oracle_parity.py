@@ -7,7 +7,7 @@ import pytest
 
 from pipeline_calculator_v3_spark.queries import ORACLE_SQL, QUERIES
 
-from .compare import assert_frames_match
+from .compare import assert_frames_match, assert_no_plan_antipatterns
 
 ORACLE_NAMES = sorted(ORACLE_SQL)
 ROWS_ONLY_NAMES = sorted(set(QUERIES) - set(ORACLE_SQL))
@@ -15,7 +15,9 @@ ROWS_ONLY_NAMES = sorted(set(QUERIES) - set(ORACLE_SQL))
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(name, spark, duck, sf_dir):
-    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+    df = QUERIES[name](spark, sf_dir)
+    assert_no_plan_antipatterns(df)
+    spark_pdf = df.toPandas()
     oracle_pdf = duck.execute(ORACLE_SQL[name]).df()
     assert_frames_match(spark_pdf, oracle_pdf)
 
@@ -23,5 +25,6 @@ def test_oracle_parity(name, spark, duck, sf_dir):
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_runs(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
+    assert_no_plan_antipatterns(df)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
