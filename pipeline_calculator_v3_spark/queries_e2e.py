@@ -87,8 +87,13 @@ def q_overlap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = synth.segments_df(spark, sf_dir)
     # persisted: the mirror union below references the distance join twice,
     # and unpersisted the grid join + haversine recheck would execute twice
-    # (the connected-components edge-pin finding, r08)
-    pairs = persist_tracked(distance_self_join(seg, DETECTION_RANGE_M))
+    # (the connected-components edge-pin finding, r08); projected first so
+    # the cache holds only the key columns the unions read, not dist_m
+    pairs = persist_tracked(
+        distance_self_join(seg, DETECTION_RANGE_M).select(
+            "p1", "seg1", "p2", "seg2"
+        )
+    )
     neighbors = pairs.select(
         F.col("p1").alias("p"), F.col("seg1").alias("i"), F.col("p2").alias("o")
     ).unionAll(

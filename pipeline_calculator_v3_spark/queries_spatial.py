@@ -205,8 +205,13 @@ def q_effective_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = synth.segments_df(spark, sf_dir)
     # persisted: the mirror union below references the distance join twice,
     # and unpersisted the grid join + haversine recheck would execute twice
-    # (the connected-components edge-pin finding, r08)
-    pairs = persist_tracked(distance_self_join(seg, DETECTION_RANGE_M))
+    # (the connected-components edge-pin finding, r08); projected first so
+    # the cache holds only the key columns the unions read, not dist_m
+    pairs = persist_tracked(
+        distance_self_join(seg, DETECTION_RANGE_M).select(
+            "p1", "seg1", "p2", "seg2"
+        )
+    )
     neighbors = pairs.select(
         F.col("p1").alias("p"), F.col("seg1").alias("i"), F.col("p2").alias("o")
     ).unionAll(
@@ -295,9 +300,12 @@ def q_overlap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 18: per-pipeline distinct bundled-segment rollup
     (src/pipeline_calculator_v3.py:714-716,748-756) — the set-union of
     bundled segment indices becomes explode + countDistinct."""
-    # persisted: the explode union references the join twice (see above)
+    # persisted: the explode union references the join twice (see above);
+    # projected to the key columns first — dist_m is unused here
     pairs = persist_tracked(
-        distance_self_join(synth.segments_df(spark, sf_dir), DETECTION_RANGE_M)
+        distance_self_join(
+            synth.segments_df(spark, sf_dir), DETECTION_RANGE_M
+        ).select("p1", "seg1", "p2", "seg2")
     )
     exploded = pairs.select(
         F.col("p1").alias("pipeline_id"), F.col("seg1").alias("seg")
