@@ -685,8 +685,12 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = read_admitted(spark, os.path.join(work, "corpus")).select(
             "doc_id", "gen"
         )
-        # materialize before the temp dirs are deleted (membership rows
-        # only — bounded by the documents table, not by pair counts)
+        # materialize before the temp dirs are deleted — a registry-face
+        # artifact only: the PRODUCTION path is the on-disk corpus/index
+        # the stream wrote (never collected); this driver-side copy exists
+        # because the harness result must outlive the tempdir, and it is
+        # membership rows (doc_id, gen), not text or pair counts.  At
+        # 100 TB a caller reads the written dataset instead.
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
