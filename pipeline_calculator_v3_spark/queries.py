@@ -459,6 +459,17 @@ _KEEP_IN_WINDOW = [
     "q_geodesic_length",
     "q_overlap_e2e",
 ]
+# r09 slot plan (write the window BEFORE building new surface — the
+# never-checked-in-window invariant makes slots the budget): once
+# CORRECTNESS_r08 lands, all 30 r08-new entries become checked and rotate
+# out; 48 slots open.  Priorities: (1) the r05 cohorts that yielded their
+# pool-B slots this round (TPC-H q2/q9/q11/q12/q16/q17/q20/q21/q22, the
+# analytics batch, heavy_hitters/zipf/mixture/repetition/retention/
+# boilerplate/funnel/first_touch — oldest verdicts after r08); (2) new
+# surface candidates sketched r08 but deferred for slots: C4-style
+# cross-doc line-level dedup (distinct from the 40-char shingle substring
+# face), OHLC/min_by-max_by time-bucket downsampling over events, and the
+# BPE corpus-encode scale twin.
 _ROTATED_OUT = [
     # every remaining query is r05+-driver-green on its latest verdict and
     # (where oracle-backed) value-gated by tests/test_oracle_parity.py on
