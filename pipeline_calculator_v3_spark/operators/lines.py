@@ -10,13 +10,15 @@ the unit here is the natural line boundary, the classic C4 rule
 
 Scale shape (never all-pairs, never a self-join):
 1. posexplode the corpus into (doc, pos, line) rows — linear;
-2. ONE hash aggregate keyed on the line text finds lines appearing in
-   >= min_docs distinct documents and elects the global winner
-   occurrence (lexicographic min (doc_id, pos) struct) — map-side
-   partials absorb the heavy hitters, so a line appearing a billion
-   times costs its partial rows, not a skewed reduce;
+2. ONE hash aggregate keyed on the line's md5 digest (16 bytes shuffle
+   per occurrence, never the text — boilerplate lines run hundreds of
+   bytes; 128-bit collisions are negligible at any corpus size) finds
+   lines appearing in >= min_docs distinct documents and elects the
+   global winner occurrence (lexicographic min (doc_id, pos) struct) —
+   map-side partials absorb the heavy hitters, so a line appearing a
+   billion times costs its partial rows, not a skewed reduce;
 3. the duplicated-line table (usually tiny vs the corpus) joins back to
-   the exploded rows — AQE broadcasts it when it fits;
+   the exploded rows on the digest — AQE broadcasts it when it fits;
 4. one (doc) aggregate reassembles kept lines in position order.
 
 Determinism: winner election and reassembly are pure min/struct-sort —
@@ -50,13 +52,14 @@ def dedup_lines(
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    )
+    ).withColumn("_lh", F.unhex(F.md5("line")))
     eligible = F.length(F.trim(F.col("line"))) >= min_line_chars
     # one aggregate elects both facts per line: distinct-doc spread and
-    # the global winner occurrence
+    # the global winner occurrence — keyed on the 16-byte digest so the
+    # exchange never carries line text
     dup = (
         lines.filter(eligible)
-        .groupBy("line")
+        .groupBy("_lh")
         .agg(
             F.countDistinct(id_col).alias("_nd"),
             F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
@@ -64,9 +67,9 @@ def dedup_lines(
             ),
         )
         .filter(F.col("_nd") >= min_docs)
-        .select("line", "_win")
+        .select("_lh", "_win")
     )
-    marked = lines.join(dup, "line", "left").select(
+    marked = lines.join(dup, "_lh", "left").select(
         id_col,
         "pos",
         "line",
