@@ -117,3 +117,41 @@ def split_assign(key: Column, train: float = 0.8, val: float = 0.1) -> Column:
         .when(h < _rate_hex(train + val), "val")
         .otherwise("test"),
     )
+
+
+def sample_k_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Exactly min(k, group size) deterministic uniform rows per key group
+    (k examples per source / per language — the bounded-showcase sampler).
+
+    The rank is the md5 digest of the row id: a fixed pseudo-random
+    permutation, so the selection is uniform w.r.t. the data yet identical
+    across runs, partitionings, and engines (same contract as hash_sample;
+    id_col itself tiebreaks the astronomically-unlikely digest collision).
+    The naive per-group ORDER BY rand() is neither reproducible nor
+    oracle-checkable.
+
+    Scale shape: ONE exchange on key_cols; the row_number <= k filter is
+    Spark's WindowGroupLimit pattern, so each map task pre-prunes to its
+    local top-k BEFORE the shuffle (asserted in
+    tests/test_sample_k_per_key.py) — a billion-row group moves
+    k * n_map_tasks rows, not a billion.  Replays in ANSI SQL as
+    row_number() ordered by md5(CAST(id AS VARCHAR)) — staged for the
+    r09 registry face.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
