@@ -45,14 +45,26 @@ def dedup_lines(
     separators and stray punctuation stay verbatim).  Returns one row per
     input document: id_col, ``text`` (kept lines re-joined with \\n),
     ``n_lines`` BIGINT, ``n_lines_removed`` BIGINT.  Documents whose
-    every line is removed keep a row with empty text.
+    every line is removed keep a row with empty text; a NULL ``text_col``
+    is treated as empty text (the row is never dropped — review r08:
+    posexplode of a NULL split yields no rows, which silently lost the
+    document).
     """
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (1 would remove every line)")
-    lines = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("_lh", F.unhex(F.md5("line")))
+    # persisted: BOTH the dup aggregate and the join-back read this frame —
+    # unpersisted, the corpus scan + split + explode + md5 would execute
+    # twice (the same double-execution shape the r08 spatial persist fixed)
+    from ..caching import persist_tracked
+
+    lines = persist_tracked(
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            ).alias("pos", "line"),
+        ).withColumn("_lh", F.unhex(F.md5("line")))
+    )
     eligible = F.length(F.trim(F.col("line"))) >= min_line_chars
     # one aggregate elects both facts per line: distinct-doc spread and
     # the global winner occurrence — keyed on the 16-byte digest so the

@@ -57,8 +57,13 @@ def ohlc_downsample(
         if tiebreak_col
         else F.col(ts_col)
     )
+    # pure integer arithmetic: ts - pmod(ts, w) is the floor-aligned bucket
+    # edge over the FULL bigint range — ts/w promotes to DOUBLE and rounds
+    # past 2^53, and engines disagree on negative integer division (DuckDB
+    # // truncates toward zero, floor() rounds down; pmod sidesteps both —
+    # review r08)
     bucket = (
-        (F.floor(F.col(ts_col) / F.lit(bucket_us)) * F.lit(bucket_us))
+        (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(bucket_us)))
         .cast("bigint")
         .alias("bucket_start_us")
     )

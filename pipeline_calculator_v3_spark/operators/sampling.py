@@ -145,6 +145,11 @@ def sample_k_per_key(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if "_rn" in df.columns:
+        # withColumn would silently overwrite it and drop() would then
+        # destroy the caller's data (review r08; interval_bin_join's
+        # reserved-name contract)
+        raise ValueError("'_rn' is reserved by sample_k_per_key")
     from pyspark.sql import Window
 
     w = Window.partitionBy(*key_cols).orderBy(

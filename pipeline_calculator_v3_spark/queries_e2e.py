@@ -9,12 +9,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from . import ANGULAR_TOLERANCE_DEG
-from .operators.spatial import distance_self_join
 from .plans import synth
 from .plans.overlap import analyze_pipelines, overlap_summary
-from .caching import persist_tracked
 from .queries import query
-from .queries_spatial import _PAIRS_CTE, DETECTION_RANGE_M, MIN_PARALLEL_M, SEG_LEN_M
+from .queries_spatial import (
+    _PAIRS_CTE,
+    _k_per_segment,
+    _persisted_pairs,
+    DETECTION_RANGE_M,
+    MIN_PARALLEL_M,
+    SEG_LEN_M,
+)
 
 
 @query("q_overlap_e2e")  # rows-only: corridor polygons are output-only geometry
@@ -85,25 +90,7 @@ def q_overlap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas-UDF resampling stays rows-only as q_overlap_e2e).  Float sums
     round to 6 dp on both sides for hash stability."""
     seg = synth.segments_df(spark, sf_dir)
-    # persisted: the mirror union below references the distance join twice,
-    # and unpersisted the grid join + haversine recheck would execute twice
-    # (the connected-components edge-pin finding, r08); projected first so
-    # the cache holds only the key columns the unions read, not dist_m
-    pairs = persist_tracked(
-        distance_self_join(seg, DETECTION_RANGE_M).select(
-            "p1", "seg1", "p2", "seg2"
-        )
-    )
-    neighbors = pairs.select(
-        F.col("p1").alias("p"), F.col("seg1").alias("i"), F.col("p2").alias("o")
-    ).unionAll(
-        pairs.select(
-            F.col("p2").alias("p"), F.col("seg2").alias("i"), F.col("p1").alias("o")
-        )
-    )
-    k = neighbors.groupBy("p", "i").agg(
-        (F.countDistinct("o") + 1).cast("bigint").alias("k")
-    )
+    k = _k_per_segment(_persisted_pairs(seg))
     effective = (
         seg.join(k, (k.p == seg.pipeline_id) & (k.i == seg.seg_index), "left")
         .select("pipeline_id", F.coalesce("k", F.lit(1)).alias("k"))

@@ -25,6 +25,37 @@ SEG_LEN_M = 5.0           # src/pipeline_calculator_v3.py:40
 
 _PAIR_DIST = haversine_sql("a.mid_lat", "a.mid_lon", "b.mid_lat", "b.mid_lon")
 
+
+def _persisted_pairs(seg: DataFrame) -> DataFrame:
+    """The distance self-join's key columns, persisted — every caller's
+    mirror/explode union reads the frame twice, and unpersisted the grid
+    join + haversine recheck would execute once per branch (the
+    connected-components edge-pin finding, r08).  Projected first so the
+    cache holds only the four key columns, not dist_m.  Shared by
+    q_effective_length / q_overlap_rollup here and q_overlap_summary in
+    queries_e2e.py (review r08: the block was copy-pasted three times)."""
+    return persist_tracked(
+        distance_self_join(seg, DETECTION_RANGE_M).select(
+            "p1", "seg1", "p2", "seg2"
+        )
+    )
+
+
+def _k_per_segment(pairs: DataFrame) -> DataFrame:
+    """Op 21's bundling factor: per (pipeline, segment), k = distinct
+    parallel pipelines + 1 (src/pipeline_calculator_v3.py:824-833) via the
+    mirror union — each pair contributes both orientations."""
+    neighbors = pairs.select(
+        F.col("p1").alias("p"), F.col("seg1").alias("i"), F.col("p2").alias("o")
+    ).unionAll(
+        pairs.select(
+            F.col("p2").alias("p"), F.col("seg2").alias("i"), F.col("p1").alias("o")
+        )
+    )
+    return neighbors.groupBy("p", "i").agg(
+        (F.countDistinct("o") + 1).cast("bigint").alias("k")
+    )
+
 # Cross-join ground truth for the distance self-join (the reference's exact
 # recheck, src/pipeline_calculator_v3.py:352-361, without the KDTree).
 _PAIRS_CTE = f"""
@@ -203,25 +234,7 @@ def q_effective_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines + 1 (src/pipeline_calculator_v3.py:824-833); attribute len/k
     (:835-837); unmatched segments contribute full length (k=1)."""
     seg = synth.segments_df(spark, sf_dir)
-    # persisted: the mirror union below references the distance join twice,
-    # and unpersisted the grid join + haversine recheck would execute twice
-    # (the connected-components edge-pin finding, r08); projected first so
-    # the cache holds only the key columns the unions read, not dist_m
-    pairs = persist_tracked(
-        distance_self_join(seg, DETECTION_RANGE_M).select(
-            "p1", "seg1", "p2", "seg2"
-        )
-    )
-    neighbors = pairs.select(
-        F.col("p1").alias("p"), F.col("seg1").alias("i"), F.col("p2").alias("o")
-    ).unionAll(
-        pairs.select(
-            F.col("p2").alias("p"), F.col("seg2").alias("i"), F.col("p1").alias("o")
-        )
-    )
-    k = neighbors.groupBy("p", "i").agg(
-        (F.countDistinct("o") + 1).cast("bigint").alias("k")
-    )
+    k = _k_per_segment(_persisted_pairs(seg))
     joined = seg.join(
         k, (k.p == seg.pipeline_id) & (k.i == seg.seg_index), "left"
     ).select("pipeline_id", F.coalesce("k", F.lit(1)).alias("k"))
@@ -300,13 +313,7 @@ def q_overlap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op 18: per-pipeline distinct bundled-segment rollup
     (src/pipeline_calculator_v3.py:714-716,748-756) — the set-union of
     bundled segment indices becomes explode + countDistinct."""
-    # persisted: the explode union references the join twice (see above);
-    # projected to the key columns first — dist_m is unused here
-    pairs = persist_tracked(
-        distance_self_join(
-            synth.segments_df(spark, sf_dir), DETECTION_RANGE_M
-        ).select("p1", "seg1", "p2", "seg2")
-    )
+    pairs = _persisted_pairs(synth.segments_df(spark, sf_dir))
     exploded = pairs.select(
         F.col("p1").alias("pipeline_id"), F.col("seg1").alias("seg")
     ).unionAll(

@@ -80,6 +80,18 @@ def test_min_docs_guard(spark):
         dedup_lines(docs, min_docs=1)
 
 
+def test_null_text_keeps_its_row(spark):
+    # review r08: posexplode(split(NULL)) yields no rows — the doc vanished
+    docs = spark.createDataFrame(
+        [(0, "a\nb"), (1, None), (2, "a\nc")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: (r.text, r.n_lines, r.n_lines_removed)
+            for r in dedup_lines(docs).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[1] == ("", 1, 0)
+    assert rows[0][0] == "a\nb" and rows[2][0] == "c"
+
+
 def test_duckdb_replay_agrees(result):
     """The exact SQL intended as the r09 registry oracle."""
     con = duckdb.connect()

@@ -24,6 +24,9 @@ ROWS = [
     (6, 1, 59_999_999, 2.0),  # same ts as id 7: close must pick id 7's 6.0
     (8, 1, 60_000_000, 5.0),
     (9, 9, 20, 7.0),
+    # pre-epoch timestamp: floor semantics put it in bucket -60_000_000;
+    # naive // (truncate toward zero) would wrongly bucket it at 0
+    (10, 9, -1, 3.0),
 ]
 
 
@@ -48,7 +51,8 @@ def test_buckets_and_values(result):
     assert result[(1, 0)] == (4.0, 9.0, 1.0, 6.0, 5, pytest.approx(4.4))
     assert result[(1, BUCKET)] == (5.0, 5.0, 5.0, 5.0, 1, 5.0)
     assert result[(9, 0)] == (7.0, 7.0, 7.0, 7.0, 1, 7.0)
-    assert len(result) == 3
+    assert result[(9, -BUCKET)] == (3.0, 3.0, 3.0, 3.0, 1, 3.0)
+    assert len(result) == 4
 
 
 def test_bucket_guard(spark):
@@ -90,17 +94,22 @@ def test_duckdb_replay_agrees(result):
         "ev",
         pd.DataFrame(ROWS, columns=["event_id", "user_id", "ts_us", "value"]),
     )
+    # ts - ((ts % w + w) % w) is floor-aligned for negative ts too —
+    # DuckDB's // and % truncate toward zero, Spark's pmod floors; this
+    # spelling agrees with the operator over the full BIGINT range
     sql = f"""
 WITH ranked AS (
     SELECT user_id,
-           CAST((ts_us // {BUCKET}) * {BUCKET} AS BIGINT) AS bucket_start_us,
+           CAST(ts_us - ((ts_us % {BUCKET} + {BUCKET}) % {BUCKET})
+                AS BIGINT) AS bucket_start_us,
            value,
            first_value(value) OVER w AS open,
            last_value(value) OVER
                (w RANGE BETWEEN UNBOUNDED PRECEDING
                             AND UNBOUNDED FOLLOWING) AS close
     FROM ev
-    WINDOW w AS (PARTITION BY user_id, (ts_us // {BUCKET})
+    WINDOW w AS (PARTITION BY user_id,
+                 ts_us - ((ts_us % {BUCKET} + {BUCKET}) % {BUCKET})
                  ORDER BY ts_us, event_id)
 )
 SELECT user_id, bucket_start_us,

@@ -45,16 +45,31 @@ def test_k_guard(spark):
         sample_k_per_key(df, ["source"], 0, "doc_id")
 
 
+def test_reserved_column_guard(spark):
+    # review r08: withColumn('_rn') would silently destroy the caller's
+    # column of the same name
+    df = spark.createDataFrame(
+        [(1, "a", 9)], "doc_id long, source string, _rn long"
+    )
+    with pytest.raises(ValueError):
+        sample_k_per_key(df, ["source"], 1, "doc_id")
+
+
 def test_window_group_limit_prunes_before_shuffle(spark):
     df = spark.createDataFrame(ROWS, "doc_id long, source string")
     plan = (
         sample_k_per_key(df, ["source"], K, "doc_id")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # the rank filter must push a partial WindowGroupLimit below the
-    # exchange — map tasks pre-prune to local top-k
-    assert "WindowGroupLimit" in plan
-    assert plan.index("WindowGroupLimit") < plan.index("Exchange")
+    # the rank filter must push a PARTIAL WindowGroupLimit below the
+    # exchange — map tasks pre-prune to local top-k.  The plan prints
+    # top-down (Final above the Exchange, Partial below it), so the test
+    # must anchor on the LAST occurrence: index() matched the Final node,
+    # which sits above the Exchange in every plan, making the assertion
+    # vacuous (review r08)
+    assert plan.count("WindowGroupLimit") == 2
+    assert plan.rindex("WindowGroupLimit") > plan.index("Exchange")
+    assert "Partial" in plan[plan.rindex("WindowGroupLimit"):].split("\n")[0]
 
 
 def test_duckdb_replay_agrees(picked):
