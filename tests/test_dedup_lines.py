@@ -132,3 +132,45 @@ FROM marked GROUP BY doc_id
         for r in con.execute(sql).fetchall()
     }
     assert oracle == result
+
+
+# ---------------------------------------------------------------------------
+# Randomized property: for ANY small corpus drawn from a tiny line alphabet
+# (guaranteeing cross-doc collisions), the operator equals the naive
+# single-process reference — winner election, exemptions, reassembly.
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_LINE = st.sampled_from(["dup one", "dup two", "x", "", "unique"])
+_DOC = st.lists(_LINE, min_size=1, max_size=5).map("\n".join)
+
+
+@given(texts=st.lists(_DOC, min_size=1, max_size=6), min_docs=st.integers(2, 3))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_property_equals_naive(spark, texts, min_docs):
+    docs = list(enumerate(texts))
+    spread: dict[str, set] = {}
+    first: dict[str, tuple] = {}
+    for i, t in docs:
+        for p, ln in enumerate(t.split("\n")):
+            if not ln.strip():
+                continue
+            spread.setdefault(ln, set()).add(i)
+            first[ln] = min(first.get(ln, (i, p)), (i, p))
+    dup = {ln for ln, s in spread.items() if len(s) >= min_docs}
+    expect = {}
+    for i, t in docs:
+        kept, removed = [], 0
+        for p, ln in enumerate(t.split("\n")):
+            if ln in dup and first[ln] != (i, p):
+                removed += 1
+            else:
+                kept.append(ln)
+        expect[i] = ("\n".join(kept), len(t.split("\n")), removed)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_lines, r.n_lines_removed)
+        for r in dedup_lines(df, min_docs=min_docs).collect()
+    }
+    assert got == expect
