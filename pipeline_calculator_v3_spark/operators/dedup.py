@@ -550,3 +550,43 @@ def minhash_sketch_error_md5(
             F.abs(est - F.col("jaccard")).alias("abs_err"),
         )
     )
+
+
+def source_copy_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix — which sources duplicate which:
+    per unordered source pair, how many near-dup document pairs cross it
+    (the curation dashboard that finds mirror sites and wholesale
+    plagiarism between crawls).
+
+    ``pairs`` is any pair face from this module ((id1, id2) near-dup
+    candidates — minhash/simhash/semantic); this operator only joins the
+    source attribute onto both ends and rolls up, so it inherits the pair
+    face's scale guarantees (bucketed, never all-pairs).  The source pair
+    is canonically ordered (least/greatest) so (a,b) and (b,a) land in one
+    cell.  Output: source_a, source_b, n_pairs BIGINT, plus
+    intra_source BOOLEAN (the diagonal — dup pressure inside one crawl).
+
+    Scale shape: two joins keyed on the doc id against a (id, source)
+    projection (broadcast when the dim fits, AQE decides) + ONE hash
+    aggregate on the ~|sources|^2-bounded key space.
+    """
+    src = docs.select(F.col(id_col), F.col(source_col).alias("_src"))
+    labeled = (
+        pairs.select(F.col("id1"), F.col("id2"))
+        .join(src.withColumnRenamed(id_col, "id1").withColumnRenamed("_src", "_s1"), "id1")
+        .join(src.withColumnRenamed(id_col, "id2").withColumnRenamed("_src", "_s2"), "id2")
+    )
+    return (
+        labeled.select(
+            F.least("_s1", "_s2").alias("source_a"),
+            F.greatest("_s1", "_s2").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .withColumn("intra_source", F.col("source_a") == F.col("source_b"))
+    )
