@@ -204,7 +204,7 @@ def minhash_lsh_pairs_md5(
     from the standalone dedup queries fails a test instead of silently
     shipping.
     """
-    staged, with_bands = _md5_staged_bands(
+    staged, _sig, with_bands = _md5_staged_bands(
         docs, text_col, id_col, num_hashes, bands, shingle_n, tokens_col
     )
     return _verify_candidates(with_bands, staged, ["key"], min_jaccard)
@@ -218,12 +218,17 @@ def _md5_staged_bands(
     bands: int,
     shingle_n: int,
     tokens_col: str | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """(staged, with_bands) for the md5 LSH family: staged = (id, distinct
-    shingle set), with_bands = (id, band key).  Shared by the self-join
-    pair face (:func:`minhash_lsh_pairs_md5`) and the bipartite
-    incremental-ingest match (:func:`minhash_lsh_match_md5`), so the
-    signature derivation cannot fork between them."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(staged, sig, with_bands) for the md5 LSH family: staged = (id,
+    distinct shingle set), sig = (id, m0..m{k-1} signature lanes),
+    with_bands = (id, band key).  Shared by the self-join pair face
+    (:func:`minhash_lsh_pairs_md5`), the bipartite incremental-ingest
+    match (:func:`minhash_lsh_match_md5`), and the sketch-accuracy probe
+    (:func:`minhash_sketch_error_md5`), so the signature derivation
+    cannot fork between them (review r08: the probe used to re-spell the
+    lane formula).  Both staged and sig are persisted — callers with a
+    bounded batch lifetime (streaming/ingest.py) unpersist all three
+    returned frames after their terminal write."""
     rows = num_hashes // bands
     staged = (
         docs.select(
@@ -276,7 +281,7 @@ def _md5_staged_bands(
             )
         ).alias("key"),
     )
-    return staged, with_bands
+    return staged, sig, with_bands
 
 
 def minhash_lsh_match_md5(
@@ -304,10 +309,10 @@ def minhash_lsh_match_md5(
 
     Returns (batch_id, corpus_id, jaccard) with jaccard >= min_jaccard.
     """
-    sb, bb = _md5_staged_bands(
+    sb, _sigb, bb = _md5_staged_bands(
         batch, text_col, id_col, num_hashes, bands, shingle_n
     )
-    sc, bc = _md5_staged_bands(
+    sc, _sigc, bc = _md5_staged_bands(
         corpus, text_col, id_col, num_hashes, bands, shingle_n
     )
     cand = (
@@ -509,24 +514,14 @@ def minhash_sketch_error_md5(
     exact side reuses :func:`_verify_candidates` with threshold 0.0 (all
     candidates kept).  One extra join against the persisted signature
     table — no new shuffle family."""
-    staged, with_bands = _md5_staged_bands(
+    staged, sig, with_bands = _md5_staged_bands(
         docs, text_col, id_col, num_hashes, bands, shingle_n
     )
     pairs = _verify_candidates(with_bands, staged, ["key"], 0.0)
-    # the signature table is persisted inside the stager; rebuild the same
-    # frame from the staged shingles (cache hit on `staged`, one explode +
-    # num_hashes min() aggregates — the identical derivation, so lanes
-    # cannot fork from the band keys)
-    sig = (
-        staged.select("id", F.explode("sh").alias("s"))
-        .groupBy("id")
-        .agg(
-            *[
-                F.min(F.md5(F.concat(F.col("s"), F.lit(f"|{i}")))).alias(f"m{i}")
-                for i in range(num_hashes)
-            ]
-        )
-    )
+    # the SAME persisted signature table the band keys derive from — the
+    # lanes cannot fork (review r08: a rebuilt copy of the lane formula
+    # lived here; an edit to the salt in one spelling would have forked
+    # est from the band keys)
     sa = sig.select(
         F.col("id").alias("id1"),
         *[F.col(f"m{i}").alias(f"_a{i}") for i in range(num_hashes)],

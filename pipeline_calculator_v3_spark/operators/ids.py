@@ -43,6 +43,12 @@ def dense_ids(
     range exchange + parallel per-partition windows."""
     if not order_by:
         raise ValueError("order_by must name at least one column")
+    if "_pid" in df.columns or "_off" in df.columns:
+        # withColumn/join would duplicate them and the groupBy("_pid") /
+        # F.col("_off") references would raise AMBIGUOUS_REFERENCE at plan
+        # time instead of a clear error (review r08; same reserved-name
+        # contract as interval_bin_join and sample_k_per_key)
+        raise ValueError("'_pid' and '_off' are reserved by dense_ids")
     spark = df.sparkSession
     parts = n_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")

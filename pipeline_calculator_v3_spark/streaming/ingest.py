@@ -109,7 +109,7 @@ def admit_batch(
     batch_id) must leave the on-disk index byte-stable."""
     if batch_df.isEmpty():
         return
-    staged, with_bands = _md5_staged_bands(
+    staged, sig, with_bands = _md5_staged_bands(
         batch_df, "text", "doc_id", num_hashes, bands, shingle_n
     )
     with_bands = persist_tracked(with_bands)  # corpus + internal joins
@@ -168,6 +168,12 @@ def admit_batch(
         work_dir,
         f"b{batch_id + 1}",
     )
+    # batch-scoped caches end with the batch: the next micro-batch reads
+    # the on-disk index, never these frames — without this a continuous
+    # stream pins 4 new RDDs per batch until a global release_caches the
+    # stream never calls (review r08, unbounded executor-storage growth)
+    for frame in (accepted_ids, with_bands, sig, staged):
+        frame.unpersist()
 
 
 def ingest_stream_dedup(
@@ -188,13 +194,17 @@ def ingest_stream_dedup(
 
     ``base_docs`` and the update files must carry (doc_id, text, gen)."""
     ensure_pkg_shipped(spark)
-    seed_staged, seed_bands = _md5_staged_bands(
+    seed_staged, _seed_sig, seed_bands = _md5_staged_bands(
         base_docs, "text", "doc_id", num_hashes, bands, shingle_n
     )
     _write_index(
         base_docs.select("doc_id", "gen"), seed_bands, seed_staged,
         work_dir, "b0",
     )
+    # same batch-scoped-cache rule as admit_batch: the stream reads the
+    # written b0 index, never these frames
+    _seed_sig.unpersist()
+    seed_staged.unpersist()
 
     def _admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         admit_batch(

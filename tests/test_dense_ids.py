@@ -41,3 +41,11 @@ def test_plan_has_no_data_sized_single_partition(spark, sf_dir):
     assert plan.count("SinglePartition") == 1
     single_idx = plan.index("SinglePartition")
     assert "count(1)" in plan[single_idx:] or "count" in plan[single_idx:]
+
+
+def test_reserved_columns_guard(spark):
+    # review r08: a pre-existing _pid/_off would hit AMBIGUOUS_REFERENCE
+    # deep in the plan instead of a clear error
+    df = spark.range(3).select(F.col("id").alias("k"), F.lit(0).alias("_pid"))
+    with pytest.raises(ValueError):
+        dense_ids(df, ["k"])

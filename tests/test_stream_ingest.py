@@ -102,3 +102,33 @@ def test_redelivery_is_idempotent(spark, ingest_run, admitted):
     rows = read_admitted(spark, ingest_run).collect()
     assert {r.doc_id: r.gen for r in rows} == {1: 0, 11: 1, 21: 2}
     assert _index_rows(spark, ingest_run) == (before_bands, before_sh)
+
+
+def test_batch_caches_released(spark, tmp_path):
+    """review r08: admit_batch pinned 4 new RDDs per micro-batch forever —
+    a continuous stream must keep executor storage bounded."""
+    import pandas as pd
+
+    from pipeline_calculator_v3_spark.streaming.ingest import (
+        _write_index, admit_batch,
+    )
+    from pipeline_calculator_v3_spark.operators.dedup import _md5_staged_bands
+
+    base = spark.createDataFrame(
+        [(i, f"seed doc {i} alpha beta gamma delta", 0) for i in range(4)],
+        "doc_id long, text string, gen long",
+    )
+    st, sg, bd = _md5_staged_bands(base, "text", "doc_id", 16, 4, 3)
+    _write_index(base.select("doc_id", "gen"), bd, st, str(tmp_path), "b0")
+    for f in (sg, st):
+        f.unpersist()
+    before = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    batch = spark.createDataFrame(
+        [(100, "fresh doc one two three four five", 1)],
+        "doc_id long, text string, gen long",
+    )
+    admit_batch(spark, batch, 0, str(tmp_path))
+    after = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(after) <= len(before), (
+        f"admit_batch leaked {len(after) - len(before)} pinned RDDs"
+    )
