@@ -233,3 +233,15 @@ def test_gap_fill_one_exchange_family(spark, sf_dir):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert all("user_id" in ln for ln in exchanges), plan
+
+
+def test_spatial_rollups_reuse_the_persisted_pair_join(spark, sf_dir):
+    # r08: the mirror/explode unions read the distance self-join twice —
+    # both branches must hit ONE persisted materialization, not re-run
+    # the grid join + haversine recheck per branch
+    for name in ("q_effective_length", "q_overlap_rollup", "q_overlap_summary"):
+        plan = plan_of(spark, name, sf_dir)
+        assert plan.count("InMemoryTableScan") >= 2, (name, plan)
+        from pipeline_calculator_v3_spark import release_caches
+
+        release_caches(spark)
