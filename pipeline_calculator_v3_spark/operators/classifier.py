@@ -138,3 +138,49 @@ def quality_z_sql() -> str:
     for name, w in QUALITY_WEIGHTS:
         terms.append(f"{w} * ({sql[name]})")
     return "(" + "\n     + ".join(terms) + ")"
+
+
+def percentile_cut_per_group(
+    scored: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    keep_frac: float,
+    id_col: str,
+) -> DataFrame:
+    """Per-group percentile gate (the CCNet move): keep the top
+    ``keep_frac`` of each group by ``score_col`` — per-source/per-language
+    thresholds instead of one global cut, so a high-quality small source
+    is not drowned by a low-quality large one.
+
+    Exact and deterministic: rank = row_number ordered by (score DESC,
+    id) — ties resolve identically on every engine — and a row is kept
+    when rank <= ceil(keep_frac * group_size).  Both windows (rank and
+    group count) share ONE group-keyed exchange.  At 100 TB the same
+    decision swaps to approx_percentile thresholds broadcast-joined back
+    (no per-group sort), the documented q_rfm_segmentation trade; this
+    exact face is the oracle-checkable spelling.
+
+    Returns the input columns + ``keep`` BOOLEAN (filter-ready) +
+    ``group_rank``/``group_n`` BIGINT for observability.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    from pyspark.sql import Window
+
+    for reserved in ("group_rank", "group_n", "keep"):
+        if reserved in scored.columns:
+            raise ValueError(f"'{reserved}' is reserved by percentile_cut_per_group")
+    w = Window.partitionBy(*group_cols)
+    rank = F.row_number().over(
+        w.orderBy(F.col(score_col).desc(), F.col(id_col))
+    )
+    n = F.count(F.lit(1)).over(w)
+    return scored.select(
+        "*",
+        rank.cast("bigint").alias("group_rank"),
+        n.cast("bigint").alias("group_n"),
+    ).withColumn(
+        "keep",
+        F.col("group_rank")
+        <= F.ceil(F.lit(keep_frac) * F.col("group_n")).cast("bigint"),
+    )

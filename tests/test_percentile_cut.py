@@ -1,0 +1,86 @@
+"""operators/classifier.py::percentile_cut_per_group — CCNet-style per-group
+quality gate (planted scores + DuckDB replay, staged for r09)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pipeline_calculator_v3_spark.operators.classifier import (
+    percentile_cut_per_group,
+)
+
+# (doc_id, source, score): web has 5 docs (keep_frac=0.4 -> ceil(2.0)=2),
+# books has 3 (ceil(1.2)=2), wiki has 1 (ceil(0.4)=1 — small groups never
+# empty out); doc 3/4 tie on score -> lower id wins the last slot
+ROWS = [
+    (0, "web", 9.0), (1, "web", 7.0), (2, "web", 5.0),
+    (3, "web", 5.0), (4, "web", 1.0),
+    (10, "books", 2.0), (11, "books", 8.0), (12, "books", 2.0),
+    (20, "wiki", 0.5),
+]
+FRAC = 0.4
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, source string, score double")
+    rows = percentile_cut_per_group(df, ["source"], "score", FRAC, "doc_id")
+    return {r.doc_id: (r.keep, r.group_rank, r.group_n) for r in rows.collect()}
+
+
+def test_keep_decisions(result):
+    kept = {i for i, (k, _, _) in result.items() if k}
+    # web: top-2 by (score desc, id) = 0 (9.0), 1 (7.0)
+    # books: 11 (8.0) then the 2.0 tie -> lower id 10
+    # wiki: its single doc survives (ceil never rounds a group to zero)
+    assert kept == {0, 1, 11, 10, 20}
+
+
+def test_ranks_and_counts(result):
+    assert result[0] == (True, 1, 5)
+    assert result[2][1:] == (3, 5)   # 5.0 tie: id 2 ranks above id 3
+    assert result[3][1:] == (4, 5)
+    assert result[20] == (True, 1, 1)
+
+
+def test_frac_guard(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, source string, score double")
+    with pytest.raises(ValueError):
+        percentile_cut_per_group(df, ["source"], "score", 0.0, "doc_id")
+    with pytest.raises(ValueError):
+        percentile_cut_per_group(
+            df.withColumnRenamed("score", "keep"), ["source"], "keep", 0.5,
+            "doc_id",
+        )
+
+
+def test_single_exchange(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, source string, score double")
+    plan = (
+        percentile_cut_per_group(df, ["source"], "score", FRAC, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # both windows (rank + count) ride ONE source-keyed exchange
+    assert plan.count("Exchange") == 1
+
+
+def test_duckdb_replay_agrees(result):
+    """The exact SQL intended as the r09 registry oracle."""
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(ROWS, columns=["doc_id", "source", "score"]))
+    sql = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY score DESC, doc_id) AS BIGINT)
+           AS group_rank,
+       CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS group_n
+FROM docs
+"""
+    oracle = {}
+    for r in con.execute(sql).fetchall():
+        rank, n = int(r[1]), int(r[2])
+        import math
+        oracle[int(r[0])] = (rank <= math.ceil(FRAC * n), rank, n)
+    assert oracle == result
