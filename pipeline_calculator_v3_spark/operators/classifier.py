@@ -154,8 +154,13 @@ def percentile_cut_per_group(
 
     Exact and deterministic: rank = row_number ordered by (score DESC,
     id) — ties resolve identically on every engine — and a row is kept
-    when rank <= ceil(keep_frac * group_size).  Both windows (rank and
-    group count) share ONE group-keyed exchange.  At 100 TB the same
+    when rank <= ceil(keep_frac * group_size).  The product is quantized
+    to 9 dp BEFORE the ceiling: double arithmetic can land an exactly-
+    integral product a hair above the integer (0.07 * 100 =
+    7.000000000000001 -> ceil 8, one extra row per group — advice r08);
+    after round(x, 9) an exact fraction boundary keeps exactly
+    keep_frac * n rows.  Both windows (rank and group count) share ONE
+    group-keyed exchange.  At 100 TB the same
     decision swaps to approx_percentile thresholds broadcast-joined back
     (no per-group sort), the documented q_rfm_segmentation trade; this
     exact face is the oracle-checkable spelling.
@@ -182,5 +187,7 @@ def percentile_cut_per_group(
     ).withColumn(
         "keep",
         F.col("group_rank")
-        <= F.ceil(F.lit(keep_frac) * F.col("group_n")).cast("bigint"),
+        <= F.ceil(F.round(F.lit(keep_frac) * F.col("group_n"), 9)).cast(
+            "bigint"
+        ),
     )

@@ -340,10 +340,14 @@ def minhash_lsh_match_md5(
         )
         .where(F.col("jaccard") >= min_jaccard)
     )
-    best = F.max_by(
+    # min_by over (-jaccard, corpus_id): max jaccard, exact ties to the
+    # LOWEST corpus id — only the (double) score is negated, so the rule
+    # holds for string ids too (advice r08: -F.col(string) silently casts
+    # to NULL, degrading the tiebreak to an arbitrary pick)
+    best = F.min_by(
         F.struct(F.col("corpus_id").alias("corpus_id"),
                  F.col("jaccard").alias("jaccard")),
-        F.struct(F.col("jaccard").alias("s"), (-F.col("corpus_id")).alias("t")),
+        F.struct((-F.col("jaccard")).alias("s"), F.col("corpus_id").alias("t")),
     )
     return (
         scored.groupBy("batch_id")

@@ -512,11 +512,14 @@ def embedding_contamination(
         )
         .where(F.col("cos_sim") >= min_cosine)
     )
-    best = F.max_by(
+    # min_by over (-cos, eval_id): max cosine, exact ties to the LOWEST
+    # eval id — only the (double) score is negated, so the rule holds for
+    # string ids too (advice r08: -F.col(string) silently casts to NULL)
+    best = F.min_by(
         F.struct(F.col("eval_id").alias("eval_id"),
                  F.col("cos_sim").alias("cos_sim")),
-        F.struct(F.col("cos_sim").alias("s"),
-                 (-F.col("eval_id")).alias("t")),
+        F.struct((-F.col("cos_sim")).alias("s"),
+                 F.col("eval_id").alias("t")),
     )
     return (
         scored.groupBy("train_id")

@@ -82,5 +82,15 @@ FROM docs
     for r in con.execute(sql).fetchall():
         rank, n = int(r[1]), int(r[2])
         import math
-        oracle[int(r[0])] = (rank <= math.ceil(FRAC * n), rank, n)
+        # quantize before ceiling — the operator's advice-r08 contract
+        oracle[int(r[0])] = (rank <= math.ceil(round(FRAC * n, 9)), rank, n)
     assert oracle == result
+
+
+def test_exact_fraction_boundary_not_inflated(spark):
+    # advice r08: 0.3 * 10 = 3.0000000000000004 in doubles -> naive ceil
+    # keeps 4; the quantized contract keeps exactly 3
+    rows = [(i, "s", float(100 - i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = percentile_cut_per_group(df, ["source"], "score", 0.3, "doc_id")
+    assert sum(r.keep for r in out.collect()) == 3
