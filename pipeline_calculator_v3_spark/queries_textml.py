@@ -2904,12 +2904,17 @@ def _jl_weights() -> list[list[float]]:
 
 def _embed_project_oracle() -> str:
     planes = _jl_weights()
-    projs = ", ".join(
+    # one NAMED SCALAR column per component — the driver's result hasher is
+    # scalar-only (r08 red: ARRAY<DOUBLE> proj raised 'unhashable type:
+    # list'); the norm folds over the same rounded components
+    projs = ",\n           ".join(
         "ROUND(list_sum(list_transform(list_zip(v, ["
         + ", ".join(repr(x) for x in w)
-        + "]), z -> z[1] * z[2])), 6)"
-        for w in planes
+        + f"]), z -> z[1] * z[2])), 6) AS proj_{i}"
+        for i, w in enumerate(planes)
     )
+    norm_terms = " + ".join(f"proj_{i} * proj_{i}" for i in range(len(planes)))
+    proj_cols = ", ".join(f"proj_{i}" for i in range(len(planes)))
     return f"""
 WITH e AS (
     SELECT vec_id, label,
@@ -2917,12 +2922,12 @@ WITH e AS (
     FROM embeddings
 ),
 p AS (
-    SELECT vec_id, label, [{projs}] AS proj
+    SELECT vec_id, label,
+           {projs}
     FROM e
 )
-SELECT vec_id, label, proj,
-       ROUND(sqrt(list_sum(list_transform(proj, x -> x * x))), 6)
-           AS proj_norm
+SELECT vec_id, label, {proj_cols},
+       ROUND(sqrt({norm_terms}), 6) AS proj_norm
 FROM p
 """
 
@@ -2940,26 +2945,26 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing); each component is one sequential-fold dot product inside
     whole-stage codegen — no UDF, no shuffle, a pure map over the corpus.
     Components and the derived norm are rounded to 6 dp on BOTH faces so
-    cross-engine float noise cannot propagate."""
+    cross-engine float noise cannot propagate.
+
+    Output schema: proj_0..proj_7 NAMED SCALAR columns, not ARRAY<DOUBLE> —
+    the r08 driver red (the result hasher is scalar-only; the repo's own
+    q_array_funcs rule, now enforced registry-wide by
+    tests/test_registry_order.py::test_oracle_backed_outputs_are_scalar)."""
     from .functions.vectors import dot
 
     e = t(spark, sf_dir, "embeddings")
     planes = _jl_weights()
-    proj = F.array(
-        *[
-            F.round(dot(F.col("embedding"), F.lit(w)), 6)
-            for w in planes
-        ]
-    )
-    p = e.select("vec_id", "label", proj.alias("proj"))
+    comps = [
+        F.round(dot(F.col("embedding"), F.lit(w)), 6).alias(f"proj_{i}")
+        for i, w in enumerate(planes)
+    ]
+    p = e.select("vec_id", "label", *comps)
+    norm = None
+    for i in range(len(planes)):
+        term = F.col(f"proj_{i}") * F.col(f"proj_{i}")
+        norm = term if norm is None else norm + term
     return p.select(
-        "vec_id", "label", "proj",
-        F.round(
-            F.sqrt(
-                F.aggregate(
-                    F.col("proj"), F.lit(0.0), lambda acc, x: acc + x * x
-                )
-            ),
-            6,
-        ).alias("proj_norm"),
+        "*",
+        F.round(F.sqrt(norm), 6).alias("proj_norm"),
     )

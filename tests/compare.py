@@ -105,3 +105,24 @@ def assert_no_plan_antipatterns(df) -> None:
         "CartesianProduct in physical plan — a join lost its keys or its "
         "broadcast:\n" + plan
     )
+
+
+def assert_scalar_output_schema(df, name: str) -> None:
+    """Registry-wide schema gate for ORACLE-BACKED queries (VERDICT r08 #1):
+    the correctness driver hashes result rows as Python tuples, so any
+    ArrayType/MapType/StructType output column raises 'unhashable type'
+    and turns a perfectly-planned query into an ERR verdict (r08:
+    q_embed_project).  The repo's own rule — q_array_funcs's 'scalar
+    outputs only' note — enforced mechanically: flatten arrays to named
+    scalar columns (proj_0..proj_7 style) on both faces."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: oracle-backed queries must emit scalar-only schemas "
+        f"(the driver hasher dies on lists) — non-scalar columns: {bad}"
+    )

@@ -7,7 +7,11 @@ import pytest
 
 from pipeline_calculator_v3_spark.queries import ORACLE_SQL, QUERIES
 
-from .compare import assert_frames_match, assert_no_plan_antipatterns
+from .compare import (
+    assert_frames_match,
+    assert_no_plan_antipatterns,
+    assert_scalar_output_schema,
+)
 
 ORACLE_NAMES = sorted(ORACLE_SQL)
 ROWS_ONLY_NAMES = sorted(set(QUERIES) - set(ORACLE_SQL))
@@ -17,6 +21,7 @@ ROWS_ONLY_NAMES = sorted(set(QUERIES) - set(ORACLE_SQL))
 def test_oracle_parity(name, spark, duck, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     assert_no_plan_antipatterns(df)
+    assert_scalar_output_schema(df, name)
     spark_pdf = df.toPandas()
     oracle_pdf = duck.execute(ORACLE_SQL[name]).df()
     assert_frames_match(spark_pdf, oracle_pdf)
