@@ -77,10 +77,14 @@ def kmeans_assign(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids_sink: list | None = None,
 ) -> DataFrame:
     """``iters`` Lloyd update iterations from the k lowest-id seed
     vectors, then a final assignment against the last centroids:
-    (vid, cid, sqd) — one row per input vector.
+    (vid, cid, sqd) — one row per input vector.  Pass ``centroids_sink``
+    (a list) to also receive the final (cid, cvec) centroid frame — the
+    SemDeDup representative rule scores members against their cluster
+    centroid, and re-fitting to get it would double the kmeans work.
 
     Each iteration costs one broadcast-scored map pass + one (cid, dim)
     mean exchange; centroid means are rounded to 9 dp (see module
@@ -119,4 +123,6 @@ def kmeans_assign(
                 F.coalesce(F.col("u.cvec"), F.col("p.cvec")).alias("cvec"),
             )
         )
+    if centroids_sink is not None:
+        centroids_sink.append(cents)
     return _assign(vecs, cents, id_col, vec_col).select("vid", "cid", "sqd")

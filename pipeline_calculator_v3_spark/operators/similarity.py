@@ -419,6 +419,8 @@ def semantic_dedup_pairs(
     iters: int = 1,
     min_cosine: float = 0.99,
     n_groups: int = 4,
+    assign_sink: list | None = None,
+    centroids_sink: list | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs — the third dedup axis
     (exact=fingerprint, lexical=minhash, semantic=embedding-cluster).
@@ -435,13 +437,20 @@ def semantic_dedup_pairs(
     is the overlapping-block alternative).
 
     Returns (id1, id2, cluster_id, cos_sim), id1 < id2, deterministic on
-    both engines (kmeans determinism contract + exact cosine)."""
+    both engines (kmeans determinism contract + exact cosine).  Pass
+    ``assign_sink`` / ``centroids_sink`` (lists) to also receive the
+    (vid, cid, sqd) assignment and (cid, cvec) centroid frames — the
+    SemDeDup representative policy (q_dedup_semantic_rep) needs both,
+    and recomputing them would re-run the whole kmeans fit."""
     from .joins import salted_self_pairs
     from .kmeans import kmeans_assign
 
     assigned = kmeans_assign(
-        vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        centroids_sink=centroids_sink,
     )
+    if assign_sink is not None:
+        assign_sink.append(assigned)
     labeled = (
         vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
         .join(assigned.select("vid", F.col("cid").alias("blk")), "vid")

@@ -365,172 +365,105 @@ from . import queries_analytics  # noqa: E402,F401
 # keep-list tail, review r06).
 # ---------------------------------------------------------------------------
 _NEVER_CHECKED_FIRST = [
-    # r08 new/changed surface: SemDeDup semantic dedup (new, first check);
-    # q_kmeans_embed (empty-cluster carry-forward landed in operator AND
-    # oracle), q_stream_cdc_merge (partition-pruned COW rewrite — verdict
-    # r07 #1), q_dedup_simhash (md5-face oracle upgrade), and
-    # q_similarity_ann_ivf (one-step-kmeans CTE oracle) — changed queries
-    # re-earn their hash verdict.
-    "q_dedup_semantic", "q_bpe_encode", "q_kmeans_embed",
-    "q_stream_cdc_merge",
-    "q_dedup_simhash", "q_similarity_ann_ivf",
-    # r08 new scale twins (VERDICT r07 #7): rows-only by design, first
-    # driver look; their cost/growth is gated in bench.py's scaling block.
-    "q_bm25_rank_xl", "q_kmeans_embed_xl",
-    # r08 new curation surface: exact-substring dedup (Lee et al. 2022),
-    # DSIR-style importance weighting, CCNet perplexity terciles and
-    # semantic train/eval contamination — all full-oracle, first check.
-    "q_dedup_substring", "q_dsir_weights",
-    "q_ppl_buckets", "q_contamination_semantic",
-    # r08 changed late in the round: ANN-LSH gained the md5-plane oracle
-    # face and the recall probe now reports it — both re-earn verdicts.
-    "q_similarity_ann_lsh", "q_similarity_ann_recall",
-    # r08 incremental-ingest dedup (bipartite minhash match, full oracle)
-    # and the substring-dedup scale twin (rows-only, bench-gated).
-    "q_dedup_incremental", "q_dedup_substring_xl",
-    # r08 model-based quality filtering (frozen linear classifier, full
-    # oracle via the shared weight table) and the kNN semantic adjacency
-    # graph (sign-prefix blocked, full oracle).
-    "q_quality_classifier", "q_knn_graph",
-    # r08 streaming near-dup-gated ingest (real stream, declarative
-    # two-generation replay oracle) and quality-aware dedup collapse
-    # (best-copy-wins representatives, full oracle).
-    "q_stream_ingest_dedup", "q_dedup_best_quality",
-    # r08 per-source curation report (classifier x clusters x tokens
-    # rollup, full oracle) and the JSONL source/sink round-trip identity
-    # gate (permissive quarantine, full oracle).
-    "q_source_report", "q_jsonl_roundtrip",
-    # r08 epoch composition plan (curriculum terciles + shuffle key +
-    # shard, full oracle).
-    "q_epoch_plan",
-    # r08 late additions (resumed session): Gopher rule-based quality
-    # filter (full oracle), z-order layout face for the zorder infra
-    # operator (full oracle), and JL random-projection embedding
-    # compression (md5-literal planes, full oracle).  Each takes a pool-B
-    # slot from an r05 hash-green TPC-H refresh (new surface has no
-    # verdict at all; the refreshes stay oracle-parity-gated every pytest
-    # run and rotate back next round).
-    "q_gopher_rules", "q_zorder_layout", "q_embed_project",
-    # r08 late scale twin for the round's flagship new operator: SemDeDup
-    # over a growing corpus with k scaled to N (rows-only, bench-gated;
-    # takes q_tpch_q12's pool-B slot).
-    "q_dedup_semantic_xl",
-    # r08 MinHash sketch-accuracy probe (est vs exact Jaccard per
-    # candidate pair, full oracle; takes q_tpch_q11's pool-B slot).
-    "q_minhash_sketch_err",
-    # r08 time-series gap fill + LOCF (densify to a regular bucket grid,
-    # forward-fill; full oracle; takes q_tpch_q9's pool-B slot).
-    "q_gap_fill",
-    # r08 dense-id assignment: global row_number semantics through the
-    # two-phase range+offset plan (full oracle = the naive window; takes
-    # the final pool-B slot from q_tpch_q2).
-    "q_dense_ids",
-    # r08 refresh, pool A: the COMPLETE r04-era backlog (verdict r07 #2) —
-    # the 16 single-shape relational/join/agg rows deferred across r06/r07
-    # plus the two rows-only members (q_segmentize, q_agg_approx_distinct).
-    # After this round nothing older than r05 carries the latest verdict.
-    "q_agg_hash", "q_agg_distinct", "q_rollup", "q_join_inner_hash",
-    "q_join_multi_way", "q_join_left_semi", "q_join_left_anti",
-    "q_join_outer", "q_join_theta_range", "q_join_asof",
-    "q_join_range_binned", "q_cdc_upsert", "q_embed_centroids",
-    "q_sample_stratified", "q_multimodal_features", "q_multimodal_frames",
-    "q_segmentize", "q_agg_approx_distinct",
-    # r08 refresh, pool B: the oldest r05 cohort — the TPC-H r05 batch
-    # first (those files were touched by the r06/r07 sweeps), then the
-    # analytics + training-pipeline families.
-    # (the whole pool-B TPC-H refresh batch — q_tpch_q2, q9, q11, q12,
-    # q16, q17, q20 — yielded its slots to the seven late-r08 entries
-    # above: new surface has no driver verdict at all, while these rows
-    # are r05 hash-green and stay oracle-parity-gated on every pytest
-    # run; they rotate back in r09.)
-    # (q_data_quality, q_ewma_smooth, q_anomaly_zscore,
-    # q_markov_transitions, q_multimodal_decode_png,
-    # q_tpch_q22_global_sales and q_tpch_q21_waiting_supplier yielded
-    # their pool-B slots to the seven new r08 entries above
-    # (q_quality_classifier .. q_epoch_plan);
-    # q_heavy_hitters, q_zipf_profile, q_mixture_plan,
-    # q_repetition_filter, q_retention_cohorts, q_boilerplate_spans,
-    # q_funnel_conversion and q_first_touch_attribution yielded their
-    # pool-B slots to the eight new/changed r08 entries above; all are
-    # r05 hash-green and stay oracle-parity-gated every pytest run —
-    # next-oldest refresh pool.)
+    # r09 changed surface re-earning its verdict: the r08 red —
+    # q_embed_project's ARRAY<DOUBLE> proj column made the driver hasher
+    # raise; flattened to proj_0..proj_7 scalars on both faces and gated
+    # registry-wide (tests/compare.py::assert_scalar_output_schema).
+    "q_embed_project",
+    # r09 new surface (VERDICT r08 #2): the five r08-staged operators get
+    # their registry faces — oracles lifted from their test files' proven
+    # DuckDB replays.
+    "q_resample_ohlc", "q_dedup_lines", "q_sample_k_per_key",
+    "q_source_copy_matrix", "q_percentile_gate",
+    # r09 new surface (VERDICT r08 #5): SemDeDup's paper representative
+    # policy — keep the member LEAST similar to its cluster centroid —
+    # sharing q_dedup_semantic's kmeans+CC oracle CTEs verbatim.
+    "q_dedup_semantic_rep",
+    # r09 refresh: the COMPLETE r05-verdict cohort except its two
+    # rows-only members (q_udtf_surface, q_pack_sequences_xl — they carry
+    # no hash verdict to refresh and yield their slots to the seven
+    # new/changed entries above; deferred to r10).  After this round the
+    # oldest HASH verdict anywhere is r06 (VERDICT r08 #3).
+    "q_agg_stats", "q_anomaly_zscore", "q_array_funcs", "q_boilerplate_spans",
+    "q_data_quality", "q_embed_quantize", "q_ewma_smooth",
+    "q_first_touch_attribution", "q_funnel_conversion", "q_graph_triangles",
+    "q_heavy_hitters", "q_interval_union", "q_join_bloom_pruned",
+    "q_markov_transitions", "q_mixture_plan", "q_multimodal_decode_png",
+    "q_pmi_bigrams", "q_profile_table", "q_repetition_filter",
+    "q_retention_cohorts", "q_rfm_segmentation", "q_scd2_history",
+    "q_snapshot_diff", "q_sql_recursive_tree", "q_stream_late_data",
+    "q_stream_session_timeout", "q_stream_static_join", "q_table_checksum",
+    "q_tpch_q11_important_stock", "q_tpch_q12_shipmode_priority",
+    "q_tpch_q16_supplier_cnt", "q_tpch_q17_small_qty",
+    "q_tpch_q20_excess_supply", "q_tpch_q21_waiting_supplier",
+    "q_tpch_q22_global_sales", "q_tpch_q2_min_cost_supplier",
+    "q_tpch_q9_product_profit", "q_variant_extract", "q_window_rank",
+    "q_window_time_range", "q_zipf_profile",
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length",
     "q_overlap_e2e",
 ]
-# r09 slot plan (write the window BEFORE building new surface — the
+# r10 slot plan (write the window BEFORE building new surface — the
 # never-checked-in-window invariant makes slots the budget): once
-# CORRECTNESS_r08 lands, all 30 r08-new entries become checked and rotate
-# out; 48 slots open.  Priorities: (1) the r05 cohorts that yielded their
-# pool-B slots this round (TPC-H q2/q9/q11/q12/q16/q17/q20/q21/q22, the
-# analytics batch, heavy_hitters/zipf/mixture/repetition/retention/
-# boilerplate/funnel/first_touch — oldest verdicts after r08); (2) new
-# surface candidates sketched r08 but deferred for slots: C4-style
-# cross-doc line-level dedup (distinct from the 40-char shingle substring
-# face), OHLC/min_by-max_by time-bucket downsampling over events, and the
-# BPE corpus-encode scale twin.
+# CORRECTNESS_r09 lands, the 48 entries above become checked and rotate
+# out.  Priorities: (1) the two r05 rows-only deferrals (q_udtf_surface,
+# q_pack_sequences_xl); (2) the r06 cohort — 48 queries, the oldest
+# verdict tier after r09 (q_case_dispatch .. q_window_lag_lead, list in
+# VERDICT r08); (3) any new surface, one-for-one against r06 refreshes.
 _ROTATED_OUT = [
-    # every remaining query is r05+-driver-green on its latest verdict and
+    # every remaining query is r06+-driver-green on its latest verdict and
     # (where oracle-backed) value-gated by tests/test_oracle_parity.py on
     # every pytest run; rows-only members carry operator-level pytest gates
     # (goldens / planted pairs / invariants) enumerated in
-    # tests/test_registry_order.py.  The whole r07 window went green, so
-    # its cohorts rotate here wholesale (minus the changed queries above).
-    "q_agg_stats", "q_anomaly_zscore",
-    "q_array_funcs", "q_bigram_lm", "q_bm25_rank",
-    "q_boilerplate_spans", "q_bpe_merges", "q_case_dispatch",
-    "q_chunk_documents",
-    "q_chunk_documents_xl", "q_contamination", "q_contamination_xl", "q_cube",
-    "q_curation_e2e", "q_data_quality", "q_date_funcs",
-    "q_dedup_clusters", "q_dedup_embedding",
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_minhash_md5",
-    "q_dedup_minhash_xl", "q_effective_length", "q_embed_quantize",
-    "q_ewma_smooth",
-    "q_filter_pred", "q_fingerprint", "q_first_touch_attribution",
-    "q_funnel_conversion", "q_geodesic_length_exact",
-    "q_graph_pagerank", "q_graph_triangles", "q_grouping_sets",
-    "q_heavy_hitters", "q_hybrid_rrf", "q_interval_union",
-    "q_join_big_sort_merge",
-    "q_join_bloom_pruned", "q_join_salted_skew", "q_json_funcs", "q_lang_id",
-    "q_lm_perplexity", "q_map_funcs", "q_markov_transitions",
-    "q_math_funcs", "q_mixture_plan",
-    "q_multimodal_decode", "q_multimodal_decode_png",
+    # tests/test_registry_order.py.  The whole r08 window went green
+    # (except q_embed_project, re-checked above), so its cohorts rotate
+    # here wholesale.
+    "q_agg_approx_distinct", "q_agg_distinct", "q_agg_hash", "q_bigram_lm",
+    "q_bm25_rank", "q_bm25_rank_xl", "q_bpe_encode", "q_bpe_merges",
+    "q_case_dispatch", "q_cdc_upsert", "q_chunk_documents",
+    "q_chunk_documents_xl", "q_contamination", "q_contamination_semantic",
+    "q_contamination_xl", "q_cube", "q_curation_e2e", "q_date_funcs",
+    "q_dedup_best_quality", "q_dedup_clusters", "q_dedup_embedding",
+    "q_dedup_exact", "q_dedup_incremental", "q_dedup_minhash",
+    "q_dedup_minhash_md5", "q_dedup_minhash_xl", "q_dedup_semantic",
+    "q_dedup_semantic_xl", "q_dedup_simhash", "q_dedup_substring",
+    "q_dedup_substring_xl", "q_dense_ids", "q_dsir_weights",
+    "q_effective_length", "q_embed_centroids", "q_epoch_plan",
+    "q_filter_pred", "q_fingerprint", "q_gap_fill", "q_geodesic_length_exact",
+    "q_gopher_rules", "q_graph_pagerank", "q_grouping_sets", "q_hybrid_rrf",
+    "q_join_asof", "q_join_big_sort_merge", "q_join_inner_hash",
+    "q_join_left_anti", "q_join_left_semi", "q_join_multi_way",
+    "q_join_outer", "q_join_range_binned", "q_join_salted_skew",
+    "q_join_theta_range", "q_json_funcs", "q_jsonl_roundtrip",
+    "q_kmeans_embed", "q_kmeans_embed_xl", "q_knn_graph", "q_lang_id",
+    "q_lm_perplexity", "q_map_funcs", "q_math_funcs", "q_minhash_sketch_err",
+    "q_multimodal_decode", "q_multimodal_features", "q_multimodal_frames",
     "q_ngram_jaccard", "q_null_semantics", "q_overlap_rollup",
     "q_overlap_summary", "q_pack_sequences", "q_pack_sequences_xl",
-    "q_parallel_overlap", "q_parallel_overlap_xl", "q_pivot",
-    "q_profile_table", "q_quantile_approx", "q_quantile_profile",
-    "q_repetition_filter", "q_rfm_segmentation",
-    "q_retention_cohorts", "q_sample_hash",
-    "q_sample_weighted", "q_scan_project", "q_scd2_history", "q_scrub_pii",
-    "q_tpch_q2_min_cost_supplier",
-    "q_sessionize", "q_set_except", "q_set_intersect", "q_set_union",
-    "q_shard_stats",
-    "q_similarity_topk", "q_snapshot_diff", "q_sort_limit",
+    "q_parallel_overlap", "q_parallel_overlap_xl", "q_pivot", "q_ppl_buckets",
+    "q_quality_classifier", "q_quantile_approx", "q_quantile_profile",
+    "q_rollup", "q_sample_hash", "q_sample_stratified", "q_sample_weighted",
+    "q_scan_project", "q_scrub_pii", "q_segmentize", "q_sessionize",
+    "q_set_except", "q_set_intersect", "q_set_union", "q_shard_stats",
+    "q_similarity_ann_ivf", "q_similarity_ann_lsh", "q_similarity_ann_recall",
+    "q_similarity_topk", "q_sort_limit", "q_source_report",
     "q_spatial_distance_join", "q_spatial_distance_join_xl",
     "q_spatial_polar_join", "q_split_train_eval", "q_sql_lateral_topn",
-    "q_sql_recursive_tree", "q_sql_shared_pricing", "q_sql_shared_subquery",
-    "q_stream_dedup", "q_stream_join", "q_stream_late_data",
-    "q_stream_outer_join", "q_stream_session", "q_stream_session_timeout",
-    "q_stream_sliding", "q_stream_stateful", "q_stream_static_join",
-    "q_stream_tumbling", "q_string_agg", "q_string_funcs", "q_table_checksum",
-    "q_text_analysis", "q_text_quality", "q_tfidf", "q_token_count",
-    "q_tpch_q10_returned", "q_tpch_q11_important_stock",
-    "q_tpch_q12_shipmode_priority",
-    "q_tpch_q13_order_distribution",
+    "q_sql_shared_pricing", "q_sql_shared_subquery", "q_stream_cdc_merge",
+    "q_stream_dedup", "q_stream_ingest_dedup", "q_stream_join",
+    "q_stream_outer_join", "q_stream_session", "q_stream_sliding",
+    "q_stream_stateful", "q_stream_tumbling", "q_string_agg",
+    "q_string_funcs", "q_text_analysis", "q_text_quality", "q_tfidf",
+    "q_token_count", "q_tpch_q10_returned", "q_tpch_q13_order_distribution",
     "q_tpch_q14_promo_share", "q_tpch_q15_top_supplier",
-    "q_tpch_q16_supplier_cnt", "q_tpch_q17_small_qty",
     "q_tpch_q18_large_orders", "q_tpch_q19_disjunctive",
-    "q_tpch_q20_excess_supply",
-    "q_tpch_q21_waiting_supplier", "q_tpch_q22_global_sales",
     "q_tpch_q1_pricing_summary", "q_tpch_q3_shipping_priority",
     "q_tpch_q4_order_priority", "q_tpch_q5_local_volume",
     "q_tpch_q6_forecast_revenue", "q_tpch_q7_nation_volume",
-    "q_tpch_q8_market_share", "q_tpch_q9_product_profit",
-    "q_udf_surface", "q_udtf_surface", "q_unpivot",
-    "q_variant_extract", "q_vocab_topk", "q_window_dist", "q_window_frame",
-    "q_window_lag_lead", "q_window_rank", "q_window_time_range",
-    "q_pmi_bigrams", "q_zipf_profile",
+    "q_tpch_q8_market_share", "q_udf_surface", "q_udtf_surface", "q_unpivot",
+    "q_vocab_topk", "q_window_dist", "q_window_frame", "q_window_lag_lead",
+    "q_zorder_layout",
 ]
 
 

@@ -789,3 +789,70 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_interp"),
         v.isNull().alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC time-bucket downsampling (r09): the classic time-series reduction —
+# open/high/low/close/count/mean per (event_type, 1-hour bucket) — shaped as
+# ONE hash/sort aggregate via min_by/max_by (operators/resample.py), never
+# the naive two-window-sorts-plus-aggregate spelling.
+# ---------------------------------------------------------------------------
+_OHLC_BUCKET_US = 3_600_000_000  # 1 h in microseconds
+
+
+@query(
+    "q_resample_ohlc",
+    oracle=f"""
+WITH ev AS (
+    SELECT event_id, event_type, epoch_us(ts) AS ts_us, value FROM events
+),
+ranked AS (
+    SELECT event_type,
+           CAST(ts_us - ((ts_us % {_OHLC_BUCKET_US} + {_OHLC_BUCKET_US})
+                         % {_OHLC_BUCKET_US}) AS BIGINT) AS bucket_start_us,
+           value,
+           first_value(value) OVER w AS open,
+           last_value(value) OVER
+               (w RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS close
+    FROM ev
+    WINDOW w AS (PARTITION BY event_type,
+                 ts_us - ((ts_us % {_OHLC_BUCKET_US} + {_OHLC_BUCKET_US})
+                          % {_OHLC_BUCKET_US})
+                 ORDER BY ts_us, event_id)
+)
+SELECT event_type, bucket_start_us,
+       any_value(open) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       any_value(close) AS close,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(avg(value), 6) AS mean_value
+FROM ranked GROUP BY 1, 2
+""",
+)
+def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, hour) OHLC candles over the events stream
+    (operators/resample.py::ohlc_downsample): open/close are the values at
+    the min/max (ts, event_id) ordering — the tiebreak makes rows sharing
+    a timestamp resolve identically on every engine — high/low/count/mean
+    are plain aggregates.  The mean is rounded to 6 dp on both faces
+    (summation-order noise); open/high/low/close are exact value picks.
+
+    Scale shape: ONE aggregate exchange keyed on (event_type, bucket) with
+    map-side min_by/max_by partials carrying open/close through the merge
+    tree — the naive first_value/last_value window spelling (which the
+    ORACLE uses, deliberately naive) needs a per-bucket sort plus a second
+    aggregate.  Bucket edges are pure integer arithmetic
+    (ts - pmod(ts, w)): floor-aligned over the full BIGINT range, where
+    ts/w would promote to DOUBLE and round past 2^53 and engines disagree
+    on negative integer division (oracle spells it
+    ts - ((ts % w + w) % w) — DuckDB's % truncates toward zero)."""
+    from .operators.resample import ohlc_downsample
+
+    e = events_t(spark, sf_dir)
+    out = ohlc_downsample(
+        e, "ts_us", "value", _OHLC_BUCKET_US,
+        key_cols=["event_type"], tiebreak_col="event_id",
+    )
+    return out.withColumn("mean_value", F.round("mean_value", 6))

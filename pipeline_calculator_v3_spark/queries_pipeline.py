@@ -1509,3 +1509,43 @@ def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("doc_id").cast("string")).alias("skey"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact k-per-key sampling (r09, operators/sampling.py): exactly
+# min(k, group size) deterministic uniform rows per source — the bounded
+# per-stratum showcase sampler (k examples per source/language for eval
+# cards and manual review).
+# ---------------------------------------------------------------------------
+_K_PER_KEY = 3
+
+
+@query(
+    "q_sample_k_per_key",
+    oracle=f"""
+SELECT source, doc_id FROM (
+    SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                       doc_id) AS rn
+    FROM documents
+) WHERE rn <= {_K_PER_KEY}
+""",
+)
+def q_sample_k_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly {k} deterministic uniform documents per source
+    (operators/sampling.py::sample_k_per_key): rank = md5 digest of the
+    doc id — a fixed pseudo-random permutation, so the selection is
+    uniform w.r.t. the data yet identical across runs, partitionings and
+    engines (the naive ORDER BY rand() is neither reproducible nor
+    oracle-checkable).
+
+    Scale shape: ONE exchange on source; the rank<=k filter plans as
+    Spark's WindowGroupLimit, so map tasks pre-prune to their local
+    top-k BEFORE the shuffle (plan-gated in tests/test_sample_k_per_key
+    .py) — a billion-row source moves k rows per map task, not a
+    billion."""
+    from .operators.sampling import sample_k_per_key
+
+    d = t(spark, sf_dir, "documents").select("source", "doc_id")
+    return sample_k_per_key(d, ["source"], _K_PER_KEY, "doc_id")

@@ -985,6 +985,7 @@ planted AS MATERIALIZED (
 corpus AS MATERIALIZED (SELECT * FROM base UNION ALL SELECT * FROM planted)"""
 
 
+from .functions.vectors import cosine as _cosine  # noqa: E402
 from .functions.vectors import cosine_sql as _COS_SQL  # noqa: E402
 from .functions.vectors import sqdist_sql as _SQD_SQL  # noqa: E402
 
@@ -994,12 +995,12 @@ from .functions.vectors import sqdist_sql as _SQD_SQL  # noqa: E402
 # oracle composes the two proven r07 unrolls — the q_kmeans_embed
 # MATERIALIZED-CTE Lloyd iteration (incl. the empty-cluster carry-forward)
 # and the q_dedup_clusters recursive-CTE component walk — over the planted
-# corpus.
-@query(
-    "q_dedup_semantic",
-    oracle=f"""
-WITH RECURSIVE {_SEM_CORPUS_CTES},
-seeds AS MATERIALIZED (
+# corpus.  The whole chain (seeds -> one Lloyd update -> final assignment
+# -> within-cluster pairs -> recursive component walk) is shared VERBATIM
+# by q_dedup_semantic (min-id survivor) and q_dedup_semantic_rep
+# (closest-to-centroid survivor, the paper's rule), so the component
+# derivation cannot fork between the two representative policies.
+_SEM_KMEANS_CC_CTES = f"""seeds AS MATERIALIZED (
     SELECT vec_id AS cid, v AS cvec FROM corpus ORDER BY vec_id LIMIT 32
 ),
 s1 AS MATERIALIZED (
@@ -1059,7 +1060,14 @@ walk(id, origin) AS (
 ),
 comps AS (
     SELECT id, min(origin) AS component FROM walk GROUP BY id
-)
+)"""
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+WITH RECURSIVE {_SEM_CORPUS_CTES},
+{_SEM_KMEANS_CC_CTES}
 SELECT c.vec_id,
        COALESCE(p.component, c.vec_id) AS cluster,
        COALESCE(p.component, c.vec_id) = c.vec_id AS keep
@@ -1091,6 +1099,91 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _spread(_planted_embedding_corpus(spark, sf_dir), spark)
     pairs = semantic_dedup_pairs(corpus, k=32, iters=1, min_cosine=0.99)
     return dedup_clusters(corpus, pairs, id_col="vec_id")
+
+
+# SemDeDup's ACTUAL representative rule (Abbas et al. 2023 §3): within each
+# group of semantic duplicates, keep the member with the LOWEST cosine
+# similarity to its cluster centroid — the most atypical copy, preserving
+# example diversity — rather than q_dedup_semantic's min-id survivor.
+# Composes with q_dedup_best_quality the way the lexical axis did: every
+# dedup axis now carries both a cheap-deterministic and a policy-aware
+# collapse.
+@query(
+    "q_dedup_semantic_rep",
+    oracle=f"""
+WITH RECURSIVE {_SEM_CORPUS_CTES},
+{_SEM_KMEANS_CC_CTES},
+cc AS (
+    SELECT l.vec_id, ROUND({_COS_SQL('l.v', 'c.cvec')}, 6) AS cos_cent
+    FROM labeled l JOIN c1 c USING (cid)
+),
+sd AS (
+    SELECT co.vec_id,
+           COALESCE(p.component, co.vec_id) AS cluster,
+           cc.cos_cent
+    FROM corpus co
+    LEFT JOIN comps p ON p.id = co.vec_id
+    JOIN cc ON cc.vec_id = co.vec_id
+),
+rk AS (
+    SELECT vec_id, cluster, cos_cent,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY cos_cent, vec_id) AS rn
+    FROM sd
+)
+SELECT vec_id, cluster, cos_cent, rn = 1 AS keep FROM rk
+""",
+)
+def q_dedup_semantic_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the paper's representative policy: same k-means
+    partition, within-cluster cosine pairs and connected components as
+    q_dedup_semantic (shared oracle CTE text), but each duplicate group's
+    survivor is the member LEAST similar to its assigned cluster centroid
+    (cosine rounded 6 dp on both faces, ties to the lowest id) — keeping
+    the most atypical copy preserves diversity, the rule Abbas et al.
+    motivate over first/random picks.
+
+    Scale shape: the kmeans fit/assignment and centroid frames are reused
+    from the pair stage via sinks (zero refit); the centroid table is k
+    rows and broadcast; the representative election is ONE cluster-keyed
+    window — nothing quadratic beyond the cluster-scoped pair stage."""
+    from .operators.clusters import connected_components
+    from .operators.similarity import semantic_dedup_pairs
+
+    corpus = _spread(_planted_embedding_corpus(spark, sf_dir), spark)
+    asg_sink: list = []
+    cen_sink: list = []
+    pairs = semantic_dedup_pairs(
+        corpus, k=32, iters=1, min_cosine=0.99,
+        assign_sink=asg_sink, centroids_sink=cen_sink,
+    )
+    comp = connected_components(pairs)
+    cos_cent = (
+        corpus.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v"))
+        .join(asg_sink[0].select("vid", "cid"), "vid")
+        .join(F.broadcast(cen_sink[0]), "cid")
+        .select(
+            F.col("vid").alias("id"),
+            F.round(_cosine(F.col("v"), F.col("cvec")), 6).alias("cos_cent"),
+        )
+    )
+    base = (
+        corpus.select(F.col("vec_id").alias("id"))
+        .join(comp, "id", "left")
+        .join(cos_cent, "id")
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("cluster"),
+            "cos_cent",
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(F.asc("cos_cent"), F.asc("id"))
+    return base.select(
+        F.col("id").alias("vec_id"),
+        "cluster",
+        "cos_cent",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
 
 
 # Semantic train/eval contamination over the planted corpus: eval = every
@@ -2967,4 +3060,192 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "*",
         F.round(F.sqrt(norm), 6).alias("proj_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-document LINE dedup (r09, operators/lines.py): a line that
+# recurs across the corpus — navigation chrome, license banners — survives
+# only at its first occurrence.  The shared documents table has no natural
+# newlines (every text is one line, FIXTURES.md), so the face plants the
+# real-world shape deterministically: sentence-split each text and prepend/
+# append boilerplate banner/footer lines to arithmetic subsets of docs —
+# exactly the chrome C4's rule exists to strip.
+# ---------------------------------------------------------------------------
+_LINES_BANNER = "NAVIGATION: home | about | contact"
+_LINES_FOOTER = "Copyright 2024 Example Corp. All rights reserved."
+
+
+@query(
+    "q_dedup_lines",
+    oracle=f"""
+WITH lined AS (
+    SELECT doc_id,
+           (CASE WHEN doc_id % 3 = 0
+                 THEN '{_LINES_BANNER}' || chr(10) ELSE '' END)
+           || regexp_replace(text, '\\. ', '.' || chr(10), 'g')
+           || (CASE WHEN doc_id % 7 = 0
+                    THEN chr(10) || '{_LINES_FOOTER}' ELSE '' END) AS text
+    FROM documents
+),
+lines AS (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+           unnest(string_split(text, chr(10))) AS line
+    FROM lined
+),
+dup AS (
+    SELECT line,
+           min(struct_pack(i := doc_id, p := pos)) AS win
+    FROM lines
+    WHERE length(trim(line)) >= 1
+    GROUP BY line
+    HAVING count(DISTINCT doc_id) >= 2
+),
+marked AS (
+    SELECT l.doc_id, l.pos, l.line,
+           (d.line IS NULL
+            OR (d.win.i = l.doc_id AND d.win.p = l.pos)) AS keep
+    FROM lines l LEFT JOIN dup d USING (line)
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                           ORDER BY pos), '') AS text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_lines_removed
+FROM marked GROUP BY doc_id
+""",
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup (operators/lines.py::dedup_lines) over the
+    boilerplate-planted corpus: the banner line (every 3rd doc) and footer
+    line (every 7th) survive only at their first (doc, pos) occurrence;
+    sentence lines are unique and stay put.  Winner election, exemptions
+    and reassembly all replay declaratively in the oracle.
+
+    Scale shape: posexplode -> ONE md5-digest-keyed aggregate electing
+    spread + winner (16-byte shuffle keys, map-side partials absorb the
+    billion-occurrence banner), tiny dup table joined back (AQE
+    broadcast), one per-doc reassembly aggregate — never pairwise."""
+    from .operators.lines import dedup_lines
+
+    d = t(spark, sf_dir, "documents")
+    lined = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_LINES_BANNER + "\n"))
+            .otherwise(F.lit("")),
+            F.regexp_replace("text", r"\. ", ".\n"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\n" + _LINES_FOOTER))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup_lines(_spread(lined, spark))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (r09, operators/dedup.py): which sources
+# duplicate which — the curation dashboard that finds mirror sites and
+# wholesale plagiarism between crawls.  Rides the SAME md5 MinHash-LSH pair
+# face (and oracle CTE text) as q_dedup_minhash_md5/q_dedup_clusters.
+# ---------------------------------------------------------------------------
+@query(
+    "q_source_copy_matrix",
+    oracle=f"""
+WITH {_MD5_LSH_CTES},
+prs AS (
+    SELECT id1, id2 FROM scored WHERE jaccard >= 0.5
+)
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       least(a.source, b.source) = greatest(a.source, b.source)
+           AS intra_source
+FROM prs p
+JOIN documents a ON a.doc_id = p.id1
+JOIN documents b ON b.doc_id = p.id2
+GROUP BY 1, 2
+""",
+)
+def q_source_copy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per unordered source pair, how many near-dup document pairs cross it
+    (operators/dedup.py::source_copy_matrix over the md5 MinHash-LSH pair
+    face — shared CTE text with q_dedup_minhash_md5, so the pair
+    derivation cannot fork).  (a,b) and (b,a) merge via least/greatest
+    canonical ordering; the diagonal (intra_source) measures dup pressure
+    inside one crawl.
+
+    Scale shape: inherits the pair face's banded-LSH guarantees, then two
+    doc-id-keyed dim joins (broadcast when the (id, source) projection
+    fits) + ONE aggregate on the |sources|^2-bounded key space."""
+    from .operators.dedup import source_copy_matrix
+
+    docs = _spread(t(spark, sf_dir, "documents"), spark)
+    pairs = minhash_lsh_pairs_md5(docs, min_jaccard=0.5)
+    return source_copy_matrix(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-source percentile quality gate (r09,
+# operators/classifier.py): keep the top keep_frac of EACH source by the
+# frozen classifier margin — per-group thresholds instead of one global
+# cut, completing the quality stack (q_ppl_buckets terciles are per-lang;
+# this is the per-source head-cut).
+# ---------------------------------------------------------------------------
+_GATE_KEEP_FRAC = 0.3
+
+
+def _percentile_gate_oracle() -> str:
+    from .operators.classifier import quality_z_sql
+
+    return f"""
+WITH qual AS (
+    SELECT doc_id, ROUND({quality_z_sql()}, 6) AS z
+    FROM documents
+    WHERE len({_TOKENS}) > 0
+),
+sd AS (
+    SELECT q.doc_id, q.z, d.source
+    FROM qual q JOIN documents d USING (doc_id)
+),
+rk AS (
+    SELECT doc_id, z, source,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY z DESC, doc_id) AS BIGINT)
+               AS group_rank,
+           CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS group_n
+    FROM sd
+)
+SELECT doc_id, z, source, group_rank, group_n,
+       group_rank <= ceil(round({_GATE_KEEP_FRAC} * group_n, 9)) AS keep
+FROM rk
+"""
+
+
+@query("q_percentile_gate", oracle=_percentile_gate_oracle())
+def q_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile quality gate: rank every scored document
+    inside its source by the frozen linear classifier margin (z, rounded
+    6 dp — the same score q_quality_classifier value-gates) and keep the
+    top 30% of each source (operators/classifier.py::
+    percentile_cut_per_group).  Rank ties resolve by doc_id; the keep
+    threshold quantizes keep_frac * n to 9 dp before the ceiling (advice
+    r08: raw double ceil keeps an extra row at exact fraction
+    boundaries).
+
+    Scale shape: both windows (rank + group count) ride ONE source-keyed
+    exchange; at 100 TB the same decision swaps to approx_percentile
+    thresholds broadcast-joined back (documented in the operator), this
+    exact face is the oracle-checkable spelling."""
+    from .operators.classifier import classify_quality, percentile_cut_per_group
+
+    d = t(spark, sf_dir, "documents")
+    scored = (
+        classify_quality(d)
+        .select("doc_id", "z")
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    return percentile_cut_per_group(
+        scored, ["source"], "z", _GATE_KEEP_FRAC, "doc_id"
     )

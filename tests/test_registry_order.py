@@ -87,6 +87,9 @@ def test_rotated_out_remain_pytest_gated():
             "q_similarity_ann_lsh",  # approximate by design; clean r05 row,
             "q_similarity_ann_recall",  # recall@10 floor asserted in pytest
                                         # and reported in bench output
+            "q_bm25_rank_xl", "q_kmeans_embed_xl",  # rows-only scale twins,
+            "q_dedup_substring_xl",  # clean r08 rows; 10x-growth exponents
+            "q_dedup_semantic_xl",   # gated in bench.py's scaling block
         ), name
 
 
