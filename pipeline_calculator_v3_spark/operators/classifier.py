@@ -101,7 +101,10 @@ def _feature_sql() -> dict[str, str]:
 
 
 def classify_quality(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Score every document with the frozen linear quality model.
 
@@ -111,11 +114,19 @@ def classify_quality(
     the output because f_log_tokens crosses libm ``log`` (Java Math.log
     vs DuckDB's C log can differ in the last ulp); the keep decision
     tolerates that only because corpus margins sit far from 0 — the
-    oracle-parity test is the guard."""
+    oracle-parity test is the guard.
+
+    ``extra_cols`` carries attribute columns (source, lang, ...) through
+    the scan so downstream per-group gates don't pay a doc-id self-join
+    to re-attach what the same scan already read (review r09: the
+    percentile gate's first cut joined documents back onto its own
+    scores)."""
+    extras = list(extra_cols or [])
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
         tokens(F.lower(F.col(text_col))).alias("tok"),
+        *[F.col(c) for c in extras],
     ).where(F.size("tok") > 0)
     feats = _feature_cols(F.col("text"), F.col("tok"))
     z: Column = F.lit(QUALITY_BIAS)
@@ -126,6 +137,7 @@ def classify_quality(
         F.round(z, 6).alias("z"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
         (z >= 0).alias("keep"),
+        *extras,
     )
 
 
@@ -190,4 +202,49 @@ def percentile_cut_per_group(
         <= F.ceil(F.round(F.lit(keep_frac) * F.col("group_n"), 9)).cast(
             "bigint"
         ),
+    )
+
+
+def percentile_gate_approx(
+    scored: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    keep_frac: float,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB spelling of :func:`percentile_cut_per_group` — the swap
+    its docstring documents: instead of ranking every row inside a
+    group-keyed window (a per-group SORT of the full corpus), compute each
+    group's (1 - keep_frac) quantile with ``approx_percentile`` (one hash
+    aggregate, map-side GK sketches, no sort) and broadcast the tiny
+    per-group threshold table back onto the scan.
+
+    keep = score >= threshold.  Near the cut this admits/drops rows within
+    the sketch's rank error (<= group_n / accuracy rows per group, the GK
+    bound) — the accepted trade at corpus scale, where the decision is a
+    budget, not an exact rank.  Unlike the exact face there is no
+    per-group tie handling: equal scores on the threshold all keep.
+
+    Returns the input columns + ``threshold`` DOUBLE + ``keep`` BOOLEAN.
+
+    Scale shape: ONE aggregate exchange over sketch partials (bytes per
+    (group, partition), not rows) + a broadcast join — the corpus itself
+    never shuffles and never sorts.  Staged r09 as tested infra
+    (tests/test_percentile_cut.py gates it against the exact face); an
+    r10 registry face would need a driver-window slot.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    for reserved in ("threshold", "keep"):
+        if reserved in scored.columns:
+            raise ValueError(
+                f"'{reserved}' is reserved by percentile_gate_approx"
+            )
+    thresholds = scored.groupBy(*group_cols).agg(
+        F.percentile_approx(
+            F.col(score_col), F.lit(1.0 - keep_frac), F.lit(accuracy)
+        ).alias("threshold")
+    )
+    return scored.join(F.broadcast(thresholds), group_cols).withColumn(
+        "keep", F.col(score_col) >= F.col("threshold")
     )

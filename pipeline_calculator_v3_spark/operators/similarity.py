@@ -445,25 +445,42 @@ def semantic_dedup_pairs(
     from .joins import salted_self_pairs
     from .kmeans import kmeans_assign
 
-    assigned = kmeans_assign(
-        vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
-        centroids_sink=centroids_sink,
+    from ..caching import persist_tracked
+    from ..functions.vectors import dot, norm
+
+    # keep_vec: the assignment is a zero-shuffle map (kmeans.py r09), so
+    # re-attaching vectors via a vid join would add the only full-corpus
+    # shuffle in the pair stage.  Per-row norms are precomputed ONCE here:
+    # cosine(a, b) decomposes as dot / nullif(na * nb, 0) with bit-identical
+    # doubles, and a vector meets ~cluster_size partners — recomputing its
+    # norm per PAIR was ~2/3 of the pair-stage HOF work.  Persisted: both
+    # sides of the within-cluster self-join read this frame.
+    assigned = persist_tracked(
+        kmeans_assign(
+            vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+            centroids_sink=centroids_sink, keep_vec=True,
+        ).select(
+            "vid", "v", F.col("cid").alias("blk"), "sqd",
+            norm(F.col("v")).alias("nrm"),
+        )
     )
     if assign_sink is not None:
-        assign_sink.append(assigned)
-    labeled = (
-        vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-        .join(assigned.select("vid", F.col("cid").alias("blk")), "vid")
-    )
+        assign_sink.append(
+            assigned.select("vid", F.col("blk").alias("cid"), "sqd")
+        )
+    labeled = assigned.select("vid", "v", "blk", "nrm")
     pairs = salted_self_pairs(labeled, "blk", "vid", n_groups=n_groups).where(
         F.col("a_vid") < F.col("b_vid")
+    )
+    cos = dot(F.col("a_v"), F.col("b_v")) / F.nullif(
+        F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0)
     )
     return (
         pairs.select(
             F.col("a_vid").alias("id1"),
             F.col("b_vid").alias("id2"),
             F.col("a_blk").alias("cluster_id"),
-            cosine(F.col("a_v"), F.col("b_v")).alias("cos_sim"),
+            cos.alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= min_cosine)
     )

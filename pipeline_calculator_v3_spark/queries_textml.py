@@ -3200,14 +3200,10 @@ def _percentile_gate_oracle() -> str:
     from .operators.classifier import quality_z_sql
 
     return f"""
-WITH qual AS (
-    SELECT doc_id, ROUND({quality_z_sql()}, 6) AS z
+WITH sd AS (
+    SELECT doc_id, ROUND({quality_z_sql()}, 6) AS z, source
     FROM documents
     WHERE len({_TOKENS}) > 0
-),
-sd AS (
-    SELECT q.doc_id, q.z, d.source
-    FROM qual q JOIN documents d USING (doc_id)
 ),
 rk AS (
     SELECT doc_id, z, source,
@@ -3234,17 +3230,18 @@ def q_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     r08: raw double ceil keeps an extra row at exact fraction
     boundaries).
 
-    Scale shape: both windows (rank + group count) ride ONE source-keyed
-    exchange; at 100 TB the same decision swaps to approx_percentile
-    thresholds broadcast-joined back (documented in the operator), this
-    exact face is the oracle-checkable spelling."""
+    Scale shape: source rides through the scoring scan (extra_cols — no
+    doc-id self-join to re-attach it), then both windows (rank + group
+    count) ride ONE source-keyed exchange: one scan, one exchange total.
+    At 100 TB the same decision swaps to approx_percentile thresholds
+    broadcast-joined back (operators/classifier.py::
+    percentile_gate_approx, r09-staged infra); this exact face is the
+    oracle-checkable spelling."""
     from .operators.classifier import classify_quality, percentile_cut_per_group
 
     d = t(spark, sf_dir, "documents")
-    scored = (
-        classify_quality(d)
-        .select("doc_id", "z")
-        .join(d.select("doc_id", "source"), "doc_id")
+    scored = classify_quality(d, extra_cols=["source"]).select(
+        "doc_id", "z", "source"
     )
     return percentile_cut_per_group(
         scored, ["source"], "z", _GATE_KEEP_FRAC, "doc_id"

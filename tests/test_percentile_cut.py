@@ -94,3 +94,66 @@ def test_exact_fraction_boundary_not_inflated(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string, score double")
     out = percentile_cut_per_group(df, ["source"], "score", 0.3, "doc_id")
     assert sum(r.keep for r in out.collect()) == 3
+
+
+# ---------------------------------------------------------------------------
+# percentile_gate_approx — the 100 TB swap documented in the exact face:
+# per-group approx_percentile thresholds broadcast back, no per-group sort.
+# Staged r09 as infra (an r10 registry face needs a driver-window slot).
+# ---------------------------------------------------------------------------
+from pipeline_calculator_v3_spark.operators.classifier import (
+    percentile_gate_approx,
+)
+
+
+def test_approx_budget_and_top_set(spark):
+    # 200 distinct scores in one group + a small group: with accuracy >> n
+    # the GK sketch is rank-exact, so the approx gate's kept count may
+    # differ from ceil(keep_frac * n) only by the threshold-inclusion
+    # boundary (score >= threshold keeps the threshold row itself) — a
+    # budget within +-1 — and the kept set must be a TOP set: every kept
+    # score >= every dropped score inside its group (guaranteed by the
+    # threshold form; rank windows can split ties, thresholds cannot).
+    rows = [(i, "big", float(i)) for i in range(200)] + [
+        (1000 + i, "small", float(1000 + i)) for i in range(13)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = percentile_gate_approx(df, ["source"], "score", 0.25).collect()
+    import math
+    for src, n in (("big", 200), ("small", 13)):
+        grp = [r for r in out if r.source == src]
+        assert len(grp) == n
+        want = math.ceil(round(0.25 * n, 9))
+        got = sum(1 for r in grp if r.keep)
+        assert abs(got - want) <= 1, (src, got, want)
+        kept_min = min(r.score for r in grp if r.keep)
+        dropped_max = max((r.score for r in grp if not r.keep), default=-1e18)
+        assert kept_min >= dropped_max
+        # one threshold per group, echoed on every row
+        assert len({r.threshold for r in grp}) == 1
+
+
+def test_approx_plan_has_no_window_or_sort(spark):
+    rows = [(i, "s", float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    plan = (
+        percentile_gate_approx(df, ["source"], "score", 0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the whole point of the swap: one aggregate + broadcast join, the
+    # corpus never sorts and never window-shuffles
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Sort" not in plan.replace("SortAggregate", "")
+
+
+def test_approx_guards(spark):
+    df = spark.createDataFrame(
+        [(1, "s", 1.0)], "doc_id long, source string, score double"
+    )
+    with pytest.raises(ValueError):
+        percentile_gate_approx(df, ["source"], "score", 0.0)
+    with pytest.raises(ValueError):
+        percentile_gate_approx(
+            df.withColumnRenamed("score", "keep"), ["source"], "keep", 0.5
+        )
