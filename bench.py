@@ -105,6 +105,12 @@ HEADLINE = [
     "q_minhash_sketch_err",       # added r08 (sketch est-vs-exact accuracy)
     "q_gap_fill",                 # added r08 (bucket densify + LOCF window)
     "q_dense_ids",                # added r08 (range+offset global row ids)
+    "q_resample_ohlc",            # added r09 (one-aggregate OHLC candles)
+    "q_dedup_lines",              # added r09 (C4 cross-doc line dedup)
+    "q_sample_k_per_key",         # added r09 (WindowGroupLimit k-per-key)
+    "q_source_copy_matrix",       # added r09 (cross-source dup rollup)
+    "q_percentile_gate",          # added r09 (per-source quality head-cut)
+    "q_dedup_semantic_rep",       # added r09 (SemDeDup centroid-policy rep)
     "q_overlap_e2e",
 ]
 
@@ -127,6 +133,76 @@ SCALE_TWINS = [
                              #  with N so pair work stays linear)
 ]
 SCALE_EXPONENT_MAX = 1.2
+
+# Straggler flagging (VERDICT r08 #7): co-tenancy inflates individual
+# queries 1.2-1.4x per PERF_NOTES; anything past this ratio vs its last
+# recorded min is machine-flagged in the JSON output instead of being
+# hand-adjudicated at verdict time.  Informational — co-tenant noise is
+# not a code regression, so it never fails the run.
+STRAGGLER_RATIO = 1.5
+
+
+def _repo_dir() -> str:
+    return os.path.dirname(os.path.abspath(__file__))
+
+
+def _this_round() -> int:
+    """1 + the highest driver-recorded round (BENCH_r{N}.json)."""
+    ns = [
+        int(m.group(1))
+        for p in os.listdir(_repo_dir())
+        if (m := re.match(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(ns) + 1) if ns else 1
+
+
+def _last_recorded_timings() -> dict[str, float]:
+    """Most recent per-query headline seconds across all BENCH artifacts.
+
+    Driver captures (BENCH_r{N}.json) can be tail-truncated — the head of
+    the JSON line is lost (VERDICT r07/r08 had to reconstruct tables from
+    partial data) — so unparseable files fall back to regex extraction of
+    direct "q_name": seconds pairs (scaling/recall sub-objects don't match
+    the pattern).  Later rounds override earlier; the full local record
+    (BENCH_LOCAL_r{N}.json) overrides the truncated driver capture of the
+    same round."""
+    repo = _repo_dir()
+    files = [
+        p
+        for p in os.listdir(repo)
+        if re.match(r"BENCH(_LOCAL)?_r(\d+)\.json$", p)
+    ]
+
+    def order(p: str) -> tuple[int, int]:
+        m = re.match(r"BENCH(_LOCAL)?_r(\d+)\.json$", p)
+        return (int(m.group(2)), 1 if m.group(1) else 0)
+
+    best: dict[str, float] = {}
+    for p in sorted(files, key=order):
+        try:
+            text = open(os.path.join(repo, p)).read()
+        except OSError:
+            continue
+        try:
+            obj = json.loads(text)
+        except json.JSONDecodeError:
+            obj = None
+        if isinstance(obj, dict) and isinstance(obj.get("queries"), dict):
+            qs = obj["queries"]
+        else:
+            # driver capture: {"n":..,"rc":..,"tail": "<escaped JSON
+            # fragment>"} — regex the (possibly truncated) tail string
+            hay = obj.get("tail", "") if isinstance(obj, dict) else text
+            qs = {
+                m.group(1): float(m.group(2))
+                for m in re.finditer(
+                    r'"(q_[a-z0-9_]+)":\s*([0-9][0-9.]*)', hay
+                )
+            }
+        for k, v in qs.items():
+            if isinstance(v, (int, float)):
+                best[k] = float(v)
+    return best
 
 
 def main() -> None:
@@ -231,21 +307,41 @@ def main() -> None:
         if raw_exp[name] > SCALE_EXPONENT_MAX
     ]
 
+    # Machine-flag roaming stragglers (VERDICT r08 #7): a min-of-2 more
+    # than STRAGGLER_RATIO over the query's last recorded min means either
+    # a real regression or a double-straggler pass — either way it needs an
+    # isolated re-measurement before the number is believed.
+    last = _last_recorded_timings()
+    suspect_stragglers = {
+        name: {"now": timings[name], "last": last[name]}
+        for name in timings
+        if name in last
+        and last[name] >= 0.05  # sub-50ms noise floor
+        and timings[name] > STRAGGLER_RATIO * last[name]
+    }
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "recall": recall,
-                "scaling": scaling,
-                "scaling_violations": violations,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline-suite wall clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "recall": recall,
+        "scaling": scaling,
+        "scaling_violations": violations,
+        "suspect_stragglers": suspect_stragglers,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    # The driver's capture of the line above can lose its head when the
+    # tail is truncated (VERDICT r08 #4 — r07 AND r08 cross-round tables
+    # had to be reconstructed from partial data).  Persist the complete
+    # object in-repo; the driver's BENCH_r{N}.json stays authoritative for
+    # rc/gates.
+    local = os.path.join(_repo_dir(), f"BENCH_LOCAL_r{_this_round():02d}.json")
+    with open(local, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
     spark.stop()
     if violations:
         raise AssertionError("; ".join(violations))

@@ -254,6 +254,61 @@ AUDIT: list[tuple[str, str]] = [
         " the dense grid regenerates from the span via explode(sequence),"
         " never a second scan of events.",
     ),
+    (
+        "q_resample_ohlc",
+        "OHLC as ONE aggregate: min_by/max_by carry open/close through the"
+        " map-side partial-merge tree, so the events table crosses exactly"
+        " one (event_type, bucket)-keyed exchange and nothing is globally"
+        " sorted.  The struct ordering key (ts, event_id tiebreak) demotes"
+        " hash- to sort-aggregate — documented trade; drop the tiebreak"
+        " when timestamps are unique per bucket and it plans HashAggregate"
+        " (both shapes gated in tests/test_resample_ohlc.py).  The naive"
+        " first/last-value window spelling (the oracle) pays a per-bucket"
+        " sort plus a second aggregate.",
+    ),
+    (
+        "q_dedup_lines",
+        "Line dedup without pairwise comparison: posexplode, then ONE hash"
+        " aggregate keyed on the 16-byte md5 digest elects distinct-doc"
+        " spread and the min-(doc,pos) winner together — map-side partials"
+        " absorb a banner line appearing a billion times, and the exchange"
+        " never carries line text.  The tiny dup table joins back"
+        " (broadcast under AQE) and one per-doc aggregate reassembles kept"
+        " lines in position order.  The exploded frame is persisted: the"
+        " dup aggregate and the join-back read one materialization.",
+    ),
+    (
+        "q_sample_k_per_key",
+        "Exact k-per-key with the WindowGroupLimit prune: the rank filter"
+        " pushes a PARTIAL WindowGroupLimit below the exchange, so each"
+        " map task pre-prunes to its local top-k and a billion-row source"
+        " ships k rows per map task, not a billion.  Rank = md5(id):"
+        " deterministic pseudo-random permutation, no rand(), no driver.",
+    ),
+    (
+        "q_percentile_gate",
+        "Both windows (per-source rank and group count) ride ONE"
+        " source-keyed exchange + one sort.  At 100 TB the exact rank"
+        " swaps to approx_percentile thresholds broadcast back (no"
+        " per-group sort) — this face is the oracle-checkable spelling"
+        " of the same decision.",
+    ),
+    (
+        "q_source_copy_matrix",
+        "Rides the banded-LSH pair plan unchanged (never all-pairs), then"
+        " two doc-id joins against the narrow (id, source) projection and"
+        " ONE aggregate whose key space is bounded by |sources|^2 — the"
+        " rollup adds no new shuffle family to the pair face.",
+    ),
+    (
+        "q_dedup_semantic_rep",
+        "SemDeDup with the paper's centroid-distance survivor: kmeans"
+        " fit/assignment reused from the pair stage via sinks (zero"
+        " refit), centroid table broadcast (k rows), components via"
+        " O(log D) pointer jumping, and the representative election is"
+        " one cluster-keyed window — beyond the cluster-scoped pair"
+        " stage nothing is quadratic.",
+    ),
 ]
 
 
