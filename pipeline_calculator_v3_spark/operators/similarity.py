@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import local_checkpoint_tracked, persist_tracked
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot, norm
 
 
 def _plane_weight(bit: Column | int, dim_idx: Column) -> Column:
@@ -172,14 +172,15 @@ def cosine_topk_ivf(
     list-id repartition); probe join is an equi-join on list id.
     """
     def _best_centroid(scored):
-        """Single nearest centroid per vector WITHOUT a window: max_by over
-        (csim, -centroid_id) reproduces the window's (desc csim, asc id)
+        """Single nearest centroid per vector WITHOUT a window: min_by over
+        (-csim, centroid_id) reproduces the window's (desc csim, asc id)
         winner while aggregating map-side — each vid's C candidate rows
         collapse to one before the exchange, so full vectors cross the
-        shuffle once, not C times."""
-        best = F.max_by(
+        shuffle once, not C times.  Only the (double) score is negated so
+        the tie rule survives string centroid ids (the advice-r08 class)."""
+        best = F.min_by(
             F.struct(F.col("v").alias("v"), F.col("centroid_id").alias("centroid_id")),
-            F.struct(F.col("csim").alias("s"), (-F.col("centroid_id")).alias("t")),
+            F.struct((-F.col("csim")).alias("s"), F.col("centroid_id").alias("t")),
         )
         return (
             scored.groupBy("vid")
@@ -393,19 +394,27 @@ def embedding_dedup_pairs(
     count is sum of per-bucket quadratic terms, not N^2."""
     from .joins import salted_self_pairs
 
+    # per-row norm hoisted out of the pair loop (r09): cosine decomposes
+    # as dot / nullif(na * nb, 0) with bit-identical doubles, and a row
+    # meets ~bucket_size partners — recomputing its norm per PAIR was
+    # ~2/3 of the pair-stage HOF arithmetic
     base = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         sign_prefix_block(F.col(vec_col), sign_dims).alias("blk"),
+        norm(F.col(vec_col)).alias("nrm"),
     )
     pairs = salted_self_pairs(base, "blk", "vid", n_groups=4).where(
         F.col("a_vid") < F.col("b_vid")
+    )
+    cos = dot(F.col("a_v"), F.col("b_v")) / F.nullif(
+        F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0)
     )
     return (
         pairs.select(
             F.col("a_vid").alias("id1"),
             F.col("b_vid").alias("id2"),
-            cosine(F.col("a_v"), F.col("b_v")).alias("cos_sim"),
+            cos.alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= min_cosine)
     )
@@ -444,9 +453,6 @@ def semantic_dedup_pairs(
     and recomputing them would re-run the whole kmeans fit."""
     from .joins import salted_self_pairs
     from .kmeans import kmeans_assign
-
-    from ..caching import persist_tracked
-    from ..functions.vectors import dot, norm
 
     # keep_vec: the assignment is a zero-shuffle map (kmeans.py r09), so
     # re-attaching vectors via a vid join would add the only full-corpus
@@ -517,24 +523,32 @@ def embedding_contamination(
     """
     blk = sign_prefix_block(F.col(vec_col), sign_dims)
     g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int")
+    # per-side norms hoisted out of the bipartite pair loop (r09): a train
+    # row meets every blockmate eval row — same bit-identical cosine
+    # decomposition as the self-join pair faces
     tb = train.select(
         F.col(id_col).alias("train_id"),
         F.col(vec_col).alias("tv"),
         blk.alias("blk"),
         g.alias("g"),
+        norm(F.col(vec_col)).alias("tn"),
     )
     eb = eval_df.select(
         F.col(id_col).alias("eval_id"),
         F.col(vec_col).alias("ev"),
         blk.alias("blk"),
         F.explode(F.array(*[F.lit(i) for i in range(n_groups)])).alias("g"),
+        norm(F.col(vec_col)).alias("en"),
     )
     scored = (
         tb.join(eb, ["blk", "g"])
         .select(
             "train_id",
             "eval_id",
-            cosine(F.col("tv"), F.col("ev")).alias("cos_sim"),
+            (
+                dot(F.col("tv"), F.col("ev"))
+                / F.nullif(F.col("tn") * F.col("en"), F.lit(0.0))
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= min_cosine)
     )
@@ -585,10 +599,13 @@ def knn_graph(
     (cos DESC, dst ASC) order is deterministic."""
     from .joins import salted_self_pairs
 
+    # nrm: per-row norm hoisted out of the per-pair cosine (r09, same
+    # decomposition as semantic_dedup_pairs — bit-identical doubles)
     base = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         sign_prefix_block(F.col(vec_col), sign_dims).alias("blk"),
+        norm(F.col(vec_col)).alias("nrm"),
     )
     und = persist_tracked(
         salted_self_pairs(base, "blk", "vid", n_groups=4)
@@ -596,7 +613,10 @@ def knn_graph(
         .select(
             F.col("a_vid").alias("id1"),
             F.col("b_vid").alias("id2"),
-            cosine(F.col("a_v"), F.col("b_v")).alias("c"),
+            (
+                dot(F.col("a_v"), F.col("b_v"))
+                / F.nullif(F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0))
+            ).alias("c"),
         )
     )  # mirrored below: unpersisted, the block join + cosine runs twice
     directed = und.unionAll(
