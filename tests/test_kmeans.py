@@ -125,3 +125,29 @@ def test_empty_cluster_carried_forward(spark):
     # updated c0 = mean of ALL four = [5.0]; carried c1 = [0.0]
     assert got == {0: 1, 1: 1, 2: 0, 3: 0}
     assert len(set(got.values())) == 2
+
+
+def test_centroids_sink_and_keep_vec_contract(spark, sf_dir):
+    """r09: the sinked centroid frame must be exactly what the final
+    assignment scored against (re-deriving min sqdist from it reproduces
+    the assignment), and keep_vec must return the input vector intact."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sink: list = []
+    out = kmeans_assign(e, k=8, iters=1, centroids_sink=sink, keep_vec=True)
+    rows = out.collect()
+    assert sink, "centroids_sink not populated"
+    cents = {r["cid"]: np.array(r["cvec"], dtype=np.float64)
+             for r in sink[0].collect()}
+    assert len(cents) == 8  # empty-cluster carry keeps k rows
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in e.collect()}
+    for r in rows[:50]:
+        # keep_vec: v is the input vector verbatim
+        assert np.allclose(np.array(r["v"], dtype=np.float64), emb[r["vid"]])
+        # assignment = argmin over the SINKED centroids (ties to lower cid)
+        best = min(
+            (float(np.sum((emb[r["vid"]] - c) ** 2)), cid)
+            for cid, c in cents.items()
+        )
+        assert r["cid"] == best[1]
+        assert r["sqd"] == pytest.approx(best[0])
