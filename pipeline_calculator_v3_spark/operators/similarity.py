@@ -167,28 +167,15 @@ def cosine_topk_ivf(
     because data-point seeds already align with the cluster structure and
     mean-collapse coarsens the lists.  Tune per-corpus.
 
-    Scale: centroids broadcast (tiny); assignment is one map-side pass over
-    the corpus (N x C dot products, no shuffle of vectors beyond the
-    list-id repartition); probe join is an equi-join on list id.
+    Scale: centroids broadcast as ONE row holding a sorted struct array
+    (tiny); assignment/probing is a PURE MAP over each side — per-row
+    (negcsim, centroid_id) structs ranked with array_min (corpus, top-1)
+    or array_sort + slice (queries, top-nprobe), so the corpus crosses
+    zero exchanges before the list-id repartition and the N x C scored
+    rows of the previous spelling are never materialized (r09, the
+    kmeans._assign rewrite applied to both IVF sides).  The probe join is
+    an equi-join on list id.
     """
-    def _best_centroid(scored):
-        """Single nearest centroid per vector WITHOUT a window: min_by over
-        (-csim, centroid_id) reproduces the window's (desc csim, asc id)
-        winner while aggregating map-side — each vid's C candidate rows
-        collapse to one before the exchange, so full vectors cross the
-        shuffle once, not C times.  Only the (double) score is negated so
-        the tie rule survives string centroid ids (the advice-r08 class)."""
-        best = F.min_by(
-            F.struct(F.col("v").alias("v"), F.col("centroid_id").alias("centroid_id")),
-            F.struct((-F.col("csim")).alias("s"), F.col("centroid_id").alias("t")),
-        )
-        return (
-            scored.groupBy("vid")
-            .agg(best.alias("b"))
-            .select("vid", F.col("b.v").alias("v"), F.col("b.centroid_id").alias("centroid_id"))
-        )
-
-    w_assign = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("centroid_id"))
     cents = (
         corpus.orderBy(c_id).limit(n_centroids)
         .select(
@@ -197,16 +184,69 @@ def cosine_topk_ivf(
         )
     )
 
+    def _carr(cents_df):
+        """Centroids as one broadcastable row: cid-sorted array of
+        (centroid_id, cent_v, cn) with the centroid norm precomputed —
+        cosine decomposes as dot / nullif(nv * cn, 0), bit-identical to
+        cosine() and computed once per centroid instead of per pair."""
+        return cents_df.groupBy().agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("centroid_id").alias("centroid_id"),
+                        F.col("cent_v").alias("cent_v"),
+                        norm(F.col("cent_v")).alias("cn"),
+                    )
+                )
+            ).alias("_cents")
+        )
+
+    def _scored(df, id_col, cents_df):
+        """(vid, v, _sc) with _sc = per-centroid (negcsim, centroid_id)
+        structs: ascending struct order == (desc csim, asc centroid_id),
+        the exact window order of the previous spelling."""
+        base = df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("_nv"),
+        )
+        return base.crossJoin(F.broadcast(_carr(cents_df))).select(
+            "vid",
+            "v",
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    (
+                        -(
+                            dot(F.col("v"), c["cent_v"])
+                            / F.nullif(F.col("_nv") * c["cn"], F.lit(0.0))
+                        )
+                    ).alias("negcsim"),
+                    c["centroid_id"].alias("centroid_id"),
+                ),
+            ).alias("_sc"),
+        )
+
+    def assign(df, id_col, keep_n, cents_df):
+        s = _scored(df, id_col, cents_df)
+        if keep_n == 1:
+            # the CORPUS side: map-side argmin over the broadcast array —
+            # never a window (review r06) and, since r09, never an
+            # exploded N x C frame either
+            return s.select(
+                "vid", "v",
+                F.array_min(F.col("_sc"))["centroid_id"].alias("centroid_id"),
+            )
+        # the QUERY side only (tiny by contract): multi-probe keeps the
+        # nprobe best lists — sort the per-row array, slice, explode
+        return s.select(
+            "vid", "v",
+            F.explode(F.slice(F.array_sort(F.col("_sc")), 1, keep_n)).alias("_p"),
+        ).select("vid", "v", F.col("_p.centroid_id").alias("centroid_id"))
+
     def refine(cents_df):
         """One Lloyd iteration: element-wise mean of each list's members."""
-        assigned = _best_centroid(
-            corpus.crossJoin(F.broadcast(cents_df)).select(
-                F.col(c_id).alias("vid"),
-                F.col(vec_col).alias("v"),
-                "centroid_id",
-                cosine(F.col(vec_col), F.col("cent_v")).alias("csim"),
-            )
-        )
+        assigned = assign(corpus, c_id, 1, cents_df)
         # element-wise mean via posexplode + groupBy(centroid, dim)
         dims = assigned.select(
             "centroid_id", F.posexplode(F.col("v")).alias("dim", "x")
@@ -226,32 +266,8 @@ def cosine_topk_ivf(
     for _ in range(kmeans_iters):
         cents = local_checkpoint_tracked(refine(cents))
 
-    def assign(df, id_col, keep_n):
-        scored = (
-            df.crossJoin(F.broadcast(cents))
-            .select(
-                F.col(id_col).alias("vid"),
-                F.col(vec_col).alias("v"),
-                "centroid_id",
-                cosine(F.col(vec_col), F.col("cent_v")).alias("csim"),
-            )
-        )
-        if keep_n == 1:
-            # the CORPUS side: map-side partial aggregation — never a
-            # window (review r06: row_number over vid shuffled every
-            # corpus vector C times, contradicting the docstring's
-            # 'no shuffle of vectors' contract)
-            return _best_centroid(scored)
-        # the QUERY side only (tiny by contract): multi-probe keeps
-        # nprobe lists per query, a window over the small side is fine
-        return (
-            scored.withColumn("r", F.row_number().over(w_assign))
-            .where(F.col("r") <= keep_n)
-            .select("vid", "v", "centroid_id")
-        )
-
-    c_assigned = assign(corpus, c_id, 1)          # inverted lists
-    q_assigned = assign(queries, q_id, nprobe)    # multi-probe
+    c_assigned = assign(corpus, c_id, 1, cents)       # inverted lists
+    q_assigned = assign(queries, q_id, nprobe, cents)  # multi-probe
     cand = (
         q_assigned.select(F.col("vid").alias("qid"), F.col("v").alias("qv"), "centroid_id")
         .join(

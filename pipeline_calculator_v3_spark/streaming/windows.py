@@ -127,3 +127,43 @@ def run_stream_to_memory(spark, events_dir: str, transform, name: str) -> DataFr
         # sink name (review r06; every sibling runner already does this)
         q.stop()
     return spark.table(name)
+
+
+OHLC_TUMBLE = "1 hour"
+
+
+def ohlc_candles(events: DataFrame) -> DataFrame:
+    """Streaming face of operators/resample.ohlc_downsample: per
+    (event_type, 1-hour tumbling window) OHLC candles as ONE aggregation —
+    min_by/max_by carry open/close through the streaming state exactly as
+    they carry it through the batch partial-merge tree, so the same
+    function applied to the batch frame and the watermarked stream is the
+    whole equivalence proof (tests/test_stream_ohlc.py, r09-staged; a
+    registry face needs an r10 driver-window slot).
+
+    Bucket parity: F.window's origin is the epoch, so for epoch-aligned
+    widths ``window.start == ts - pmod(ts_us, w)`` — the batch operator's
+    integer bucket edge — on every positive-epoch timestamp.  The (ts_us,
+    event_id) ordering struct is the operator's determinism contract
+    verbatim."""
+    ep = epoch_us_extractor(events)
+    order = F.struct(F.col("ts_us"), F.col("event_id"))
+    v = F.col("value")
+    return (
+        events.groupBy(
+            F.window("ts", OHLC_TUMBLE).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.min_by(v, order).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.avg(v).alias("mean_value"),
+        )
+        .select(
+            ep("w.start").alias("bucket_start_us"),
+            "event_type", "open", "high", "low", "close",
+            "n_rows", "mean_value",
+        )
+    )
