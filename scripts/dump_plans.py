@@ -301,6 +301,25 @@ AUDIT: list[tuple[str, str]] = [
         " rollup adds no new shuffle family to the pair face.",
     ),
     (
+        "q_kmeans_embed",
+        "Lloyd iteration after the r09 rewrite: assignment is a PURE MAP —"
+        " array_min over a one-row broadcast centroid array (same (sqd,"
+        " cid) tie rule as the old min_by) — so the N x k scored frame of"
+        " the previous spelling is never materialized and the only"
+        " exchange per iteration is the (cid, dim) centroid-mean update."
+        "  k grows with the corpus under the SemDeDup deployment rule,"
+        " which made the old N x k explode quadratic at scale.",
+    ),
+    (
+        "q_similarity_ann_ivf",
+        "IVF after the r09 rewrite: corpus list assignment is map-side"
+        " array_min over the broadcast centroid array (zero exchanges"
+        " before the list-id repartition) and query multi-probe is"
+        " array_sort + slice + explode on the same per-row struct array —"
+        " the old window/min_by spellings' (desc csim, asc id) order"
+        " exactly, with centroid norms precomputed into the broadcast row.",
+    ),
+    (
         "q_dedup_semantic_rep",
         "SemDeDup with the paper's centroid-distance survivor: kmeans"
         " fit/assignment reused from the pair stage via sinks (zero"
