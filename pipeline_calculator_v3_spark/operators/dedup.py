@@ -589,3 +589,55 @@ def source_copy_matrix(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .withColumn("intra_source", F.col("source_a") == F.col("source_b"))
     )
+
+
+def dedup_axes_report(
+    docs: DataFrame,
+    axes: dict[str, DataFrame],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """How the dedup axes AGREE — per combination of per-axis keep
+    decisions, the document count and the smallest example id: the
+    curation dashboard that answers "what does semantic dedup remove that
+    minhash kept?" before anyone commits to a removal policy.
+
+    ``axes`` maps an axis name to its decision frame — any (id, keep
+    BOOLEAN) face from this package (fingerprint_dedup, dedup_clusters,
+    semantic_dedup via dedup_clusters, quality gates...).  Documents
+    absent from an axis frame count as kept=true under that axis (an axis
+    that emits no row made no removal claim).  Output: one ``keep_<name>``
+    BOOLEAN column per axis (name-sorted) + ``n_docs`` BIGINT +
+    ``example_id`` (min id in the cell).
+
+    Scale shape: one id-keyed left join per axis (every axis frame is
+    id-unique by contract, so joins never fan out) + ONE hash aggregate
+    over a <= 2^|axes| key space — the joins share the id key, so at
+    100 TB this is one exchange family over the doc-id hash, never a
+    multi-pass.  Staged r09 as tested infra (tests/test_dedup_axes.py
+    carries the intended DuckDB oracle); an r10 registry face needs a
+    driver-window slot.
+    """
+    if not axes:
+        raise ValueError("axes must name at least one decision frame")
+    out = docs.select(F.col(id_col).alias("_id"))
+    names = sorted(axes)
+    for name in names:
+        d = axes[name]
+        out = out.join(
+            d.select(
+                F.col(id_col).alias("_id"),
+                F.col("keep").alias(f"keep_{name}"),
+            ),
+            "_id",
+            "left",
+        ).withColumn(
+            f"keep_{name}", F.coalesce(F.col(f"keep_{name}"), F.lit(True))
+        )
+    keys = [f"keep_{n}" for n in names]
+    return (
+        out.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("_id").alias("example_id"),
+        )
+    )
