@@ -57,6 +57,16 @@ def get_spark(app_name: str = "pipeline_calculator_v3_spark",
         # Reasonable broadcast threshold; dims in the star schema are tiny.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Long-lived sessions (bench's ~90-query run, a production service)
+        # free broadcast variables and shuffle state via the ContextCleaner,
+        # which only fires after a driver GC collects the weak references —
+        # with a large, un-pressured driver heap full GCs are rare, so
+        # executor-side broadcast blocks pile up for the whole session (the
+        # r09 late-suite inflation band: queries past the ~80th headline
+        # slot ran 2-4x their isolated cost).  The periodic-GC default is
+        # 30 min — longer than the entire bench; 2 min bounds the garbage
+        # window at negligible GC cost.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
