@@ -87,3 +87,35 @@ GROUP BY 1, 2, 3
         for r in con.execute(sql).fetchall()
     }
     assert oracle == result
+
+
+# ---------------------------------------------------------------------------
+# Randomized property: for ANY axes frames (partial coverage, arbitrary keep
+# flags), the rollup equals a naive single-process reference.
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_DECISION = st.dictionaries(st.integers(0, 9), st.booleans(), max_size=10)
+
+
+@given(ax1=_DECISION, ax2=_DECISION)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_property_equals_naive(spark, ax1, ax2):
+    ids = list(range(10))
+    expect: dict[tuple, list] = {}
+    for i in ids:
+        key = (ax1.get(i, True), ax2.get(i, True))
+        expect.setdefault(key, []).append(i)
+    want = {k: (len(v), min(v)) for k, v in expect.items()}
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    schema = "doc_id long, keep boolean"
+    axes = {
+        "a": spark.createDataFrame(list(ax1.items()) or [], schema),
+        "b": spark.createDataFrame(list(ax2.items()) or [], schema),
+    }
+    got = {
+        (r.keep_a, r.keep_b): (r.n_docs, r.example_id)
+        for r in dedup_axes_report(docs, axes).collect()
+    }
+    assert got == want

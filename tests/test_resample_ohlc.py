@@ -130,3 +130,52 @@ FROM ranked GROUP BY 1, 2
     assert set(oracle) == set(result)
     for k, v in oracle.items():
         assert v == pytest.approx(result[k])
+
+
+# ---------------------------------------------------------------------------
+# Randomized property: for ANY small event set (shared timestamps likely,
+# negative timestamps included), the operator equals a naive single-process
+# reference — bucket flooring, (ts, id) tie-breaks, aggregates.
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_TS = st.integers(-3, 3).map(lambda k: k * 20_000_000)  # collision-heavy
+_VAL = st.sampled_from([1.0, 2.5, -3.0, 7.25])
+_KEY = st.sampled_from(["a", "b"])
+_ROW = st.tuples(_TS, _VAL, _KEY)
+
+
+@given(rows=st.lists(_ROW, min_size=1, max_size=12))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_property_equals_naive(spark, rows):
+    data = [(i, k, ts, v) for i, (ts, v, k) in enumerate(rows)]
+    expect: dict[tuple, list] = {}
+    for i, k, ts, v in data:
+        # floor-aligned bucket edge (Python % already floors like pmod)
+        b = ts - ((ts % BUCKET) + BUCKET) % BUCKET
+        cell = expect.setdefault((k, b), [])
+        cell.append((ts, i, v))
+    want = {}
+    for key, cell in expect.items():
+        cell.sort()
+        vals = [v for _, _, v in cell]
+        want[key] = (
+            cell[0][2], max(vals), min(vals), cell[-1][2],
+            len(cell), sum(vals) / len(cell),
+        )
+    df = spark.createDataFrame(
+        data, "event_id long, user_id string, ts_us long, value double"
+    )
+    got = {
+        (r.user_id, r.bucket_start_us): (
+            r.open, r.high, r.low, r.close, r.n_rows, r.mean_value
+        )
+        for r in ohlc_downsample(
+            df, "ts_us", "value", BUCKET,
+            key_cols=["user_id"], tiebreak_col="event_id",
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key])
