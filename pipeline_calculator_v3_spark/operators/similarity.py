@@ -70,13 +70,28 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries x streamed corpus -> window rank.
     Returns (qid, cid, score, rank); qid != cid pairs only."""
-    q = queries.select(F.col(q_id).alias("qid"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(c_id).alias("cid"), F.col(vec_col).alias("cv"))
+    # per-side norms hoisted out of the scoring loop (r09): a corpus row
+    # meets every query, so per-pair norm recomputation was ~2/3 of the
+    # scan's arithmetic; dot / nullif(qn * cn, 0) is bit-identical
+    q = queries.select(
+        F.col(q_id).alias("qid"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(c_id).alias("cid"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("score"))
+        .select(
+            "qid", "cid",
+            (
+                dot(F.col("qv"), F.col("cv"))
+                / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
     return (
@@ -342,12 +357,17 @@ def cosine_topk_lsh(
         probe_col = F.flatten(F.array(*variants))
     else:
         probe_col = F.col("_buckets")
+    # per-side norms hoisted out of the rescoring loop (r09): a candidate
+    # pair costs dot / nullif(qn * cn, 0) — bit-identical to cosine(), and
+    # each row's norm is computed once instead of once per bucket collision
     q = q_base.select(
-        "qid", "qv", F.explode(probe_col).alias("bucket")
+        "qid", "qv", norm(F.col("qv")).alias("qn"),
+        F.explode(probe_col).alias("bucket"),
     )
     c = corpus.select(
         F.col(c_id).alias("cid"),
         F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
         F.explode(
             _bucket_tables(F.col(vec_col), n_tables, bits_per_table,
                            plane_weights)
@@ -356,11 +376,15 @@ def cosine_topk_lsh(
     cand = (
         q.join(c, "bucket")
         .where(F.col("qid") != F.col("cid"))
-        .select("qid", "qv", "cid", "cv")
+        .select("qid", "qv", "qn", "cid", "cv", "cn")
         .dropDuplicates(["qid", "cid"])
     )
     scored = cand.select(
-        "qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("score")
+        "qid", "cid",
+        (
+            dot(F.col("qv"), F.col("cv"))
+            / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
+        ).alias("score"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
     return (
