@@ -410,7 +410,13 @@ _KEEP_IN_WINDOW = [
 # out.  Priorities: (1) the two r05 rows-only deferrals (q_udtf_surface,
 # q_pack_sequences_xl); (2) the r06 cohort — 48 queries, the oldest
 # verdict tier after r09 (q_case_dispatch .. q_window_lag_lead, list in
-# VERDICT r08); (3) any new surface, one-for-one against r06 refreshes.
+# VERDICT r08); (3) new faces for the r09-staged operators, one-for-one
+# against r06 refreshes: percentile_gate_approx (classifier.py, oracle in
+# tests/test_percentile_cut.py), ohlc_candles (streaming/windows.py,
+# batch==stream==operator proven in tests/test_stream_ohlc.py), and
+# dedup_axes_report (dedup.py, oracle in tests/test_dedup_axes.py).
+# Run scripts/preflight_window.py before round end — it replays the
+# driver's first-50 hash check locally (r09: 50/50, and --all 172/172).
 _ROTATED_OUT = [
     # every remaining query is r06+-driver-green on its latest verdict and
     # (where oracle-backed) value-gated by tests/test_oracle_parity.py on
