@@ -34,17 +34,10 @@ WINDOW = 50
 
 
 def _canon_hash(pdf):
-    import pandas as pd
+    # ONE spelling of the canon, shared with the per-run pytest gate
+    from tests.compare import driver_canon_hash
 
-    pdf = pdf.copy()
-    for c in pdf.columns:
-        if str(pdf[c].dtype).startswith("float"):
-            pdf[c] = pdf[c].map(
-                lambda x: "nan" if pd.isna(x) else f"{x:.6g}"
-            )
-    pdf = pdf[sorted(pdf.columns)]
-    pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
-    return int(pd.util.hash_pandas_object(pdf, index=False).sum())
+    return driver_canon_hash(pdf)
 
 
 def main() -> None:

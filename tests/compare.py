@@ -126,3 +126,46 @@ def assert_scalar_output_schema(df, name: str) -> None:
         f"{name}: oracle-backed queries must emit scalar-only schemas "
         f"(the driver hasher dies on lists) — non-scalar columns: {bad}"
     )
+
+
+def driver_canon_hash(pdf) -> int:
+    """The ONE spelling of the driver-style value canon (shared with
+    scripts/preflight_window.py): float columns quantize to 6 significant
+    digits ('%.6g' — raw-double queries have hash-greened with the real
+    driver for eight rounds despite last-ulp engine divergence, so
+    exact-value hashing false-flags them), then columns sort by name,
+    rows sort by value, and the frame hashes to one integer."""
+    import pandas as pd
+
+    pdf = pdf.copy()
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("float"):
+            pdf[c] = pdf[c].map(
+                lambda x: "nan" if pd.isna(x) else f"{x:.6g}"
+            )
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+    return int(pd.util.hash_pandas_object(pdf, index=False).sum())
+
+
+def assert_driver_hash_match(spark_pdf, oracle_pdf, name: str) -> None:
+    """Driver-bar value identity (r09): assert_frames_match tolerates
+    small float noise the driver's quantized-exact hash would not, so a
+    query could pass pytest and still red the round.  Proven clean for
+    all 172 oracle-backed queries at sf0.001 AND sf0.01 before being
+    gated here.  Dtype families are aligned first (int32 vs int64 hash
+    differently; values are what matter)."""
+    s, o = spark_pdf.copy(), oracle_pdf.copy()
+    for c in s.columns:
+        if c in o.columns and str(s[c].dtype) != str(o[c].dtype):
+            try:
+                s[c] = s[c].astype("float64")
+                o[c] = o[c].astype("float64")
+            except (TypeError, ValueError):
+                pass
+    assert driver_canon_hash(s) == driver_canon_hash(o), (
+        f"{name}: driver-style quantized value hash mismatch (the "
+        f"float-tolerant matcher passed, so the divergence sits past "
+        f"assert_frames_match's tolerance but inside the driver's "
+        f"quantized-exact bar)"
+    )

@@ -8,6 +8,7 @@ import pytest
 from pipeline_calculator_v3_spark.queries import ORACLE_SQL, QUERIES
 
 from .compare import (
+    assert_driver_hash_match,
     assert_frames_match,
     assert_no_plan_antipatterns,
     assert_scalar_output_schema,
@@ -25,6 +26,9 @@ def test_oracle_parity(name, spark, duck, sf_dir):
     spark_pdf = df.toPandas()
     oracle_pdf = duck.execute(ORACLE_SQL[name]).df()
     assert_frames_match(spark_pdf, oracle_pdf)
+    # the driver's bar is quantized-EXACT, which the tolerant matcher
+    # above does not enforce (r09; see compare.assert_driver_hash_match)
+    assert_driver_hash_match(spark_pdf, oracle_pdf, name)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
