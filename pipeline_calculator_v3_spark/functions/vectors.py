@@ -93,3 +93,22 @@ def sqdist_sql(a: str, b: str) -> str:
         f"z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) "
         f"* (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))))"
     )
+
+
+def unit_normalize(a: Column) -> Column:
+    """Unit-normalize a vector column: v / ||v|| in double precision,
+    NULL for a zero vector (same quarantine rule as :func:`cosine`).
+
+    The ingest-time form of the r09 norm hoists: normalize ONCE when the
+    embedding is written and every downstream cosine — pair stages,
+    top-k scans, centroid scoring — collapses to a bare dot product (the
+    norm product is exactly 1), removing the norm arithmetic AND the
+    norm column from every shuffle.  tests/test_vectors.py gates the
+    identity cosine(a, b) == dot(unit(a), unit(b)) to double tolerance
+    (not bit-identity: dividing before the dot reassociates the
+    rounding, which is why the in-query hoists keep dot/(na*nb) instead
+    of silently switching an oracle-backed face to this form)."""
+    n = norm(a)
+    return F.when(
+        n != 0.0, F.transform(_to_double(a), lambda x: x / n)
+    )

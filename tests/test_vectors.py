@@ -1,45 +1,75 @@
-"""Direct unit tests for the embedding-vector Column math — the zero-vector
-guard and agreement with numpy."""
+"""functions/vectors.py — unit_normalize (r09-staged ingest-time form of
+the norm hoists) and its cosine identity."""
 
 from __future__ import annotations
 
 import math
 
-import numpy as np
-
+import pytest
 from pyspark.sql import functions as F
 
-from pipeline_calculator_v3_spark.functions.vectors import cosine, dot, norm
+from pipeline_calculator_v3_spark.functions.vectors import (
+    cosine,
+    dot,
+    norm,
+    unit_normalize,
+)
+
+VECS = [
+    (0, [3.0, 4.0]),
+    (1, [1.0, 0.0]),
+    (2, [-2.0, 2.0]),
+    (3, [0.0, 0.0]),   # zero vector -> NULL (quarantine rule)
+]
 
 
-def test_zero_vector_cosine_is_null_not_a_crash(spark):
-    df = spark.createDataFrame(
-        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
-        "a array<float>, b array<float>",
-    )
-    got = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
-    assert got[0] is None
-    assert math.isclose(got[1], 1.0, rel_tol=1e-12)
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(VECS, "vid long, v array<double>")
 
 
-def test_dot_norm_cosine_match_numpy(spark):
-    rng = np.random.RandomState(7)
-    rows = [
-        (rng.randn(8).astype("float32").tolist(),
-         rng.randn(8).astype("float32").tolist())
-        for _ in range(20)
-    ]
-    df = spark.createDataFrame(rows, "a array<float>, b array<float>")
-    out = df.select(
-        dot(F.col("a"), F.col("b")).alias("d"),
-        norm(F.col("a")).alias("n"),
-        cosine(F.col("a"), F.col("b")).alias("c"),
+def test_unit_norm_is_one(frame):
+    rows = frame.select(
+        "vid", norm(unit_normalize(F.col("v"))).alias("n")
     ).collect()
-    for (a, b), r in zip(rows, out):
-        av, bv = np.array(a, dtype="float64"), np.array(b, dtype="float64")
-        assert math.isclose(r["d"], float(av @ bv), rel_tol=1e-12)
-        assert math.isclose(r["n"], float(np.linalg.norm(av)), rel_tol=1e-12)
-        expect_c = float(
-            av @ bv / (np.linalg.norm(av) * np.linalg.norm(bv))
-        )
-        assert math.isclose(r["c"], expect_c, rel_tol=1e-9)
+    got = {r.vid: r.n for r in rows}
+    for vid in (0, 1, 2):
+        assert got[vid] == pytest.approx(1.0, abs=1e-12)
+    assert got[3] is None
+
+
+def test_zero_vector_quarantined(frame):
+    rows = frame.select("vid", unit_normalize(F.col("v")).alias("u")).collect()
+    assert {r.vid: r.u for r in rows}[3] is None
+
+
+def test_cosine_equals_dot_of_units(spark):
+    # pairwise identity over a planted set: cosine(a,b) == dot(u(a), u(b))
+    # to double tolerance (reassociated rounding — see the docstring)
+    import itertools
+    vecs = [v for _, v in VECS[:3]]
+    pairs = [
+        (i, j, a, b)
+        for (i, a), (j, b) in itertools.combinations(enumerate(vecs), 2)
+    ]
+    df = spark.createDataFrame(
+        pairs, "i long, j long, a array<double>, b array<double>"
+    )
+    rows = df.select(
+        cosine(F.col("a"), F.col("b")).alias("c"),
+        dot(unit_normalize(F.col("a")), unit_normalize(F.col("b"))).alias("d"),
+    ).collect()
+    for r in rows:
+        assert r.d == pytest.approx(r.c, rel=1e-12)
+        assert -1.0 - 1e-12 <= r.d <= 1.0 + 1e-12
+
+
+def test_matches_numpy(frame):
+    import numpy as np
+
+    rows = frame.where(F.col("vid") < 3).select(
+        "vid", unit_normalize(F.col("v")).alias("u")
+    ).collect()
+    for r in rows:
+        v = np.array(dict(VECS)[r.vid], dtype=np.float64)
+        assert np.allclose(np.array(r.u), v / np.linalg.norm(v), atol=1e-15)
