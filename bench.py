@@ -193,6 +193,10 @@ def _last_recorded_timings() -> dict[str, float]:
             # driver capture: {"n":..,"rc":..,"tail": "<escaped JSON
             # fragment>"} — regex the (possibly truncated) tail string
             hay = obj.get("tail", "") if isinstance(obj, dict) else text
+            # a raw (non-JSON) capture file keeps the tail's quotes escaped
+            # (\"q_name\":) — unescape or the pattern below never matches
+            # and the file silently contributes nothing (advice r09)
+            hay = hay.replace('\\"', '"')
             qs = {
                 m.group(1): float(m.group(2))
                 for m in re.finditer(

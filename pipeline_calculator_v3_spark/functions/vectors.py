@@ -107,8 +107,21 @@ def unit_normalize(a: Column) -> Column:
     identity cosine(a, b) == dot(unit(a), unit(b)) to double tolerance
     (not bit-identity: dividing before the dot reassociates the
     rounding, which is why the in-query hoists keep dot/(na*nb) instead
-    of silently switching an oracle-backed face to this form)."""
+    of silently switching an oracle-backed face to this form).
+
+    Evaluation count (advice r09): referencing an outer aggregate inside a
+    ``transform`` lambda re-evaluates it PER ELEMENT (Spark does not CSE
+    across HOF lambda bodies — and a norm materialized in a prior select
+    is re-inlined by CollapseProject, so a call-site column is no
+    barrier).  ``array_repeat(norm, d)`` evaluates the O(d) norm ONCE and
+    fans the scalar out, so the whole expression stays O(d) per row: one
+    norm for the repeat, one for the zero gate."""
     n = norm(a)
     return F.when(
-        n != 0.0, F.transform(_to_double(a), lambda x: x / n)
+        n != 0.0,
+        F.zip_with(
+            _to_double(a),
+            F.array_repeat(n, F.size(a)),
+            lambda x, nn: x / nn,
+        ),
     )

@@ -120,8 +120,14 @@ def classify_quality(
     the scan so downstream per-group gates don't pay a doc-id self-join
     to re-attach what the same scan already read (review r09: the
     percentile gate's first cut joined documents back onto its own
-    scores)."""
+    scores).  Names that collide with the scan's working columns or the
+    output schema raise (advice r09 — the sibling gates already guard
+    their reserved names)."""
     extras = list(extra_cols or [])
+    reserved = {"doc_id", "text", "tok", "z", "score", "keep", id_col, text_col}
+    clash = sorted(set(extras) & reserved)
+    if clash:
+        raise ValueError(f"extra_cols collide with reserved names: {clash}")
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
@@ -224,6 +230,10 @@ def percentile_gate_approx(
     bound) — the accepted trade at corpus scale, where the decision is a
     budget, not an exact rank.  Unlike the exact face there is no
     per-group tie handling: equal scores on the threshold all keep.
+    NULL scores quarantine to keep = FALSE (advice r09: approx_percentile
+    ignores NULLs, so a NULL-scored row is invisible to the budget — it
+    must not ride through as a three-valued keep in a BOOLEAN gate; the
+    exact face never sees NULLs because its rank is total).
 
     Returns the input columns + ``threshold`` DOUBLE + ``keep`` BOOLEAN.
 
@@ -246,5 +256,6 @@ def percentile_gate_approx(
         ).alias("threshold")
     )
     return scored.join(F.broadcast(thresholds), group_cols).withColumn(
-        "keep", F.col(score_col) >= F.col("threshold")
+        "keep",
+        F.coalesce(F.col(score_col) >= F.col("threshold"), F.lit(False)),
     )

@@ -1128,7 +1128,7 @@ sd AS (
 rk AS (
     SELECT vec_id, cluster, cos_cent,
            ROW_NUMBER() OVER (PARTITION BY cluster
-                              ORDER BY cos_cent, vec_id) AS rn
+                              ORDER BY cos_cent NULLS LAST, vec_id) AS rn
     FROM sd
 )
 SELECT vec_id, cluster, cos_cent, rn = 1 AS keep FROM rk
@@ -1177,7 +1177,13 @@ def q_dedup_semantic_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_cent",
         )
     )
-    w = Window.partitionBy("cluster").orderBy(F.asc("cos_cent"), F.asc("id"))
+    # asc_nulls_last: a zero vector (or zero centroid) makes cos_cent NULL;
+    # Spark's bare ASC sorts NULLS FIRST while DuckDB defaults NULLS LAST —
+    # both faces pin NULLS LAST so the elected representative cannot fork
+    # on degenerate embeddings (advice r09)
+    w = Window.partitionBy("cluster").orderBy(
+        F.asc_nulls_last("cos_cent"), F.asc("id")
+    )
     return base.select(
         F.col("id").alias("vec_id"),
         "cluster",

@@ -157,3 +157,15 @@ def test_approx_guards(spark):
         percentile_gate_approx(
             df.withColumnRenamed("score", "keep"), ["source"], "keep", 0.5
         )
+
+
+def test_approx_null_scores_quarantine_false(spark):
+    """Advice r09: approx_percentile ignores NULL scores, so a NULL-scored
+    row is invisible to the budget — keep must coalesce to False, not ride
+    through as SQL NULL in a BOOLEAN gate."""
+    rows = [(0, "s", 9.0), (1, "s", 5.0), (2, "s", 1.0), (3, "s", None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {r.doc_id: r.keep for r in
+           percentile_gate_approx(df, ["source"], "score", 0.5).collect()}
+    assert out[3] is False
+    assert out[0] is True and all(k is not None for k in out.values())

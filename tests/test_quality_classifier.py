@@ -84,3 +84,17 @@ def test_best_quality_cluster_representative(spark):
         for r in dedup_clusters_best(docs, pairs, scores).collect()
     }
     assert out == {1: (1, False), 2: (1, True), 9: (9, True)}
+
+
+def test_extra_cols_reserved_guard(spark):
+    """Advice r09: extra_cols colliding with the scan's working columns
+    (doc_id/text/tok/z/score/keep) must raise, like the sibling gates."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "some text here", "web")], "doc_id long, text string, source string"
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        classify_quality(df, extra_cols=["score", "source"])
+    # non-colliding names still pass through
+    assert "source" in classify_quality(df, extra_cols=["source"]).columns

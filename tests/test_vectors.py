@@ -73,3 +73,17 @@ def test_matches_numpy(frame):
     for r in rows:
         v = np.array(dict(VECS)[r.vid], dtype=np.float64)
         assert np.allclose(np.array(r.u), v / np.linalg.norm(v), atol=1e-15)
+
+
+def test_norm_evaluated_outside_element_lambda(frame):
+    """Advice r09: an aggregate referenced inside a HOF lambda re-evaluates
+    per element (O(d^2) per row).  The fix fans the scalar out via
+    array_repeat, so the optimized plan's element lambda (the LAST
+    lambdafunction — the division) must contain no aggregate."""
+    plan = (
+        frame.select(unit_normalize(F.col("v")).alias("u"))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "array_repeat" in plan
+    tail = plan.rsplit("lambdafunction", 1)[1]
+    assert "aggregate(" not in tail
