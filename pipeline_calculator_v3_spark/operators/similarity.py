@@ -618,6 +618,7 @@ def knn_graph(
     vec_col: str = "embedding",
     k: int = 5,
     sign_dims: int = 4,
+    assume_unit: bool = False,
 ) -> DataFrame:
     """k-nearest-neighbor graph over an embedding corpus — the semantic
     adjacency structure downstream diversity sampling, graph-based dedup
@@ -636,7 +637,16 @@ def knn_graph(
     no other member emit no rows (documented: isolated under this index).
     Cosine is pure double arithmetic (dot/sqrt, same fold order both
     engines), so ranking ties are impossible up to bit-identity and the
-    (cos DESC, dst ASC) order is deterministic."""
+    (cos DESC, dst ASC) order is deterministic.
+
+    ``assume_unit=True`` is the normalized-ingest fast path (r10, VERDICT
+    r09 #4): a corpus written through ``functions.vectors.unit_normalize``
+    has every norm == 1, so cosine IS the bare dot product — the ``nrm``
+    column vanishes from the pair-stage shuffle entirely (one double per
+    row off the exchange, no sqrt pass, no per-pair multiply/nullif).
+    Plan-gated in tests/test_knn_unit.py; shuffle-width note in PLANS.md.
+    The caller asserts normalization (it's an ingest contract — checking
+    per row would spend the saving)."""
     from .joins import salted_self_pairs
 
     # nrm: per-row norm hoisted out of the per-pair cosine (r09, same
@@ -645,7 +655,13 @@ def knn_graph(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         sign_prefix_block(F.col(vec_col), sign_dims).alias("blk"),
-        norm(F.col(vec_col)).alias("nrm"),
+        *([] if assume_unit else [norm(F.col(vec_col)).alias("nrm")]),
+    )
+    cos = (
+        dot(F.col("a_v"), F.col("b_v"))
+        if assume_unit
+        else dot(F.col("a_v"), F.col("b_v"))
+        / F.nullif(F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0))
     )
     und = persist_tracked(
         salted_self_pairs(base, "blk", "vid", n_groups=4)
@@ -653,10 +669,7 @@ def knn_graph(
         .select(
             F.col("a_vid").alias("id1"),
             F.col("b_vid").alias("id2"),
-            (
-                dot(F.col("a_v"), F.col("b_v"))
-                / F.nullif(F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0))
-            ).alias("c"),
+            cos.alias("c"),
         )
     )  # mirrored below: unpersisted, the block join + cosine runs twice
     directed = und.unionAll(

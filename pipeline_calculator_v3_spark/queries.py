@@ -365,111 +365,113 @@ from . import queries_analytics  # noqa: E402,F401
 # keep-list tail, review r06).
 # ---------------------------------------------------------------------------
 _NEVER_CHECKED_FIRST = [
-    # r09 changed surface re-earning its verdict: the r08 red —
-    # q_embed_project's ARRAY<DOUBLE> proj column made the driver hasher
-    # raise; flattened to proj_0..proj_7 scalars on both faces and gated
-    # registry-wide (tests/compare.py::assert_scalar_output_schema).
-    "q_embed_project",
-    # r09 new surface (VERDICT r08 #2): the five r08-staged operators get
-    # their registry faces — oracles lifted from their test files' proven
-    # DuckDB replays.
-    "q_resample_ohlc", "q_dedup_lines", "q_sample_k_per_key",
-    "q_source_copy_matrix", "q_percentile_gate",
-    # r09 new surface (VERDICT r08 #5): SemDeDup's paper representative
-    # policy — keep the member LEAST similar to its cluster centroid —
-    # sharing q_dedup_semantic's kmeans+CC oracle CTEs verbatim.
-    "q_dedup_semantic_rep",
-    # r09 refresh: the COMPLETE r05-verdict cohort except its two
-    # rows-only members (q_udtf_surface, q_pack_sequences_xl — they carry
-    # no hash verdict to refresh and yield their slots to the seven
-    # new/changed entries above; deferred to r10).  After this round the
-    # oldest HASH verdict anywhere is r06 (VERDICT r08 #3).
-    "q_agg_stats", "q_anomaly_zscore", "q_array_funcs", "q_boilerplate_spans",
-    "q_data_quality", "q_embed_quantize", "q_ewma_smooth",
-    "q_first_touch_attribution", "q_funnel_conversion", "q_graph_triangles",
-    "q_heavy_hitters", "q_interval_union", "q_join_bloom_pruned",
-    "q_markov_transitions", "q_mixture_plan", "q_multimodal_decode_png",
-    "q_pmi_bigrams", "q_profile_table", "q_repetition_filter",
-    "q_retention_cohorts", "q_rfm_segmentation", "q_scd2_history",
-    "q_snapshot_diff", "q_sql_recursive_tree", "q_stream_late_data",
-    "q_stream_session_timeout", "q_stream_static_join", "q_table_checksum",
-    "q_tpch_q11_important_stock", "q_tpch_q12_shipmode_priority",
-    "q_tpch_q16_supplier_cnt", "q_tpch_q17_small_qty",
-    "q_tpch_q20_excess_supply", "q_tpch_q21_waiting_supplier",
-    "q_tpch_q22_global_sales", "q_tpch_q2_min_cost_supplier",
-    "q_tpch_q9_product_profit", "q_variant_extract", "q_window_rank",
-    "q_window_time_range", "q_zipf_profile",
+    # r10 new surface (VERDICT r09 #2): registry faces for the three
+    # r09-staged operators — percentile_gate_approx (the 100 TB swap for
+    # the exact gate), ohlc_candles (streaming twin of q_resample_ohlc,
+    # batch==stream==operator proven in tests/test_stream_ohlc.py), and
+    # dedup_axes_report (exact/lexical/simhash agreement rollup).
+    "q_percentile_gate_approx", "q_ohlc_candles", "q_dedup_axes_report",
+    # r10 new surface (VERDICT r09 #3): the corridor kernel's SCALARS
+    # (bbox/center/oriented width + section aggregates) value-gated on the
+    # q_parallel_overlap oracle machinery — closes the last no_oracle hole
+    # (the polygon rings stay rows-only on the q_overlap_e2e keeper).
+    "q_overlap_sections",
+    # r10 (VERDICT r09 #1a): the two r05 rows-only deferrals, never
+    # driver-checked since r05 — in-window ahead of everything else.
+    "q_udtf_surface", "q_pack_sequences_xl",
+    # r10 refresh (VERDICT r09 #1b): the r06 hash cohort — the oldest
+    # verdict tier — minus its three rows-only members (q_udf_surface +
+    # the two spatial scale twins, which carry no hash verdict and keep
+    # their operator-level pytest gates) and minus three family-covered
+    # deferrals to fit the slot budget: q_set_except/q_set_intersect
+    # (q_set_union refreshes for the set family) and q_window_frame
+    # (q_window_dist + q_window_lag_lead refresh for the window family).
+    # After this round the oldest hash verdict anywhere is r07.
+    "q_case_dispatch", "q_contamination", "q_cube", "q_curation_e2e",
+    "q_date_funcs", "q_dedup_embedding", "q_dedup_minhash_md5",
+    "q_filter_pred", "q_fingerprint", "q_graph_pagerank", "q_grouping_sets",
+    "q_json_funcs", "q_map_funcs", "q_math_funcs", "q_multimodal_decode",
+    "q_null_semantics", "q_pack_sequences", "q_pivot", "q_quantile_profile",
+    "q_sample_hash", "q_scan_project", "q_set_union", "q_shard_stats",
+    "q_similarity_topk", "q_sort_limit", "q_spatial_polar_join",
+    "q_sql_lateral_topn", "q_sql_shared_pricing", "q_sql_shared_subquery",
+    "q_stream_dedup", "q_stream_outer_join", "q_string_agg",
+    "q_string_funcs", "q_text_analysis", "q_tpch_q10_returned",
+    "q_tpch_q1_pricing_summary", "q_tpch_q3_shipping_priority",
+    "q_tpch_q5_local_volume", "q_tpch_q6_forecast_revenue", "q_unpivot",
+    "q_window_dist", "q_window_lag_lead"
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length",
     "q_overlap_e2e",
 ]
-# r10 slot plan (write the window BEFORE building new surface — the
+# r11 slot plan (write the window BEFORE building new surface — the
 # never-checked-in-window invariant makes slots the budget): once
-# CORRECTNESS_r09 lands, the 48 entries above become checked and rotate
-# out.  Priorities: (1) the two r05 rows-only deferrals (q_udtf_surface,
-# q_pack_sequences_xl); (2) the r06 cohort — 48 queries, the oldest
-# verdict tier after r09 (q_case_dispatch .. q_window_lag_lead, list in
-# VERDICT r08); (3) new faces for the r09-staged operators, one-for-one
-# against r06 refreshes: percentile_gate_approx (classifier.py, oracle in
-# tests/test_percentile_cut.py), ohlc_candles (streaming/windows.py,
-# batch==stream==operator proven in tests/test_stream_ohlc.py), and
-# dedup_axes_report (dedup.py, oracle in tests/test_dedup_axes.py).
+# CORRECTNESS_r10 lands, the 48 entries above rotate out.  Priorities:
+# (1) the three r06 hash deferrals (q_set_except, q_set_intersect,
+# q_window_frame) and the three r06 rows-only members (q_udf_surface,
+# q_parallel_overlap_xl, q_spatial_distance_join_xl) in-window;
+# (2) the r07 cohort (44 queries, the then-oldest verdict tier);
+# (3) new faces one-for-one against refresh slots.
 # Run scripts/preflight_window.py before round end — it replays the
 # driver's first-50 hash check locally (r09: 50/50, and --all 172/172).
 _ROTATED_OUT = [
-    # every remaining query is r06+-driver-green on its latest verdict and
+    # every remaining query is r07+-driver-green on its latest verdict and
     # (where oracle-backed) value-gated by tests/test_oracle_parity.py on
     # every pytest run; rows-only members carry operator-level pytest gates
     # (goldens / planted pairs / invariants) enumerated in
-    # tests/test_registry_order.py.  The whole r08 window went green
-    # (except q_embed_project, re-checked above), so its cohorts rotate
-    # here wholesale.
-    "q_agg_approx_distinct", "q_agg_distinct", "q_agg_hash", "q_bigram_lm",
-    "q_bm25_rank", "q_bm25_rank_xl", "q_bpe_encode", "q_bpe_merges",
-    "q_case_dispatch", "q_cdc_upsert", "q_chunk_documents",
-    "q_chunk_documents_xl", "q_contamination", "q_contamination_semantic",
-    "q_contamination_xl", "q_cube", "q_curation_e2e", "q_date_funcs",
-    "q_dedup_best_quality", "q_dedup_clusters", "q_dedup_embedding",
-    "q_dedup_exact", "q_dedup_incremental", "q_dedup_minhash",
-    "q_dedup_minhash_md5", "q_dedup_minhash_xl", "q_dedup_semantic",
+    # tests/test_registry_order.py.  The whole r09 window went green, so
+    # its cohorts rotate here wholesale.
+    "q_agg_approx_distinct", "q_agg_distinct", "q_agg_hash", "q_agg_stats",
+    "q_anomaly_zscore", "q_array_funcs", "q_bigram_lm", "q_bm25_rank",
+    "q_bm25_rank_xl", "q_boilerplate_spans", "q_bpe_encode", "q_bpe_merges",
+    "q_cdc_upsert", "q_chunk_documents", "q_chunk_documents_xl",
+    "q_contamination_semantic", "q_contamination_xl", "q_data_quality",
+    "q_dedup_best_quality", "q_dedup_clusters", "q_dedup_exact",
+    "q_dedup_incremental", "q_dedup_lines", "q_dedup_minhash",
+    "q_dedup_minhash_xl", "q_dedup_semantic", "q_dedup_semantic_rep",
     "q_dedup_semantic_xl", "q_dedup_simhash", "q_dedup_substring",
     "q_dedup_substring_xl", "q_dense_ids", "q_dsir_weights",
-    "q_effective_length", "q_embed_centroids", "q_epoch_plan",
-    "q_filter_pred", "q_fingerprint", "q_gap_fill", "q_geodesic_length_exact",
-    "q_gopher_rules", "q_graph_pagerank", "q_grouping_sets", "q_hybrid_rrf",
-    "q_join_asof", "q_join_big_sort_merge", "q_join_inner_hash",
+    "q_effective_length", "q_embed_centroids", "q_embed_project",
+    "q_embed_quantize", "q_epoch_plan", "q_ewma_smooth",
+    "q_first_touch_attribution", "q_funnel_conversion", "q_gap_fill",
+    "q_geodesic_length_exact", "q_gopher_rules", "q_graph_triangles",
+    "q_heavy_hitters", "q_hybrid_rrf", "q_interval_union", "q_join_asof",
+    "q_join_big_sort_merge", "q_join_bloom_pruned", "q_join_inner_hash",
     "q_join_left_anti", "q_join_left_semi", "q_join_multi_way",
     "q_join_outer", "q_join_range_binned", "q_join_salted_skew",
-    "q_join_theta_range", "q_json_funcs", "q_jsonl_roundtrip",
-    "q_kmeans_embed", "q_kmeans_embed_xl", "q_knn_graph", "q_lang_id",
-    "q_lm_perplexity", "q_map_funcs", "q_math_funcs", "q_minhash_sketch_err",
-    "q_multimodal_decode", "q_multimodal_features", "q_multimodal_frames",
-    "q_ngram_jaccard", "q_null_semantics", "q_overlap_rollup",
-    "q_overlap_summary", "q_pack_sequences", "q_pack_sequences_xl",
-    "q_parallel_overlap", "q_parallel_overlap_xl", "q_pivot", "q_ppl_buckets",
-    "q_quality_classifier", "q_quantile_approx", "q_quantile_profile",
-    "q_rollup", "q_sample_hash", "q_sample_stratified", "q_sample_weighted",
-    "q_scan_project", "q_scrub_pii", "q_segmentize", "q_sessionize",
-    "q_set_except", "q_set_intersect", "q_set_union", "q_shard_stats",
-    "q_similarity_ann_ivf", "q_similarity_ann_lsh", "q_similarity_ann_recall",
-    "q_similarity_topk", "q_sort_limit", "q_source_report",
-    "q_spatial_distance_join", "q_spatial_distance_join_xl",
-    "q_spatial_polar_join", "q_split_train_eval", "q_sql_lateral_topn",
-    "q_sql_shared_pricing", "q_sql_shared_subquery", "q_stream_cdc_merge",
-    "q_stream_dedup", "q_stream_ingest_dedup", "q_stream_join",
-    "q_stream_outer_join", "q_stream_session", "q_stream_sliding",
-    "q_stream_stateful", "q_stream_tumbling", "q_string_agg",
-    "q_string_funcs", "q_text_analysis", "q_text_quality", "q_tfidf",
-    "q_token_count", "q_tpch_q10_returned", "q_tpch_q13_order_distribution",
-    "q_tpch_q14_promo_share", "q_tpch_q15_top_supplier",
-    "q_tpch_q18_large_orders", "q_tpch_q19_disjunctive",
-    "q_tpch_q1_pricing_summary", "q_tpch_q3_shipping_priority",
-    "q_tpch_q4_order_priority", "q_tpch_q5_local_volume",
-    "q_tpch_q6_forecast_revenue", "q_tpch_q7_nation_volume",
-    "q_tpch_q8_market_share", "q_udf_surface", "q_udtf_surface", "q_unpivot",
-    "q_vocab_topk", "q_window_dist", "q_window_frame", "q_window_lag_lead",
-    "q_zorder_layout",
+    "q_join_theta_range", "q_jsonl_roundtrip", "q_kmeans_embed",
+    "q_kmeans_embed_xl", "q_knn_graph", "q_lang_id", "q_lm_perplexity",
+    "q_markov_transitions", "q_minhash_sketch_err", "q_mixture_plan",
+    "q_multimodal_decode_png", "q_multimodal_features",
+    "q_multimodal_frames", "q_ngram_jaccard", "q_overlap_rollup",
+    "q_overlap_summary", "q_parallel_overlap", "q_parallel_overlap_xl",
+    "q_percentile_gate", "q_pmi_bigrams", "q_ppl_buckets",
+    "q_profile_table", "q_quality_classifier", "q_quantile_approx",
+    "q_repetition_filter", "q_resample_ohlc", "q_retention_cohorts",
+    "q_rfm_segmentation", "q_rollup", "q_sample_k_per_key",
+    "q_sample_stratified", "q_sample_weighted", "q_scd2_history",
+    "q_scrub_pii", "q_segmentize", "q_sessionize", "q_set_except",
+    "q_set_intersect", "q_similarity_ann_ivf", "q_similarity_ann_lsh",
+    "q_similarity_ann_recall", "q_snapshot_diff", "q_source_copy_matrix",
+    "q_source_report", "q_spatial_distance_join",
+    "q_spatial_distance_join_xl", "q_split_train_eval",
+    "q_sql_recursive_tree", "q_stream_cdc_merge", "q_stream_ingest_dedup",
+    "q_stream_join", "q_stream_late_data", "q_stream_session",
+    "q_stream_session_timeout", "q_stream_sliding", "q_stream_stateful",
+    "q_stream_static_join", "q_stream_tumbling", "q_table_checksum",
+    "q_text_quality", "q_tfidf", "q_token_count",
+    "q_tpch_q11_important_stock", "q_tpch_q12_shipmode_priority",
+    "q_tpch_q13_order_distribution", "q_tpch_q14_promo_share",
+    "q_tpch_q15_top_supplier", "q_tpch_q16_supplier_cnt",
+    "q_tpch_q17_small_qty", "q_tpch_q18_large_orders",
+    "q_tpch_q19_disjunctive", "q_tpch_q20_excess_supply",
+    "q_tpch_q21_waiting_supplier", "q_tpch_q22_global_sales",
+    "q_tpch_q2_min_cost_supplier", "q_tpch_q4_order_priority",
+    "q_tpch_q7_nation_volume", "q_tpch_q8_market_share",
+    "q_tpch_q9_product_profit", "q_udf_surface", "q_variant_extract",
+    "q_vocab_topk", "q_window_frame", "q_window_rank",
+    "q_window_time_range", "q_zipf_profile", "q_zorder_layout"
 ]
 
 

@@ -799,10 +799,11 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _OHLC_BUCKET_US = 3_600_000_000  # 1 h in microseconds
 
-
-@query(
-    "q_resample_ohlc",
-    oracle=f"""
+# ONE oracle spelling for both OHLC faces — the batch operator
+# (q_resample_ohlc below) and its streaming twin (q_ohlc_candles in
+# queries_stream.py, the window(ts) path): same candles, same text, so the
+# two faces cannot fork on the bucket/tiebreak contract.
+OHLC_ORACLE = f"""
 WITH ev AS (
     SELECT event_id, event_type, epoch_us(ts) AS ts_us, value FROM events
 ),
@@ -829,8 +830,10 @@ SELECT event_type, bucket_start_us,
        CAST(count(*) AS BIGINT) AS n_rows,
        ROUND(avg(value), 6) AS mean_value
 FROM ranked GROUP BY 1, 2
-""",
-)
+"""
+
+
+@query("q_resample_ohlc", oracle=OHLC_ORACLE)
 def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (event_type, hour) OHLC candles over the events stream
     (operators/resample.py::ohlc_downsample): open/close are the values at

@@ -4,18 +4,24 @@ full-pipeline twin and q_udf_surface)."""
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from . import ANGULAR_TOLERANCE_DEG
+from .caching import persist_tracked
+from .functions.geodesy import US_SURVEY_MILE_M
+from .operators.spatial import distance_self_join
 from .plans import synth
 from .plans.overlap import analyze_pipelines, overlap_summary
 from .queries import query
 from .queries_spatial import (
+    _PAIR_DIST,
     _PAIRS_CTE,
+    _SESSIONS_CTE,
     _k_per_segment,
     _persisted_pairs,
+    _sessionized_hits,
     DETECTION_RANGE_M,
     MIN_PARALLEL_M,
     SEG_LEN_M,
@@ -36,6 +42,114 @@ def q_overlap_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("oriented_polygon").cast("bigint").alias("n_rect_pts"),
         F.size("corridor_polygon").cast("bigint").alias("n_corridor_pts"),
     )
+
+
+# Corridor SCALARS, oracle-gated (VERDICT r09 #3 — the last no_oracle hole):
+# everything the corridor kernel computes per section EXCEPT the literal
+# polygon vertices replays in ANSI SQL — bbox over both midpoint sets with
+# the 0.001-deg buffer and its midpoint center
+# (src/pipeline_calculator_v3.py:461-474), width = max separation + 10 m
+# margin clamped to 2 x detection range (:546-559) — on the SAME pair CTE
+# and sessionization text the hash-green q_parallel_overlap oracle uses,
+# so the section derivation cannot fork.  The polygons themselves stay
+# rows-only (q_overlap_e2e) + golden-gated (tests/test_corridor.py).
+# The synthetic field sits at lon -103.5, so the kernel's antimeridian
+# unwrap (operators/corridor.py:197-200) is arithmetically the identity
+# here; the oracle spells plain MIN/MAX.
+@query(
+    "q_overlap_sections",
+    oracle=f"""
+WITH {synth.SEGMENTS_CTE},
+pairs_c AS (
+    SELECT a.pipeline_id AS p1, b.pipeline_id AS p2,
+           a.seg_index AS seg1, b.seg_index AS seg2,
+           {_PAIR_DIST} AS dist_m,
+           a.mid_lon AS a_lon, a.mid_lat AS a_lat,
+           b.mid_lon AS b_lon, b.mid_lat AS b_lat
+    FROM segments a JOIN segments b
+      ON a.pipeline_id < b.pipeline_id
+    WHERE {_PAIR_DIST} <= {DETECTION_RANGE_M!r}
+),
+pairs AS (SELECT p1, p2, seg1, seg2, dist_m FROM pairs_c),
+{_SESSIONS_CTE},
+kh AS (
+    SELECT sd.p1, sd.p2, CAST(sd.section AS BIGINT) AS section, sd.dist_m,
+           c.a_lon, c.a_lat, c.b_lon, c.b_lat
+    FROM sessioned sd
+    JOIN sections sec ON sec.p1 = sd.p1 AND sec.p2 = sd.p2
+                     AND sec.section = sd.section
+    JOIN pairs_c c ON c.p1 = sd.p1 AND c.p2 = sd.p2
+                  AND c.seg1 = sd.seg1 AND c.seg2 = sd.seg2
+),
+pts AS (
+    SELECT p1, p2, section, a_lon AS lon, a_lat AS lat FROM kh
+    UNION ALL
+    SELECT p1, p2, section, b_lon, b_lat FROM kh
+),
+box AS (
+    SELECT p1, p2, section,
+           MIN(lon) - 0.001 AS min_lon, MAX(lon) + 0.001 AS max_lon,
+           MIN(lat) - 0.001 AS min_lat, MAX(lat) + 0.001 AS max_lat
+    FROM pts GROUP BY 1, 2, 3
+),
+wd AS (
+    SELECT p1, p2, section,
+           LEAST(MAX(dist_m) + 10.0, {2.0 * DETECTION_RANGE_M!r})
+               AS oriented_width_m
+    FROM kh GROUP BY 1, 2, 3
+)
+SELECT s.p1, s.p2, s.section, s.n_hits, s.bundled_length_m,
+       s.bundled_length_mi, s.avg_separation_m,
+       (b.min_lon + b.max_lon) / 2.0 AS center_lon,
+       (b.min_lat + b.max_lat) / 2.0 AS center_lat,
+       b.min_lon, b.max_lon, b.min_lat, b.max_lat,
+       w.oriented_width_m
+FROM sections s
+JOIN box b ON b.p1 = s.p1 AND b.p2 = s.p2 AND b.section = s.section
+JOIN wd  w ON w.p1 = s.p1 AND w.p2 = s.p2 AND w.section = s.section
+""",
+)
+def q_overlap_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corridor sections with every SCALAR the corridor kernel emits —
+    section aggregates (n_hits, bundled length m/mi, avg separation) plus
+    the kernel's bbox, center and oriented width — value-gated against the
+    cross-join oracle; the polygon rings these scalars frame remain the
+    rows-only q_overlap_e2e surface.  The scalars come FROM the real
+    ``applyInPandas`` corridor kernel (operators/corridor.py), not a
+    parallel reimplementation, so the oracle verdict covers the kernel's
+    bbox/width arithmetic itself.
+
+    Scale shape: identical exchanges to q_parallel_overlap (grid-bucket
+    distance join, one (p1,p2)-keyed sessionization window) + the
+    section-keyed corridor kernel; the kept-hits frame is persisted once
+    for its two consumers (aggregate + kernel)."""
+    from .operators.corridor import corridor_polygons
+
+    seg = synth.segments_df(spark, sf_dir)
+    pairs = distance_self_join(seg, DETECTION_RANGE_M, keep_coords=True)
+    hits = _sessionized_hits(pairs)
+    wsec = Window.partitionBy("p1", "p2", "section")
+    kept = persist_tracked(
+        hits.withColumn("sec_n", F.count(F.lit(1)).over(wsec))
+        .where(F.col("sec_n") * SEG_LEN_M >= MIN_PARALLEL_M)
+        .drop("sec_n", "is_new")
+        .withColumn("section", F.col("section").cast("bigint"))
+    )
+    agg = kept.groupBy("p1", "p2", "section").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        (F.count(F.lit(1)) * SEG_LEN_M).alias("bundled_length_m"),
+        (F.count(F.lit(1)) * SEG_LEN_M / US_SURVEY_MILE_M).alias(
+            "bundled_length_mi"
+        ),
+        F.avg("dist_m").alias("avg_separation_m"),
+    )
+    corr = corridor_polygons(kept, DETECTION_RANGE_M).select(
+        "p1", "p2", "section", "n_hits",
+        "center_lon", "center_lat",
+        "min_lon", "max_lon", "min_lat", "max_lat",
+        "oriented_width_m",
+    )
+    return agg.join(corr, ["p1", "p2", "section", "n_hits"])
 
 
 @query(

@@ -144,14 +144,16 @@ sections AS (
 )"""
 
 
-def _sessionized_sections(pairs: DataFrame, extra_aggs=()) -> DataFrame:
-    """The ONE spelling of the flag -> sessionize -> per-section rollup
-    pipeline (gap>2 break rule, 200 m HAVING gate) — shared by the
-    oracle-gated query and the scale-stress twin (review r06: the two
-    verbatim copies were a drift channel for the section contract)."""
+def _sessionized_hits(pairs: DataFrame) -> DataFrame:
+    """The ONE spelling of the flag -> sessionize hit labeling (gap>2
+    break rule, src/pipeline_calculator_v3.py:421-422): every input column
+    rides through plus ``is_new`` and the running ``section`` id.  Shared
+    by the per-section rollup below and the corridor-scalar face
+    (q_overlap_sections), which needs the labeled HIT rows — not the
+    aggregate — to attach midpoint coords for bbox/width math."""
     w = Window.partitionBy("p1", "p2").orderBy("seg1", "seg2")
     flagged = pairs.select(
-        "p1", "p2", "seg1", "seg2", "dist_m",
+        "*",
         F.when(
             (F.col("seg1") - F.lag("seg1").over(w) > 2)
             | (F.col("seg2") - F.lag("seg2").over(w) > 2)
@@ -159,9 +161,19 @@ def _sessionized_sections(pairs: DataFrame, extra_aggs=()) -> DataFrame:
             1,
         ).otherwise(0).alias("is_new"),
     )
-    sessioned = flagged.withColumn(
+    return flagged.withColumn(
         "section",
         F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def _sessionized_sections(pairs: DataFrame, extra_aggs=()) -> DataFrame:
+    """The ONE spelling of the flag -> sessionize -> per-section rollup
+    pipeline (gap>2 break rule, 200 m HAVING gate) — shared by the
+    oracle-gated query and the scale-stress twin (review r06: the two
+    verbatim copies were a drift channel for the section contract)."""
+    sessioned = _sessionized_hits(
+        pairs.select("p1", "p2", "seg1", "seg2", "dist_m")
     )
     return (
         sessioned.groupBy(

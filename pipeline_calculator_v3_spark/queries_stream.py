@@ -56,6 +56,37 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.tumbling_counts(events_t(spark, sf_dir))
 
 
+def _ohlc_oracle() -> str:
+    # late import: queries_analytics is a sibling registered by
+    # queries.py's module sweep; binding at decoration time (module import)
+    # is safe, but the function form keeps the top-of-file import list
+    # acyclic-by-construction like the _SIG_BAND_CTES import below
+    from .queries_analytics import OHLC_ORACLE
+
+    return OHLC_ORACLE
+
+
+@query("q_ohlc_candles", oracle=_ohlc_oracle())
+def q_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC candles, batch-checked (streaming/windows.py::
+    ohlc_candles — staged r09, faced per VERDICT r09 #2): the SAME
+    function the readStream path runs — ``F.window(ts, 1 hour)`` buckets
+    with min_by/max_by open/close riding ONE streaming-compatible
+    aggregation — applied to the batch events table, sharing the
+    q_resample_ohlc oracle text verbatim (window.start equals the batch
+    operator's integer ``ts - pmod(ts, w)`` edge for epoch-aligned widths
+    on positive timestamps).  tests/test_stream_ohlc.py proves
+    batch == readStream == batch-operator on identical input.
+
+    Scale shape: one (event_type, window)-keyed aggregate whose
+    min_by/max_by partials merge through streaming state exactly as
+    through the batch partial-merge tree — no per-bucket sort in either
+    mode, state bounded by live windows x event types."""
+    return windows.ohlc_candles(events_t(spark, sf_dir)).withColumn(
+        "mean_value", F.round("mean_value", 6)
+    )
+
+
 @query(
     "q_stream_sliding",
     oracle="""

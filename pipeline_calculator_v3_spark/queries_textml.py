@@ -547,11 +547,12 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Blocking key = the first 16 bits as a string; hamming = differing-bit
 # count over the full 64.  Docs with no shingles are excluded on both
 # engines (an all-zero signature would collide globally).
-@query(
-    "q_dedup_simhash",
-    oracle=f"""
-WITH {_MD5_SHINGLE_CTES},
-sims AS (
+def _simhash_pair_ctes(scored_name: str = "scored") -> str:
+    """The simhash signature -> block -> hamming pair chain as CTE text —
+    ONE spelling shared by the q_dedup_simhash oracle and the combined
+    axes-report oracle (whose namespace already uses ``scored`` for the
+    minhash chain, hence the parameterized final-CTE name)."""
+    return f"""sims AS (
     SELECT doc_id,
            list_transform(range(0, 64), j ->
                CASE WHEN list_sum(list_transform(hsl, h ->
@@ -569,13 +570,20 @@ keyed AS (
                           x -> CAST(x AS VARCHAR)), 'string_agg', '') AS block
     FROM sims
 ),
-scored AS (
+{scored_name} AS (
     SELECT a.doc_id AS id1, b.doc_id AS id2,
            CAST(list_sum(list_transform(range(1, 65), i ->
                CASE WHEN a.bits[CAST(i AS INT)] <> b.bits[CAST(i AS INT)]
                     THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
     FROM keyed a JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id
-)
+)"""
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+WITH {_MD5_SHINGLE_CTES},
+{_simhash_pair_ctes()}
 SELECT id1, id2, hamming FROM scored WHERE hamming <= 16
 """,
 )
@@ -3193,6 +3201,92 @@ def q_source_copy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup-axes agreement rollup (r10, operators/dedup.py::dedup_axes_report —
+# staged r09, faced per VERDICT r09 #2): per combination of per-axis keep
+# decisions, the doc count and smallest example — "what does simhash remove
+# that minhash kept?" before a removal policy ships.  Every axis reuses a
+# proven decision face AND its proven oracle CTE text: exact = min-id per
+# normalized-md5 group (q_dedup_exact's rule), lexical = minhash-md5 CC
+# survivors (q_dedup_clusters verbatim), simhash = pair-loser removal (drop
+# the larger id of every q_dedup_simhash pair — a greedy keep-the-earlier
+# policy, deliberately simpler than CC to make the axes DISAGREE somewhere).
+# ---------------------------------------------------------------------------
+@query(
+    "q_dedup_axes_report",
+    oracle=f"""
+WITH RECURSIVE {_MD5_CC_CTES},
+{_simhash_pair_ctes("sh_scored")},
+ax_exact AS (
+    SELECT doc_id,
+           doc_id = MIN(doc_id) OVER (PARTITION BY md5({_NORM})) AS keep
+    FROM documents
+),
+ax_lexical AS (
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+),
+sh_losers AS (
+    SELECT DISTINCT id2 FROM sh_scored WHERE hamming <= 16
+),
+ax_simhash AS (
+    SELECT d.doc_id, l.id2 IS NULL AS keep
+    FROM documents d LEFT JOIN sh_losers l ON l.id2 = d.doc_id
+)
+SELECT e.keep AS keep_exact, x.keep AS keep_lexical, s.keep AS keep_simhash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       MIN(d.doc_id) AS example_id
+FROM documents d
+JOIN ax_exact e ON e.doc_id = d.doc_id
+JOIN ax_lexical x ON x.doc_id = d.doc_id
+JOIN ax_simhash s ON s.doc_id = d.doc_id
+GROUP BY 1, 2, 3
+""",
+)
+def q_dedup_axes_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How three dedup axes agree (operators/dedup.py::dedup_axes_report):
+    exact (min-id survivor per normalized-text md5 group), lexical
+    (minhash-md5 LSH pairs -> connected components, the q_dedup_clusters
+    decision), and simhash (greedy pair-loser removal over the
+    q_dedup_simhash candidate pairs) — one row per keep-combination cell
+    with its doc count and smallest example id.
+
+    Scale shape: each axis inherits its face's guarantees (banded LSH /
+    16-bit-prefix blocking, pointer-jumping CC), then the report itself is
+    one doc-id-keyed join family + ONE hash aggregate over a <= 2^3 key
+    space (operator docstring) — nothing quadratic on top of the axes."""
+    from pyspark.sql import Window
+
+    from .functions.text import normalized_text
+    from .operators.clusters import dedup_clusters
+    from .operators.dedup import dedup_axes_report
+
+    docs = _spread(t(spark, sf_dir, "documents"), spark)
+    fpw = Window.partitionBy(F.md5(normalized_text(F.col("text"))))
+    ax_exact = docs.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(fpw)).alias("keep"),
+    )
+    ax_lexical = dedup_clusters(
+        docs, minhash_lsh_pairs_md5(docs, min_jaccard=0.5)
+    ).select("doc_id", "keep")
+    losers = (
+        simhash64_md5_pairs(docs, max_hamming=16)
+        .select(F.col("id2").alias("doc_id"))
+        .distinct()
+        .withColumn("_lost", F.lit(True))
+    )
+    ax_simhash = (
+        docs.select("doc_id")
+        .join(losers, "doc_id", "left")
+        .select("doc_id", F.col("_lost").isNull().alias("keep"))
+    )
+    return dedup_axes_report(
+        docs,
+        {"exact": ax_exact, "lexical": ax_lexical, "simhash": ax_simhash},
+    )
+
+
+# ---------------------------------------------------------------------------
 # CCNet-style per-source percentile quality gate (r09,
 # operators/classifier.py): keep the top keep_frac of EACH source by the
 # frozen classifier margin — per-group thresholds instead of one global
@@ -3251,4 +3345,83 @@ def q_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return percentile_cut_per_group(
         scored, ["source"], "z", _GATE_KEEP_FRAC, "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# The 100 TB spelling of the same gate (r10, operators/classifier.py::
+# percentile_gate_approx — staged r09, faced per VERDICT r09 #2): per-group
+# approx_percentile thresholds broadcast back onto the scan, no per-group
+# sort.  Oracle-ability: with accuracy >> group_n the GK sketch is
+# rank-EXACT — for n < accuracy every sample survives compression (merging
+# two samples needs g1+g2+delta <= 2*n/accuracy < 2, impossible with
+# g >= 1 each), so query(q) returns precisely the sorted element at rank
+# ceil(q*n) — which the oracle spells as a window rank.  keep_frac = 0.25
+# keeps even the RANK arithmetic engine-proof: q = 1 - 0.25 = 0.75 is
+# exactly representable and 0.75*n is exact in doubles AND in DuckDB's
+# decimal literal arithmetic, so ceil() can never straddle an ulp
+# (0.7*20 = 14.000000000000002 in IEEE vs 14.0 in decimal — the fork this
+# choice designs away).  The value at a rank is tie-safe: sorting a
+# multiset by z gives a deterministic VALUE sequence even where row
+# identity is ambiguous.
+# ---------------------------------------------------------------------------
+_GATE_APPROX_KEEP_FRAC = 0.25
+_GATE_APPROX_ACCURACY = 100_000
+
+
+def _percentile_gate_approx_oracle() -> str:
+    from .operators.classifier import quality_z_sql
+
+    q = 1.0 - _GATE_APPROX_KEEP_FRAC
+    return f"""
+WITH sd AS (
+    SELECT doc_id, ROUND({quality_z_sql()}, 6) AS z, source
+    FROM documents
+    WHERE len({_TOKENS}) > 0
+),
+rk AS (
+    SELECT source, z,
+           row_number() OVER (PARTITION BY source ORDER BY z) AS rn,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM sd
+),
+th AS (
+    SELECT source, MIN(z) AS threshold
+    FROM rk
+    WHERE rn = CAST(ceil({q!r} * n) AS BIGINT)
+    GROUP BY source
+)
+SELECT s.doc_id, s.z, s.source, t.threshold,
+       s.z >= t.threshold AS keep
+FROM sd s JOIN th t USING (source)
+"""
+
+
+@query("q_percentile_gate_approx", oracle=_percentile_gate_approx_oracle())
+def q_percentile_gate_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality gate at corpus scale: keep the top 25% of each
+    source by the frozen classifier margin, but decide via per-group
+    ``approx_percentile`` thresholds broadcast back onto the scan
+    (operators/classifier.py::percentile_gate_approx) instead of ranking
+    every row in a window — the swap q_percentile_gate's docstring
+    documents.  At sf scale the sketch runs in its rank-exact regime
+    (accuracy 100k >> any source's count), so the oracle replays the
+    threshold as the sorted element at rank ceil(0.75*n); at 100 TB the
+    same plan degrades gracefully to the GK rank bound instead of
+    degrading to a corpus sort.
+
+    Scale shape: ONE aggregate exchange moving sketch partials (bytes per
+    (source, partition), not rows) + a broadcast join — the corpus never
+    shuffles and never sorts; the exact face's window moves every row
+    through a source-keyed exchange.  Plan-gated sort-free in
+    tests/test_percentile_cut.py."""
+    from .operators.classifier import classify_quality, percentile_gate_approx
+
+    d = t(spark, sf_dir, "documents")
+    scored = classify_quality(d, extra_cols=["source"]).select(
+        "doc_id", "z", "source"
+    )
+    return percentile_gate_approx(
+        scored, ["source"], "z", _GATE_APPROX_KEEP_FRAC,
+        accuracy=_GATE_APPROX_ACCURACY,
     )

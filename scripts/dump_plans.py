@@ -328,6 +328,91 @@ AUDIT: list[tuple[str, str]] = [
         " one cluster-keyed window — beyond the cluster-scoped pair"
         " stage nothing is quadratic.",
     ),
+    (
+        "q_percentile_gate_approx",
+        "The 100 TB spelling of the per-group quality gate: the threshold"
+        " is ONE hash aggregate moving GK-sketch partials (bytes per"
+        " (source, partition), not rows) and joins back as a broadcast —"
+        " the corpus never sorts and never shuffles, where the exact"
+        " face's rank window moves every row through a source-keyed"
+        " exchange.  Sort-free shape plan-gated in"
+        " tests/test_percentile_cut.py.",
+    ),
+    (
+        "q_ohlc_candles",
+        "The STREAMING OHLC spelling (window(ts) buckets) compiles to the"
+        " same single (event_type, window)-keyed aggregate as the batch"
+        " operator's integer arithmetic — min_by/max_by partials carry"
+        " open/close through the merge tree, which is exactly what lets"
+        " the identical function run under a watermark with bounded state"
+        " (batch==stream proven in tests/test_stream_ohlc.py).",
+    ),
+    (
+        "q_dedup_axes_report",
+        "Three dedup axes composed without a new shuffle family: each axis"
+        " keeps its own guarantees (md5-group window, banded LSH + CC,"
+        " 16-bit-prefix simhash blocking), then the report is a doc-id-"
+        "keyed join family + ONE hash aggregate over a <= 2^3 cell space"
+        " — at 100 TB the axes dominate and the rollup is noise.",
+    ),
+    (
+        "q_overlap_sections",
+        "The corridor kernel's scalars under the oracle gate: identical"
+        " exchanges to q_parallel_overlap (grid-bucket distance join, one"
+        " (p1,p2)-keyed sessionization window), kept hits persisted ONCE"
+        " for their two consumers (section aggregate + applyInPandas"
+        " corridor kernel), and the kernel's groups are single sections —"
+        " bounded size by construction, shuffled by their own key.",
+    ),
+    (
+        "q_knn_graph",
+        "The cosine-path kNN graph (oracle face): sign-prefix blocking,"
+        " skew-salted unordered pairs, per-row norms hoisted so each"
+        " vector's sqrt runs once — note the nrm double riding BOTH sides"
+        " of the pair-stage exchange; the normalized-ingest variant below"
+        " deletes it.",
+    ),
+]
+
+# Non-registry plan notes: (title, why, builder(spark) -> DataFrame).
+# knn_graph's normalized-ingest fast path is an operator variant, not a
+# registry face (the oracle face keeps raw vectors + explicit norms), so
+# its shuffle-width evidence is captured here (VERDICT r09 #4).
+def _knn_unit_pair_stage(spark):
+    from pyspark.sql import functions as F
+
+    from pipeline_calculator_v3_spark.functions.vectors import unit_normalize
+    from pipeline_calculator_v3_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # normalize-at-write severed from lineage the cheap way: checkpoint-
+    # free localCheckpoint is overkill for a plan dump; re-read via a
+    # temp view round trip keeps the dump hermetic
+    normed = emb.select(
+        "vec_id", unit_normalize(F.col("embedding")).alias("embedding")
+    ).where(F.col("embedding").isNotNull())
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="knn_unit_plans_")
+    normed.write.mode("overwrite").parquet(d)
+    return knn_graph(
+        spark.read.parquet(d), k=5, sign_dims=4, assume_unit=True
+    )
+
+
+EXTRA: list[tuple[str, str, object]] = [
+    (
+        "knn_graph — normalized ingest (assume_unit=True)",
+        "A corpus written through functions.vectors.unit_normalize has"
+        " every norm == 1, so cosine IS the dot product: the nrm column"
+        " (one double per row per side) vanishes from the pair-stage"
+        " shuffle and the per-row sqrt pass disappears entirely — grep"
+        " this plan for 'nrm' or 'SQRT' and find neither, then compare"
+        " the q_knn_graph oracle face above whose exchanges carry both."
+        "  Gated in tests/test_knn_unit.py (same graph as the cosine"
+        " path, plan free of norm machinery).",
+        _knn_unit_pair_stage,
+    ),
 ]
 
 
@@ -347,8 +432,9 @@ def main() -> None:
         "re-optimization can only improve it at runtime).",
         "",
     ]
-    for name, why in AUDIT:
-        df = QUERIES[name](spark, SF_DIR)
+    sections = [(name, why, None) for name, why in AUDIT] + EXTRA
+    for name, why, builder in sections:
+        df = QUERIES[name](spark, SF_DIR) if builder is None else builder(spark)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
@@ -362,7 +448,7 @@ def main() -> None:
         out.append("")
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"PLANS.md written ({len(AUDIT)} plans)")
+    print(f"PLANS.md written ({len(sections)} plans)")
     spark.stop()
 
 
