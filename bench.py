@@ -111,6 +111,10 @@ HEADLINE = [
     "q_source_copy_matrix",       # added r09 (cross-source dup rollup)
     "q_percentile_gate",          # added r09 (per-source quality head-cut)
     "q_dedup_semantic_rep",       # added r09 (SemDeDup centroid-policy rep)
+    "q_percentile_gate_approx",   # added r10 (broadcast-threshold gate)
+    "q_ohlc_candles",             # added r10 (streaming-twin OHLC face)
+    "q_dedup_axes_report",        # added r10 (3-axis agreement rollup)
+    "q_overlap_sections",         # added r10 (corridor scalars, oracle-gated)
     "q_overlap_e2e",
 ]
 
@@ -206,6 +210,20 @@ def _last_recorded_timings() -> dict[str, float]:
         for k, v in qs.items():
             if isinstance(v, (int, float)):
                 best[k] = float(v)
+    # Isolated minimums overlay (VERDICT r09 #6): in-suite numbers carry a
+    # documented 1.2-1.4x co-tenancy band, so a baseline taken from LAST
+    # round's in-suite value can hide a real regression inside the band.
+    # scripts/measure_isolated.py records each query's min-of-2 in an
+    # otherwise-idle session to BENCH_ISOLATED.json; where present, the
+    # straggler baseline is the lowest credible recorded cost.
+    iso_path = os.path.join(repo, "BENCH_ISOLATED.json")
+    try:
+        iso = json.load(open(iso_path)).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        iso = {}
+    for k, v in iso.items():
+        if isinstance(v, (int, float)):
+            best[k] = min(best.get(k, float("inf")), float(v))
     return best
 
 

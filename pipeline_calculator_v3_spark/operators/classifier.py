@@ -259,3 +259,69 @@ def percentile_gate_approx(
         "keep",
         F.coalesce(F.col(score_col) >= F.col("threshold"), F.lit(False)),
     )
+
+
+def approx_group_buckets(
+    scored: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    n_buckets: int = 3,
+    accuracy: int = 100_000,
+) -> DataFrame:
+    """The 100 TB spelling of per-group ``ntile(n)`` bucketing — the swap
+    q_ppl_buckets' docstring documents (CCNet terciles) and
+    q_rfm_segmentation/q_epoch_plan reference: instead of globally sorting
+    each group under a rank window, compute the group's (1/n .. (n-1)/n)
+    quantile THRESHOLDS with one ``approx_percentile`` aggregate (array of
+    probabilities — one sketch pass) and assign
+    ``bucket = 1 + #{thresholds strictly below the score}`` map-side after
+    a broadcast join.
+
+    Value-based, not rank-based: rows tying on the score land in the SAME
+    bucket (ntile splits ties to keep sizes equal) and bucket sizes are
+    only approximately n-ths.  On distinct scores in the sketch's
+    rank-exact regime (group_n < accuracy) the assignment IS ntile's —
+    the property tests/test_approx_buckets.py proves — because the GK
+    sketch returns exactly the sorted element at rank ceil(p*n) there
+    (see percentile_gate_approx for the compression argument).
+
+    NULL scores get a NULL bucket (approx_percentile never saw them; the
+    caller quarantines — mirroring percentile_gate_approx's keep=FALSE
+    rule would invent a bucket id).
+
+    Returns the input columns + ``bucket`` BIGINT (1-based).
+
+    Scale shape: ONE aggregate exchange of sketch partials + a broadcast
+    join + a map-side array fold over n-1 thresholds — the corpus never
+    sorts; the exact face's ntile window sorts every group end-to-end.
+    Staged r10 as tested infra (tests/test_approx_buckets.py carries the
+    DuckDB oracle replay); an r11 registry face needs a driver-window
+    slot.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    for reserved in ("bucket", "_ths"):
+        if reserved in scored.columns:
+            raise ValueError(f"'{reserved}' is reserved by approx_group_buckets")
+    probs = F.array(
+        *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
+    )
+    thresholds = scored.groupBy(*group_cols).agg(
+        F.percentile_approx(
+            F.col(score_col), probs, F.lit(accuracy)
+        ).alias("_ths")
+    )
+    bucket = F.aggregate(
+        F.col("_ths"),
+        F.lit(1).cast("bigint"),
+        lambda acc, t: acc
+        + F.when(F.col(score_col) > t, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        scored.join(F.broadcast(thresholds), group_cols)
+        .withColumn(
+            "bucket",
+            F.when(F.col(score_col).isNotNull(), bucket),
+        )
+        .drop("_ths")
+    )
