@@ -402,6 +402,7 @@ def simhash64_md5_pairs(
     shingle_n: int = 3,
     max_hamming: int = 16,
     n_groups: int = 8,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidate pairs on md5 bit lanes — the
     oracle-checkable face of simhash dedup (VERDICT r07 #6), exactly the
@@ -426,6 +427,11 @@ def simhash64_md5_pairs(
     The xxhash64 face (:func:`simhash64`) stays the single-pass Column
     variant for throughput callers.
 
+    ``tokens_col`` (optional): a pre-materialized token-array column —
+    same contract as :func:`minhash_lsh_pairs_md5`'s parameter (the
+    caller owns equality with ``tokens(normalized_text(text))``); the
+    axes-report face stages ONE tokenizer pass for both hash families.
+
     Returns (id1, id2, hamming) with id1 < id2 and hamming <= max_hamming.
     """
     from .joins import salted_self_pairs
@@ -435,9 +441,13 @@ def simhash64_md5_pairs(
     # the tokenizer into the shingle transform (or filtering on size(sh)
     # over the aliased pipeline) re-runs it ~|positions| times per row
     # (measured 12.7 s -> ~2 s at sf0.1 for this operator)
+    tok = (
+        F.col(tokens_col)
+        if tokens_col
+        else tokens(normalized_text(F.col(text_col)))
+    )
     base = docs.select(
-        F.col(id_col).alias("id"),
-        tokens(normalized_text(F.col(text_col))).alias("t"),
+        F.col(id_col).alias("id"), tok.alias("t")
     ).where(F.size("t") >= shingle_n)
     hashed = base.select(
         "id",

@@ -3256,32 +3256,42 @@ def q_dedup_axes_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     space (operator docstring) — nothing quadratic on top of the axes."""
     from pyspark.sql import Window
 
-    from .functions.text import normalized_text
     from .operators.clusters import dedup_clusters
     from .operators.dedup import dedup_axes_report
 
     docs = _spread(t(spark, sf_dir, "documents"), spark)
+    # ONE tokenizer/normalizer pass feeds all three axes (persisted: both
+    # hash families and the exact-fingerprint window read it) — the
+    # tokens_col contract both pair operators document
+    staged = persist_tracked(
+        docs.select(
+            "doc_id",
+            "text",
+            tokens(normalized_text(F.col("text"))).alias("t"),
+        )
+    )
     fpw = Window.partitionBy(F.md5(normalized_text(F.col("text"))))
-    ax_exact = docs.select(
+    ax_exact = staged.select(
         "doc_id",
         (F.col("doc_id") == F.min("doc_id").over(fpw)).alias("keep"),
     )
     ax_lexical = dedup_clusters(
-        docs, minhash_lsh_pairs_md5(docs, min_jaccard=0.5)
+        staged,
+        minhash_lsh_pairs_md5(staged, min_jaccard=0.5, tokens_col="t"),
     ).select("doc_id", "keep")
     losers = (
-        simhash64_md5_pairs(docs, max_hamming=16)
+        simhash64_md5_pairs(staged, max_hamming=16, tokens_col="t")
         .select(F.col("id2").alias("doc_id"))
         .distinct()
         .withColumn("_lost", F.lit(True))
     )
     ax_simhash = (
-        docs.select("doc_id")
+        staged.select("doc_id")
         .join(losers, "doc_id", "left")
         .select("doc_id", F.col("_lost").isNull().alias("keep"))
     )
     return dedup_axes_report(
-        docs,
+        staged,
         {"exact": ax_exact, "lexical": ax_lexical, "simhash": ax_simhash},
     )
 
