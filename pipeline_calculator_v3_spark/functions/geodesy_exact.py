@@ -68,12 +68,6 @@ def vincenty_inverse_m(
     # Lanes still iterating (converged lanes freeze to keep results stable).
     active = np.isfinite(lam) & np.isfinite(U1) & np.isfinite(U2)
 
-    sin_sigma = np.zeros_like(lam)
-    cos_sigma = np.ones_like(lam)
-    sigma = np.zeros_like(lam)
-    cos2_alpha = np.ones_like(lam)
-    cos_2sigma_m = np.ones_like(lam)
-
     for _ in range(_MAX_ITER):
         if not active.any():
             break
@@ -96,17 +90,38 @@ def vincenty_inverse_m(
             + C * ss * (c2sm + C * cs * (-1.0 + 2.0 * c2sm**2))
         )
 
-        sin_sigma = np.where(active, ss, sin_sigma)
-        cos_sigma = np.where(active, cs, cos_sigma)
-        sigma = np.where(active, sig, sigma)
-        cos2_alpha = np.where(active, c2a, cos2_alpha)
-        cos_2sigma_m = np.where(active, c2sm, cos_2sigma_m)
-
         delta = np.abs(lam_new - lam)
         lam = np.where(active, lam_new, lam)
         # near-antipodal pairs may never meet the tolerance: they exit via
         # the iteration cap with the last iterate (documented above)
         active = active & (delta > _LAMBDA_TOL)
+
+    # Series quantities from the CONVERGED lambda (r10): the loop above
+    # used to keep each lane's values from its last ACTIVE iteration —
+    # i.e. from the PRE-update lambda, one tolerance-step (b * 1e-13 ~
+    # 0.6 um/hop) behind the fixed point.  Recomputing once from the
+    # final lambda pins the output to the fixed point itself, which (a)
+    # is the numerically cleaner reading of Vincenty 1975 and (b) lets a
+    # fixed-depth SQL unroll of the same recurrence (the
+    # q_geodesic_length_exact oracle) agree to libm noise instead of to
+    # the iteration tolerance.
+    sin_lam, cos_lam = np.sin(lam), np.cos(lam)
+    sin_sigma = np.sqrt(
+        (cosU2 * sin_lam) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cos_lam) ** 2
+    )
+    cos_sigma = sinU1 * sinU2 + cosU1 * cosU2 * cos_lam
+    sigma = np.arctan2(sin_sigma, cos_sigma)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sin_alpha = np.where(
+            sin_sigma > 0.0, cosU1 * cosU2 * sin_lam / sin_sigma, 0.0
+        )
+    cos2_alpha = 1.0 - sin_alpha**2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos_2sigma_m = np.where(
+            cos2_alpha > 0.0,
+            cos_sigma - 2.0 * sinU1 * sinU2 / cos2_alpha,
+            0.0,
+        )
 
     u2 = cos2_alpha * (a**2 - b**2) / b**2
     A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))

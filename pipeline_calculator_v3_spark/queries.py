@@ -120,14 +120,111 @@ def q_geodesic_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_geodesic_length_exact")  # rows-only: GRS80 kernel is a pandas UDF
+# The Vincenty recurrence unrolled to a fixed depth in ANSI SQL — the
+# oracle that upgrades q_geodesic_length_exact from rows-only to a full
+# value-hash verdict (r10; SURVEY §2.C had promised "yes" since r05).
+# Oracle-ability argument: the kernel iterates lambda to |dlam| <= 1e-13
+# and (since r10) computes the series quantities from the CONVERGED
+# lambda; a 12-step unroll of the same recurrence lands on the same fixed
+# point to libm noise — measured max 2.1e-12 relative on the synthetic
+# field's per-pipeline sums (vs 6.5e-8 at depth 6: the 5 m wobble hops
+# converge slower than the f-per-step heuristic suggests), far inside the
+# driver canon's 6 significant digits even for delta_pct, which is a
+# DIFFERENCE of two close sums and needed the r10 converged-lambda kernel
+# fix to be stable at all.
+_VINCENTY_ITERS = 12
+
+
+def _vincenty_iter_cte(k: int) -> str:
+    from .functions.geodesy_exact import GRS80_F as FF
+
+    src = "vt0" if k == 1 else f"vt{k - 1}"
+    return f"""vt{k} AS (
+    SELECT pipeline_id, hav_m, L, su1, cu1, su2, cu2,
+           sin(lam{k - 1}) AS sl, cos(lam{k - 1}) AS cl,
+           sqrt((cu2 * sl) * (cu2 * sl)
+                + (cu1 * su2 - su1 * cu2 * cl) * (cu1 * su2 - su1 * cu2 * cl)) AS ss,
+           su1 * su2 + cu1 * cu2 * cl AS cs,
+           CASE WHEN ss > 0.0 THEN cu1 * cu2 * sl / ss ELSE 0.0 END AS sin_alpha,
+           atan2(ss, cs) AS sig,
+           1.0 - sin_alpha * sin_alpha AS c2a,
+           CASE WHEN c2a > 0.0 THEN cs - 2.0 * su1 * su2 / c2a ELSE 0.0 END AS c2sm,
+           {FF!r} / 16.0 * c2a * (4.0 + {FF!r} * (4.0 - 3.0 * c2a)) AS CC,
+           L + (1.0 - CC) * {FF!r} * sin_alpha *
+               (sig + CC * ss * (c2sm + CC * cs * (-1.0 + 2.0 * c2sm * c2sm))) AS lam{k}
+    FROM {src}
+)"""
+
+
+def _vincenty_oracle() -> str:
+    from .functions.geodesy_exact import GRS80_A, GRS80_F
+
+    a, ff = GRS80_A, GRS80_F
+    b = a * (1.0 - ff)
+    a2mb2, b2 = a * a - b * b, b * b
+    n = _VINCENTY_ITERS
+    iters = ",\n".join(_vincenty_iter_cte(k) for k in range(1, n + 1))
+    return f"""
+WITH {synth.VERTICES_CTE},
+hops AS (
+    SELECT pipeline_id, lat, lon,
+           lag(lat) OVER (PARTITION BY pipeline_id ORDER BY pos) AS plat,
+           lag(lon) OVER (PARTITION BY pipeline_id ORDER BY pos) AS plon
+    FROM vertices
+),
+vt0 AS (
+    SELECT pipeline_id,
+           radians(lon - plon) AS L,
+           {_HAV_HOP} AS hav_m,
+           sin(atan((1.0 - {ff!r}) * tan(radians(plat)))) AS su1,
+           cos(atan((1.0 - {ff!r}) * tan(radians(plat)))) AS cu1,
+           sin(atan((1.0 - {ff!r}) * tan(radians(lat)))) AS su2,
+           cos(atan((1.0 - {ff!r}) * tan(radians(lat)))) AS cu2,
+           radians(lon - plon) AS lam0
+    FROM hops
+),
+{iters},
+fin AS (
+    SELECT pipeline_id, hav_m,
+           sin(lam{n}) AS sl, cos(lam{n}) AS cl,
+           sqrt((cu2 * sl) * (cu2 * sl)
+                + (cu1 * su2 - su1 * cu2 * cl) * (cu1 * su2 - su1 * cu2 * cl)) AS ss,
+           su1 * su2 + cu1 * cu2 * cl AS cs,
+           CASE WHEN ss > 0.0 THEN cu1 * cu2 * sl / ss ELSE 0.0 END AS sin_alpha,
+           atan2(ss, cs) AS sig,
+           1.0 - sin_alpha * sin_alpha AS c2a,
+           CASE WHEN c2a > 0.0 THEN cs - 2.0 * su1 * su2 / c2a ELSE 0.0 END AS c2sm,
+           c2a * {a2mb2!r} / {b2!r} AS u2,
+           1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2))) AS AA,
+           u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2))) AS BB,
+           BB * ss * (c2sm + BB / 4.0 *
+               (cs * (-1.0 + 2.0 * c2sm * c2sm)
+                - BB / 6.0 * c2sm * (-3.0 + 4.0 * ss * ss)
+                              * (-3.0 + 4.0 * c2sm * c2sm))) AS dsig,
+           {b!r} * AA * (sig - dsig) AS dist_m
+    FROM vt{n}
+)
+SELECT pipeline_id,
+       SUM(dist_m) AS length_m,
+       SUM(dist_m) / {US_SURVEY_MILE_M!r} AS length_mi,
+       ABS(SUM(hav_m) - SUM(dist_m)) / SUM(dist_m) * 100.0 AS delta_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM fin
+GROUP BY pipeline_id
+"""
+
+
+@query("q_geodesic_length_exact", oracle=_vincenty_oracle())
 def q_geodesic_length_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship in GRS80-exact mode: same window-lag plan with the Vincenty
     pandas-UDF kernel replacing the haversine column expression — the
     digit-for-digit parity path against the reference's
     ``pyproj.Geod(ellps='GRS80')`` (src/pipeline_calculator_v3.py:48).
     ``delta_pct`` exposes the spherical-vs-ellipsoidal divergence (bounded
-    at ~0.56%, tests/test_geodesy_grs80.py)."""
+    at ~0.56%, tests/test_geodesy_grs80.py).  Oracle-backed since r10:
+    the DuckDB side unrolls the lambda recurrence 12 deep (see
+    ``_vincenty_oracle`` above) — the pandas-UDF kernel earns a value-hash
+    verdict, not just a rows-only pass."""
     from .functions.geodesy_exact import geodesic_m
     from .shipping import ensure_pkg_shipped
 

@@ -75,9 +75,8 @@ def test_rotated_out_remain_pytest_gated():
             "q_dedup_minhash_xl",  # gained full oracles in r08
             "q_quantile_approx", "q_contamination_xl",
             "q_chunk_documents_xl",  # rows-only scale twin, clean r04 row
-            "q_geodesic_length_exact",  # Karney geodesic — no SQL oracle
-                                        # exists by nature; clean r04 row,
-                                        # golden-tested vs closed-form arcs
+            # q_geodesic_length_exact left this list in r10: the lambda
+            # recurrence unrolled 12 deep IS a SQL oracle (queries.py)
             "q_segmentize",  # rows-only by design (resampling UDTF);
                              # clean r04 row + golden tests
             "q_pack_sequences_xl",  # rows-only scale twin, clean r05 row;
