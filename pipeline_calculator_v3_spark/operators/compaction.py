@@ -4,6 +4,15 @@ given a table's file listing (the dataset.py ``_manifest.json`` shape —
 file id + byte size), decide which files to rewrite together so the table
 converges on target-sized files without rewriting the big ones.
 
+Relationship to ``dataset.py::compact_dataset``: that routine REWRITES a
+dataset wholesale (every partition re-laid to <= N files, checksummed,
+atomically swapped) — right when the whole table drifted.  This module
+is the SELECTIVE planner that decides WHICH files are worth rewriting at
+all: files already at target size pass through untouched, so a steady-
+state table pays only for its small-file tail instead of a full rewrite.
+The two compose: plan here, rewrite each group with the dataset sink's
+checksum/swap protocol.
+
 The plan itself must be cheap relative to the rewrite it schedules: this
 is pure Column arithmetic over the manifest (thousands of rows per
 partition, never the data), one ordered window over the small-file

@@ -230,3 +230,89 @@ def decode_with_real_codec(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(gen, PNG_DECODE_SCHEMA)
+
+
+WAV_FEATURES_SCHEMA = (
+    "media_id bigint, sample_rate bigint, n_samples bigint, "
+    "duration_s double, peak_abs bigint, rms double, "
+    "n_zero_cross bigint, valid boolean"
+)
+
+
+def synth_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-format AUDIO table from `documents`: per doc a
+    mono PCM16 WAV (operators/wavcodec.py) whose samples come from pure
+    integer arithmetic — ``s_k = (doc_id*7919 + k*104729) % 65536 - 32768``
+    over ``n = 64 + doc_id % 64`` samples at ``rate = 8000 +
+    (doc_id % 4) * 4000`` — so every downstream feature replays exactly in
+    ANSI SQL (the synth_png_media move applied to audio).  Encoded
+    executor-side through mapInPandas, like any real transcode."""
+    from .wavcodec import encode_wav
+
+    ensure_pkg_shipped(docs.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 64
+                rate = 8000 + (did % 4) * 4000
+                k = np.arange(n, dtype=np.int64)
+                s = ((did * 7919 + k * 104729) % 65536 - 32768).astype(
+                    np.int16
+                )
+                ids.append(did)
+                blobs.append(encode_wav(s, rate))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "media_id bigint, content binary"
+    )
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """Real audio decode over a REAL format: chunk-walked RIFF/PCM16 parse
+    (operators/wavcodec.py), then the features an audio-curation pass
+    filters on — duration, peak, RMS, zero-crossing count (the cheap
+    silence/clipping/noisiness proxies).  Malformed blobs degrade to
+    valid=false rows (PERMISSIVE, like decode_with_real_codec).
+
+    Integer-exact feature math: peak/crossings are integers, RMS is
+    ``sqrt(int64_sum_of_squares / n)`` — one exact rational under sqrt, so
+    the SQL replay (tests/test_wavcodec.py carries the intended r11/r12
+    oracle) agrees to the last bit, not to a tolerance.  Zero-crossing
+    sign convention: ``s >= 0`` counts as positive (integer-exact on both
+    engines; no float sign tricks)."""
+    from .wavcodec import decode_wav
+
+    ensure_pkg_shipped(media.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    s, rate = decode_wav(bytes(content))
+                    if not len(s):
+                        raise ValueError("empty audio")
+                    v = s.astype(np.int64)
+                    pos = v >= 0
+                    rows.append((
+                        int(mid), rate, len(v),
+                        float(len(v) / rate),
+                        int(np.abs(v).max()),
+                        float(np.sqrt(int((v * v).sum()) / len(v))),
+                        int((pos[1:] != pos[:-1]).sum()),
+                        True,
+                    ))
+                except Exception:  # struct.error / ValueError
+                    rows.append((int(mid), 0, 0, 0.0, 0, 0.0, 0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples",
+                         "duration_s", "peak_abs", "rms",
+                         "n_zero_cross", "valid"],
+            )
+
+    return media.mapInPandas(gen, WAV_FEATURES_SCHEMA)

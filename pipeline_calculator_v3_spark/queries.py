@@ -508,12 +508,14 @@ _KEEP_IN_WINDOW = [
 # (1) the three r06 hash deferrals (q_set_except, q_set_intersect,
 # q_window_frame) and the three r06 rows-only members (q_udf_surface,
 # q_parallel_overlap_xl, q_spatial_distance_join_xl) in-window;
-# (2) faces for the three r10-staged operators — approx_group_buckets
+# (2) faces for the four r10-staged operators — approx_group_buckets
 # (operators/classifier.py, oracle in tests/test_approx_buckets.py),
 # compaction_plan (operators/compaction.py, tests/test_compaction.py),
-# padding_audit (operators/packing.py, tests/test_padding_audit.py);
+# padding_audit (operators/packing.py, tests/test_padding_audit.py),
+# decode_wav_features (operators/wavcodec.py + multimodal.py, oracle in
+# tests/test_wavcodec.py::WAV_ORACLE);
 # (3) the r07 cohort (44 queries, the then-oldest verdict tier) fills the
-# remaining ~36 slots — the tail of it defers to r12, new faces trade
+# remaining ~38 slots — the tail of it defers to r12, new faces trade
 # one-for-one against refresh slots.
 # Run scripts/preflight_window.py before round end — it replays the
 # driver's first-50 hash check locally (r09: 50/50, and --all 172/172).
