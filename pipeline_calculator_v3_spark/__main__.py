@@ -1,0 +1,158 @@
+"""CLI entry point — the reference's desktop workflow without the desktop.
+
+The reference is a tkinter app (src/pipeline_calculator_v3.py:902-1710):
+drop a KMZ/KML, set four parameters, run, read the tables, export
+CSV/JSON/TXT/KML.  This module is that workflow as a command so a user of
+the reference can switch engines without writing Spark code:
+
+    python -m pipeline_calculator_v3_spark analyze INPUT.kmz \\
+        --out-dir out/ [--detection-range 15] [--min-parallel 200] \\
+        [--segment-length 5] [--angular-tolerance 15] [--top 10] \\
+        [--single-file] [--distributed-json] [--cpus N]
+
+Runs ops 1-22 (parse -> lengths -> segments -> distance join -> sessions
+-> corridors -> rollups -> envelope), prints the reference's display
+tables (ops 27-28: top-k bundled sections + totals), and writes every
+export the reference offers (ops 23-26).  Parameter clamps are applied
+inside the plan exactly as the GUI applies them (:1075-1078).
+
+Scale defaults: exports use the distributed writers unless
+``--single-file`` asks for the reference's one-file-per-table parity
+format; ``--distributed-json`` swaps the single-envelope JSON for
+JSON-lines part files (the 100 TB path — the envelope collect is a
+driver OOM on corpus-scale section tables).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    from . import (
+        ANGULAR_TOLERANCE_DEG,
+        DEFAULT_DETECTION_RANGE_M,
+        MIN_PARALLEL_LENGTH_M,
+        SEGMENT_LENGTH_M,
+    )
+
+    p = argparse.ArgumentParser(
+        prog="python -m pipeline_calculator_v3_spark",
+        description="Pipeline corridor-overlap analysis (Spark engine).",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+    a = sub.add_parser("analyze", help="run the full overlap analysis")
+    a.add_argument("input", nargs="+", help="KML/KMZ file(s)")
+    a.add_argument("--out-dir", default="pipeline_analysis_out")
+    a.add_argument(
+        "--detection-range", type=float, default=DEFAULT_DETECTION_RANGE_M,
+        help="parallel detection range, meters",
+    )
+    a.add_argument(
+        "--min-parallel", type=float, default=MIN_PARALLEL_LENGTH_M,
+        help="minimum bundled-section length, meters",
+    )
+    a.add_argument(
+        "--segment-length", type=float, default=SEGMENT_LENGTH_M,
+        help="resampling station spacing, meters",
+    )
+    a.add_argument(
+        "--angular-tolerance", type=float, default=ANGULAR_TOLERANCE_DEG,
+        help="bearing tolerance for parallelism, degrees",
+    )
+    a.add_argument("--top", type=int, default=10,
+                   help="bundled sections shown on stdout (op 27)")
+    a.add_argument("--single-file", action="store_true",
+                   help="reference-parity one-file-per-table CSV export")
+    a.add_argument("--distributed-json", action="store_true",
+                   help="JSON-lines part files instead of one envelope")
+    a.add_argument("--no-kml", action="store_true",
+                   help="skip per-section corridor KML export")
+    a.add_argument("--cpus", type=int, default=None,
+                   help="local[N] cores (default: all)")
+    return p
+
+
+def _analyze(args: argparse.Namespace) -> int:
+    from .caching import release_caches
+    from .plans.overlap import analyze_pipelines
+    from .session import get_spark
+    from .sinks import (
+        write_corridor_kml,
+        write_csv,
+        write_json,
+        write_json_distributed,
+        write_txt_summary,
+    )
+    from .sources.kml import read_pipelines
+
+    for path in args.input:
+        if not os.path.exists(path):
+            print(f"error: no such input: {path}", file=sys.stderr)
+            return 2
+
+    spark = get_spark(
+        "pcv3-cli",
+        master=f"local[{args.cpus}]" if args.cpus else None,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    pipes = read_pipelines(spark, args.input)
+    results = analyze_pipelines(
+        pipes.select("pipeline_id", "name", "geometry"),
+        detection_range_m=args.detection_range,
+        min_parallel_m=args.min_parallel,
+        segment_length_m=args.segment_length,
+        angular_tolerance_deg=args.angular_tolerance,
+    )
+
+    # ops 27-28: the GUI's display tables on stdout
+    t = results["totals"].collect()[0]
+    print(f"pipelines: {t.n_pipelines}  total: {t.total_m:,.1f} m "
+          f"({t.total_mi:.4f} US survey mi)")
+    sections = results["sections"]
+    shown = sections.drop("oriented_polygon", "corridor_polygon").limit(
+        args.top
+    )
+    for r in shown.collect():
+        print(f"  section p{r.p1}<->p{r.p2}#{r.section}: "
+              f"{r.bundled_length_mi:.4f} mi over {r.n_hits} stations, "
+              f"avg sep {r.average_separation:.2f} m")
+    s = results["summary"].collect()[0]
+    print(f"effective: {s.effective_m:,.1f} m of {s.total_m:,.1f} m "
+          f"(savings {s.savings_pct:.1f}%)")
+
+    # ops 23-26: exports
+    out = args.out_dir
+    os.makedirs(out, exist_ok=True)
+    write_csv(results, out, single_file=args.single_file)
+    if args.distributed_json:
+        write_json_distributed(results, os.path.join(out, "json"))
+    else:
+        write_json(results, os.path.join(out, "analysis.json"))
+    write_txt_summary(results, os.path.join(out, "summary.txt"))
+    if not args.no_kml:
+        kml_dir = os.path.join(out, "corridors")
+        os.makedirs(kml_dir, exist_ok=True)
+        for r in sections.collect():
+            write_corridor_kml(
+                r,
+                os.path.join(
+                    kml_dir, f"corridor_p{r.p1}_p{r.p2}_s{r.section}.kml"
+                ),
+            )
+    release_caches(spark)
+    print(f"exports written to {out}/")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.command == "analyze":
+        return _analyze(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

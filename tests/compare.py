@@ -105,6 +105,19 @@ def assert_no_plan_antipatterns(df) -> None:
         "CartesianProduct in physical plan — a join lost its keys or its "
         "broadcast:\n" + plan
     )
+    # Row-at-a-time Python UDFs are never acceptable in a registry plan
+    # (r10: the 'UDFs are the slow path' rule enforced mechanically, not
+    # by audit): scalar Python work must go through Arrow — @pandas_udf
+    # (ArrowEvalPython), mapInPandas, applyInPandas.  The negative
+    # lookahead excludes BatchEvalPythonUDTF: the Python-UDTF surface
+    # probe (q_udtf_surface) legitimately plans that node and is itself
+    # the declared exception.
+    import re as _re
+
+    assert not _re.search(r"BatchEvalPython(?!UDTF)", plan), (
+        "row-at-a-time Python UDF (BatchEvalPython) in physical plan — "
+        "use a pandas UDF / mapInPandas instead:\n" + plan
+    )
 
 
 def assert_scalar_output_schema(df, name: str) -> None:

@@ -1,0 +1,75 @@
+"""__main__.py — the reference's GUI workflow as a command: analyze a
+small parallel-pair KML end-to-end (parse -> ops 1-22 -> stdout tables ->
+every export format) through the real argparse entry point."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pipeline_calculator_v3_spark.__main__ import main
+
+# two due-north lines ~9 m apart for ~1.1 km: one bundled section under
+# the default 15 m / 200 m parameters
+_N_PTS = 24
+
+
+def _coords(lon0: float) -> str:
+    return " ".join(f"{lon0},{31.0 + i * 0.0004},0" for i in range(_N_PTS))
+
+
+_KML = f"""<?xml version="1.0" encoding="UTF-8"?>
+<kml xmlns="http://www.opengis.net/kml/2.2">
+<Document>
+  <Placemark><name>West</name>
+    <LineString><coordinates>{_coords(-100.0)}</coordinates></LineString>
+  </Placemark>
+  <Placemark><name>East</name>
+    <LineString><coordinates>{_coords(-99.9999)}</coordinates></LineString>
+  </Placemark>
+</Document>
+</kml>
+"""
+
+
+@pytest.fixture(scope="module")
+def analyzed(spark, tmp_path_factory):
+    src = tmp_path_factory.mktemp("cli_src") / "pair.kml"
+    src.write_text(_KML)
+    out = tmp_path_factory.mktemp("cli_out")
+    rc = main([
+        "analyze", str(src), "--out-dir", str(out),
+        "--single-file", "--top", "5",
+    ])
+    return rc, str(out)
+
+
+def test_exit_code_zero(analyzed):
+    assert analyzed[0] == 0
+
+
+def test_all_export_formats_written(analyzed):
+    _, out = analyzed
+    for f in ("pipelines.csv", "pipelines_overlaps.csv",
+              "analysis.json", "summary.txt"):
+        assert os.path.exists(os.path.join(out, f)), f
+    kmls = os.listdir(os.path.join(out, "corridors"))
+    assert len(kmls) == 1 and kmls[0].endswith(".kml")
+
+
+def test_envelope_contents(analyzed):
+    _, out = analyzed
+    env = json.load(open(os.path.join(out, "analysis.json")))
+    assert {p["name"] for p in env["pipelines"]} == {"West", "East"}
+    secs = env["overlap_analysis"]["bundled_sections"]
+    assert len(secs) == 1 and secs[0]["n_hits"] >= 40
+    lines = open(os.path.join(out, "summary.txt")).read().splitlines()
+    assert lines[0] == "Total pipelines: 2"
+
+
+def test_missing_input_is_a_clean_error(tmp_path, capsys):
+    rc = main(["analyze", str(tmp_path / "nope.kml")])
+    assert rc == 2
+    assert "no such input" in capsys.readouterr().err

@@ -52,3 +52,30 @@ def test_true_float_tolerance_retained():
     a = pd.DataFrame({"v": np.float64([1.0000000001])})
     b = pd.DataFrame({"v": np.float64([1.0])})
     assert_frames_match(a, b)
+
+
+def test_plan_lint_rejects_row_at_a_time_udf(spark):
+    """The r10 lint extension must catch a plain (non-Arrow) Python UDF —
+    BatchEvalPython is the slow path the scale rules ban registry-wide."""
+    from pyspark.sql.functions import udf
+
+    from tests.compare import assert_no_plan_antipatterns
+
+    f = udf(lambda x: x + 1, "long")
+    df = spark.range(3).select(f("id").alias("y"))
+    with pytest.raises(AssertionError, match="BatchEvalPython"):
+        assert_no_plan_antipatterns(df)
+
+
+def test_plan_lint_accepts_arrow_eval(spark):
+    import pandas as pd  # noqa: F811
+
+    from pyspark.sql.functions import pandas_udf
+
+    from tests.compare import assert_no_plan_antipatterns
+
+    @pandas_udf("long")
+    def f(x: pd.Series) -> pd.Series:
+        return x + 1
+
+    assert_no_plan_antipatterns(spark.range(3).select(f("id").alias("y")))
