@@ -73,3 +73,38 @@ def test_missing_input_is_a_clean_error(tmp_path, capsys):
     rc = main(["analyze", str(tmp_path / "nope.kml")])
     assert rc == 2
     assert "no such input" in capsys.readouterr().err
+
+
+def test_distributed_exports_and_multi_input(spark, tmp_path):
+    """The 100 TB export path: part-file CSV/JSON (no driver collect of
+    the big tables), summary still a single small file; plus multi-file
+    input (pipeline ids stay unique across files)."""
+    a, b = tmp_path / "a.kml", tmp_path / "b.kml"
+    a.write_text(_KML)
+    b.write_text(_KML.replace("West", "North").replace("East", "South"))
+    out = tmp_path / "out"
+    rc = main([
+        "analyze", str(a), str(b), "--out-dir", str(out),
+        "--distributed-json", "--no-kml",
+    ])
+    assert rc == 0
+    # distributed CSV: a directory of part files per table
+    assert any(
+        f.startswith("part-")
+        for f in os.listdir(out / "pipelines")
+    )
+    # distributed JSON: part files for the big tables, one summary.json
+    assert any(
+        f.startswith("part-")
+        for f in os.listdir(out / "json" / "sections")
+    )
+    summary = json.load(open(out / "json" / "summary.json"))
+    assert len(summary) == 1
+    assert not os.path.exists(out / "corridors")
+    names = {
+        r.name
+        for r in spark.read.option("header", True)
+        .csv(str(out / "pipelines"))
+        .collect()
+    }
+    assert names == {"West", "East", "North", "South"}
