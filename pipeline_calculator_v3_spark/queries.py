@@ -504,19 +504,33 @@ _KEEP_IN_WINDOW = [
 ]
 # r11 slot plan (write the window BEFORE building new surface — the
 # never-checked-in-window invariant makes slots the budget): once
-# CORRECTNESS_r10 lands, the 48 entries above rotate out.  Priorities:
-# (1) the three r06 hash deferrals (q_set_except, q_set_intersect,
+# CORRECTNESS_r10 lands, the 48 entries above rotate out.  Budget math
+# (keepers stay 2): priorities
+# (1) CHANGED SURFACE re-earning its verdict: q_geodesic_length_exact —
+# rows-only since r05, gained the Vincenty-unroll oracle in r10, its
+# first possible hash verdict (the r09 q_embed_project pattern) [1 slot];
+# (2) the three r06 hash deferrals (q_set_except, q_set_intersect,
 # q_window_frame) and the three r06 rows-only members (q_udf_surface,
-# q_parallel_overlap_xl, q_spatial_distance_join_xl) in-window;
-# (2) faces for the four r10-staged operators — approx_group_buckets
+# q_parallel_overlap_xl, q_spatial_distance_join_xl) [6];
+# (3) faces for the four r10-staged operators — approx_group_buckets
 # (operators/classifier.py, oracle in tests/test_approx_buckets.py),
 # compaction_plan (operators/compaction.py, tests/test_compaction.py),
 # padding_audit (operators/packing.py, tests/test_padding_audit.py),
 # decode_wav_features (operators/wavcodec.py + multimodal.py, oracle in
-# tests/test_wavcodec.py::WAV_ORACLE);
-# (3) the r07 cohort (44 queries, the then-oldest verdict tier) fills the
-# remaining ~38 slots — the tail of it defers to r12, new faces trade
-# one-for-one against refresh slots.
+# tests/test_wavcodec.py::WAV_ORACLE) [4];
+# (4) the r07 cohort — then the oldest tier: 38 remaining hash-green
+# (q_bigram_lm q_bm25_rank q_bpe_merges q_chunk_documents
+# q_dedup_clusters q_dedup_exact q_effective_length q_hybrid_rrf
+# q_join_big_sort_merge q_join_salted_skew q_lang_id q_lm_perplexity
+# q_ngram_jaccard q_overlap_rollup q_overlap_summary q_parallel_overlap
+# q_sample_weighted q_scrub_pii q_sessionize q_spatial_distance_join
+# q_split_train_eval q_stream_join q_stream_session q_stream_sliding
+# q_stream_stateful q_stream_tumbling q_text_quality q_tfidf
+# q_token_count q_tpch_q13.. q14.. q15.. q18.. q19.. q4.. q7.. q8..
+# q_vocab_topk) + 5 rows-only (q_chunk_documents_xl q_contamination_xl
+# q_dedup_minhash q_dedup_minhash_xl q_quantile_approx) fill the
+# remaining 37 slots — the ~6-query tail defers to r12, and any new
+# faces trade one-for-one against refresh slots.
 # Run scripts/preflight_window.py before round end — it replays the
 # driver's first-50 hash check locally (r09: 50/50, and --all 172/172).
 _ROTATED_OUT = [
