@@ -27,8 +27,19 @@ sys.path.insert(0, REPO)
 OUT = os.path.join(REPO, "BENCH_ISOLATED.json")
 
 
-def main() -> None:
+def select_slowest(n: int, registered) -> list[str]:
+    """The N highest recorded per-query timings that are still registered
+    queries — renamed/retired names in old bench artifacts never select."""
     import bench
+
+    last = bench._last_recorded_timings()
+    return [
+        q for q, _ in sorted(last.items(), key=lambda kv: -kv[1])
+        if q in registered
+    ][:n]
+
+
+def main() -> None:
     from pipeline_calculator_v3_spark import release_caches
     from pipeline_calculator_v3_spark.queries import QUERIES
     from pipeline_calculator_v3_spark.session import get_spark
@@ -36,11 +47,7 @@ def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--slowest":
         n = int(args[1]) if len(args) > 1 else 10
-        last = bench._last_recorded_timings()
-        names = [
-            q for q, _ in sorted(last.items(), key=lambda kv: -kv[1])
-            if q in QUERIES
-        ][:n]
+        names = select_slowest(n, QUERIES)
     else:
         names = args
     unknown = [q for q in names if q not in QUERIES]

@@ -72,3 +72,22 @@ def test_unreadable_isolated_record_is_ignored(repo):
     _write(repo, "BENCH_r07.json", {"queries": {"q_x": 2.0}})
     _write(repo, "BENCH_ISOLATED.json", "not json {")
     assert bench._last_recorded_timings()["q_x"] == 2.0
+
+
+def test_measure_isolated_slowest_selection(repo, monkeypatch):
+    """scripts/measure_isolated.py --slowest N picks the N highest recorded
+    timings that are still registered queries (renamed/retired queries in
+    old bench artifacts must not be selected)."""
+    import importlib
+
+    mi = importlib.import_module("scripts.measure_isolated")
+    _write(
+        repo,
+        "BENCH_r08.json",
+        {"queries": {"q_slow": 9.0, "q_mid": 5.0, "q_fast": 1.0,
+                     "q_retired": 99.0}},
+    )
+    assert mi.select_slowest(2, {"q_slow", "q_mid", "q_fast"}) == [
+        "q_slow", "q_mid",
+    ]
+    assert mi.OUT.endswith("BENCH_ISOLATED.json")
