@@ -72,6 +72,21 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="skip per-section corridor KML export")
     a.add_argument("--cpus", type=int, default=None,
                    help="local[N] cores (default: all)")
+
+    q = sub.add_parser(
+        "query",
+        help="run one registry query against a testdata/warehouse dir",
+    )
+    q.add_argument("name", help="registry query name (or 'list')")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="directory of the parquet tables")
+    q.add_argument("--limit", type=int, default=20,
+                   help="rows shown (0 = count only)")
+    q.add_argument("--out", default=None,
+                   help="also write the FULL result as parquet here")
+    q.add_argument("--explain", action="store_true",
+                   help="print the formatted physical plan instead")
+    q.add_argument("--cpus", type=int, default=None)
     return p
 
 
@@ -147,10 +162,45 @@ def _analyze(args: argparse.Namespace) -> int:
     return 0
 
 
+def _query(args: argparse.Namespace) -> int:
+    from .queries import QUERIES
+    from .session import get_spark
+
+    if args.name == "list":
+        for name in QUERIES:
+            print(name)
+        return 0
+    if args.name not in QUERIES:
+        print(f"error: unknown query {args.name!r} "
+              f"(try: python -m pipeline_calculator_v3_spark query list)",
+              file=sys.stderr)
+        return 2
+    spark = get_spark(
+        "pcv3-cli",
+        master=f"local[{args.cpus}]" if args.cpus else None,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = QUERIES[args.name](spark, args.sf_dir)
+    if args.explain:
+        print(df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        ))
+        return 0
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"written: {args.out}")
+    if args.limit > 0:
+        df.show(args.limit, truncate=False)
+    print(f"rows: {df.count()}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.command == "analyze":
         return _analyze(args)
+    if args.command == "query":
+        return _query(args)
     return 2
 
 

@@ -108,3 +108,22 @@ def test_distributed_exports_and_multi_input(spark, tmp_path):
         .collect()
     }
     assert names == {"West", "East", "North", "South"}
+
+
+def test_query_subcommand(spark, tmp_path, capsys):
+    rc = main([
+        "query", "q_tpch_q6_forecast_revenue",
+        "--sf-dir", os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001"),
+        "--limit", "5", "--out", str(tmp_path / "res"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "rows: 1" in out and "revenue" in out
+    assert spark.read.parquet(str(tmp_path / "res")).count() == 1
+
+
+def test_query_subcommand_list_and_unknown(capsys):
+    assert main(["query", "list"]) == 0
+    assert "q_geodesic_length" in capsys.readouterr().out
+    assert main(["query", "q_nope"]) == 2
+    assert "unknown query" in capsys.readouterr().err
