@@ -462,134 +462,121 @@ from . import queries_analytics  # noqa: E402,F401
 # keep-list tail, review r06).
 # ---------------------------------------------------------------------------
 _NEVER_CHECKED_FIRST = [
-    # r10 new surface (VERDICT r09 #2): registry faces for the three
-    # r09-staged operators — percentile_gate_approx (the 100 TB swap for
-    # the exact gate), ohlc_candles (streaming twin of q_resample_ohlc,
-    # batch==stream==operator proven in tests/test_stream_ohlc.py), and
-    # dedup_axes_report (exact/lexical/simhash agreement rollup).
-    "q_percentile_gate_approx", "q_ohlc_candles", "q_dedup_axes_report",
-    # r10 new surface (VERDICT r09 #3): the corridor kernel's SCALARS
-    # (bbox/center/oriented width + section aggregates) value-gated on the
-    # q_parallel_overlap oracle machinery — closes the last no_oracle hole
-    # (the polygon rings stay rows-only on the q_overlap_e2e keeper).
-    "q_overlap_sections",
-    # r10 (VERDICT r09 #1a): the two r05 rows-only deferrals, never
-    # driver-checked since r05 — in-window ahead of everything else.
-    "q_udtf_surface", "q_pack_sequences_xl",
-    # r10 refresh (VERDICT r09 #1b): the r06 hash cohort — the oldest
-    # verdict tier — minus its three rows-only members (q_udf_surface +
-    # the two spatial scale twins, which carry no hash verdict and keep
-    # their operator-level pytest gates) and minus three family-covered
-    # deferrals to fit the slot budget: q_set_except/q_set_intersect
-    # (q_set_union refreshes for the set family) and q_window_frame
-    # (q_window_dist + q_window_lag_lead refresh for the window family).
-    # After this round the oldest hash verdict anywhere is r07.
-    "q_case_dispatch", "q_contamination", "q_cube", "q_curation_e2e",
-    "q_date_funcs", "q_dedup_embedding", "q_dedup_minhash_md5",
-    "q_filter_pred", "q_fingerprint", "q_graph_pagerank", "q_grouping_sets",
-    "q_json_funcs", "q_map_funcs", "q_math_funcs", "q_multimodal_decode",
-    "q_null_semantics", "q_pack_sequences", "q_pivot", "q_quantile_profile",
-    "q_sample_hash", "q_scan_project", "q_set_union", "q_shard_stats",
-    "q_similarity_topk", "q_sort_limit", "q_spatial_polar_join",
-    "q_sql_lateral_topn", "q_sql_shared_pricing", "q_sql_shared_subquery",
-    "q_stream_dedup", "q_stream_outer_join", "q_string_agg",
-    "q_string_funcs", "q_text_analysis", "q_tpch_q10_returned",
-    "q_tpch_q1_pricing_summary", "q_tpch_q3_shipping_priority",
-    "q_tpch_q5_local_volume", "q_tpch_q6_forecast_revenue", "q_unpivot",
-    "q_window_dist", "q_window_lag_lead"
+    # r11 lead slot (VERDICT r10 #1, ADVICE r10): q_geodesic_length_exact
+    # gained its Vincenty-unroll oracle in r10 (12-deep lambda recurrence,
+    # 2.1e-12 relative agreement) but has never been driver-hash-checked —
+    # the changed-surface re-earn, the r09 q_embed_project pattern.
+    "q_geodesic_length_exact",
+    # r11 (VERDICT r10 #2): retire the r06 verdict tail — the three
+    # family-covered hash deferrals re-earn their hashes, the three
+    # rows-only members re-run clean.  After this round the oldest
+    # verdict anywhere is r07.
+    "q_set_except", "q_set_intersect", "q_window_frame",
+    "q_udf_surface", "q_parallel_overlap_xl", "q_spatial_distance_join_xl",
+    # r11 new surface (VERDICT r10 #3): registry faces for the four
+    # r10-staged operators, oracles proven in their tests since r10 —
+    # approx_group_buckets (the 100 TB ntile swap,
+    # tests/test_approx_buckets.py), compaction planning
+    # (tests/test_compaction.py), padding_audit
+    # (tests/test_padding_audit.py), and the real-audio decode completing
+    # the codec story (PNG r05, WAV r11; tests/test_wavcodec.py).
+    "q_approx_group_buckets", "q_compaction_plan", "q_padding_audit",
+    "q_multimodal_decode_wav",
+    # r11 refresh (VERDICT r10 #4): the r07 cohort — now the oldest hash
+    # tier — minus one family-covered deferral to fit the slot budget:
+    # q_stream_sliding (q_stream_tumbling/session/stateful/join refresh
+    # for the streaming-window family).  The cohort's 5 rows-only members
+    # (q_chunk_documents_xl, q_contamination_xl, q_dedup_minhash,
+    # q_dedup_minhash_xl, q_quantile_approx) defer to r12 with their
+    # pytest gates — hash re-earns outrank rows-only re-runs for slots.
+    "q_bigram_lm", "q_bm25_rank", "q_bpe_merges", "q_chunk_documents",
+    "q_dedup_clusters", "q_dedup_exact", "q_effective_length",
+    "q_hybrid_rrf", "q_join_big_sort_merge", "q_join_salted_skew",
+    "q_lang_id", "q_lm_perplexity", "q_ngram_jaccard", "q_overlap_rollup",
+    "q_overlap_summary", "q_parallel_overlap", "q_sample_weighted",
+    "q_scrub_pii", "q_sessionize", "q_spatial_distance_join",
+    "q_split_train_eval", "q_stream_join", "q_stream_session",
+    "q_stream_stateful", "q_stream_tumbling", "q_text_quality", "q_tfidf",
+    "q_token_count", "q_tpch_q13_order_distribution",
+    "q_tpch_q14_promo_share", "q_tpch_q15_top_supplier",
+    "q_tpch_q18_large_orders", "q_tpch_q19_disjunctive",
+    "q_tpch_q4_order_priority", "q_tpch_q7_nation_volume",
+    "q_tpch_q8_market_share", "q_vocab_topk"
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length",
     "q_overlap_e2e",
 ]
-# r11 slot plan (write the window BEFORE building new surface — the
+# r12 slot plan (write the window BEFORE building new surface — the
 # never-checked-in-window invariant makes slots the budget): once
-# CORRECTNESS_r10 lands, the 48 entries above rotate out.  Budget math
-# (keepers stay 2): priorities
-# (1) CHANGED SURFACE re-earning its verdict: q_geodesic_length_exact —
-# rows-only since r05, gained the Vincenty-unroll oracle in r10, its
-# first possible hash verdict (the r09 q_embed_project pattern) [1 slot];
-# (2) the three r06 hash deferrals (q_set_except, q_set_intersect,
-# q_window_frame) and the three r06 rows-only members (q_udf_surface,
-# q_parallel_overlap_xl, q_spatial_distance_join_xl) [6];
-# (3) faces for the four r10-staged operators — approx_group_buckets
-# (operators/classifier.py, oracle in tests/test_approx_buckets.py),
-# compaction_plan (operators/compaction.py, tests/test_compaction.py),
-# padding_audit (operators/packing.py, tests/test_padding_audit.py),
-# decode_wav_features (operators/wavcodec.py + multimodal.py, oracle in
-# tests/test_wavcodec.py::WAV_ORACLE) [4];
-# (4) the r07 cohort — then the oldest tier: 38 remaining hash-green
-# (q_bigram_lm q_bm25_rank q_bpe_merges q_chunk_documents
-# q_dedup_clusters q_dedup_exact q_effective_length q_hybrid_rrf
-# q_join_big_sort_merge q_join_salted_skew q_lang_id q_lm_perplexity
-# q_ngram_jaccard q_overlap_rollup q_overlap_summary q_parallel_overlap
-# q_sample_weighted q_scrub_pii q_sessionize q_spatial_distance_join
-# q_split_train_eval q_stream_join q_stream_session q_stream_sliding
-# q_stream_stateful q_stream_tumbling q_text_quality q_tfidf
-# q_token_count q_tpch_q13.. q14.. q15.. q18.. q19.. q4.. q7.. q8..
-# q_vocab_topk) + 5 rows-only (q_chunk_documents_xl q_contamination_xl
-# q_dedup_minhash q_dedup_minhash_xl q_quantile_approx) fill the
-# remaining 37 slots — the ~6-query tail defers to r12, and any new
-# faces trade one-for-one against refresh slots.
-# Run scripts/preflight_window.py before round end — it replays the
-# driver's first-50 hash check locally (r09: 50/50, and --all 172/172).
+# CORRECTNESS_r11 lands, the 48 entries above rotate out.  Budget math
+# (keepers stay 2): (1) the six r07 deferrals carried from this round —
+# q_stream_sliding (hash) + q_chunk_documents_xl q_contamination_xl
+# q_dedup_minhash q_dedup_minhash_xl q_quantile_approx (rows-only) [6];
+# (2) any new faces staged in r11 take explicit slots [~2-4];
+# (3) the r08 cohort (47 queries: q_agg_hash/q_agg_distinct, the eight
+# join-flavor faces, the curation cohort, the stream ingest/CDC pair,
+# the 7 rows-only r08 members) fills the remaining ~38-40 slots — its
+# tail defers to r13.  Run scripts/preflight_window.py before round end.
 _ROTATED_OUT = [
     # every remaining query is r07+-driver-green on its latest verdict and
     # (where oracle-backed) value-gated by tests/test_oracle_parity.py on
     # every pytest run; rows-only members carry operator-level pytest gates
     # (goldens / planted pairs / invariants) enumerated in
-    # tests/test_registry_order.py.  The whole r09 window went green, so
-    # its cohorts rotate here wholesale.
+    # tests/test_registry_order.py.  The whole r10 window went green
+    # (CORRECTNESS_r10: 47 hash + 3 rows-only, zero errors), so its
+    # cohorts rotate here wholesale.
     "q_agg_approx_distinct", "q_agg_distinct", "q_agg_hash", "q_agg_stats",
-    "q_anomaly_zscore", "q_array_funcs", "q_bigram_lm", "q_bm25_rank",
-    "q_bm25_rank_xl", "q_boilerplate_spans", "q_bpe_encode", "q_bpe_merges",
-    "q_cdc_upsert", "q_chunk_documents", "q_chunk_documents_xl",
-    "q_contamination_semantic", "q_contamination_xl", "q_data_quality",
-    "q_dedup_best_quality", "q_dedup_clusters", "q_dedup_exact",
+    "q_anomaly_zscore", "q_array_funcs", "q_bm25_rank_xl",
+    "q_boilerplate_spans", "q_bpe_encode", "q_case_dispatch",
+    "q_cdc_upsert", "q_chunk_documents_xl", "q_contamination",
+    "q_contamination_semantic", "q_contamination_xl", "q_cube",
+    "q_curation_e2e", "q_data_quality", "q_date_funcs",
+    "q_dedup_axes_report", "q_dedup_best_quality", "q_dedup_embedding",
     "q_dedup_incremental", "q_dedup_lines", "q_dedup_minhash",
-    "q_dedup_minhash_xl", "q_dedup_semantic", "q_dedup_semantic_rep",
-    "q_dedup_semantic_xl", "q_dedup_simhash", "q_dedup_substring",
-    "q_dedup_substring_xl", "q_dense_ids", "q_dsir_weights",
-    "q_effective_length", "q_embed_centroids", "q_embed_project",
-    "q_embed_quantize", "q_epoch_plan", "q_ewma_smooth",
-    "q_first_touch_attribution", "q_funnel_conversion", "q_gap_fill",
-    "q_geodesic_length_exact", "q_gopher_rules", "q_graph_triangles",
-    "q_heavy_hitters", "q_hybrid_rrf", "q_interval_union", "q_join_asof",
-    "q_join_big_sort_merge", "q_join_bloom_pruned", "q_join_inner_hash",
-    "q_join_left_anti", "q_join_left_semi", "q_join_multi_way",
-    "q_join_outer", "q_join_range_binned", "q_join_salted_skew",
-    "q_join_theta_range", "q_jsonl_roundtrip", "q_kmeans_embed",
-    "q_kmeans_embed_xl", "q_knn_graph", "q_lang_id", "q_lm_perplexity",
-    "q_markov_transitions", "q_minhash_sketch_err", "q_mixture_plan",
-    "q_multimodal_decode_png", "q_multimodal_features",
-    "q_multimodal_frames", "q_ngram_jaccard", "q_overlap_rollup",
-    "q_overlap_summary", "q_parallel_overlap", "q_parallel_overlap_xl",
-    "q_percentile_gate", "q_pmi_bigrams", "q_ppl_buckets",
-    "q_profile_table", "q_quality_classifier", "q_quantile_approx",
+    "q_dedup_minhash_md5", "q_dedup_minhash_xl", "q_dedup_semantic",
+    "q_dedup_semantic_rep", "q_dedup_semantic_xl", "q_dedup_simhash",
+    "q_dedup_substring", "q_dedup_substring_xl", "q_dense_ids",
+    "q_dsir_weights", "q_embed_centroids", "q_embed_project",
+    "q_embed_quantize", "q_epoch_plan", "q_ewma_smooth", "q_filter_pred",
+    "q_fingerprint", "q_first_touch_attribution", "q_funnel_conversion",
+    "q_gap_fill", "q_gopher_rules", "q_graph_pagerank",
+    "q_graph_triangles", "q_grouping_sets", "q_heavy_hitters",
+    "q_interval_union", "q_join_asof", "q_join_bloom_pruned",
+    "q_join_inner_hash", "q_join_left_anti", "q_join_left_semi",
+    "q_join_multi_way", "q_join_outer", "q_join_range_binned",
+    "q_join_theta_range", "q_json_funcs", "q_jsonl_roundtrip",
+    "q_kmeans_embed", "q_kmeans_embed_xl", "q_knn_graph", "q_map_funcs",
+    "q_markov_transitions", "q_math_funcs", "q_minhash_sketch_err",
+    "q_mixture_plan", "q_multimodal_decode", "q_multimodal_decode_png",
+    "q_multimodal_features", "q_multimodal_frames", "q_null_semantics",
+    "q_ohlc_candles", "q_overlap_sections", "q_pack_sequences",
+    "q_pack_sequences_xl", "q_percentile_gate", "q_percentile_gate_approx",
+    "q_pivot", "q_pmi_bigrams", "q_ppl_buckets", "q_profile_table",
+    "q_quality_classifier", "q_quantile_approx", "q_quantile_profile",
     "q_repetition_filter", "q_resample_ohlc", "q_retention_cohorts",
-    "q_rfm_segmentation", "q_rollup", "q_sample_k_per_key",
-    "q_sample_stratified", "q_sample_weighted", "q_scd2_history",
-    "q_scrub_pii", "q_segmentize", "q_sessionize", "q_set_except",
-    "q_set_intersect", "q_similarity_ann_ivf", "q_similarity_ann_lsh",
-    "q_similarity_ann_recall", "q_snapshot_diff", "q_source_copy_matrix",
-    "q_source_report", "q_spatial_distance_join",
-    "q_spatial_distance_join_xl", "q_split_train_eval",
-    "q_sql_recursive_tree", "q_stream_cdc_merge", "q_stream_ingest_dedup",
-    "q_stream_join", "q_stream_late_data", "q_stream_session",
-    "q_stream_session_timeout", "q_stream_sliding", "q_stream_stateful",
-    "q_stream_static_join", "q_stream_tumbling", "q_table_checksum",
-    "q_text_quality", "q_tfidf", "q_token_count",
+    "q_rfm_segmentation", "q_rollup", "q_sample_hash",
+    "q_sample_k_per_key", "q_sample_stratified", "q_scan_project",
+    "q_scd2_history", "q_segmentize", "q_set_union", "q_shard_stats",
+    "q_similarity_ann_ivf", "q_similarity_ann_lsh",
+    "q_similarity_ann_recall", "q_similarity_topk", "q_snapshot_diff",
+    "q_sort_limit", "q_source_copy_matrix", "q_source_report",
+    "q_spatial_polar_join", "q_sql_lateral_topn", "q_sql_recursive_tree",
+    "q_sql_shared_pricing", "q_sql_shared_subquery", "q_stream_cdc_merge",
+    "q_stream_dedup", "q_stream_ingest_dedup", "q_stream_late_data",
+    "q_stream_outer_join", "q_stream_session_timeout", "q_stream_sliding",
+    "q_stream_static_join", "q_string_agg", "q_string_funcs",
+    "q_table_checksum", "q_text_analysis", "q_tpch_q10_returned",
     "q_tpch_q11_important_stock", "q_tpch_q12_shipmode_priority",
-    "q_tpch_q13_order_distribution", "q_tpch_q14_promo_share",
-    "q_tpch_q15_top_supplier", "q_tpch_q16_supplier_cnt",
-    "q_tpch_q17_small_qty", "q_tpch_q18_large_orders",
-    "q_tpch_q19_disjunctive", "q_tpch_q20_excess_supply",
+    "q_tpch_q16_supplier_cnt", "q_tpch_q17_small_qty",
+    "q_tpch_q1_pricing_summary", "q_tpch_q20_excess_supply",
     "q_tpch_q21_waiting_supplier", "q_tpch_q22_global_sales",
-    "q_tpch_q2_min_cost_supplier", "q_tpch_q4_order_priority",
-    "q_tpch_q7_nation_volume", "q_tpch_q8_market_share",
-    "q_tpch_q9_product_profit", "q_udf_surface", "q_variant_extract",
-    "q_vocab_topk", "q_window_frame", "q_window_rank",
-    "q_window_time_range", "q_zipf_profile", "q_zorder_layout"
+    "q_tpch_q2_min_cost_supplier", "q_tpch_q3_shipping_priority",
+    "q_tpch_q5_local_volume", "q_tpch_q6_forecast_revenue",
+    "q_tpch_q9_product_profit", "q_udtf_surface", "q_unpivot",
+    "q_variant_extract", "q_window_dist", "q_window_lag_lead",
+    "q_window_rank", "q_window_time_range", "q_zipf_profile",
+    "q_zorder_layout"
 ]
 
 

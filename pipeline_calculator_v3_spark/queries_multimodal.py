@@ -147,3 +147,67 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kind") == "video"
     )
     return sample_frames(media, every_k=4)
+
+
+# ---------------------------------------------------------------------------
+# Real-audio face (r11, operators/wavcodec.py + multimodal.py — staged r10,
+# faced per VERDICT r10 #3; completes the real-codec story: PNG r05, WAV
+# r11).  The synth samples are pure integer arithmetic over doc_id
+# (s_k = (doc_id*7919 + k*104729) % 65536 - 32768, n = 64 + doc_id%64,
+# rate = 8000 + (doc_id%4)*4000), so the oracle re-derives every PCM16
+# sample in SQL and replays the features exactly: peak/crossings are
+# integers, rms = sqrt(int64_sum_of_squares / n) — one exact rational
+# under sqrt, identical IEEE doubles on both engines.  Single source of
+# truth: tests/test_wavcodec.py imports this text.
+# ---------------------------------------------------------------------------
+WAV_FEATURES_ORACLE = """
+WITH m AS (
+    SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS n,
+           CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS rate
+    FROM documents
+),
+s AS (
+    SELECT doc_id, n, rate, k,
+           (doc_id * 7919 + k * 104729) % 65536 - 32768 AS v
+    FROM (SELECT doc_id, n, rate, unnest(range(n)) AS k FROM m)
+),
+x AS (
+    SELECT doc_id, n, rate, k, v,
+           CASE WHEN (v >= 0) <> (lag(v) OVER (PARTITION BY doc_id ORDER BY k) >= 0)
+                THEN 1 ELSE 0 END AS xing
+    FROM s
+)
+SELECT doc_id AS media_id,
+       ANY_VALUE(rate) AS sample_rate,
+       ANY_VALUE(n) AS n_samples,
+       CAST(ANY_VALUE(n) AS DOUBLE) / ANY_VALUE(rate) AS duration_s,
+       MAX(ABS(v)) AS peak_abs,
+       sqrt(SUM(v * v) / CAST(ANY_VALUE(n) AS DOUBLE)) AS rms,
+       CAST(SUM(xing) AS BIGINT) AS n_zero_cross,
+       TRUE AS valid
+FROM x
+GROUP BY doc_id
+"""
+
+
+@query("q_multimodal_decode_wav", oracle=WAV_FEATURES_ORACLE)
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-format audio decode, end-to-end oracle-checked: each document
+    becomes an actual mono PCM16 RIFF/WAVE blob executor-side
+    (operators/wavcodec.py — chunk-walked header, little-endian samples),
+    then the SAME stdlib codec decodes it back through mapInPandas and
+    extracts the features an audio-curation pass filters on: duration,
+    peak, RMS, zero-crossing count (the cheap silence/clipping/noisiness
+    proxies).  The compression round-trip itself is value-gated — the
+    oracle recomputes every sample from doc_id, so a single flipped byte
+    anywhere in encode->decode breaks the hash.
+
+    Scale shape: blobs stay executor-side binary columns moving through
+    Arrow batches (mapInPandas); features are one row of scalars per blob
+    — the corpus of audio bytes never shuffles.  Malformed blobs degrade
+    to valid=false rows (PERMISSIVE; tests/test_wavcodec.py) rather than
+    failing the scan."""
+    from .operators.multimodal import decode_wav_features, synth_wav_media
+
+    media = synth_wav_media(t(spark, sf_dir, "documents"))
+    return decode_wav_features(media)

@@ -1549,3 +1549,126 @@ def q_sample_k_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").select("source", "doc_id")
     return sample_k_per_key(d, ["source"], _K_PER_KEY, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Table-maintenance planning face (r11, operators/compaction.py — staged
+# r10, faced per VERDICT r10 #3): small-file compaction groups over a
+# synthetic manifest derived BIGINT-exactly from `part` (file_id =
+# p_partkey, bytes = p_size*100 + p_partkey%97 — tiny through over-target
+# sizes, ids deliberately non-contiguous).  The whole plan is integer
+# arithmetic (exclusive cumsum `div` target), so both engines replay it
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+_COMPACT_TARGET = 2500
+
+
+@query(
+    "q_compaction_plan",
+    oracle=f"""
+WITH files AS (
+    SELECT p_partkey AS file_id,
+           CAST(p_size * 100 + p_partkey % 97 AS BIGINT) AS bytes
+    FROM part
+),
+small AS (
+    SELECT file_id, bytes,
+           (SUM(bytes) OVER (ORDER BY file_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - bytes) // {_COMPACT_TARGET} AS group_id
+    FROM files WHERE bytes < {_COMPACT_TARGET}
+),
+big AS (
+    SELECT file_id, bytes,
+           -row_number() OVER (ORDER BY file_id) AS group_id
+    FROM files WHERE bytes >= {_COMPACT_TARGET}
+)
+SELECT file_id, bytes, TRUE AS compact, CAST(group_id AS BIGINT) AS group_id
+FROM small
+UNION ALL
+SELECT file_id, bytes, FALSE, CAST(group_id AS BIGINT) FROM big
+""",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the Delta OPTIMIZE / Iceberg
+    rewrite_data_files maintenance pass (operators/compaction.py): files
+    already at the 2500-byte target pass through solo (compact=false,
+    negative group ids); smaller files pack greedily by id via an
+    exclusive byte cumsum floor-divided by the target — streaming
+    first-fit, overshoot bounded by one member file, no file ever split.
+
+    Scale shape: the plan runs over the MANIFEST (thousands of rows per
+    table), never the data — one ordered window over the small-file
+    subset, zero UDFs, integer arithmetic end-to-end; the rewrite it
+    schedules is exactly n_small file reads.  At fleet scale plans run
+    per table/partition independently (group ids are frame-local by
+    design).  Structural invariants (big-solo, bounded overshoot,
+    randomized vs single-process reference) are property-tested in
+    tests/test_compaction.py."""
+    from .operators.compaction import compaction_plan
+
+    files = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("file_id"),
+        (F.col("p_size") * 100 + F.col("p_partkey") % 97)
+        .cast("bigint")
+        .alias("bytes"),
+    )
+    return compaction_plan(files, target_bytes=_COMPACT_TARGET)
+
+
+# ---------------------------------------------------------------------------
+# Batching-economics face (r11, operators/packing.py::padding_audit —
+# staged r10, faced per VERDICT r10 #3): per power-of-two length bucket,
+# what bucketed batching pays in pad tokens vs naive pad-to-max.  The
+# bucket edge is a generated CASE ladder over integer comparisons (no
+# log2/double anywhere) emitted from the same bucket_edges list the
+# Column face folds over, so both engines replay BIGINT-exact; the waste
+# fractions divide exact integers, giving identical doubles.
+# ---------------------------------------------------------------------------
+_PAD_SEQ = 512
+
+
+def _padding_audit_oracle() -> str:
+    from .operators.packing import padding_audit_cap_sql
+
+    cap = padding_audit_cap_sql("ntok", _PAD_SEQ)
+    return f"""
+WITH staged AS (
+    SELECT doc_id, least(len({_TOKENS}), {_PAD_SEQ}) AS ntok
+    FROM documents
+),
+capped AS (
+    SELECT doc_id, ntok, {cap} AS bucket_cap
+    FROM staged WHERE ntok > 0
+)
+SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST(sum(bucket_cap - ntok) AS BIGINT) AS padded_bucketed,
+       CAST(sum({_PAD_SEQ} - ntok) AS BIGINT) AS padded_naive,
+       ROUND(sum(bucket_cap - ntok) / (count(*) * bucket_cap), 6)
+           AS waste_bucketed,
+       ROUND(sum({_PAD_SEQ} - ntok) / (count(*) * {_PAD_SEQ}), 6)
+           AS waste_naive
+FROM capped GROUP BY bucket_cap
+"""
+
+
+@query("q_padding_audit", oracle=_padding_audit_oracle())
+def q_padding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit — the measurement behind choosing
+    bucketed batching over naive pad-to-max (operators/packing.py::
+    padding_audit): per bucket (cap = smallest power of two >= token
+    count, clamped to [16, 512]; longer docs truncate), the doc count,
+    real tokens, padded slots under bucketed vs naive batching, and both
+    waste fractions — the table that directly prices the bucketing
+    decision q_pack_sequences acts on.
+
+    Scale shape: tokenization + the CASE-ladder bucket assignment are
+    scan-side Column expressions; ONE hash aggregate on <= log2(seq_len)
+    keys — token arrays never shuffle, only (bucket, count, sums)
+    partials move.  Cell values and the DuckDB replay are pinned in
+    tests/test_padding_audit.py."""
+    from .operators.packing import padding_audit
+
+    return padding_audit(t(spark, sf_dir, "documents"), seq_len=_PAD_SEQ)

@@ -3435,3 +3435,89 @@ def q_percentile_gate_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, ["source"], "z", _GATE_APPROX_KEEP_FRAC,
         accuracy=_GATE_APPROX_ACCURACY,
     )
+
+
+# ---------------------------------------------------------------------------
+# The 100 TB spelling of per-group ntile(n) (r11, operators/classifier.py::
+# approx_group_buckets — staged r10, faced per VERDICT r10 #3): per-group
+# approx_percentile THRESHOLD arrays broadcast back onto the scan, bucket =
+# 1 + #{thresholds strictly below the score} — the swap q_ppl_buckets'
+# docstring documents (CCNet terciles) and q_rfm_segmentation references.
+# Oracle-ability is the percentile_gate_approx argument applied per
+# threshold: with accuracy >> group_n the GK sketch is rank-exact, so
+# threshold_i is precisely the sorted element at rank ceil(p_i * n).
+# n_buckets = 4 keeps even the rank arithmetic engine-proof: the
+# probabilities 0.25/0.5/0.75 are exactly representable, so p_i * n is
+# exact in doubles AND in DuckDB decimal arithmetic and ceil() can never
+# straddle an ulp (the same fork keep_frac = 0.25 designs away above).
+# Value-based bucketing is tie-safe where rank-based ntile is not: rows
+# tying on z land in the SAME bucket on every engine.
+# ---------------------------------------------------------------------------
+_BUCKETS_N = 4
+_BUCKETS_ACCURACY = 100_000
+
+
+def _approx_group_buckets_oracle() -> str:
+    from .operators.classifier import quality_z_sql
+
+    probs = [i / _BUCKETS_N for i in range(1, _BUCKETS_N)]
+    th_cols = ",\n           ".join(
+        f"MIN(CASE WHEN rn = CAST(ceil(CAST('{p!r}' AS DOUBLE) * n) AS "
+        f"BIGINT) THEN z END) AS t{i}"
+        for i, p in enumerate(probs, 1)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN sd.z > th.t{i} THEN 1 ELSE 0 END)"
+        for i in range(1, len(probs) + 1)
+    )
+    return f"""
+WITH sd AS (
+    SELECT doc_id, ROUND({quality_z_sql()}, 6) AS z, source
+    FROM documents
+    WHERE len({_TOKENS}) > 0
+),
+rk AS (
+    SELECT source, z,
+           row_number() OVER (PARTITION BY source ORDER BY z) AS rn,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM sd
+),
+th AS (
+    SELECT source,
+           {th_cols}
+    FROM rk GROUP BY source
+)
+SELECT sd.doc_id, sd.z, sd.source,
+       CAST(1 + {bucket} AS BIGINT) AS bucket
+FROM sd JOIN th USING (source)
+"""
+
+
+@query("q_approx_group_buckets", oracle=_approx_group_buckets_oracle())
+def q_approx_group_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality quartiles at corpus scale: assign every document
+    a 1-based bucket within its source by the frozen classifier margin,
+    via per-group ``approx_percentile`` threshold ARRAYS broadcast back
+    onto the scan (operators/classifier.py::approx_group_buckets) instead
+    of ranking every row under an ntile window — the swap q_ppl_buckets'
+    docstring documents.  At sf scale the sketch runs rank-exact
+    (accuracy 100k >> any source's count), so the oracle replays each
+    threshold as the sorted element at rank ceil(p*n) and the value-based
+    assignment is bit-identical; at 100 TB the same plan degrades to the
+    GK rank bound instead of degrading to a corpus sort.
+
+    Scale shape: ONE aggregate exchange moving sketch partials (one array
+    of 3 thresholds per (source, partition)) + a broadcast join + a
+    map-side fold over 3 thresholds — the corpus never shuffles and never
+    sorts.  Ntile-equivalence on distinct scores is property-tested in
+    tests/test_approx_buckets.py."""
+    from .operators.classifier import approx_group_buckets, classify_quality
+
+    d = t(spark, sf_dir, "documents")
+    scored = classify_quality(d, extra_cols=["source"]).select(
+        "doc_id", "z", "source"
+    )
+    return approx_group_buckets(
+        scored, ["source"], "z",
+        n_buckets=_BUCKETS_N, accuracy=_BUCKETS_ACCURACY,
+    )

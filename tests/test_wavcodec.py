@@ -80,38 +80,14 @@ def test_encode_guards():
 
 # ---------------------------------------------------------------------------
 # Spark pipeline: synth -> REAL encode -> REAL decode -> features, value-
-# gated against the formula replayed in DuckDB (the intended registry
-# oracle for a future q_multimodal_decode_wav face).
+# gated against the formula replayed in DuckDB.  The oracle text became the
+# q_multimodal_decode_wav registry oracle in r11 — imported from the query
+# module so test and driver check the SAME SQL.
 # ---------------------------------------------------------------------------
 
-WAV_ORACLE = """
-WITH m AS (
-    SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS n,
-           CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS rate
-    FROM documents
-),
-s AS (
-    SELECT doc_id, n, rate, k,
-           (doc_id * 7919 + k * 104729) % 65536 - 32768 AS v
-    FROM (SELECT doc_id, n, rate, unnest(range(n)) AS k FROM m)
-),
-x AS (
-    SELECT doc_id, n, rate, k, v,
-           CASE WHEN (v >= 0) <> (lag(v) OVER (PARTITION BY doc_id ORDER BY k) >= 0)
-                THEN 1 ELSE 0 END AS xing
-    FROM s
+from pipeline_calculator_v3_spark.queries_multimodal import (  # noqa: E402
+    WAV_FEATURES_ORACLE as WAV_ORACLE,
 )
-SELECT doc_id AS media_id,
-       ANY_VALUE(rate) AS sample_rate,
-       ANY_VALUE(n) AS n_samples,
-       CAST(ANY_VALUE(n) AS DOUBLE) / ANY_VALUE(rate) AS duration_s,
-       MAX(ABS(v)) AS peak_abs,
-       sqrt(SUM(v * v) / CAST(ANY_VALUE(n) AS DOUBLE)) AS rms,
-       CAST(SUM(xing) AS BIGINT) AS n_zero_cross,
-       TRUE AS valid
-FROM x
-GROUP BY doc_id
-"""
 
 
 def test_features_match_duckdb_oracle(spark, sf_dir, duck):
