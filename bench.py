@@ -196,11 +196,16 @@ def _last_recorded_timings() -> dict[str, float]:
         else:
             # driver capture: {"n":..,"rc":..,"tail": "<escaped JSON
             # fragment>"} — regex the (possibly truncated) tail string
-            hay = obj.get("tail", "") if isinstance(obj, dict) else text
-            # a raw (non-JSON) capture file keeps the tail's quotes escaped
-            # (\"q_name\":) — unescape or the pattern below never matches
-            # and the file silently contributes nothing (advice r09)
-            hay = hay.replace('\\"', '"')
+            if isinstance(obj, dict):
+                # json.loads already unescaped the tail fragment
+                hay = obj.get("tail", "")
+            else:
+                # a raw (non-JSON) capture file keeps the tail's quotes
+                # escaped (\"q_name\":) — unescape or the pattern below
+                # never matches and the file silently contributes nothing
+                # (advice r09); only this branch unescapes, so an escaped
+                # quote inside a parsed tail value survives (advice r10)
+                hay = text.replace('\\"', '"')
             qs = {
                 m.group(1): float(m.group(2))
                 for m in re.finditer(

@@ -150,7 +150,10 @@ def _analyze(args: argparse.Namespace) -> int:
     if not args.no_kml:
         kml_dir = os.path.join(out, "corridors")
         os.makedirs(kml_dir, exist_ok=True)
-        for r in sections.collect():
+        # toLocalIterator streams one partition at a time to the driver —
+        # a corpus-scale sections table (the case --distributed-json
+        # exists for) must not re-materialize wholesale here (advice r10)
+        for r in sections.toLocalIterator():
             write_corridor_kml(
                 r,
                 os.path.join(
@@ -186,12 +189,21 @@ def _query(args: argparse.Namespace) -> int:
             df._jdf.queryExecution(), "formatted"
         ))
         return 0
-    if args.out:
-        df.write.mode("overwrite").parquet(args.out)
-        print(f"written: {args.out}")
-    if args.limit > 0:
-        df.show(args.limit, truncate=False)
-    print(f"rows: {df.count()}")
+    # the write/show/count fan-out would otherwise execute the query up
+    # to three times (advice r10) — persist once, release at the end
+    fanout = int(bool(args.out)) + int(args.limit > 0) + 1
+    if fanout > 1:
+        df = df.persist()
+    try:
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"written: {args.out}")
+        if args.limit > 0:
+            df.show(args.limit, truncate=False)
+        print(f"rows: {df.count()}")
+    finally:
+        if fanout > 1:
+            df.unpersist()
     return 0
 
 
