@@ -688,3 +688,155 @@ def knn_graph(
             F.round("c", 6).alias("cos_sim"),
         )
     )
+
+
+def int8_codes(unit_vec: Column, scale: int = 127) -> Column:
+    """Int8-style quantization codes for a UNIT-NORMALIZED vector:
+    ``floor(x * scale + 0.5)`` per element (|x| <= 1, so codes lie in
+    [-scale, scale]).  floor(+0.5) instead of round(): both engines
+    floor identically on identical doubles, with no half-even/half-up
+    fork to adjudicate.  The integer dot of two code arrays is an EXACT
+    BIGINT on every engine — the property the refine face's oracle
+    leans on."""
+    return F.transform(
+        unit_vec,
+        lambda x: F.floor(x * scale + F.lit(0.5)).cast("bigint"),
+    )
+
+
+def dot_int(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two BIGINT code arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk_ivf_refine(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    k_coarse: int = 30,
+    n_centroids: int = 32,
+    nprobe: int = 3,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    unit_col: str = "uv",
+) -> DataFrame:
+    """IVF with a quantized coarse pass and an exact refine — the
+    FAISS-style IVF+refine search shape, on the unit-normalized ingest
+    contract (``unit_col`` holds v/||v|| doubles, functions/vectors.py::
+    unit_normalize): cosine collapses to a bare dot everywhere.
+
+    Stage 1 (coarse): corpus vectors join their argmax-dot centroid's
+    inverted list; queries probe their ``nprobe`` best lists; candidates
+    score with the EXACT INTEGER dot of int8-style codes
+    (:func:`int8_codes` — 8x smaller than the float64 vectors) and only
+    the top ``k_coarse`` per query survive, ties broken by candidate id.
+
+    Stage 2 (refine): the k_coarse survivors — ids only — join back to
+    the full-precision unit vectors and rescore with the exact double
+    dot; the final rank keeps ``k``.
+
+    Scale shape: centroids broadcast as one sorted struct-array row;
+    assignment is a pure map over each side (zero corpus exchanges before
+    the list-id join, the r09 cosine_topk_ivf pattern); the probe join
+    moves CODE arrays (8 B/dim -> but semantically int8 — a real engine
+    packs to 1 B/dim), never the doubles; the refine join touches exactly
+    k_coarse rows per query.  At 100 TB the coarse pass is the only
+    corpus-wide work and it is code-sized, which is the entire point of
+    the pattern.
+
+    Determinism: every stage replays in ANSI SQL — seed centroids are the
+    n_centroids lowest-id corpus vectors, assignment ties break on
+    centroid id, coarse ties on the exact BIGINT approx score then id,
+    refine ties on id.  A corpus vector lives in exactly ONE inverted
+    list and each query probes distinct lists, so (qid, cid) candidate
+    pairs are unique by construction — no dedup stage.
+    """
+    cents = (
+        corpus.orderBy(c_id).limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy(c_id)).alias("centroid_id"),
+            F.col(unit_col).alias("cent_v"),
+        )
+    )
+    carr = cents.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id").alias("centroid_id"),
+                    F.col("cent_v").alias("cent_v"),
+                )
+            )
+        ).alias("_cents")
+    )
+
+    def scored(df, id_col):
+        # per-row (negdot, centroid_id) structs over the broadcast
+        # centroid array: ascending struct order == (dot DESC, cid ASC)
+        return df.select(
+            F.col(id_col).alias("vid"),
+            F.col(unit_col).alias("v"),
+        ).crossJoin(F.broadcast(carr)).select(
+            "vid", "v",
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    (-dot(F.col("v"), c["cent_v"])).alias("negdot"),
+                    c["centroid_id"].alias("centroid_id"),
+                ),
+            ).alias("_sc"),
+        )
+
+    c_assigned = scored(corpus, c_id).select(
+        "vid",
+        int8_codes(F.col("v")).alias("code"),
+        F.array_min(F.col("_sc"))["centroid_id"].alias("centroid_id"),
+    )
+    q_assigned = scored(queries, q_id).select(
+        "vid",
+        int8_codes(F.col("v")).alias("code"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(F.col("_sc")), 1, nprobe),
+                lambda s: s["centroid_id"],
+            )
+        ).alias("centroid_id"),
+    )
+    cand = (
+        q_assigned.select(
+            F.col("vid").alias("qid"), F.col("code").alias("qcode"),
+            "centroid_id",
+        )
+        .join(
+            c_assigned.select(
+                F.col("vid").alias("cid"), F.col("code").alias("ccode"),
+                "centroid_id",
+            ),
+            "centroid_id",
+        )
+        .where(F.col("qid") != F.col("cid"))
+    )
+    wc = Window.partitionBy("qid").orderBy(F.desc("approx"), F.asc("cid"))
+    coarse = (
+        cand.select(
+            "qid", "cid", dot_int(F.col("qcode"), F.col("ccode")).alias("approx")
+        )
+        .withColumn("_cr", F.row_number().over(wc))
+        .where(F.col("_cr") <= k_coarse)
+        .drop("_cr")
+    )
+    qu = queries.select(F.col(q_id).alias("qid"), F.col(unit_col).alias("quv"))
+    cu = corpus.select(F.col(c_id).alias("cid"), F.col(unit_col).alias("cuv"))
+    refined = (
+        coarse.join(F.broadcast(qu), "qid")
+        .join(cu, "cid")
+        .select("qid", "cid", "approx", dot(F.col("quv"), F.col("cuv")).alias("score"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        refined.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )

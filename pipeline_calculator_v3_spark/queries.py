@@ -482,6 +482,13 @@ _NEVER_CHECKED_FIRST = [
     # the codec story (PNG r05, WAV r11; tests/test_wavcodec.py).
     "q_approx_group_buckets", "q_compaction_plan", "q_padding_audit",
     "q_multimodal_decode_wav",
+    # r11 new capability faces (VERDICT r10 #6), traded one-for-one
+    # against r07 refresh slots (q_hybrid_rrf -> q_bm25_rank/q_tfidf
+    # refresh for retrieval; q_bigram_lm -> q_lm_perplexity refreshes for
+    # LM stats; both defer to r12): the bbox-pruned file-skipping scan
+    # consuming q_zorder_layout's tile statistics, and the FAISS-style
+    # IVF+refine ANN on the unit-normalized ingest path.
+    "q_zorder_pruned_scan", "q_similarity_ann_ivf_refine",
     # r11 refresh (VERDICT r10 #4): the r07 cohort — now the oldest hash
     # tier — minus one family-covered deferral to fit the slot budget:
     # q_stream_sliding (q_stream_tumbling/session/stateful/join refresh
@@ -489,9 +496,9 @@ _NEVER_CHECKED_FIRST = [
     # (q_chunk_documents_xl, q_contamination_xl, q_dedup_minhash,
     # q_dedup_minhash_xl, q_quantile_approx) defer to r12 with their
     # pytest gates — hash re-earns outrank rows-only re-runs for slots.
-    "q_bigram_lm", "q_bm25_rank", "q_bpe_merges", "q_chunk_documents",
+    "q_bm25_rank", "q_bpe_merges", "q_chunk_documents",
     "q_dedup_clusters", "q_dedup_exact", "q_effective_length",
-    "q_hybrid_rrf", "q_join_big_sort_merge", "q_join_salted_skew",
+    "q_join_big_sort_merge", "q_join_salted_skew",
     "q_lang_id", "q_lm_perplexity", "q_ngram_jaccard", "q_overlap_rollup",
     "q_overlap_summary", "q_parallel_overlap", "q_sample_weighted",
     "q_scrub_pii", "q_sessionize", "q_spatial_distance_join",
@@ -527,7 +534,7 @@ _ROTATED_OUT = [
     # (CORRECTNESS_r10: 47 hash + 3 rows-only, zero errors), so its
     # cohorts rotate here wholesale.
     "q_agg_approx_distinct", "q_agg_distinct", "q_agg_hash", "q_agg_stats",
-    "q_anomaly_zscore", "q_array_funcs", "q_bm25_rank_xl",
+    "q_anomaly_zscore", "q_array_funcs", "q_bigram_lm", "q_bm25_rank_xl",
     "q_boilerplate_spans", "q_bpe_encode", "q_case_dispatch",
     "q_cdc_upsert", "q_chunk_documents_xl", "q_contamination",
     "q_contamination_semantic", "q_contamination_xl", "q_cube",
@@ -542,17 +549,18 @@ _ROTATED_OUT = [
     "q_fingerprint", "q_first_touch_attribution", "q_funnel_conversion",
     "q_gap_fill", "q_gopher_rules", "q_graph_pagerank",
     "q_graph_triangles", "q_grouping_sets", "q_heavy_hitters",
-    "q_interval_union", "q_join_asof", "q_join_bloom_pruned",
-    "q_join_inner_hash", "q_join_left_anti", "q_join_left_semi",
-    "q_join_multi_way", "q_join_outer", "q_join_range_binned",
-    "q_join_theta_range", "q_json_funcs", "q_jsonl_roundtrip",
-    "q_kmeans_embed", "q_kmeans_embed_xl", "q_knn_graph", "q_map_funcs",
-    "q_markov_transitions", "q_math_funcs", "q_minhash_sketch_err",
-    "q_mixture_plan", "q_multimodal_decode", "q_multimodal_decode_png",
-    "q_multimodal_features", "q_multimodal_frames", "q_null_semantics",
-    "q_ohlc_candles", "q_overlap_sections", "q_pack_sequences",
-    "q_pack_sequences_xl", "q_percentile_gate", "q_percentile_gate_approx",
-    "q_pivot", "q_pmi_bigrams", "q_ppl_buckets", "q_profile_table",
+    "q_hybrid_rrf", "q_interval_union", "q_join_asof",
+    "q_join_bloom_pruned", "q_join_inner_hash", "q_join_left_anti",
+    "q_join_left_semi", "q_join_multi_way", "q_join_outer",
+    "q_join_range_binned", "q_join_theta_range", "q_json_funcs",
+    "q_jsonl_roundtrip", "q_kmeans_embed", "q_kmeans_embed_xl",
+    "q_knn_graph", "q_map_funcs", "q_markov_transitions", "q_math_funcs",
+    "q_minhash_sketch_err", "q_mixture_plan", "q_multimodal_decode",
+    "q_multimodal_decode_png", "q_multimodal_features",
+    "q_multimodal_frames", "q_null_semantics", "q_ohlc_candles",
+    "q_overlap_sections", "q_pack_sequences", "q_pack_sequences_xl",
+    "q_percentile_gate", "q_percentile_gate_approx", "q_pivot",
+    "q_pmi_bigrams", "q_ppl_buckets", "q_profile_table",
     "q_quality_classifier", "q_quantile_approx", "q_quantile_profile",
     "q_repetition_filter", "q_resample_ohlc", "q_retention_cohorts",
     "q_rfm_segmentation", "q_rollup", "q_sample_hash",

@@ -3521,3 +3521,122 @@ def q_approx_group_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, ["source"], "z",
         n_buckets=_BUCKETS_N, accuracy=_BUCKETS_ACCURACY,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + exact refine (r11, VERDICT r10 #6): the FAISS-style two-stage ANN
+# on the r09 unit-normalized ingest path — coarse candidates scored with
+# the EXACT INTEGER dot of int8-style codes (floor(x*127 + 0.5): |x| <= 1
+# on unit vectors, and floor has no half-even/half-up fork), top-30
+# survivors rescored with the exact double dot.  Every stage replays in
+# SQL: seed centroids, argmax-dot list assignment, the BIGINT coarse
+# score (tie -> cid), the double refine (tie -> cid).
+# ---------------------------------------------------------------------------
+_IVFR_K, _IVFR_COARSE, _IVFR_CENTS, _IVFR_PROBE = 10, 30, 32, 3
+
+
+def _ivf_refine_oracle() -> str:
+    idot = (
+        "list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]))"
+    )
+    return f"""
+WITH ev AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+nv AS (
+    SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+    FROM ev
+),
+u AS (
+    SELECT vec_id, list_transform(v, x -> x / n) AS uv
+    FROM nv WHERE n > 0
+),
+codes AS (
+    SELECT vec_id,
+           list_transform(uv, x -> CAST(floor(x * 127 + 0.5) AS BIGINT)) AS code
+    FROM u
+),
+cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, uv AS cent_v
+    FROM (SELECT vec_id, uv FROM u ORDER BY vec_id LIMIT {_IVFR_CENTS})
+),
+scored_all AS (
+    SELECT u.vec_id AS vid, c.centroid_id,
+           {idot.format(a='u.uv', b='c.cent_v')} AS csim
+    FROM u CROSS JOIN cents c
+),
+c_assigned AS (
+    SELECT vid, centroid_id FROM (
+        SELECT vid, centroid_id,
+               row_number() OVER (PARTITION BY vid
+                                  ORDER BY csim DESC, centroid_id) AS r
+        FROM scored_all) WHERE r = 1
+),
+q_assigned AS (
+    SELECT vid, centroid_id FROM (
+        SELECT vid, centroid_id,
+               row_number() OVER (PARTITION BY vid
+                                  ORDER BY csim DESC, centroid_id) AS r
+        FROM scored_all WHERE vid < 8) WHERE r <= {_IVFR_PROBE}
+),
+cand AS (
+    SELECT q.vid AS qid, c.vid AS cid
+    FROM q_assigned q JOIN c_assigned c ON q.centroid_id = c.centroid_id
+    WHERE q.vid <> c.vid
+),
+coarse AS (
+    SELECT qid, cid, approx FROM (
+        SELECT cand.qid, cand.cid,
+               CAST({idot.format(a='qc.code', b='cc.code')} AS BIGINT) AS approx,
+               row_number() OVER (PARTITION BY cand.qid
+                                  ORDER BY {idot.format(a='qc.code', b='cc.code')} DESC,
+                                           cand.cid) AS cr
+        FROM cand JOIN codes qc ON qc.vec_id = cand.qid
+                  JOIN codes cc ON cc.vec_id = cand.cid
+    ) WHERE cr <= {_IVFR_COARSE}
+),
+refined AS (
+    SELECT coarse.qid, coarse.cid, coarse.approx,
+           {idot.format(a='qu.uv', b='cu.uv')} AS score
+    FROM coarse JOIN u qu ON qu.vec_id = coarse.qid
+                JOIN u cu ON cu.vec_id = coarse.cid
+)
+SELECT qid, cid, approx, score,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY score DESC, cid) AS BIGINT) AS rank
+FROM refined
+QUALIFY rank <= {_IVFR_K}
+"""
+
+
+@query("q_similarity_ann_ivf_refine", oracle=_ivf_refine_oracle())
+def q_similarity_ann_ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF ANN on the unit-normalized ingest contract
+    (functions/vectors.py::unit_normalize — normalize once at ingest,
+    every cosine downstream is a bare dot): the coarse pass scores
+    bucket-collision candidates with the exact integer dot of int8-style
+    codes and keeps the top 30; the refine pass rescores ONLY those 30
+    with the full-precision double dot and keeps the top 10
+    (operators/similarity.py::cosine_topk_ivf_refine).
+
+    Scale shape: the corpus-wide stage moves code arrays (1 B/dim packed
+    in a real engine) through one list-id equi-join; the doubles are
+    touched for exactly k_coarse rows per query via an id re-join.  At
+    100 TB this is the difference between shuffling 256 B/vector and
+    shuffling 8 KB/vector through the candidate join — the reason
+    IVF+refine is the production ANN shape rather than single-stage IVF.
+    Recall floor and refine-improves-over-coarse are gated in
+    tests/test_ivf_refine.py."""
+    from .functions.vectors import unit_normalize
+    from .operators.similarity import cosine_topk_ivf_refine
+
+    e = _spread(t(spark, sf_dir, "embeddings"), spark)
+    u = e.select(
+        "vec_id", unit_normalize(F.col("embedding")).alias("uv")
+    ).where(F.col("uv").isNotNull())
+    return cosine_topk_ivf_refine(
+        u.where(F.col("vec_id") < 8), u,
+        k=_IVFR_K, k_coarse=_IVFR_COARSE,
+        n_centroids=_IVFR_CENTS, nprobe=_IVFR_PROBE,
+    )
