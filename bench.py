@@ -115,6 +115,13 @@ HEADLINE = [
     "q_ohlc_candles",             # added r10 (streaming-twin OHLC face)
     "q_dedup_axes_report",        # added r10 (3-axis agreement rollup)
     "q_overlap_sections",         # added r10 (corridor scalars, oracle-gated)
+    "q_geodesic_length_exact",    # added r11 (Vincenty pandas-UDF kernel)
+    "q_approx_group_buckets",     # added r11 (broadcast-threshold ntile swap)
+    "q_compaction_plan",          # added r11 (manifest small-file packing)
+    "q_padding_audit",            # added r11 (length-bucket batching audit)
+    "q_multimodal_decode_wav",    # added r11 (real PCM16 codec round-trip)
+    "q_zorder_pruned_scan",       # added r11 (tile-stats bbox file skipping)
+    "q_similarity_ann_ivf_refine",  # added r11 (int8 coarse + exact refine)
     "q_overlap_e2e",
 ]
 

@@ -372,6 +372,41 @@ AUDIT: list[tuple[str, str]] = [
         " of the pair-stage exchange; the normalized-ingest variant below"
         " deletes it.",
     ),
+    (
+        "q_zorder_pruned_scan",
+        "The file-skipping consumer of the Morton tile statistics: the"
+        " <= 1024-row manifest aggregate prunes against the bbox and comes"
+        " back as a BroadcastHashJoin onto the scan — the corpus never"
+        " shuffles for the prune decision.  At 100 TB the manifest already"
+        " exists (written at cluster time), so the query-time plan is"
+        " broadcast-semi-join + read-only-surviving-files; here the"
+        " manifest build shares the same single scan family.",
+    ),
+    (
+        "q_similarity_ann_ivf_refine",
+        "Two-stage ANN: centroids broadcast as one struct-array row, both"
+        " assignment sides are pure maps (zero corpus exchanges before the"
+        " list-id equi-join), the coarse join moves int8-style CODE arrays"
+        " instead of float64 vectors, and the refine stage re-joins full"
+        " vectors for exactly k_coarse rows per query — grep the plan: the"
+        " uv doubles appear only behind the coarse row_number filter.",
+    ),
+    (
+        "q_approx_group_buckets",
+        "Per-group ntile without a corpus sort: ONE aggregate exchange"
+        " moves GK-sketch partials (an array of 3 thresholds per group),"
+        " the thresholds broadcast back, and the bucket id is a map-side"
+        " fold over 3 comparisons — the exact face's rank window would"
+        " sort every group end-to-end at 100 TB.",
+    ),
+    (
+        "q_compaction_plan",
+        "Table maintenance priced off the MANIFEST, never the data: one"
+        " ordered window over the small-file subset of a file listing"
+        " (thousands of rows/table), integer arithmetic end-to-end; the"
+        " expensive thing it schedules — the rewrite — is exactly n_small"
+        " file reads, decided here for the cost of a window over metadata.",
+    ),
 ]
 
 # Non-registry plan notes: (title, why, builder(spark) -> DataFrame).
