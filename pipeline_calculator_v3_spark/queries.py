@@ -517,10 +517,12 @@ _KEEP_IN_WINDOW = [
 # r12 slot plan (write the window BEFORE building new surface — the
 # never-checked-in-window invariant makes slots the budget): once
 # CORRECTNESS_r11 lands, the 48 entries above rotate out.  Budget math
-# (keepers stay 2): (1) the six r07 deferrals carried from this round —
-# q_stream_sliding (hash) + q_chunk_documents_xl q_contamination_xl
-# q_dedup_minhash q_dedup_minhash_xl q_quantile_approx (rows-only) [6];
-# (2) any new faces staged in r11 take explicit slots [~2-4];
+# (keepers stay 2): (1) the eight r07 deferrals carried from this round
+# — q_stream_sliding q_hybrid_rrf q_bigram_lm (hash) +
+# q_chunk_documents_xl q_contamination_xl q_dedup_minhash
+# q_dedup_minhash_xl q_quantile_approx (rows-only) [8];
+# (2) faces for r11-staged operators/pq.py — a pq_adc_refine face has
+# its oracle proven in tests/test_pq.py (order-pinned ADC sum) [~1-2];
 # (3) the r08 cohort (47 queries: q_agg_hash/q_agg_distinct, the eight
 # join-flavor faces, the curation cohort, the stream ingest/CDC pair,
 # the 7 rows-only r08 members) fills the remaining ~38-40 slots — its
