@@ -127,25 +127,20 @@ def _books_row(codebooks: DataFrame):
     )
 
 
-def pq_encode(
-    df: DataFrame,
-    codebooks: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Encode every vector as ``codes`` ARRAY<BIGINT> of length m —
-    per subspace, the argmin-squared-L2 centroid (ties -> lowest code).
-
-    Pure map over ``df`` after a one-row codebook broadcast: per row,
-    m * ksub small-dim distance evaluations inside one HOF expression —
-    zero exchanges, zero UDFs."""
+def _shape_of(codebooks: DataFrame) -> tuple[int, int, int]:
+    """(m, ksub, dsub) read from the codebook frame."""
     mk = codebooks.agg(
         F.max("subspace").alias("mm"), F.countDistinct("code").alias("k")
     ).first()
-    m = int(mk["mm"]) + 1
-    dsub_row = codebooks.select(F.size("cent").alias("ds")).first()
-    dsub = int(dsub_row["ds"])
-    codes = F.array(
+    dsub = int(codebooks.select(F.size("cent").alias("ds")).first()["ds"])
+    return int(mk["mm"]) + 1, int(mk["k"]), dsub
+
+
+def _codes_expr(m: int, dsub: int, vec_col: str) -> Column:
+    """The ARRAY<BIGINT> code word for ``vec_col`` against the broadcast
+    ``_cb`` codebook row: per subspace, argmin squared L2 (ties -> lowest
+    code) — one HOF expression, no exchanges, no UDFs."""
+    return F.array(
         *[
             F.array_min(
                 F.transform(
@@ -163,9 +158,62 @@ def pq_encode(
             for i in range(m)
         ]
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``codes`` ARRAY<BIGINT> of length m —
+    per subspace, the argmin-squared-L2 centroid (ties -> lowest code).
+
+    Pure map over ``df`` after a one-row codebook broadcast: per row,
+    m * ksub small-dim distance evaluations inside one HOF expression —
+    zero exchanges, zero UDFs."""
+    m, _ksub, dsub = _shape_of(codebooks)
     return (
         df.crossJoin(F.broadcast(_books_row(codebooks)))
-        .select(F.col(id_col), codes.alias("codes"))
+        .select(F.col(id_col), _codes_expr(m, dsub, vec_col).alias("codes"))
+    )
+
+
+def _lut_expr(dsub: int) -> Column:
+    """The per-query ADC lookup table against the broadcast ``_cb`` row:
+    squared distance from each query subvector (``_qv``) to each centroid.
+    ``_cb`` is (subspace, code)-sorted, so transform order IS
+    subspace * ksub + code order."""
+    return F.transform(
+        F.col("_cb"),
+        lambda c: _sqdist(
+            F.transform(
+                F.slice(
+                    F.col("_qv"),
+                    (c["subspace"] * dsub + 1).cast("int"),
+                    dsub,
+                ),
+                lambda x: x.cast("double"),
+            ),
+            c["cent"],
+        ),
+    )
+
+
+def _adc_sum(m: int, ksub: int) -> Column:
+    """Approximate squared distance: m ``_lut`` lookups indexed by the
+    ``codes`` array, summed in subspace order (the oracle pins the same
+    order with SUM(... ORDER BY subspace))."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, i: F.element_at(
+                F.col("_lut"), (i * ksub + c + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
 
 
@@ -192,45 +240,15 @@ def pq_adc_topk(
     map-side scoring pass and only (qid, cid, dist) survivor rows reach
     the per-query top-k — the exact cosine_topk shape with 256 B/vector
     swapped for m bytes."""
-    mk = codebooks.agg(
-        F.max("subspace").alias("mm"), F.countDistinct("code").alias("k")
-    ).first()
-    m, ksub = int(mk["mm"]) + 1, int(mk["k"])
-    dsub = int(codebooks.select(F.size("cent").alias("ds")).first()["ds"])
-    # per-query LUT: _cb is (subspace, code)-sorted, so transform order IS
-    # subspace * ksub + code order
-    lut = F.transform(
-        F.col("_cb"),
-        lambda c: _sqdist(
-            F.transform(
-                F.slice(
-                    F.col("_qv"),
-                    (c["subspace"] * dsub + 1).cast("int"),
-                    dsub,
-                ),
-                lambda x: x.cast("double"),
-            ),
-            c["cent"],
-        ),
-    )
+    m, ksub, dsub = _shape_of(codebooks)
     q = (
         queries.select(
             F.col(q_id).alias("qid"), F.col(vec_col).alias("_qv")
         )
         .crossJoin(F.broadcast(_books_row(codebooks)))
-        .select("qid", lut.alias("_lut"))
+        .select("qid", _lut_expr(dsub).alias("_lut"))
     )
-    approx = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, i: F.element_at(
-                F.col("_lut"), (i * ksub + c + 1).cast("int")
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    approx = _adc_sum(m, ksub)
     scored = (
         codes.select(F.col(c_id).alias("cid"), "codes")
         .crossJoin(F.broadcast(q))
@@ -282,6 +300,138 @@ def pq_adc_refine_topk(
     cv = corpus.select(
         F.col(c_id).alias("cid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cd"),
+    )
+    refined = (
+        coarse.join(F.broadcast(qv), "qid")
+        .join(cv, "cid")
+        .select(
+            "qid", "cid", "approx_sqdist",
+            _sqdist(F.col("_qd"), F.col("_cd")).alias("sqdist"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("sqdist"), F.asc("cid"))
+    return (
+        refined.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def pq_ivf_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    k_coarse: int = 100,
+    n_lists: int = 32,
+    nprobe: int = 4,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (the FAISS IndexIVFPQ layout, ``by_residual=false``): an
+    inverted-file coarse quantizer partitions the corpus into ``n_lists``
+    lists; queries probe their ``nprobe`` nearest lists; ADC over PQ
+    codes ranks ONLY the probed lists' members; the exact refine rescores
+    the ``k_coarse`` survivors.  Codes are trained on raw vectors, not
+    per-list residuals — one shared codebook keeps the encode a single
+    broadcast map and the whole pipeline ANSI-SQL-replayable (residual
+    PQ needs a codebook per list; FAISS ships the non-residual variant
+    for exactly this storage/simplicity point).
+
+    Returns (qid, cid, approx_sqdist DOUBLE, sqdist DOUBLE, rank BIGINT).
+
+    Scale shape — the piece neither pq_adc_refine_topk (full-corpus ADC
+    scan) nor cosine_topk_ivf_refine (full-precision probed scan) has:
+    the corpus crosses ZERO exchanges end-to-end.  One map pass computes
+    each vector's code word AND its list assignment against two one-row
+    broadcasts (codebooks + coarse centroids); the probe join is a
+    BROADCAST hash join on list id (query side is tiny by contract), so
+    only probed-list ADC survivor rows reach the per-query top-k — at
+    100 TB the scan streams m bytes/vector over nprobe/n_lists of the
+    corpus, and the exact pass reads k_coarse full vectors per query.
+
+    Coarse quantizer: the ``n_lists`` lowest-id corpus vectors (the
+    cosine_topk_ivf seeding rule) under squared L2 — the ADC metric, so
+    list geometry and code geometry agree.  Ties everywhere resolve to
+    the lowest id; every corpus vector lands in exactly ONE list, so a
+    (query, candidate) pair is scored at most once."""
+    def cast_d(v: Column) -> Column:
+        return F.transform(v, lambda x: x.cast("double"))
+
+    cents = (
+        corpus.orderBy(c_id)
+        .limit(n_lists)
+        .select(
+            F.row_number().over(Window.orderBy(c_id)).cast("bigint").alias(
+                "list_id"
+            ),
+            cast_d(F.col(vec_col)).alias("cent"),
+        )
+    )
+    cents_row = cents.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("list_id").alias("list_id"),
+                    F.col("cent").alias("cent"),
+                )
+            )
+        ).alias("_cents")
+    )
+    def coarse_sc(vcol: str) -> Column:
+        """Per-row (sqdist, list_id) structs: ascending struct order ==
+        nearest list first, lowest id on ties."""
+        return F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                _sqdist(cast_d(F.col(vcol)), c["cent"]).alias("d"),
+                c["list_id"].alias("list_id"),
+            ),
+        )
+
+    m, ksub, dsub = _shape_of(codebooks)
+    # ONE corpus pass: code word + list assignment, both against one-row
+    # broadcasts — no exchange, no second scan
+    enc = (
+        corpus.crossJoin(F.broadcast(_books_row(codebooks)))
+        .crossJoin(F.broadcast(cents_row))
+        .select(
+            F.col(c_id).alias("cid"),
+            F.array_min(coarse_sc(vec_col))["list_id"].alias("list_id"),
+            _codes_expr(m, dsub, vec_col).alias("codes"),
+        )
+    )
+    probes = (
+        queries.select(F.col(q_id).alias("qid"), F.col(vec_col).alias("_qv"))
+        .crossJoin(F.broadcast(_books_row(codebooks)))
+        .crossJoin(F.broadcast(cents_row))
+        .select(
+            F.col("qid"),
+            # LUT built BEFORE the probe explode: one table per query,
+            # shared by its nprobe rows
+            _lut_expr(dsub).alias("_lut"),
+            F.explode(
+                F.slice(F.array_sort(coarse_sc("_qv")), 1, nprobe)
+            ).alias("_p"),
+        )
+        .select("qid", F.col("_p.list_id").alias("list_id"), "_lut")
+    )
+    scored = (
+        enc.join(F.broadcast(probes), "list_id")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", _adc_sum(m, ksub).alias("approx_sqdist"))
+    )
+    wc = Window.partitionBy("qid").orderBy(F.asc("approx_sqdist"), F.asc("cid"))
+    coarse = (
+        scored.withColumn("r", F.row_number().over(wc))
+        .where(F.col("r") <= k_coarse)
+        .drop("r")
+    )
+    qv = queries.select(
+        F.col(q_id).alias("qid"), cast_d(F.col(vec_col)).alias("_qd")
+    )
+    cv = corpus.select(
+        F.col(c_id).alias("cid"), cast_d(F.col(vec_col)).alias("_cd")
     )
     refined = (
         coarse.join(F.broadcast(qv), "qid")

@@ -195,3 +195,156 @@ def test_plan_is_broadcast_and_clean(emb, books, codes):
 
     df = pq_adc_topk(emb.where(F.col("vec_id") < 8), codes, books, k=10)
     assert_no_plan_antipatterns(df)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition (FAISS IndexIVFPQ, by_residual=false)
+# ---------------------------------------------------------------------------
+NLISTS, NPROBE, KCOARSE = 16, 4, 60
+
+# Coarse-quantizer CTEs appended to PQ_CTES: seed centroids (lowest-id
+# rule), squared-L2 list assignment (ties -> lowest list), query probes.
+IVF_CTES = f"""
+cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cent
+    FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT {NLISTS})
+),
+cdist AS (
+    SELECT e.vec_id, c.list_id,
+           list_sum(list_transform(list_zip(e.v, c.cent),
+                                   z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+    FROM ev e CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, list_id) AS r
+        FROM cdist) WHERE r = 1
+),
+probes AS (
+    SELECT vec_id AS qid, list_id FROM (
+        SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, list_id) AS r
+        FROM cdist WHERE vec_id < 8) WHERE r <= {NPROBE}
+)
+"""
+
+IVFPQ_SQL = f"""
+WITH {PQ_CTES},
+{IVF_CTES},
+adc AS (
+    SELECT p.qid, a.vec_id AS cid,
+           SUM(qd.d ORDER BY qd.subspace) AS approx_sqdist
+    FROM probes p
+    JOIN assigned a USING (list_id)
+    JOIN codes cc ON cc.vec_id = a.vec_id
+    JOIN dists qd ON qd.vec_id = p.qid
+                 AND qd.subspace = cc.subspace AND qd.code = cc.code
+    WHERE a.vec_id <> p.qid
+    GROUP BY 1, 2
+),
+coarse AS (
+    SELECT qid, cid, approx_sqdist,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY approx_sqdist, cid) AS r
+    FROM adc QUALIFY r <= {KCOARSE}
+),
+refined AS (
+    SELECT c.qid, c.cid, c.approx_sqdist,
+           list_sum(list_transform(list_zip(q.v, e.v),
+                                   z -> (z[1] - z[2]) * (z[1] - z[2])))
+               AS sqdist
+    FROM coarse c
+    JOIN ev q ON q.vec_id = c.qid
+    JOIN ev e ON e.vec_id = c.cid
+)
+SELECT qid, cid, approx_sqdist, sqdist,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY sqdist, cid) AS BIGINT) AS rank
+FROM refined QUALIFY rank <= 10
+"""
+
+
+@pytest.fixture(scope="module")
+def ivfpq(emb, books):
+    from pipeline_calculator_v3_spark.operators.pq import pq_ivf_adc_topk
+
+    return pq_ivf_adc_topk(
+        emb.where(F.col("vec_id") < 8), emb, books,
+        k=10, k_coarse=KCOARSE, n_lists=NLISTS, nprobe=NPROBE,
+    )
+
+
+def test_ivfpq_matches_duckdb_oracle(duck, ivfpq):
+    got = {
+        (r.qid, r.cid): (r.rank, r.approx_sqdist, r.sqdist)
+        for r in ivfpq.collect()
+    }
+    want = {
+        (int(r[0]), int(r[1])): (int(r[4]), float(r[2]), float(r[3]))
+        for r in duck.execute(IVFPQ_SQL).fetchall()
+    }
+    assert set(got) == set(want)
+    for key in got:
+        assert got[key][0] == want[key][0], (key, got[key], want[key])
+        assert got[key][1] == pytest.approx(want[key][1], rel=1e-12), key
+        assert got[key][2] == pytest.approx(want[key][2], rel=1e-12), key
+
+
+def test_ivfpq_recall_floor(emb, books, codes, ivfpq):
+    """Probing 4/16 lists then refining the ADC top-60 must stay close to
+    the full-scan refine: measured recall@10 0.8625 at sf0.001 / 0.8875
+    at sf0.01 vs 0.8875 for the unpruned refine — the probe prune costs
+    almost nothing here while scanning a quarter of the corpus at
+    8 B/vector.  Floor with margin below both measurements."""
+    q = emb.where(F.col("vec_id") < 8)
+    full = {
+        (r.qid, r.cid)
+        for r in pq_adc_topk(q, codes, books, k=10).collect()
+    }
+    assert full  # sanity: the comparison set is non-trivial
+    from pipeline_calculator_v3_spark.operators.pq import _sqdist
+
+    exact = (
+        q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        .crossJoin(
+            F.broadcast(
+                emb.select(
+                    F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cv"),
+                )
+            )
+        )
+        .where(F.col("qid") != F.col("cid"))
+        .select(
+            "qid", "cid",
+            _sqdist(
+                F.transform(F.col("qv"), lambda x: x.cast("double")),
+                F.transform(F.col("cv"), lambda x: x.cast("double")),
+            ).alias("d"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("cid"))
+    truth = {
+        (r.qid, r.cid)
+        for r in exact.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 10)
+        .collect()
+    }
+    got = {(r.qid, r.cid) for r in ivfpq.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.75, recall
+
+
+def test_ivfpq_plan_gates(ivfpq):
+    from tests.compare import assert_no_plan_antipatterns
+
+    assert_no_plan_antipatterns(ivfpq)
+    plan = ivfpq._jdf.queryExecution().executedPlan().toString()
+    # the probe join must broadcast the tiny query side — a shuffled join
+    # here would exchange the corpus
+    assert "BroadcastHashJoin" in plan
