@@ -522,10 +522,12 @@ _KEEP_IN_WINDOW = [
 # q_chunk_documents_xl q_contamination_xl q_dedup_minhash
 # q_dedup_minhash_xl q_quantile_approx (rows-only) [8];
 # (2) faces for the r11-staged operators, oracles proven in their
-# tests — operators/pq.py pq_adc_refine (tests/test_pq.py, order-pinned
-# ADC sum), operators/postings.py postings_index (tests/test_postings.py,
-# term-level replay), operators/entropy.py entropy_profile
-# (tests/test_entropy.py, (lang, bucket) diversity profile) [~2-3];
+# tests — operators/pq.py pq_ivf_adc_topk (tests/test_pq.py — the
+# IVF-PQ composition subsumes the plain ADC+refine as a face candidate;
+# both oracle-replayed), operators/postings.py postings_index
+# (tests/test_postings.py, term-level replay), operators/entropy.py
+# entropy_profile (tests/test_entropy.py, (lang, bucket) diversity
+# profile) [~2-3];
 # (3) the r08 cohort (47 queries: q_agg_hash/q_agg_distinct, the eight
 # join-flavor faces, the curation cohort, the stream ingest/CDC pair,
 # the 7 rows-only r08 members) fills the remaining ~37-39 slots — its
