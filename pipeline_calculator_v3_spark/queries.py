@@ -527,7 +527,12 @@ _KEEP_IN_WINDOW = [
 # both oracle-replayed), operators/postings.py postings_index
 # (tests/test_postings.py, term-level replay), operators/entropy.py
 # entropy_profile (tests/test_entropy.py, (lang, bucket) diversity
-# profile) [~2-3];
+# profile), operators/ngram_lm.py kn_bigram_probs
+# (tests/test_ngram_lm.py, exact-tuple replay + sum-to-one closed
+# form), operators/winnow.py winnowing fingerprints + match pairs
+# (tests/test_winnow.py, full replay incl. the rightmost-tie rule)
+# [~2-3 of these five make the window; the rest hold their pytest
+# oracles for r13];
 # (3) the r08 cohort (47 queries: q_agg_hash/q_agg_distinct, the eight
 # join-flavor faces, the curation cohort, the stream ingest/CDC pair,
 # the 7 rows-only r08 members) fills the remaining ~37-39 slots — its
