@@ -530,9 +530,10 @@ _KEEP_IN_WINDOW = [
 # profile), operators/ngram_lm.py kn_bigram_probs
 # (tests/test_ngram_lm.py, exact-tuple replay + sum-to-one closed
 # form), operators/winnow.py winnowing fingerprints + match pairs
-# (tests/test_winnow.py, full replay incl. the rightmost-tie rule)
-# [~2-3 of these five make the window; the rest hold their pytest
-# oracles for r13];
+# (tests/test_winnow.py, full replay incl. the rightmost-tie rule),
+# operators/textnorm.py NFC canonicalization + impact report
+# (tests/test_textnorm.py, nfc_normalize oracle) [~2-3 of these six
+# make the window; the rest hold their pytest oracles for r13];
 # (3) the r08 cohort (47 queries: q_agg_hash/q_agg_distinct, the eight
 # join-flavor faces, the curation cohort, the stream ingest/CDC pair,
 # the 7 rows-only r08 members) fills the remaining ~37-39 slots — its
