@@ -85,6 +85,11 @@ def test_encode_guards():
 # module so test and driver check the SAME SQL.
 # ---------------------------------------------------------------------------
 
+# the registry must finish loading BEFORE any queries_* module is imported
+# directly — entering queries_multimodal first leaves it partially
+# initialized when queries.py's reorder asserts the full registry
+# (standalone `pytest tests/test_wavcodec.py` failed at collection)
+import pipeline_calculator_v3_spark.queries  # noqa: E402,F401
 from pipeline_calculator_v3_spark.queries_multimodal import (  # noqa: E402
     WAV_FEATURES_ORACLE as WAV_ORACLE,
 )
