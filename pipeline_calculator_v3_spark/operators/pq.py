@@ -71,8 +71,19 @@ def pq_train(
     cross-engine summation noise cannot propagate — the kmeans rule)
     refine them; iters=0 keeps the codebook SQL-replayable exactly.
 
+    The codebook is DENSE by contract: every (subspace, code) pair in
+    [0, m) x [0, ksub) has exactly one row — the ADC lookup table indexes
+    positionally, so a gap would silently shift every later entry.  A
+    Lloyd cluster that loses all members (duplicate seed subvectors tie
+    every assignment to the lower code) therefore KEEPS its previous
+    centroid, the standard empty-cluster rule (review r11).
+
     Scale: training reads ksub rows for seeding; each Lloyd step is one
-    map-side assignment + one (subspace, code, dim)-keyed aggregate."""
+    map-side assignment + one (subspace, code, dim)-keyed aggregate.
+    The codebook itself is broadcast-sized by construction (m * ksub
+    rows), so each step pins it back to a literal frame — without that,
+    iteration i's plan replays all i-1 prior join+aggregate stages and
+    the loop goes O(iters^2) in recomputed stages (review r11)."""
     d = corpus.select(F.size(vec_col).alias("d")).first()["d"]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -90,8 +101,17 @@ def pq_train(
         )
         parts = p if parts is None else parts.unionByName(p)
     books = parts
+    spark = corpus.sparkSession
+    schema = "subspace bigint, code bigint, cent array<double>"
+    if iters > 0:
+        books = spark.createDataFrame(
+            [(r.subspace, r.code, list(r.cent)) for r in parts.collect()],
+            schema,
+        )
     for _ in range(iters):
-        assigned = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+        assigned = corpus.crossJoin(F.broadcast(_books_row(books))).select(
+            F.col(id_col), _codes_expr(m, dsub, vec_col).alias("codes")
+        )
         subvecs = None
         for i in range(m):
             p = (
@@ -105,8 +125,19 @@ def pq_train(
                 )
             )
             subvecs = p if subvecs is None else subvecs.unionByName(p)
-        books = elementwise_mean(
-            subvecs, ["subspace", "code"], "sv", "cent", round_dp=9
+        means = {
+            (r.subspace, r.code): list(r.cent)
+            for r in elementwise_mean(
+                subvecs, ["subspace", "code"], "sv", "cent", round_dp=9
+            ).collect()
+        }
+        prev = {(r.subspace, r.code): list(r.cent) for r in books.collect()}
+        books = spark.createDataFrame(
+            [
+                (s, c, means.get((s, c), prev[(s, c)]))
+                for (s, c) in sorted(prev)
+            ],
+            schema,
         )
     return books
 
@@ -262,6 +293,45 @@ def pq_adc_topk(
     )
 
 
+def _exact_refine(
+    coarse: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str,
+    c_id: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared refine stage: exact squared-L2 rescoring of coarse (qid,
+    cid, approx_sqdist) candidates against full-precision vectors, per-
+    query top-k on (sqdist ASC, cid ASC).  ONE spelling for the ADC-scan
+    and IVF-PQ faces — a tie-rule or rank-type fix applied to one would
+    otherwise silently fork the other (review r11)."""
+
+    def cast_d(v: Column) -> Column:
+        return F.transform(v, lambda x: x.cast("double"))
+
+    qv = queries.select(
+        F.col(q_id).alias("qid"), cast_d(F.col(vec_col)).alias("_qd")
+    )
+    cv = corpus.select(
+        F.col(c_id).alias("cid"), cast_d(F.col(vec_col)).alias("_cd")
+    )
+    refined = (
+        coarse.join(F.broadcast(qv), "qid")
+        .join(cv, "cid")
+        .select(
+            "qid", "cid", "approx_sqdist",
+            _sqdist(F.col("_qd"), F.col("_cd")).alias("sqdist"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("sqdist"), F.asc("cid"))
+    return (
+        refined.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def pq_adc_refine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -293,27 +363,7 @@ def pq_adc_refine_topk(
         queries, codes, codebooks, k=k_coarse,
         q_id=q_id, c_id=c_id, vec_col=vec_col,
     ).drop("rank")
-    qv = queries.select(
-        F.col(q_id).alias("qid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qd"),
-    )
-    cv = corpus.select(
-        F.col(c_id).alias("cid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cd"),
-    )
-    refined = (
-        coarse.join(F.broadcast(qv), "qid")
-        .join(cv, "cid")
-        .select(
-            "qid", "cid", "approx_sqdist",
-            _sqdist(F.col("_qd"), F.col("_cd")).alias("sqdist"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.asc("sqdist"), F.asc("cid"))
-    return (
-        refined.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
-    )
+    return _exact_refine(coarse, queries, corpus, k, q_id, c_id, vec_col)
 
 
 def pq_ivf_adc_topk(
@@ -427,22 +477,4 @@ def pq_ivf_adc_topk(
         .where(F.col("r") <= k_coarse)
         .drop("r")
     )
-    qv = queries.select(
-        F.col(q_id).alias("qid"), cast_d(F.col(vec_col)).alias("_qd")
-    )
-    cv = corpus.select(
-        F.col(c_id).alias("cid"), cast_d(F.col(vec_col)).alias("_cd")
-    )
-    refined = (
-        coarse.join(F.broadcast(qv), "qid")
-        .join(cv, "cid")
-        .select(
-            "qid", "cid", "approx_sqdist",
-            _sqdist(F.col("_qd"), F.col("_cd")).alias("sqdist"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.asc("sqdist"), F.asc("cid"))
-    return (
-        refined.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
-    )
+    return _exact_refine(coarse, queries, corpus, k, q_id, c_id, vec_col)

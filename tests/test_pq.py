@@ -190,6 +190,31 @@ def test_train_guard(emb):
         pq_train(emb, m=7)  # 64 % 7 != 0
 
 
+def test_lloyd_empty_cluster_keeps_codebook_dense(spark):
+    """Duplicate seed vectors tie every assignment to the lower code, so
+    the higher code's Lloyd cluster is EMPTY — it must keep its previous
+    centroid rather than vanish: the ADC lookup table indexes the
+    (subspace, code)-sorted array positionally, and a dropped row would
+    silently shift every later entry (review r11)."""
+    rows = [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0, 3.0, 4.0])] + [
+        (i, [float(i), float(i + 1), float(2 * i), float(i % 3)])
+        for i in range(2, 12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m, ksub = 2, 4
+    books = pq_train(df, m=m, ksub=ksub, iters=1)
+    got = {(r.subspace, r.code): list(r.cent) for r in books.collect()}
+    assert len(got) == m * ksub  # dense: no (subspace, code) gap
+    # code 1 duplicates code 0's seed subvectors, loses every tie, and
+    # keeps its seed centroid verbatim
+    assert got[(0, 1)] == [1.0, 2.0] and got[(1, 1)] == [3.0, 4.0]
+    # the winning cluster DID move (it absorbed both duplicate members)
+    adc = pq_adc_topk(
+        df.where(F.col("vec_id") < 2), pq_encode(df, books), books, k=3
+    ).collect()
+    assert adc and all(r.approx_sqdist is not None for r in adc)
+
+
 def test_plan_is_broadcast_and_clean(emb, books, codes):
     from tests.compare import assert_no_plan_antipatterns
 
