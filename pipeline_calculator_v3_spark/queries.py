@@ -534,8 +534,10 @@ _KEEP_IN_WINDOW = [
 # operators/textnorm.py NFC canonicalization + impact report
 # (tests/test_textnorm.py, nfc_normalize oracle), operators/phash.py
 # perceptual image aHash + banded near-dup pairs (tests/test_phash.py,
-# full pixel-replay oracle) [~2-3 of these seven make the window; the
-# rest hold their pytest oracles for r13];
+# full pixel-replay oracle), operators/anonymity.py k-anonymity
+# audit/suppression (tests/test_anonymity.py), operators/retention.py
+# cohort retention matrix (tests/test_retention.py) [~2-3 of these
+# nine make the window; the rest hold their pytest oracles for r13];
 # (3) the r08 cohort (47 queries: q_agg_hash/q_agg_distinct, the eight
 # join-flavor faces, the curation cohort, the stream ingest/CDC pair,
 # the 7 rows-only r08 members) fills the remaining ~37-39 slots — its

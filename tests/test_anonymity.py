@@ -1,0 +1,111 @@
+"""operators/anonymity.py — k-anonymity audit + suppression (staged
+r11): hand-counted planted classes, the events-table oracle replay, both
+enforcement modes with the audit-after-enforcement invariant, NULL-class
+grouping, and arg guards."""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_calculator_v3_spark.operators.anonymity import (
+    k_anonymity_audit,
+    suppress_below_k,
+)
+
+QUASI = ["event_type", "k_bucket"]
+
+# The intended face oracle over events: quasi = (event_type, props-k
+# decile bucket); one hash aggregate -> class-size profile.
+AUDIT_ORACLE = f"""
+WITH q AS (
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket
+    FROM events
+),
+classes AS (
+    SELECT event_type, k_bucket, CAST(count(*) AS BIGINT) AS class_size
+    FROM q GROUP BY 1, 2
+)
+SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       class_size < 5 AS risky
+FROM classes GROUP BY class_size ORDER BY class_size
+"""
+
+PLANTED = [
+    # class (a, 1): 3 rows; class (a, 2): 1 row; class (b, 1): 5 rows;
+    # class (NULL, 1): 2 rows — NULLs group together
+    ("a", 1, 10), ("a", 1, 11), ("a", 1, 12),
+    ("a", 2, 13),
+    ("b", 1, 20), ("b", 1, 21), ("b", 1, 22), ("b", 1, 23), ("b", 1, 24),
+    (None, 1, 30), (None, 1, 31),
+]
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    return spark.createDataFrame(
+        PLANTED, "event_type string, k_bucket long, payload long"
+    )
+
+
+def test_planted_audit(planted):
+    got = {
+        r.class_size: (r.n_classes, r.n_rows, r.risky)
+        for r in k_anonymity_audit(planted, QUASI, k=5).collect()
+    }
+    assert got == {
+        1: (1, 1, True), 2: (1, 2, True), 3: (1, 3, True), 5: (1, 5, False)
+    }
+
+
+def test_suppress_drop(planted):
+    kept = suppress_below_k(planted, QUASI, k=5, mode="drop")
+    assert kept.columns == planted.columns
+    assert {r.payload for r in kept.collect()} == {20, 21, 22, 23, 24}
+
+
+def test_suppress_null_then_audit_is_k_anonymous(planted):
+    nulled = suppress_below_k(planted, QUASI, k=5, mode="null")
+    assert nulled.count() == len(PLANTED)  # nothing dropped
+    # the 6 suppressed rows collapse into ONE all-NULL class of size 6,
+    # so the post-enforcement audit has no risky class at k=5
+    audit = k_anonymity_audit(nulled, QUASI, k=5).collect()
+    assert all(not r.risky for r in audit)
+    assert {r.class_size for r in audit} == {5, 6}
+
+
+def test_events_audit_oracle(spark, duck, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (
+            F.get_json_object("props", "$.k").cast("bigint") / 10
+        ).cast("bigint").alias("k_bucket"),
+    )
+    got = [
+        (r.class_size, r.n_classes, r.n_rows, r.risky)
+        for r in k_anonymity_audit(ev, QUASI, k=5).collect()
+    ]
+    want = [tuple(r) for r in duck.execute(AUDIT_ORACLE).fetchall()]
+    assert got == want and len(got) > 3
+
+
+def test_arg_guards(planted):
+    with pytest.raises(ValueError):
+        k_anonymity_audit(planted, [], k=5)
+    with pytest.raises(ValueError):
+        k_anonymity_audit(planted, QUASI, k=1)
+    with pytest.raises(ValueError):
+        suppress_below_k(planted, QUASI, mode="generalize")
+    with pytest.raises(ValueError):
+        suppress_below_k(planted, QUASI, k=0)
+
+
+def test_single_aggregate_plan(planted):
+    plan = (
+        k_anonymity_audit(planted, QUASI)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
