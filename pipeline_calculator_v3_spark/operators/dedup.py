@@ -37,16 +37,31 @@ def fingerprint_dedup(docs: DataFrame, text_col: str = "text",
 
     Deterministic winner (min id) — unlike dropDuplicates, whose survivor is
     partition-order dependent and not oracle-checkable.
+
+    NULL text yields a NULL fingerprint, and groupBy buckets NULLs
+    together — which would report unrelated (merely corrupt) documents as
+    copies of each other and let a keep-policy drop all but one (review
+    r11).  NULL-fingerprint rows are therefore quarantined as singleton
+    groups (fp NULL, keep_id = own id, n_copies = 1): a missing text is
+    evidence of nothing.
     """
-    fp = F.md5(normalized_text(F.col(text_col))).alias("fp")
-    return (
-        docs.select(fp, F.col(id_col))
+    base = docs.select(
+        F.md5(normalized_text(F.col(text_col))).alias("fp"), F.col(id_col)
+    )
+    grouped = (
+        base.where(F.col("fp").isNotNull())
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).cast("bigint").alias("n_copies"),
         )
     )
+    singletons = base.where(F.col("fp").isNull()).select(
+        "fp",
+        F.col(id_col).alias("keep_id"),
+        F.lit(1).cast("bigint").alias("n_copies"),
+    )
+    return grouped.unionByName(singletons)
 
 
 MAX_LONG = (1 << 63) - 1
@@ -107,7 +122,22 @@ def minhash_lsh_pairs(
     Plan: per-doc signature (map-side) -> explode `bands` band keys ->
     self-join on (band, key) -> distinct candidate pairs -> exact Jaccard on
     distinct shingle sets -> threshold.  Returns (id1, id2, jaccard).
+
+    This throughput variant is specialized to TRIGRAM shingles
+    (shingles_from_token_hashes unrolls its combiner for n=3); for other
+    shingle widths use :func:`minhash_lsh_pairs_md5`, which is generic.
     """
+    if shingle_n != 3:
+        raise ValueError(
+            "minhash_lsh_pairs is specialized to shingle_n=3 (the unrolled "
+            "trigram combiner); use minhash_lsh_pairs_md5 for other widths"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}) — trailing signature lanes would be computed but "
+            "silently excluded from banding, changing the LSH S-curve"
+        )
     rows = num_hashes // bands
     # Materialize shingles -> hashes -> signature as real columns so each is
     # computed once per row (band extraction references `sig` 8x; inlining
@@ -229,6 +259,12 @@ def _md5_staged_bands(
     lane formula).  Both staged and sig are persisted — callers with a
     bounded batch lifetime (streaming/ingest.py) unpersist all three
     returned frames after their terminal write."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}) — trailing signature lanes would be computed but "
+            "silently excluded from banding, changing the LSH S-curve"
+        )
     rows = num_hashes // bands
     staged = (
         docs.select(
@@ -584,7 +620,15 @@ def source_copy_matrix(
     projection (broadcast when the dim fits, AQE decides) + ONE hash
     aggregate on the ~|sources|^2-bounded key space.
     """
-    src = docs.select(F.col(id_col), F.col(source_col).alias("_src"))
+    # NULL sources bin under an explicit "(null)" label: Spark's
+    # least/greatest SKIP null arguments (the r05 zorder clamp lesson), so
+    # a (NULL, 'web') pair would otherwise collapse to ('web', 'web') and
+    # silently inflate the diagonal instead of surfacing the missing
+    # attribute (review r11)
+    src = docs.select(
+        F.col(id_col),
+        F.coalesce(F.col(source_col), F.lit("(null)")).alias("_src"),
+    )
     labeled = (
         pairs.select(F.col("id1"), F.col("id2"))
         .join(src.withColumnRenamed(id_col, "id1").withColumnRenamed("_src", "_s1"), "id1")

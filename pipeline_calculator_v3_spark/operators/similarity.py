@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import local_checkpoint_tracked, persist_tracked
-from ..functions.vectors import cosine, dot, norm
+from ..functions.vectors import cosine, dot, elementwise_mean, norm
 
 
 def _plane_weight(bit: Column | int, dim_idx: Column) -> Column:
@@ -191,6 +191,12 @@ def cosine_topk_ivf(
     kmeans._assign rewrite applied to both IVF sides).  The probe join is
     an equi-join on list id.
     """
+    # persisted: the seed scan, each Lloyd assignment, and the inverted-
+    # list assignment all read this projection — unpersisted, a DERIVED
+    # corpus (the registry's _spread-synthesized input) re-runs its whole
+    # upstream plan kmeans_iters + 2 times (review r11; operators/
+    # kmeans.py persists its vector frame for the same reason)
+    corpus = persist_tracked(corpus.select(F.col(c_id), F.col(vec_col)))
     cents = (
         corpus.orderBy(c_id).limit(n_centroids)
         .select(
@@ -260,22 +266,25 @@ def cosine_topk_ivf(
         ).select("vid", "v", F.col("_p.centroid_id").alias("centroid_id"))
 
     def refine(cents_df):
-        """One Lloyd iteration: element-wise mean of each list's members."""
+        """One Lloyd iteration: element-wise mean of each list's members
+        via the ONE shared spelling (functions/vectors.elementwise_mean,
+        9-dp rounded — the kmeans determinism rule).  A list that loses
+        every member (duplicate seed vectors tie every assignment to the
+        lower centroid_id) KEEPS its previous centroid instead of
+        vanishing — operators/kmeans.py carries empties forward for
+        exactly this reason, and a dropped row here would silently
+        shrink the inverted-list count below n_centroids (review r11)."""
         assigned = assign(corpus, c_id, 1, cents_df)
-        # element-wise mean via posexplode + groupBy(centroid, dim)
-        dims = assigned.select(
-            "centroid_id", F.posexplode(F.col("v")).alias("dim", "x")
+        means = elementwise_mean(
+            assigned.select("centroid_id", "v"),
+            ["centroid_id"], "v", "_m", round_dp=9,
         )
-        return (
-            dims.groupBy("centroid_id", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s.m.cast("float"),
-                ).alias("cent_v")
-            )
+        return cents_df.join(means, "centroid_id", "left").select(
+            "centroid_id",
+            F.coalesce(
+                F.transform(F.col("_m"), lambda x: x.cast("float")),
+                F.col("cent_v"),
+            ).alias("cent_v"),
         )
 
     for _ in range(kmeans_iters):
@@ -283,6 +292,12 @@ def cosine_topk_ivf(
 
     c_assigned = assign(corpus, c_id, 1, cents)       # inverted lists
     q_assigned = assign(queries, q_id, nprobe, cents)  # multi-probe
+    # candidate pairs are unique by construction — each corpus vector
+    # joins exactly ONE list (array_min top-1) and a query probes nprobe
+    # DISTINCT lists — so no dedup stage: a dropDuplicates here cost a
+    # full aggregate exchange over every candidate row for nothing
+    # (review r11; the refine face's docstring already stated the
+    # invariant this face paid to re-derive)
     cand = (
         q_assigned.select(F.col("vid").alias("qid"), F.col("v").alias("qv"), "centroid_id")
         .join(
@@ -292,7 +307,6 @@ def cosine_topk_ivf(
             "centroid_id",
         )
         .where(F.col("qid") != F.col("cid"))
-        .dropDuplicates(["qid", "cid"])
     )
     scored = cand.select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("score"))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
