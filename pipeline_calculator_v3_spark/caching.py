@@ -38,6 +38,20 @@ def persist_tracked(
     return df
 
 
+def unpersist_tracked(df: DataFrame, blocking: bool = False) -> None:
+    """``df.unpersist()`` + DEREGISTER the handle.  Batch-scoped callers
+    (the streaming ingest loop) must use this instead of a bare
+    ``df.unpersist()``: unpersist alone frees the executor blocks but the
+    module-global registry keeps the driver-side DataFrame object (plus
+    its JVM plan references) alive forever — 4 dead handles per
+    micro-batch on a continuous stream (review r11)."""
+    df.unpersist(blocking)
+    for i, tracked in enumerate(_TRACKED_DFS):
+        if tracked is df:
+            del _TRACKED_DFS[i]
+            break
+
+
 def _persistent_ids(spark: SparkSession) -> set[int]:
     # ONE py4j round-trip: iterating the java keySet element-wise costs 2
     # JVM calls per id, and this runs twice per localCheckpoint — measured

@@ -283,8 +283,15 @@ def restamp_manifest(spark: SparkSession, out_dir: str) -> dict:
         "n_rows": sum(e["n_rows"] for e in entries),
         "partitions": entries,
     }
-    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+    # atomic install (write sibling + os.replace, the merge-commit rule):
+    # a plain truncating open("w") here left a crash window with a
+    # corrupted — unrecoverable — manifest, breaking the crash-safety
+    # contract of the streaming CDC path that calls this per batch
+    # (review r11)
+    nxt = os.path.join(out_dir, _MANIFEST + ".__next__")
+    with open(nxt, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(nxt, os.path.join(out_dir, _MANIFEST))
     return manifest
 
 

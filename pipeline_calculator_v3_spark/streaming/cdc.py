@@ -181,8 +181,31 @@ def merge_stream_into_table(
     partitions -> upsert_latest -> write the merged slice to a
     ``.__merge__`` sibling -> write the ``_COMMIT`` intent (next manifest
     with untouched entries carried verbatim) -> apply.  A crash in any
-    window is healed by :func:`_recover_interrupted_merge` on the next
-    entry."""
+    window is healed at the NEXT ENTRY of this function — before the
+    stream starts, so a committed-but-unapplied merge never stays torn
+    waiting for a non-empty batch (review r11) — and again per batch
+    (idempotent, covers a crash inside a long-running stream).
+
+    ``partition_by``/``key_cols`` must agree with the live manifest; a
+    disagreement would checksum touched partitions under a different
+    formula than the carried-verbatim untouched entries (or nest dirs
+    differently), so it raises instead of silently corrupting (review
+    r11).  Empty-string or literal-sentinel values in STRING partition
+    columns canonicalize to NULL at merge entry: Spark's hive layout
+    writes both into the ``__HIVE_DEFAULT_PARTITION__`` dir, so they
+    cannot round-trip as distinct values (review r11)."""
+    ds._recover_interrupted_swap(table_dir)
+    _recover_interrupted_merge(table_dir)
+    with open(os.path.join(table_dir, ds._MANIFEST)) as f:
+        _stored0 = json.load(f)
+    for field, arg in (("partition_by", partition_by), ("key_cols", key_cols)):
+        want = _stored0.get(field)
+        if want is not None and list(want) != list(arg):
+            raise ValueError(
+                f"{field} {list(arg)!r} disagrees with the live manifest's "
+                f"{list(want)!r} — merging would mix checksum formulas / "
+                "directory nesting across partitions"
+            )
     stream = (
         spark.readStream.schema(updates_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -195,6 +218,17 @@ def merge_stream_into_table(
             return
         ds._recover_interrupted_swap(table_dir)
         _recover_interrupted_merge(table_dir)
+        # canonicalize layout-indistinguishable STRING partition values:
+        # Spark writes both '' and the literal sentinel into the
+        # __HIVE_DEFAULT_PARTITION__ dir, so leaving them distinct here
+        # makes the touched set / prune predicate disagree with where the
+        # rows physically land — a batch '' row would silently delete the
+        # live NULL partition and double-count the manifest (review r11)
+        for c, t in batch_df.dtypes:
+            if c in partition_by and t == "string":
+                batch_df = batch_df.withColumn(
+                    c, F.nullif(F.nullif(F.col(c), F.lit("")), F.lit(_HIVE_NULL))
+                )
         with open(os.path.join(table_dir, ds._MANIFEST)) as f:
             stored = json.load(f)
         if stored.get("digest_version", 1) != DIGEST_VERSION:
@@ -229,8 +263,9 @@ def merge_stream_into_table(
             version=version,
             tiebreak=tiebreak,
         )
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        # no stale-sibling guard needed: _recover_interrupted_merge above
+        # rolled any sibling forward or back, nothing since creates one,
+        # and mode("overwrite") clobbers a hypothetical leftover anyway
         merged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
 
         tmp_entries = ds._manifest_entries(

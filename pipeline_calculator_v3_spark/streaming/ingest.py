@@ -46,9 +46,34 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import persist_tracked
+from ..caching import persist_tracked, unpersist_tracked
+from ..functions.text import normalized_text, tokens
 from ..operators.dedup import _md5_staged_bands, _verify_candidates
 from ..shipping import ensure_pkg_shipped
+
+
+def _short_doc_frames(
+    batch_df: DataFrame, shingle_n: int
+) -> tuple[DataFrame, DataFrame]:
+    """(staged, bands) rows for documents BELOW the shingle width.
+
+    The shared md5 stager excludes sub-shingle docs (its oracle contract),
+    which made them invisible to the admission gate: a 1-2 token doc was
+    admitted on EVERY redelivery — unbounded exact duplicates in the
+    accepted table (review r11).  Such docs get a DEGENERATE one-element
+    shingle set (their whole normalized text) and one synthetic band key
+    ("short|" + md5(text), disjoint from real band keys by prefix): exact
+    duplicates collide and verify at Jaccard 1.0; for docs this short,
+    exact-match is the only meaningful near-dup rule."""
+    norm = normalized_text(F.col("text"))
+    short = batch_df.where(F.size(tokens(norm)) < shingle_n).select(
+        F.col("doc_id").alias("id"), norm.alias("_nt")
+    )
+    staged = short.select("id", F.array(F.col("_nt")).alias("sh"))
+    bands = short.select(
+        "id", F.concat(F.lit("short|"), F.md5(F.col("_nt"))).alias("key")
+    )
+    return staged, bands
 
 
 def _write_index(
@@ -109,10 +134,16 @@ def admit_batch(
     batch_id) must leave the on-disk index byte-stable."""
     if batch_df.isEmpty():
         return
-    staged, sig, with_bands = _md5_staged_bands(
+    base_staged, sig, base_bands = _md5_staged_bands(
         batch_df, "text", "doc_id", num_hashes, bands, shingle_n
     )
-    with_bands = persist_tracked(with_bands)  # corpus + internal joins
+    short_staged, short_bands = _short_doc_frames(batch_df, shingle_n)
+    # the unions WRAP the stager's persisted frames — the bases (not the
+    # wrappers) are what the cleanup loop below must release
+    staged = base_staged.unionByName(short_staged)
+    with_bands = persist_tracked(
+        base_bands.select("id", "key").unionByName(short_bands)
+    )  # corpus + internal joins
     # read ONLY generations b0..b{batch_id}: the seed plus every COMMITTED
     # earlier batch — never this batch's own (possibly partially written)
     # b{batch_id+1} generation (see _gen_paths)
@@ -171,9 +202,12 @@ def admit_batch(
     # batch-scoped caches end with the batch: the next micro-batch reads
     # the on-disk index, never these frames — without this a continuous
     # stream pins 4 new RDDs per batch until a global release_caches the
-    # stream never calls (review r08, unbounded executor-storage growth)
-    for frame in (accepted_ids, with_bands, sig, staged):
-        frame.unpersist()
+    # stream never calls (review r08, unbounded executor-storage growth).
+    # unpersist_tracked (not bare unpersist) also DEREGISTERS the driver
+    # handle — the registry otherwise grows 4 dead DataFrame objects per
+    # micro-batch forever (review r11)
+    for frame in (accepted_ids, with_bands, sig, base_staged):
+        unpersist_tracked(frame)
 
 
 def ingest_stream_dedup(
@@ -197,14 +231,20 @@ def ingest_stream_dedup(
     seed_staged, _seed_sig, seed_bands = _md5_staged_bands(
         base_docs, "text", "doc_id", num_hashes, bands, shingle_n
     )
+    # seed-side short docs take the same degenerate path as batches — a
+    # sub-shingle seed doc must be matchable, or its exact copy in any
+    # later batch sails through the gate (review r11)
+    sshort_staged, sshort_bands = _short_doc_frames(base_docs, shingle_n)
     _write_index(
-        base_docs.select("doc_id", "gen"), seed_bands, seed_staged,
+        base_docs.select("doc_id", "gen"),
+        seed_bands.select("id", "key").unionByName(sshort_bands),
+        seed_staged.unionByName(sshort_staged),
         work_dir, "b0",
     )
     # same batch-scoped-cache rule as admit_batch: the stream reads the
     # written b0 index, never these frames
-    _seed_sig.unpersist()
-    seed_staged.unpersist()
+    unpersist_tracked(_seed_sig)
+    unpersist_tracked(seed_staged)
 
     def _admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         admit_batch(

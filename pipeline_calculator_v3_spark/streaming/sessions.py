@@ -91,19 +91,27 @@ def _session_update(
     if merged:
         start, last, n = merged[-1]
         timeout_ms = last // 1000 + GAP_US // 1000
+        wm = state.getCurrentWatermarkMs()
         # An admitted straggler can merge into a session whose end already
         # trails the watermark by more than GAP.  Spark rejects timer
         # timestamps <= watermark with IllegalArgumentException (failing the
-        # whole query), so such a session closes immediately instead —
-        # exactly when its timer would have fired had it been armable.
-        if timeout_ms <= state.getCurrentWatermarkMs():
+        # whole query), so a session STRICTLY below the watermark closes
+        # immediately — exactly when its timer would have fired had it
+        # been armable (timers fire on wm STRICTLY past the timestamp).
+        # At exact equality the timer has NOT notionally fired yet, so the
+        # session stays open, armed at wm + 1 — the earliest armable
+        # instant, which fires on the next watermark advance, i.e. the
+        # same strictly-greater rule (review r11: the <= guard closed the
+        # equality case one advance early, diverging from the measured
+        # timer semantics the oracle pins).
+        if timeout_ms < wm:
             closed.append((uid, start, last, n))
             if state.exists:
                 state.remove()
         else:
             state.update((start, last, n))
             # arm the event-time timer: fires once the watermark passes it
-            state.setTimeoutTimestamp(timeout_ms)
+            state.setTimeoutTimestamp(max(timeout_ms, wm + 1))
     yield pd.DataFrame(
         closed, columns=["user_id", "session_start_us", "session_end_us", "n"]
     )

@@ -132,3 +132,45 @@ def test_batch_caches_released(spark, tmp_path):
     assert len(after) <= len(before), (
         f"admit_batch leaked {len(after) - len(before)} pinned RDDs"
     )
+
+
+def test_short_docs_cannot_be_readmitted(spark, tmp_path_factory):
+    """Sub-shingle documents used to bypass the gate entirely (the shared
+    stager excludes them, so they were admitted on EVERY delivery); the
+    degenerate whole-text path must reject exact short-doc copies across
+    batches, against the seed, and inside a batch (review r11)."""
+    work = str(tmp_path_factory.mktemp("ingest_short"))
+    base = spark.createDataFrame([(1, "hi there", 0)], DOC_SCHEMA)
+    gen1 = spark.createDataFrame(
+        [(10, "hi there", 1),   # exact dup of the SHORT seed -> rejected
+         (11, "ok", 1),         # unique 1-token doc -> admitted
+         (12, "ok", 1)],        # dup of lower-id batchmate -> rejected
+        DOC_SCHEMA,
+    )
+    gen2 = spark.createDataFrame(
+        [(20, "ok", 2),         # dup of gen-1 admitted short doc -> rejected
+         (21, "bye now", 2)],   # unique short doc -> admitted
+        DOC_SCHEMA,
+    )
+    updates = os.path.join(work, "updates")
+    os.makedirs(updates)
+    _stage(spark, gen1, os.path.join(updates, "g1.parquet"), 1.7e9 + 1)
+    _stage(spark, gen2, os.path.join(updates, "g2.parquet"), 1.7e9 + 2)
+    corpus = os.path.join(work, "corpus")
+    ingest_stream_dedup(
+        spark, updates + "/g*.parquet",
+        "doc_id bigint, text string, gen bigint",
+        base, corpus, min_jaccard=0.5,
+    )
+    rows = {r.doc_id: r.gen for r in read_admitted(spark, corpus).collect()}
+    assert rows == {1: 0, 11: 1, 21: 2}
+
+
+def test_unpersist_tracked_deregisters(spark):
+    from pipeline_calculator_v3_spark import caching
+
+    df = spark.range(5)
+    caching.persist_tracked(df)
+    assert any(t is df for t in caching._TRACKED_DFS)
+    caching.unpersist_tracked(df)
+    assert not any(t is df for t in caching._TRACKED_DFS)
