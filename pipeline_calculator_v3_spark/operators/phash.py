@@ -96,6 +96,54 @@ def ahash64(media: DataFrame) -> DataFrame:
     return media.mapInPandas(gen, AHASH_SCHEMA)
 
 
+def dhash64(media: DataFrame) -> DataFrame:
+    """64-bit difference hash (dHash) per PNG blob — the gradient-based
+    sibling of :func:`ahash64`: bit (r, j) = sample(r, j) > sample(r, j+1)
+    over an 8x9 nearest-neighbor grid, so the fingerprint encodes local
+    brightness GRADIENTS and survives global brightness/contrast shifts
+    that move every cell relative to the aHash mean.  The classic pairing
+    (Krawetz's aHash/dHash) — candidates matched under either hash.
+
+    Same integer-only contract as ahash64 (9-column sampling at
+    ``(j*w)//9``, strict ``>`` on integer samples, two non-negative
+    BIGINT halves, same banding/pair machinery via :func:`ahash_pairs` on
+    the renamed columns), same PERMISSIVE degradation, same one-pass
+    Arrow map.  Output schema matches ahash64."""
+    from .pngcodec import decode_png
+
+    ensure_pkg_shipped(media.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    a = decode_png(bytes(content))
+                    if a.ndim == 3:
+                        a = a.mean(axis=2).astype(np.int64)
+                    a = a.astype(np.int64)
+                    h, w = a.shape
+                    rr = (np.arange(8) * h) // 8
+                    jj = (np.arange(9) * w) // 9
+                    grid = a[np.ix_(rr, jj)]
+                    bits = (grid[:, :8] > grid[:, 1:]).astype(np.int64)
+                    weights = 1 << (
+                        (np.arange(4)[:, None] * 8) + np.arange(8)[None, :]
+                    )
+                    lo = int((bits[:4] * weights).sum())
+                    hi = int((bits[4:] * weights).sum())
+                    rows.append((int(mid), w, h, hi, lo, True))
+                except Exception:  # zlib.error / struct.error / ValueError
+                    rows.append((int(mid), 0, 0, 0, 0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height",
+                         "ahash_hi", "ahash_lo", "valid"],
+            )
+
+    return media.mapInPandas(gen, AHASH_SCHEMA)
+
+
 def ahash_pairs(
     hashes: DataFrame,
     id_col: str = "media_id",
