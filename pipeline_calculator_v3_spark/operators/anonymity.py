@@ -81,7 +81,17 @@ def suppress_below_k(
     if k < 2:
         raise ValueError("k must be >= 2 (k=1 is the no-op policy)")
     classes = df.groupBy(*quasi_cols).agg(F.count("*").alias("_n"))
-    joined = df.join(classes, quasi_cols, "left")
+    # Null-SAFE equi-join: groupBy buckets NULL quasi values into one class
+    # (the audit's documented semantics), but a plain equi-join would never
+    # match those keys back — a NULL-pattern class of size >= k would get
+    # _n = NULL and be suppressed despite the audit calling it safe.  The
+    # null-safe comparison keeps audit and enforcement on the same class
+    # definition and still hash-partitions on the same tuple.
+    cond = None
+    for c in quasi_cols:
+        eq = df[c].eqNullSafe(classes[c])
+        cond = eq if cond is None else cond & eq
+    joined = df.join(classes, cond, "left").drop(*[classes[c] for c in quasi_cols])
     if mode == "drop":
         return joined.where(F.col("_n") >= k).select(*df.columns)
     return joined.select(

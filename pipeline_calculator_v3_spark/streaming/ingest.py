@@ -64,8 +64,15 @@ def _short_doc_frames(
     shingle set (their whole normalized text) and one synthetic band key
     ("short|" + md5(text), disjoint from real band keys by prefix): exact
     duplicates collide and verify at Jaccard 1.0; for docs this short,
-    exact-match is the only meaningful near-dup rule."""
-    norm = normalized_text(F.col("text"))
+    exact-match is the only meaningful near-dup rule.
+
+    NULL text coalesces to '' BEFORE normalization (the rule the
+    entropy/ngram/winnow operators follow): normalized_text(NULL) is NULL,
+    size(tokens(NULL)) = -1 < shingle_n, so NULL-text docs always take
+    this path — without the coalesce they'd get a NULL band key (NULL
+    never equi-joins) and be re-admitted on every redelivery, the exact
+    failure this frame exists to close (ADVICE r11)."""
+    norm = normalized_text(F.coalesce(F.col("text"), F.lit("")))
     short = batch_df.where(F.size(tokens(norm)) < shingle_n).select(
         F.col("doc_id").alias("id"), norm.alias("_nt")
     )

@@ -100,10 +100,14 @@ def _session_update(
         # been armable (timers fire on wm STRICTLY past the timestamp).
         # At exact equality the timer has NOT notionally fired yet, so the
         # session stays open, armed at wm + 1 — the earliest armable
-        # instant, which fires on the next watermark advance, i.e. the
-        # same strictly-greater rule (review r11: the <= guard closed the
-        # equality case one advance early, diverging from the measured
-        # timer semantics the oracle pins).
+        # instant (review r11: the <= guard closed the equality case one
+        # advance early, diverging from the measured timer semantics the
+        # oracle pins).  Under the same strictly-greater fire rule that
+        # wm+1 timer fires once the watermark passes wm+1, i.e. after an
+        # advance of >= 2 ms; a 1 ms advance leaves the session pending
+        # one extra trigger (ADVICE r11).  That bounded extra-millisecond
+        # latency is accepted: closing at equality instead would fire the
+        # timer at an instant Spark's own rule says has not arrived.
         if timeout_ms < wm:
             closed.append((uid, start, last, n))
             if state.exists:

@@ -41,6 +41,15 @@ PLANTED = [
     (None, 1, 30), (None, 1, 31),
 ]
 
+# A NULL-pattern class of size >= k: the audit calls it safe, so
+# enforcement must KEEP it.  A null-unsafe equi-join (the r11 bug, ADVICE
+# r11) matches no NULL key, assigns _n = NULL, and silently suppresses the
+# whole class — divergence between audit and enforcement.
+PLANTED_SAFE_NULLS = PLANTED + [
+    (None, None, 40), (None, None, 41), (None, None, 42),
+    (None, None, 43), (None, None, 44),
+]
+
 
 @pytest.fixture(scope="module")
 def planted(spark):
@@ -90,6 +99,29 @@ def test_events_audit_oracle(spark, duck, sf_dir):
     ]
     want = [tuple(r) for r in duck.execute(AUDIT_ORACLE).fetchall()]
     assert got == want and len(got) > 3
+
+
+def test_null_class_of_size_k_survives_enforcement(spark):
+    df = spark.createDataFrame(
+        PLANTED_SAFE_NULLS, "event_type string, k_bucket long, payload long"
+    )
+    # audit: the (NULL, NULL) class has 5 rows -> not risky at k=5
+    audit = {
+        r.class_size: r.risky for r in k_anonymity_audit(df, QUASI, k=5).collect()
+    }
+    assert audit[5] is False
+    # drop mode keeps BOTH safe classes, including the all-NULL one
+    kept = {r.payload for r in suppress_below_k(df, QUASI, k=5, mode="drop").collect()}
+    assert kept == {20, 21, 22, 23, 24, 40, 41, 42, 43, 44}
+    # null mode leaves the safe NULL class's quasi values untouched (still
+    # NULL) and the result is k-anonymous: classes {5 (b,1), 5 (NULL,NULL),
+    # 6 suppressed-all-NULL}... the suppressed rows join the (NULL, NULL)
+    # class, so sizes are {5, 11}
+    nulled = suppress_below_k(df, QUASI, k=5, mode="null")
+    assert nulled.count() == len(PLANTED_SAFE_NULLS)
+    post = k_anonymity_audit(nulled, QUASI, k=5).collect()
+    assert all(not r.risky for r in post)
+    assert {r.class_size for r in post} == {5, 11}
 
 
 def test_arg_guards(planted):

@@ -9,6 +9,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 # registry first: queries_stream begins with `from .queries import ...`,
 # so importing it before queries.py finishes its submodule sweep leaves
 # the q_stream_* registrations missing at _reorder_registry time
@@ -164,6 +166,45 @@ def test_short_docs_cannot_be_readmitted(spark, tmp_path_factory):
     )
     rows = {r.doc_id: r.gen for r in read_admitted(spark, corpus).collect()}
     assert rows == {1: 0, 11: 1, 21: 2}
+
+
+def test_null_text_docs_dedupe_like_empty(spark, tmp_path_factory):
+    """NULL-text docs take the short path (size(tokens(NULL)) = -1) but
+    before the coalesce fix their band key was concat('short|', md5(NULL))
+    = NULL, which never equi-joins — so an exact NULL-text duplicate was
+    re-admitted in every later batch and NULL keys/shingles polluted the
+    index parquet (ADVICE r11).  With coalesce-to-'' they collide as exact
+    duplicates of the empty doc: lowest id wins once, all copies reject."""
+    work = str(tmp_path_factory.mktemp("ingest_nulltext"))
+    base = spark.createDataFrame([(1, "hi there", 0)], DOC_SCHEMA)
+    gen1 = spark.createDataFrame(
+        [(10, None, 1),         # first NULL-text doc -> admitted
+         (11, None, 1)],        # NULL dup of lower-id batchmate -> rejected
+        DOC_SCHEMA,
+    )
+    gen2 = spark.createDataFrame(
+        [(20, None, 2),         # NULL dup of gen-1 admitted doc -> rejected
+         (21, "", 2),           # empty text == coalesced NULL -> rejected
+         (22, "bye", 2)],       # unique short doc -> admitted
+        DOC_SCHEMA,
+    )
+    updates = os.path.join(work, "updates")
+    os.makedirs(updates)
+    _stage(spark, gen1, os.path.join(updates, "g1.parquet"), 1.7e9 + 1)
+    _stage(spark, gen2, os.path.join(updates, "g2.parquet"), 1.7e9 + 2)
+    corpus = os.path.join(work, "corpus")
+    ingest_stream_dedup(
+        spark, updates + "/g*.parquet",
+        "doc_id bigint, text string, gen bigint",
+        base, corpus, min_jaccard=0.5,
+    )
+    rows = {r.doc_id: r.gen for r in read_admitted(spark, corpus).collect()}
+    assert rows == {1: 0, 10: 1, 22: 2}
+    # and the index holds no NULL band keys / NULL shingle elements
+    bands = spark.read.parquet(os.path.join(corpus, "index", "bands", "*"))
+    assert bands.where(F.col("key").isNull()).count() == 0
+    sh = spark.read.parquet(os.path.join(corpus, "index", "shingles", "*"))
+    assert sh.where(F.exists("sh", lambda x: x.isNull())).count() == 0
 
 
 def test_unpersist_tracked_deregisters(spark):
