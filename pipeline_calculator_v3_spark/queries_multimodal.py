@@ -46,6 +46,25 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB byte-explode over the payload (the utf-8 text bytes): hex() the
 # blob, then each byte is two hex digits decoded via strpos arithmetic.
+# Parameterized over the source relation so planted-corpus faces
+# (q_phash_image_dedup) replay the same pixel derivation over a UNION.
+def _payload_bytes_cte(source: str = "documents") -> str:
+    return f"""
+m AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n,
+           CAST((n_chars % 64 + 1) * 8 AS BIGINT) AS frame
+    FROM {source}
+),
+bytes AS (
+    SELECT doc_id, n, frame, i,
+           (strpos('0123456789ABCDEF', substr(h, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substr(h, CAST(2 * i + 2 AS INT), 1)) - 1) AS b
+    FROM (SELECT doc_id, h, n, frame, unnest(range(n)) AS i FROM m)
+)
+"""
+
+
 _PAYLOAD_BYTES_CTE = """
 m AS (
     SELECT doc_id, hex(encode(text)) AS h,
@@ -211,3 +230,90 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_wav_media(t(spark, sf_dir, "documents"))
     return decode_wav_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Image-modality near-duplicate face (r12; operators/phash.py staged r11).
+# The corpus plants re-encoded copies (every 7th document re-runs the PNG
+# encoder under a shifted id — same pixels, fresh blob), so the face
+# demonstrates what byte-exact dedup cannot: matching images, not files.
+# The oracle re-derives every pixel from the text hex, recomputes all 64
+# aHash bits, and brute-forces ALL pairs at Hamming <= 3 — which the
+# banded Spark join must equal EXACTLY, because 4 x 16-bit bands are
+# pigeonhole-complete at that threshold (a missed pair is a banding bug,
+# not tolerance).
+# ---------------------------------------------------------------------------
+_PHASH_CORPUS_CTE = """
+corpus AS (
+    SELECT doc_id, text, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text, n_chars
+    FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+_PHASH_HAMMING = (
+    "bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))"
+)
+
+
+@query(
+    "q_phash_image_dedup",
+    oracle=f"""
+WITH {_PHASH_CORPUS_CTE},
+{_payload_bytes_cte("corpus")},
+dims AS (SELECT doc_id, n, frame // 8 AS w FROM m),
+cells AS (
+    SELECT d.doc_id, r.r, j.j,
+           (r.r * d.w + (j.j * d.w) // 8) AS idx
+    FROM dims d
+    CROSS JOIN (SELECT unnest(range(8)) AS r) r
+    CROSS JOIN (SELECT unnest(range(8)) AS j) j
+),
+sampled AS (
+    SELECT c.doc_id, c.r, c.j, COALESCE(b.b, 0) AS s
+    FROM cells c
+    LEFT JOIN bytes b ON b.doc_id = c.doc_id AND b.i = c.idx
+),
+bits AS (
+    SELECT doc_id, r, j,
+           CASE WHEN 64 * s > SUM(s) OVER (PARTITION BY doc_id)
+                THEN 1 ELSE 0 END AS bit
+    FROM sampled
+),
+h AS (
+    SELECT doc_id AS media_id,
+           CAST(SUM(CASE WHEN r >= 4 THEN bit * (1::BIGINT << ((r - 4) * 8 + j))
+                    ELSE 0 END) AS BIGINT) AS hi,
+           CAST(SUM(CASE WHEN r < 4 THEN bit * (1::BIGINT << (r * 8 + j))
+                    ELSE 0 END) AS BIGINT) AS lo
+    FROM bits GROUP BY doc_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST({_PHASH_HAMMING} AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE {_PHASH_HAMMING} <= 3
+""",
+)
+def q_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs: PNG-encode the corpus (real stdlib
+    codec), 64-bit aHash each image (nearest-neighbor 8x8 grid, integer
+    mean threshold), match via four 16-bit LSH bands, verify with exact
+    Hamming distance.
+
+    Scale shape: encode + hash are ONE Arrow map pass (zero exchanges —
+    plan-gated in tests/test_phash.py); only (id, two BIGINTs) rows reach
+    the band shuffle, 4 rows per image; the band equi-join buckets by
+    16-bit key so no all-pairs comparison exists anywhere.  At 100 TB of
+    images the bytes never shuffle — exactly the property that makes
+    image dedup feasible at corpus scale."""
+    from .operators.phash import ahash64, ahash_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    planted = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "n_chars"
+    )
+    media = synth_png_media(_spread(docs.unionByName(planted), spark))
+    return ahash_pairs(ahash64(media), max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )

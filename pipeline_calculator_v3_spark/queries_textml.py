@@ -3640,3 +3640,296 @@ def q_similarity_ann_ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_IVFR_K, k_coarse=_IVFR_COARSE,
         n_centroids=_IVFR_CENTS, nprobe=_IVFR_PROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ face (r12; operators/pq.py staged r11) — the FAISS IndexIVFPQ
+# layout (by_residual=false) completing the ANN story: LSH (r08) -> IVF
+# (r08) -> IVF+refine (r11) -> IVF-PQ.  Constants mirror
+# tests/test_pq.py's replay; the oracle re-derives codebooks, code
+# words, list assignments, probes, the ADC scan, and the exact refine.
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_KSUB, _PQ_DSUB = 8, 16, 8          # 64 dims -> 8 subspaces of 8
+_PQ_NLISTS, _PQ_NPROBE = 16, 4
+_PQ_K, _PQ_KCOARSE = 10, 60
+
+
+def _ivf_pq_oracle() -> str:
+    m, ksub, dsub = _PQ_M, _PQ_KSUB, _PQ_DSUB
+    return f"""
+WITH ev AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+    FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT {ksub})
+),
+books AS (
+    SELECT s.subspace, seeds.code,
+           seeds.v[s.subspace * {dsub} + 1 : s.subspace * {dsub} + {dsub}]
+               AS cent
+    FROM seeds CROSS JOIN (SELECT unnest(range({m})) AS subspace) s
+),
+dists AS (
+    SELECT e.vec_id, b.subspace, b.code,
+           list_sum(list_transform(
+               list_zip(e.v[b.subspace * {dsub} + 1
+                            : b.subspace * {dsub} + {dsub}], b.cent),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+    FROM ev e CROSS JOIN books b
+),
+codes AS (
+    SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d, code) AS r
+        FROM dists) WHERE r = 1
+),
+cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS cent
+    FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT {_PQ_NLISTS})
+),
+cdist AS (
+    SELECT e.vec_id, c.list_id,
+           list_sum(list_transform(list_zip(e.v, c.cent),
+                                   z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+    FROM ev e CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, list_id FROM (
+        SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, list_id) AS r
+        FROM cdist) WHERE r = 1
+),
+probes AS (
+    SELECT vec_id AS qid, list_id FROM (
+        SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, list_id) AS r
+        FROM cdist WHERE vec_id < 8) WHERE r <= {_PQ_NPROBE}
+),
+adc AS (
+    SELECT p.qid, a.vec_id AS cid,
+           SUM(qd.d ORDER BY qd.subspace) AS approx_sqdist
+    FROM probes p
+    JOIN assigned a USING (list_id)
+    JOIN codes cc ON cc.vec_id = a.vec_id
+    JOIN dists qd ON qd.vec_id = p.qid
+                 AND qd.subspace = cc.subspace AND qd.code = cc.code
+    WHERE a.vec_id <> p.qid
+    GROUP BY 1, 2
+),
+coarse AS (
+    SELECT qid, cid, approx_sqdist,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY approx_sqdist, cid) AS r
+    FROM adc QUALIFY r <= {_PQ_KCOARSE}
+),
+refined AS (
+    SELECT c.qid, c.cid, c.approx_sqdist,
+           list_sum(list_transform(list_zip(q.v, e.v),
+                                   z -> (z[1] - z[2]) * (z[1] - z[2])))
+               AS sqdist
+    FROM coarse c
+    JOIN ev q ON q.vec_id = c.qid
+    JOIN ev e ON e.vec_id = c.cid
+)
+SELECT qid, cid,
+       ROUND(approx_sqdist, 6) AS approx_sqdist,
+       ROUND(sqdist, 6) AS sqdist,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY sqdist, cid) AS BIGINT) AS rank
+FROM refined QUALIFY rank <= {_PQ_K}
+"""
+
+
+@query("q_similarity_ann_ivf_pq", oracle=_ivf_pq_oracle())
+def q_similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/pq.py::pq_ivf_adc_topk): an inverted-file
+    coarse quantizer partitions the corpus into 16 lists; each query
+    probes its 4 nearest lists; ADC over 8-byte PQ codes ranks only the
+    probed lists' members; the exact refine rescores the top-60 survivors
+    with full-precision squared L2.  Ranks/ties are fully deterministic
+    (lowest-id seeding, lowest-code/lowest-id tie rules), so the oracle
+    replays every stage; sums fold in subspace order on both engines and
+    the output doubles round to 6 dp for the typed hash.
+
+    Scale shape (the piece neither full-corpus ADC nor full-precision IVF
+    has): the corpus crosses ZERO exchanges — one map pass computes each
+    vector's code word AND list id against two one-row broadcasts, the
+    probe join broadcasts the tiny query side, and the corpus-wide scan
+    moves m = 8 bytes/vector over nprobe/n_lists of the corpus.  The
+    exact pass reads k_coarse full vectors per query.  Recall floor
+    (>= 0.80 @10 vs exact) is gated in tests/test_pq.py."""
+    from .operators.pq import pq_ivf_adc_topk, pq_train
+
+    e = _spread(t(spark, sf_dir, "embeddings"), spark)
+    books = pq_train(e, m=_PQ_M, ksub=_PQ_KSUB, iters=0)
+    out = pq_ivf_adc_topk(
+        e.where(F.col("vec_id") < 8), e, books,
+        k=_PQ_K, k_coarse=_PQ_KCOARSE,
+        n_lists=_PQ_NLISTS, nprobe=_PQ_NPROBE,
+    )
+    return out.select(
+        "qid", "cid",
+        F.round("approx_sqdist", 6).alias("approx_sqdist"),
+        F.round("sqdist", 6).alias("sqdist"),
+        "rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index postings face (r12; operators/postings.py staged r11).
+# The face scopes the index to the 50 highest-cf terms (deterministic
+# (cf DESC, term) cut) so the driver hashes a bounded slice; df/cf stay
+# exact over ALL postings (the cap contract).
+# ---------------------------------------------------------------------------
+_POSTINGS_K, _POSTINGS_TERMS = 8, 50
+
+
+@query(
+    "q_postings_index",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {{tokens}} AS tok FROM documents),
+occ AS (
+    SELECT doc_id, unnest(tok) AS term,
+           unnest(range(0, len(tok))) AS pos
+    FROM t
+),
+pairs AS (
+    SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+           CAST(min(pos) AS BIGINT) AS first_pos
+    FROM occ GROUP BY 1, 2
+),
+stats AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf
+    FROM pairs GROUP BY 1
+),
+ranked AS (
+    SELECT term, doc_id, tf, first_pos,
+           CAST(row_number() OVER (
+               PARTITION BY term ORDER BY tf DESC, doc_id) AS BIGINT) AS rank
+    FROM pairs
+),
+top AS (SELECT term FROM stats ORDER BY cf DESC, term LIMIT {_POSTINGS_TERMS})
+SELECT r.term, s.df, s.cf, r.rank, r.doc_id, r.tf, r.first_pos
+FROM ranked r JOIN stats s USING (term) JOIN top USING (term)
+WHERE r.rank <= {_POSTINGS_K}
+""".replace("{tokens}", _TOKENS),
+)
+def q_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch inverted-index build (operators/postings.py): one corpus
+    explode -> (term, doc) hash aggregate -> exact per-term df/cf ->
+    salted TWO-phase top-k posting cap -> stats joined back; the face
+    keeps the 50 highest-cf terms' lists.
+
+    Scale shape: the head-term skew problem IS the design — phase 1 ranks
+    within (term, doc_id % 32) so a term appearing in EVERY document never
+    puts more than df/32 rows in one window partition; phase 2 ranks the
+    <= k*32 survivors.  Salt-invariance (the two-phase cut equals the
+    single-partition ranking for every salt width) is pytest-gated
+    (tests/test_postings.py); the top-terms cut is TakeOrderedAndProject
+    over post-aggregate vocabulary rows, never a global sort of postings."""
+    from .operators.postings import postings_index
+
+    docs = _spread(t(spark, sf_dir, "documents"), spark)
+    p = postings_index(docs, max_postings=_POSTINGS_K, salt_buckets=32)
+    top = (
+        p.select("term", "cf").distinct()
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(_POSTINGS_TERMS)
+        .select("term")
+    )
+    return p.join(F.broadcast(top), "term").select(
+        "term", "df", "cf",
+        F.col("rank").cast("bigint").alias("rank"),
+        "doc_id", "tf", "first_pos",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing code-dedup face (r12; operators/winnow.py staged r11) — the
+# SIGMOD-03 / MOSS guarantee on a synthetic code corpus: every 11th
+# document is re-wrapped as a function body ('def fn_<id> ( ) : return '
+# + text), the copied-function case no global-similarity dedup promises
+# to catch but winnowing guarantees (shared run >= k + w - 1 = 8 tokens
+# => shared fingerprint).  The oracle replays gram md5s, the
+# min-hash/rightmost-tie window selection, the df cap, and the pair join.
+# ---------------------------------------------------------------------------
+_WINNOW_CORPUS_CTE = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 20000 AS doc_id,
+           'def fn_' || CAST(doc_id AS VARCHAR) || ' ( ) : return ' || text
+               AS text
+    FROM documents WHERE doc_id % 11 = 0
+)
+"""
+
+
+def _winnow_oracle(k: int = 5, w: int = 4, max_df: int = 16) -> str:
+    gram = " || ' ' || ".join(f"tok[i+{off}]" for off in range(k))
+    pad = 1_000_000_000
+    return f"""
+WITH {_WINNOW_CORPUS_CTE},
+t AS (
+    SELECT doc_id, {_TOKENS} AS tok FROM corpus
+    WHERE len({_TOKENS}) >= {k + w - 1}
+),
+staged AS (
+    SELECT doc_id,
+           list_transform(range(1, len(tok) - {k - 1} + 1),
+               i -> md5({gram}) || format('{{:010d}}', {pad} - i)) AS ks
+    FROM t
+),
+sel AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, len(ks) - {w - 1} + 1),
+               j -> list_aggregate(list_slice(ks, j, j + {w - 1}), 'min')
+           ))) AS s
+    FROM staged
+),
+fps AS (SELECT DISTINCT doc_id, s[1:32] AS fp FROM sel),
+keep AS (
+    SELECT fp FROM fps GROUP BY fp
+    HAVING count(*) >= 2 AND count(*) <= {max_df}
+),
+cand AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM cand a JOIN cand b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@query("q_winnow_code_dedup", oracle=_winnow_oracle())
+def q_winnow_code_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint dedup (operators/winnow.py, k=5, w=4): md5
+    token 5-grams concatenated with inverted zero-padded positions so one
+    lexicographic array_min per window implements "min hash, rightmost
+    tie" exactly; fingerprint-frequency cap (df <= 16) drops boilerplate
+    grams BEFORE the pair self-join.
+
+    Scale shape: the per-document pass is HOF-only — zero shuffles, zero
+    UDFs, gram hashes staged once as a real column (inlined they would
+    recompute per window, an O(n*w) -> O(n^2) blowup); only (doc, 32-byte
+    hex) rows shuffle, and the df cap bounds every join bucket at
+    C(16, 2) pairs per fingerprint regardless of corpus size."""
+    from .operators.winnow import winnow_fingerprints, winnow_match_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(
+            F.lit("def fn_"), F.col("doc_id").cast("string"),
+            F.lit(" ( ) : return "), F.col("text"),
+        ).alias("text"),
+    )
+    corpus = _spread(docs.unionByName(planted), spark)
+    fps = winnow_fingerprints(corpus, k=5, w=4)
+    return winnow_match_pairs(fps, max_df=16)
