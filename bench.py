@@ -122,6 +122,10 @@ HEADLINE = [
     "q_multimodal_decode_wav",    # added r11 (real PCM16 codec round-trip)
     "q_zorder_pruned_scan",       # added r11 (tile-stats bbox file skipping)
     "q_similarity_ann_ivf_refine",  # added r11 (int8 coarse + exact refine)
+    "q_phash_image_dedup",        # added r12 (banded aHash image near-dup)
+    "q_similarity_ann_ivf_pq",    # added r12 (IVF-PQ: coarse lists + ADC codes)
+    "q_postings_index",           # added r12 (salted two-phase postings cap)
+    "q_winnow_code_dedup",        # added r12 (winnowing fingerprint pairs)
     "q_overlap_e2e",
 ]
 

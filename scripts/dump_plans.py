@@ -407,6 +407,47 @@ AUDIT: list[tuple[str, str]] = [
         " expensive thing it schedules — the rewrite — is exactly n_small"
         " file reads, decided here for the cost of a window over metadata.",
     ),
+    (
+        "q_phash_image_dedup",
+        "Image near-dup at corpus scale: PNG encode + decode + 64-bit"
+        " aHash all inside ONE MapInPandas pass (no Exchange below it —"
+        " the image bytes never shuffle); only (id, two BIGINTs) rows"
+        " reach the band explode, 4 rows per image, and the candidate"
+        " join is an equi-join on the 16-bit (band, key) pair — no"
+        " all-pairs comparison exists anywhere in the plan.",
+    ),
+    (
+        "q_similarity_ann_ivf_pq",
+        "IVF-PQ: the corpus side crosses ZERO exchanges end-to-end — one"
+        " projection computes each vector's PQ code word AND coarse list"
+        " id against two one-row broadcasts (codebook + centroid structs),"
+        " the probe join is a BroadcastHashJoin on list_id (query side"
+        " tiny by contract), and the only rows that ever shuffle are"
+        " probed-list ADC survivors entering the per-query top-k window."
+        " The float vectors reappear only in the k_coarse-bounded refine"
+        " re-join.",
+    ),
+    (
+        "q_postings_index",
+        "Inverted-index build under head-term skew: occurrences collapse"
+        " map-side in the (term, doc) partial aggregate; the posting cap"
+        " runs as TWO stacked row_number windows — first partitioned by"
+        " (term, doc_id % 32) so a term spanning the whole corpus never"
+        " concentrates more than df/32 rows in one partition, then over"
+        " the <= k*32 survivors per term; the top-terms cut is"
+        " TakeOrderedAndProject over post-aggregate vocabulary rows and"
+        " comes back as a broadcast semi-join.",
+    ),
+    (
+        "q_winnow_code_dedup",
+        "Winnowing: the per-document fingerprint selection is HOF-only"
+        " (transform/slice/array_min over a STAGED gram-hash column —"
+        " zero Python, zero Exchange below the explode); the corpus"
+        " shuffles only (doc, 32-byte hex) fingerprint rows, and the"
+        " df-cap aggregate runs BEFORE the pair self-join so every join"
+        " bucket is bounded at C(max_df, 2) pairs regardless of corpus"
+        " size.",
+    ),
 ]
 
 # Non-registry plan notes: (title, why, builder(spark) -> DataFrame).
