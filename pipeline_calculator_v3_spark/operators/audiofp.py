@@ -77,18 +77,17 @@ def audio_fingerprint64(media: DataFrame) -> DataFrame:
                         raise ValueError("too short to frame")
                     v = s.astype(np.int64)
                     f = (np.arange(n) * N_FRAMES) // n
-                    # bincount's weighted sums are float64; exact here
-                    # (PCM16 energies < 2^53) but cast back so every
-                    # comparison below is integer-vs-integer
-                    energy = np.bincount(
-                        f, v * v, minlength=N_FRAMES
-                    ).astype(np.int64)
+                    # int64 accumulation via add.at — bincount's weighted
+                    # path sums in float64, which rounds past 2^53 (hours
+                    # of 48 kHz audio puts 5e6+ samples in one frame) and
+                    # would break the integer-exact SQL-replay contract
+                    energy = np.zeros(N_FRAMES, dtype=np.int64)
+                    np.add.at(energy, f, v * v)
                     xing = np.concatenate(
                         ([0], ((v[1:] >= 0) != (v[:-1] >= 0)).astype(np.int64))
                     )
-                    zc = np.bincount(f, xing, minlength=N_FRAMES).astype(
-                        np.int64
-                    )
+                    zc = np.zeros(N_FRAMES, dtype=np.int64)
+                    np.add.at(zc, f, xing)
                     w = 1 << np.arange(32, dtype=np.int64)
                     lo = int(((energy[:-1] > energy[1:]) * w).sum())
                     hi = int(((zc[:-1] > zc[1:]) * w).sum())

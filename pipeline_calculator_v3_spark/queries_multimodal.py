@@ -65,20 +65,7 @@ bytes AS (
 """
 
 
-_PAYLOAD_BYTES_CTE = """
-m AS (
-    SELECT doc_id, hex(encode(text)) AS h,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n,
-           CAST((n_chars % 64 + 1) * 8 AS BIGINT) AS frame
-    FROM documents
-),
-bytes AS (
-    SELECT doc_id, n, frame, i,
-           (strpos('0123456789ABCDEF', substr(h, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
-         + (strpos('0123456789ABCDEF', substr(h, CAST(2 * i + 2 AS INT), 1)) - 1) AS b
-    FROM (SELECT doc_id, h, n, frame, unnest(range(n)) AS i FROM m)
-)
-"""
+_PAYLOAD_BYTES_CTE = _payload_bytes_cte()
 
 
 @query(
@@ -247,7 +234,7 @@ _PHASH_CORPUS_CTE = """
 corpus AS (
     SELECT doc_id, text, n_chars FROM documents
     UNION ALL
-    SELECT doc_id + 10000 AS doc_id, text, n_chars
+    SELECT doc_id + 10000000 AS doc_id, text, n_chars
     FROM documents WHERE doc_id % 7 = 0
 )
 """
@@ -311,7 +298,7 @@ def q_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     planted = docs.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "text", "n_chars"
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "n_chars"
     )
     media = synth_png_media(_spread(docs.unionByName(planted), spark))
     return ahash_pairs(ahash64(media), max_hamming=3).select(

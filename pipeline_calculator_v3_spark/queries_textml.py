@@ -3863,7 +3863,7 @@ _WINNOW_CORPUS_CTE = """
 corpus AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 20000 AS doc_id,
+    SELECT doc_id + 20000000 AS doc_id,
            'def fn_' || CAST(doc_id AS VARCHAR) || ' ( ) : return ' || text
                AS text
     FROM documents WHERE doc_id % 11 = 0
@@ -3924,7 +3924,7 @@ def q_winnow_code_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.where(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 20000).alias("doc_id"),
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
         F.concat(
             F.lit("def fn_"), F.col("doc_id").cast("string"),
             F.lit(" ( ) : return "), F.col("text"),
