@@ -392,3 +392,196 @@ def compact_dataset(
         "files_after": _count_files(out_dir),
         "validation": report,
     }
+
+
+def optimize_dataset(
+    spark: SparkSession,
+    out_dir: str,
+    target_bytes: int,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """SELECTIVE small-file compaction (the Delta ``OPTIMIZE`` /
+    Iceberg ``rewrite_data_files`` shape): plan with
+    :func:`operators.compaction.compaction_plan` over the PHYSICAL file
+    listing, rewrite ONLY the small-file pack groups (one output file
+    per group), and carry every already-target-sized file into the new
+    tree untouched via hardlink — a steady-state table pays for its
+    small-file tail, never a full rewrite (the wholesale path is
+    :func:`compact_dataset`).
+
+    ``sort_by`` (column names or SQL expressions, e.g. a
+    ``operators/zorder.py`` Morton-key expression) sorts rows WITHIN each
+    rewritten file — the z-order write path: compaction is the one time
+    the rows move anyway, so clustering them then is free shuffle-wise.
+    Untouched files keep their existing order.
+
+    Safety protocol — identical to :func:`compact_dataset`: build the
+    full sibling tree (rewritten groups + hardlinked big files), copy the
+    manifest in, VALIDATE the sibling against it while the original is
+    still live (order-independent checksums — a rewrite/sort cannot
+    change them unless content changed), then the two-rename swap with
+    crash recovery at entry.  A plan with no multi-file group returns
+    early without touching the dataset.
+
+    Scale shape: planning is pure Column arithmetic over the file
+    listing (metadata, hive-partition-local windows); the rewrite reads
+    exactly the small files, shuffles them once keyed by
+    (partition dirs, group), and writes one file per group via a
+    transient ``__grp`` hive level so group boundaries survive task
+    hashing exactly.  Hardlinks make the untouched-file carry O(1) per
+    file.
+
+    Returns ``{"files_before", "files_after", "rewritten_files",
+    "groups_rewritten", "validation"}``."""
+    import shutil
+
+    from .operators.compaction import compaction_plan
+    from .session import scoped_conf
+
+    tmp = out_dir.rstrip("/") + ".__optimize__"
+    old = out_dir.rstrip("/") + ".__old__"
+    _recover_interrupted_swap(out_dir)
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    with open(os.path.join(out_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    if manifest.get("digest_version", 1) != DIGEST_VERSION:
+        manifest = restamp_manifest(spark, out_dir)
+    partition_by = manifest["partition_by"]
+
+    root = os.path.abspath(out_dir)
+    listing = sorted(
+        (os.path.relpath(os.path.join(dirpath, name), root),
+         os.path.getsize(os.path.join(dirpath, name)))
+        for dirpath, _, names in os.walk(root)
+        for name in names
+        if name.endswith(".parquet")
+    )
+    files_before = len(listing)
+    files = spark.createDataFrame(
+        [
+            (i, rel, os.path.dirname(rel), size)
+            for i, (rel, size) in enumerate(listing)
+        ],
+        "file_id bigint, rel string, part_dir string, bytes bigint",
+    )
+    plan = compaction_plan(
+        files, target_bytes, partition_cols=["part_dir"]
+    ).join(files.select("file_id", "rel"), "file_id")
+    # only multi-file pack groups are worth a rewrite (a solo small file
+    # rewritten alone is IO for nothing); everything else carries over
+    grp_sizes = plan.where("compact").groupBy("part_dir", "group_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    rewrite = (
+        plan.where("compact")
+        .join(grp_sizes.where("_n >= 2"), ["part_dir", "group_id"])
+        .select("rel", "part_dir", "group_id")
+    )
+    rewrite_rows = rewrite.collect()
+    if not rewrite_rows:
+        return {
+            "files_before": files_before,
+            "files_after": files_before,
+            "rewritten_files": 0,
+            "groups_rewritten": 0,
+            "validation": {"ok": True, "skipped": "no multi-file group"},
+        }
+    rewritten_files = len(rewrite_rows)
+    groups = {(r.part_dir, r.group_id) for r in rewrite_rows}
+    rewrite_set = {r.rel for r in rewrite_rows}
+
+    # --- 1. rewrite the pack groups into tmp, one file per group -------
+    # group id travels as a transient hive level (__grp) so group
+    # boundaries survive task hashing exactly: two groups colliding into
+    # one task still write separate files because they differ in __grp.
+    small_paths = [os.path.join(root, rel) for rel in sorted(rewrite_set)]
+    grp_map = spark.createDataFrame(
+        [(os.path.join(root, r.rel), int(r.group_id)) for r in rewrite_rows],
+        "_path string, __grp bigint",
+    )
+    with scoped_conf(
+        spark, "spark.sql.sources.partitionColumnTypeInference.enabled",
+        "false",
+    ):
+        small_df = (
+            spark.read.option("basePath", root).parquet(*small_paths)
+            .withColumn(
+                "_path",
+                F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+            )
+            .withColumn("_path", F.url_decode("_path"))
+        )
+    tagged = small_df.join(F.broadcast(grp_map), "_path").drop("_path")
+    tagged = tagged.repartition(*[F.col(c) for c in partition_by + ["__grp"]])
+    if sort_by:
+        # the partitioned writer requires task rows ordered by the
+        # partition expressions and INSERTS ITS OWN SORT otherwise,
+        # silently discarding any custom clustering — leading with
+        # (partition_by, __grp) satisfies that requirement as a prefix so
+        # the sort_by order actually reaches the files
+        tagged = tagged.sortWithinPartitions(
+            *[F.col(c) for c in partition_by + ["__grp"]],
+            *[F.expr(s) for s in sort_by],
+        )
+    tmp_rw = tmp + ".__rw__"
+    tagged.write.mode("overwrite").partitionBy(
+        *partition_by, "__grp"
+    ).parquet(tmp_rw)
+
+    # flatten the __grp level: move each group's file(s) up into its
+    # partition directory with a collision-proof name
+    os.makedirs(tmp, exist_ok=True)
+    for dirpath, _, names in os.walk(tmp_rw):
+        parts = [n for n in names if n.endswith(".parquet")]
+        if not parts:
+            continue
+        rel_dir = os.path.relpath(dirpath, tmp_rw)
+        head, grp_level = os.path.split(rel_dir)
+        assert grp_level.startswith("__grp=")
+        dest = os.path.join(tmp, head)
+        os.makedirs(dest, exist_ok=True)
+        for i, name in enumerate(sorted(parts)):
+            os.replace(
+                os.path.join(dirpath, name),
+                os.path.join(dest, f"optimized-{grp_level[6:]}-{i}.parquet"),
+            )
+    shutil.rmtree(tmp_rw)
+
+    # --- 2. hardlink every untouched file into the sibling tree --------
+    for rel, _size in listing:
+        if rel in rewrite_set:
+            continue
+        dst = os.path.join(tmp, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(os.path.join(root, rel), dst)
+        except OSError:  # cross-device or link-unsupported fs
+            shutil.copy2(os.path.join(root, rel), dst)
+
+    # --- 3. validate the sibling against the live manifest, then swap --
+    shutil.copy(os.path.join(root, _MANIFEST), os.path.join(tmp, _MANIFEST))
+    report = validate_dataset(spark, tmp)
+    if not report["ok"]:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"optimize changed key-column content, original untouched: "
+            f"{report}"
+        )
+    os.rename(out_dir, old)
+    os.rename(tmp, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after = sum(
+        1
+        for dirpath, _, names in os.walk(out_dir)
+        for n in names
+        if n.endswith(".parquet")
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rewritten_files": rewritten_files,
+        "groups_rewritten": len(groups),
+        "validation": report,
+    }

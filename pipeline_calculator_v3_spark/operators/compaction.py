@@ -38,6 +38,7 @@ def compaction_plan(
     small_bytes: int | None = None,
     id_col: str = "file_id",
     bytes_col: str = "bytes",
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign every file to a rewrite group.
 
@@ -50,13 +51,22 @@ def compaction_plan(
     first-fit plan, which overshoots a group by less than one member file
     and never splits a file.
 
-    Returns (id, bytes, compact BOOLEAN, group_id BIGINT).
+    Returns (id, bytes, compact BOOLEAN, group_id BIGINT) — plus the
+    ``partition_cols`` passthrough when given.
+
+    ``partition_cols`` (r12, for the optimize_dataset executor) makes the
+    packing HIVE-PARTITION-LOCAL: both windows partition by those columns,
+    so no group ever spans two partition directories (rows could not be
+    rewritten together anyway) and group ids are unique only within a
+    partition — group BY (partition_cols..., group_id).
 
     Scale shape: the only window orders the SMALL-file subset of one
     table's manifest — bounded by file count, not data; at fleet scale
     plans run per table/partition independently (group ids are local to
-    the input frame by design).  The rewrite this schedules is the
-    expensive part and it is exactly ``n_small`` file reads.
+    the input frame by design, and partition_cols turns that independence
+    into ONE windowed pass instead of a per-partition loop).  The rewrite
+    this schedules is the expensive part and it is exactly ``n_small``
+    file reads.
     """
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")
@@ -70,23 +80,30 @@ def compaction_plan(
         if reserved in files.columns:
             raise ValueError(f"'{reserved}' is reserved by compaction_plan")
     fid, fbytes = F.col(id_col), F.col(bytes_col)
+    pcols = list(partition_cols or [])
     small = files.where(fbytes < small_bytes)
     big = files.where(fbytes >= small_bytes)
-    w = Window.orderBy(fid)
+    w = (
+        Window.partitionBy(*pcols).orderBy(fid) if pcols
+        else Window.orderBy(fid)
+    )
     # integer division end-to-end (SQL `div`): double division would round
     # past 2^53 of cumulative bytes, and DuckDB's // replays BIGINT-exact
     packed = small.select(
+        *pcols,
         fid,
         fbytes,
         F.lit(True).alias("compact"),
         (F.coalesce(F.sum(fbytes).over(w), F.lit(0)) - fbytes).alias("_cx"),
     ).select(
+        *pcols,
         fid,
         fbytes,
         "compact",
         F.expr(f"_cx div {int(target_bytes)}").cast("bigint").alias("group_id"),
     )
     solo = big.select(
+        *pcols,
         fid,
         fbytes,
         F.lit(False).alias("compact"),
