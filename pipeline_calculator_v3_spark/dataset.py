@@ -40,6 +40,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -295,6 +298,18 @@ def restamp_manifest(spark: SparkSession, out_dir: str) -> dict:
     return manifest
 
 
+def _list_parquet(root: str) -> list[tuple[str, int]]:
+    """Sorted (relpath, bytes) for every parquet data file under root."""
+    root = os.path.abspath(root)
+    return sorted(
+        (os.path.relpath(os.path.join(dirpath, name), root),
+         os.path.getsize(os.path.join(dirpath, name)))
+        for dirpath, _, names in os.walk(root)
+        for name in names
+        if name.endswith(".parquet")
+    )
+
+
 def compact_dataset(
     spark: SparkSession, out_dir: str, files_per_partition: int = 1
 ) -> dict:
@@ -350,12 +365,7 @@ def compact_dataset(
     key_cols = manifest["key_cols"]
 
     def _count_files(d: str) -> int:
-        return sum(
-            1
-            for root, _, names in os.walk(d)
-            for n in names
-            if n.endswith(".parquet")
-        )
+        return len(_list_parquet(d))
 
     files_before = _count_files(out_dir)
     df = _read_raw(spark, out_dir)
@@ -439,9 +449,10 @@ def optimize_dataset(
     from .session import scoped_conf
 
     tmp = out_dir.rstrip("/") + ".__optimize__"
+    tmp_rw = tmp + ".__rw__"
     old = out_dir.rstrip("/") + ".__old__"
     _recover_interrupted_swap(out_dir)
-    for stale in (tmp, old):
+    for stale in (tmp, tmp_rw, old):
         if os.path.exists(stale):
             shutil.rmtree(stale)
     with open(os.path.join(out_dir, _MANIFEST)) as f:
@@ -451,13 +462,7 @@ def optimize_dataset(
     partition_by = manifest["partition_by"]
 
     root = os.path.abspath(out_dir)
-    listing = sorted(
-        (os.path.relpath(os.path.join(dirpath, name), root),
-         os.path.getsize(os.path.join(dirpath, name)))
-        for dirpath, _, names in os.walk(root)
-        for name in names
-        if name.endswith(".parquet")
-    )
+    listing = _list_parquet(root)
     files_before = len(listing)
     files = spark.createDataFrame(
         [
@@ -492,27 +497,59 @@ def optimize_dataset(
     groups = {(r.part_dir, r.group_id) for r in rewrite_rows}
     rewrite_set = {r.rel for r in rewrite_rows}
 
+    # a fresh token per run keeps rewritten-file names disjoint from any
+    # optimized-* file a PREVIOUS run left behind (such a file can appear
+    # in the carry-over set of a later pass once appends re-fragment its
+    # partition)
+    run_token = uuid.uuid4().hex[:8]
+
     # --- 1. rewrite the pack groups into tmp, one file per group -------
     # group id travels as a transient hive level (__grp) so group
     # boundaries survive task hashing exactly: two groups colliding into
     # one task still write separate files because they differ in __grp.
     small_paths = [os.path.join(root, rel) for rel in sorted(rewrite_set)]
-    grp_map = spark.createDataFrame(
-        [(os.path.join(root, r.rel), int(r.group_id)) for r in rewrite_rows],
-        "_path string, __grp bigint",
-    )
     with scoped_conf(
         spark, "spark.sql.sources.partitionColumnTypeInference.enabled",
         "false",
     ):
-        small_df = (
-            spark.read.option("basePath", root).parquet(*small_paths)
-            .withColumn(
-                "_path",
-                F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+        small_df = spark.read.option("basePath", root).parquet(*small_paths)
+    for reserved in ("_path", "__grp"):
+        if reserved in small_df.columns:
+            raise ValueError(
+                f"column name {reserved!r} is reserved by optimize_dataset"
             )
-            .withColumn("_path", F.url_decode("_path"))
+    # Join keys are the EXACT URI strings input_file_name emits, taken
+    # from a footer-cheap probe over the small files and decoded
+    # driver-side with urllib's unquote — url_decode in the plan would
+    # corrupt a literal '+' in a partition value (URLDecoder turns it
+    # into a space; '+' is never percent-encoded in the file URI), and
+    # hand-encoding the local path can drift from Hadoop's Path rules.
+    reported = [
+        r.u
+        for r in small_df.select(
+            F.input_file_name().alias("u")
+        ).distinct().collect()
+    ]
+    local_of = {
+        os.path.join(
+            root, os.path.relpath(unquote(re.sub("^file:(//)?", "", u)), root)
+        ): u
+        for u in reported
+    }
+    missing = [p for p in small_paths if p not in local_of]
+    if missing:
+        raise RuntimeError(
+            f"could not map {len(missing)} small files back to scan URIs "
+            f"(non-local filesystem? see module docstring): {missing[:3]}"
         )
+    grp_map = spark.createDataFrame(
+        [
+            (local_of[os.path.join(root, r.rel)], int(r.group_id))
+            for r in rewrite_rows
+        ],
+        "_path string, __grp bigint",
+    )
+    small_df = small_df.withColumn("_path", F.input_file_name())
     tagged = small_df.join(F.broadcast(grp_map), "_path").drop("_path")
     tagged = tagged.repartition(*[F.col(c) for c in partition_by + ["__grp"]])
     if sort_by:
@@ -525,7 +562,6 @@ def optimize_dataset(
             *[F.col(c) for c in partition_by + ["__grp"]],
             *[F.expr(s) for s in sort_by],
         )
-    tmp_rw = tmp + ".__rw__"
     tagged.write.mode("overwrite").partitionBy(
         *partition_by, "__grp"
     ).parquet(tmp_rw)
@@ -545,7 +581,10 @@ def optimize_dataset(
         for i, name in enumerate(sorted(parts)):
             os.replace(
                 os.path.join(dirpath, name),
-                os.path.join(dest, f"optimized-{grp_level[6:]}-{i}.parquet"),
+                os.path.join(
+                    dest,
+                    f"optimized-{run_token}-{grp_level[6:]}-{i}.parquet",
+                ),
             )
     shutil.rmtree(tmp_rw)
 
@@ -557,6 +596,10 @@ def optimize_dataset(
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         try:
             os.link(os.path.join(root, rel), dst)
+        except FileExistsError:
+            # never mask a collision with a silent overwrite: a carried
+            # file landing on a rewritten group file would erase rows
+            raise
         except OSError:  # cross-device or link-unsupported fs
             shutil.copy2(os.path.join(root, rel), dst)
 
@@ -572,12 +615,7 @@ def optimize_dataset(
     os.rename(out_dir, old)
     os.rename(tmp, out_dir)
     shutil.rmtree(old, ignore_errors=True)
-    files_after = sum(
-        1
-        for dirpath, _, names in os.walk(out_dir)
-        for n in names
-        if n.endswith(".parquet")
-    )
+    files_after = len(_list_parquet(out_dir))
     return {
         "files_before": files_before,
         "files_after": files_after,

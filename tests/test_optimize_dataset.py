@@ -86,11 +86,12 @@ def test_optimize_merges_small_files(spark, small_file_dataset):
 
 def test_untouched_files_are_carried_by_link(spark, small_file_dataset):
     out = small_file_dataset
+    before = _files(out)
     # target below every file size -> nothing is small -> early no-op
     report = optimize_dataset(spark, out, target_bytes=1)
     assert report["files_after"] == report["files_before"] == 16
     assert report["rewritten_files"] == 0
-    assert _files(out) == _files(out)  # tree untouched
+    assert _files(out) == before  # tree untouched
     assert validate_dataset(spark, out)["ok"]
 
 
@@ -103,6 +104,42 @@ def test_optimize_is_idempotent(spark, small_file_dataset):
     assert second["rewritten_files"] == 0
     assert second["files_after"] == 2
     assert validate_dataset(spark, out)["ok"]
+
+
+def test_reoptimize_after_refragmentation(spark, small_file_dataset):
+    """A previously optimized file can later be CARRIED (big/solo) while
+    new appends form a fresh rewrite group in the same partition dir —
+    the per-run filename token must keep the new group file from
+    colliding with the carried one (review r12: a collision used to be
+    masked by the copy fallback, silently erasing the rewritten rows)."""
+    out = small_file_dataset
+    optimize_dataset(spark, out, target_bytes=1 << 30)
+    merged = _files(out)
+    assert len(merged) == 2 and all("optimized-" in f for f in merged)
+    extra = spark.range(400, 600).select(
+        (F.col("id") % 2).cast("string").alias("part"),
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 97).alias("v"),
+    ).repartition(8)
+    write_dataset(extra, out, partition_by=["part"], key_cols=["k", "v"],
+                  mode="append")
+    # threshold between the merged files and the fresh fragments: the
+    # merged generation carries, the fragments pack
+    sizes = {f: os.path.getsize(os.path.join(out, f)) for f in _files(out)}
+    thr = min(sizes[f] for f in merged)
+    assert all(
+        sizes[f] < thr for f in _files(out) if f not in merged
+    ), "fixture drift: fragments must be smaller than the merged files"
+    report = optimize_dataset(spark, out, target_bytes=thr)
+    assert report["groups_rewritten"] >= 2
+    assert validate_dataset(spark, out)["ok"]
+    assert spark.read.parquet(out).count() == 600
+    # the carried generation survives next to the new one, no collision
+    after = _files(out)
+    assert set(merged) <= set(after)
+    assert len(after) == len(set(after))
+    for part in ("part=0", "part=1"):
+        assert len([f for f in after if f.startswith(part)]) >= 2
 
 
 def test_optimize_sort_by_clusters_rows(spark, small_file_dataset):
