@@ -94,7 +94,13 @@ def _ring(points_xy: np.ndarray, lon0: float, lat0: float, m_lon: float):
 
 
 def _oriented_rect(cl_xy, half_w, pad):
-    """5-point closed rectangle around the principal axis (op 16)."""
+    """5-point closed rectangle around the principal axis (op 16).
+
+    Laterally centered on the MEAN perpendicular offset of the centerline
+    (:544 s_mean; corner projections at s_mean +- half_w, :568-571) — a
+    curved centerline anchored at its first point's offset instead would
+    shift the rectangle sideways and leave far-offset centerline points
+    outside it (review r12)."""
     axis = cl_xy[-1] - cl_xy[0]
     norm = np.hypot(*axis)
     if norm < 1e-9:
@@ -103,13 +109,14 @@ def _oriented_rect(cl_xy, half_w, pad):
     u = axis / norm
     v = np.array([-u[1], u[0]])
     t = cl_xy @ u
+    s_mean = float((cl_xy @ v).mean())
     t0, t1 = t.min() - pad, t.max() + pad
     corners = np.array(
         [
-            cl_xy[0] + u * (t0 - t[0]) + v * half_w,
-            cl_xy[0] + u * (t1 - t[0]) + v * half_w,
-            cl_xy[0] + u * (t1 - t[0]) - v * half_w,
-            cl_xy[0] + u * (t0 - t[0]) - v * half_w,
+            u * t0 + v * (s_mean + half_w),
+            u * t1 + v * (s_mean + half_w),
+            u * t1 + v * (s_mean - half_w),
+            u * t0 + v * (s_mean - half_w),
         ]
     )
     return np.vstack([corners, corners[:1]])
@@ -181,7 +188,9 @@ def _zigzag(ring_xy: np.ndarray, scale: float, edge_cl_len: np.ndarray) -> bool:
     return bool(np.any(lens > edge_cl_len + 10.0 * max(scale, 1.0)))
 
 
-def _corridor_group(pdf: pd.DataFrame, detection_range_m: float) -> pd.DataFrame:
+def _corridor_group(
+    pdf: pd.DataFrame, detection_range_m: float, segment_length_m: float
+) -> pd.DataFrame:
     pdf = pdf.sort_values(["seg1", "seg2"])
     a = pdf[["a_mid_lon", "a_mid_lat"]].to_numpy(float)
     b = pdf[["b_mid_lon", "b_mid_lat"]].to_numpy(float)
@@ -226,9 +235,19 @@ def _corridor_group(pdf: pd.DataFrame, detection_range_m: float) -> pd.DataFrame
         axis=1,
     )
     cl_xy = _douglas_peucker(cl_xy, DECIMATION_TOL_M)
-    width = min(dist.max() + WIDTH_MARGIN_M, 2.0 * detection_range_m)  # (:546-559)
+    # width (:555-559): max over pair separations + 10 m margin, FLOORED
+    # at segment_length ("ensure at least a narrow band"), clamped to 2x
+    # detection range; padding (:561-562) = max(segment_length, 5 m).
+    # At the default 5 m segment length neither segment_length term ever
+    # binds (max_sep + 10 >= 10 > 5), so default outputs are unchanged —
+    # the floor/padding matter for the clamped-legal larger segment
+    # lengths (review r12).
+    width = min(
+        max(dist.max() + WIDTH_MARGIN_M, segment_length_m),
+        2.0 * detection_range_m,
+    )
     half_w = width / 2.0
-    pad = WIDTH_MARGIN_M / 2.0  # end padding (:561-564)
+    pad = max(segment_length_m, WIDTH_MARGIN_M / 2.0)  # (:561-562)
 
     rect_xy = _oriented_rect(cl_xy, half_w, pad)
     oriented = _ring(rect_xy, center_lon, center_lat, m_lon)
@@ -266,12 +285,17 @@ def _corridor_group(pdf: pd.DataFrame, detection_range_m: float) -> pd.DataFrame
     )
 
 
-def corridor_polygons(section_hits: DataFrame, detection_range_m: float = 15.0) -> DataFrame:
+def corridor_polygons(
+    section_hits: DataFrame,
+    detection_range_m: float = 15.0,
+    segment_length_m: float = 5.0,
+) -> DataFrame:
     """(p1,p2,section,seg1,seg2,a_mid_*,b_mid_*,dist_m) hits -> one corridor
     geometry row per section."""
     from ..shipping import ensure_pkg_shipped
 
     ensure_pkg_shipped(section_hits.sparkSession)
     return section_hits.groupBy("p1", "p2", "section").applyInPandas(
-        lambda pdf: _corridor_group(pdf, detection_range_m), CORRIDOR_SCHEMA
+        lambda pdf: _corridor_group(pdf, detection_range_m, segment_length_m),
+        CORRIDOR_SCHEMA
     )

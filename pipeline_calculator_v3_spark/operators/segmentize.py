@@ -6,12 +6,24 @@ per-vertex state (accumulated arc length, interpolated cut points), so it
 runs as a vectorized-per-group ``applyInPandas`` kernel: numpy math, Arrow
 batch transfer, no row-at-a-time Python.
 
-Semantics mirrored from the reference:
-- cut the polyline every ``segment_length`` meters of accumulated haversine
-  arc length, linearly interpolating split points within edges
-  (src/pipeline_calculator_v3.py:273-275)
+Semantics relative to the reference (documented precisely, review r12):
+- cut the polyline every ``segment_length`` meters of accumulated arc
+  length, linearly interpolating split points within edges in RAW lon/lat
+  (src/pipeline_calculator_v3.py:273-275 does the same raw-coordinate
+  lerp, so antimeridian-crossing edges behave identically on both sides);
 - each segment emits {midpoint, bearing, length, segment_index}
-  (src/pipeline_calculator_v3.py:277-282)
+  (src/pipeline_calculator_v3.py:277-282) — with one DELIBERATE
+  divergence: this kernel places the station at the segment's true arc
+  MIDPOINT (cut + L/2) with the cut-to-cut bearing.  The reference's
+  while-loop (:272-281) labels the segment END 'midpoint' and, after the
+  first station of an edge, resets its interpolation origin to the last
+  station while still dividing by the ORIGINAL full edge length — so its
+  stations geometrically drift within any edge long enough to hold two or
+  more stations (the common case at L=5 m).  Replicating that would be
+  reproducing a positional bug, not a semantic; the clean resampler is
+  pinned instead by this module's goldens, the SQL-replay oracle
+  (tests/test_segmentize_oracle.py), and spacing/coverage property tests.
+  Downstream faces replay THIS spelling in their oracles.
 - the sub-segment tail remainder is dropped here and accounted separately by
   the effective-length tails (src/pipeline_calculator_v3.py:839-845)
 

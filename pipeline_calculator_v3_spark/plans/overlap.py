@@ -188,7 +188,7 @@ def analyze_pipelines(
             F.avg("dist_m").alias("average_separation"),
         )
         .join(
-            corridor_polygons(kept_hits, detection_range_m),
+            corridor_polygons(kept_hits, detection_range_m, segment_length_m),
             ["p1", "p2", "section", "n_hits"],
         )
         .orderBy(F.desc("bundled_length_mi"))  # op 19 (:744-745)

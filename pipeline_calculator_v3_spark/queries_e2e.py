@@ -143,7 +143,7 @@ def q_overlap_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.avg("dist_m").alias("avg_separation_m"),
     )
-    corr = corridor_polygons(kept, DETECTION_RANGE_M).select(
+    corr = corridor_polygons(kept, DETECTION_RANGE_M, SEG_LEN_M).select(
         "p1", "p2", "section", "n_hits",
         "center_lon", "center_lat",
         "min_lon", "max_lon", "min_lat", "max_lat",

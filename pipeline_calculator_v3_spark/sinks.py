@@ -112,14 +112,21 @@ def write_json(results: dict[str, DataFrame], path: str) -> None:
 
 
 def write_txt_summary(results: dict[str, DataFrame], path: str) -> None:
-    """Op 25: 4-line totals report (:1689-1696)."""
+    """Op 25: 4-line totals report (:1689-1696).
+
+    Zero valid pipelines leaves the SUM aggregates NULL (SQL semantics);
+    they report as 0 rather than crashing the f-string on None (review
+    r12 — the reference raises 'No valid features found' much earlier, at
+    parse time, a path our PERMISSIVE multi-file reader deliberately
+    does not take)."""
     t = results["totals"].collect()[0]
     s = results["summary"].collect()[0]
     lines = [
         f"Total pipelines: {t.n_pipelines}",
-        f"Total length (m): {t.total_m:.2f}",
-        f"Total length (US survey mi): {t.total_mi:.4f}",
-        f"Effective length (m): {s.effective_m:.2f} (savings {s.savings_pct:.1f}%)",
+        f"Total length (m): {t.total_m or 0.0:.2f}",
+        f"Total length (US survey mi): {t.total_mi or 0.0:.4f}",
+        f"Effective length (m): {s.effective_m or 0.0:.2f} "
+        f"(savings {s.savings_pct or 0.0:.1f}%)",
     ]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -36,12 +36,18 @@ def read_orc(spark: SparkSession, path: str, schema: str | None = None) -> DataF
 
 
 def _bytes_conf(spark: SparkSession, key: str) -> int:
-    """A Spark size conf ('128MB', '134217728b', plain digits) as bytes."""
+    """A Spark size conf ('128MB', '1.5g', '134217728b', plain digits) as
+    bytes.  The unit multiplier applies BEFORE truncation (review r12:
+    int(float('1.5')) * 1GiB understated '1.5g' by half a unit, failing
+    reads Spark itself would happily plan), and the petabyte unit Spark
+    accepts is included."""
     raw = str(spark.conf.get(key)).strip().lower()
-    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-    for suffix in ("kb", "mb", "gb", "tb", "k", "m", "g", "t", "b"):
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+             "t": 1 << 40, "p": 1 << 50}
+    for suffix in ("kb", "mb", "gb", "tb", "pb", "k", "m", "g", "t", "p",
+                   "b"):
         if raw.endswith(suffix):
-            return int(float(raw[: -len(suffix)])) * units[suffix[0]]
+            return int(float(raw[: -len(suffix)]) * units[suffix[0]])
     return int(raw)
 
 

@@ -75,6 +75,21 @@ def _open_kml_bytes(path: str, content: bytes) -> bytes | None:
     return content
 
 
+def _sniff_ns(data: bytes) -> str:
+    """Default-namespace prefix for element matching (op 3, :86-88).
+
+    Both quote styles and a 2000-byte window (review r06: single-quoted
+    xmlns or a long prolog/comment before the root tag silently yielded
+    zero features); the pattern requires '=' right after 'xmlns' so
+    prefixed declarations (xmlns:gx=...) never win over the default
+    namespace.  Shared by the feature parser and schema_fields (review
+    r12: schema_fields still carried the pre-r06 200-byte double-quote
+    sniff, so single-quoted xmlns dropped the whole typed schema)."""
+    head = data[:2000].decode("utf-8", errors="ignore")
+    m = re.search(r"""xmlns=["']([^"']+)["']""", head)
+    return f"{{{m.group(1)}}}" if m else ""
+
+
 def _parse_kml(path: str, content: bytes):
     """Yields ('pipeline'|'placemark', rowdict) per Placemark."""
     import xml.etree.ElementTree as ET
@@ -82,14 +97,7 @@ def _parse_kml(path: str, content: bytes):
     data = _open_kml_bytes(path, content)
     if data is None:
         return
-    # namespace inference off the root tag (op 3, :86-88).  Both quote
-    # styles and a 2000-byte window (review r06: single-quoted xmlns or a
-    # long prolog/comment before the root tag silently yielded zero
-    # features); the pattern requires '=' right after 'xmlns' so prefixed
-    # declarations (xmlns:gx=...) never win over the default namespace.
-    head = data[:2000].decode("utf-8", errors="ignore")
-    m = re.search(r"""xmlns=["']([^"']+)["']""", head)
-    ns = f"{{{m.group(1)}}}" if m else ""
+    ns = _sniff_ns(data)
 
     try:
         it = ET.iterparse(io.BytesIO(data), events=("end",))
@@ -113,19 +121,30 @@ def _parse_kml(path: str, content: bytes):
                 )
                 attrs: dict[str, str] = {}
                 objectid = "N/A"
+                oid_data = oid_simple = None
                 for d in elem.iter(f"{ns}Data"):
                     key = d.get("name")
                     v = d.find(f"{ns}value")
                     if key and v is not None and v.text is not None:
                         attrs[key] = v.text
+                        if key == "OBJECTID" and oid_data is None:
+                            oid_data = v.text
                 for sd in elem.iter(f"{ns}SimpleData"):
                     key = sd.get("name")
                     if key and sd.text is not None:
                         attrs[key] = sd.text
-                for k, v in attrs.items():
-                    if k.upper() == "OBJECTID":  # op 5 (:148-165)
-                        objectid = v
-                        break
+                        if key == "OBJECTID" and oid_simple is None:
+                            oid_simple = sd.text
+                # op 5 (:148-165): the reference tries Data[@name=
+                # "OBJECTID"]/value FIRST and falls back to SimpleData,
+                # matches the name EXACTLY (XPath attribute match, not
+                # case-folded), and strips the text (review r12: the
+                # attrs-map scan inverted the precedence, case-folded, and
+                # skipped the strip).  Empty-after-the-fact text keeps the
+                # 'N/A' default, like the reference's truthiness check.
+                chosen = oid_data if oid_data is not None else oid_simple
+                if chosen is not None and chosen.strip():
+                    objectid = chosen.strip()
 
                 has_point = elem.find(f".//{ns}Point") is not None
                 has_linestring = elem.find(f".//{ns}LineString") is not None
@@ -177,6 +196,13 @@ def _parse_kml(path: str, content: bytes):
                                 if objectid != "N/A"
                                 else f"PM_{placemark_count}"  # (:125)
                             ),
+                            # OBJECTID-less ids are per-file counters and
+                            # collide across a multi-file glob (the
+                            # read_pipelines re-key rationale, review r06/
+                            # r12); the local index lets read_placemarks
+                            # re-key them globally.
+                            "local_idx": placemark_count,
+                            "default_id": objectid == "N/A",
                             "name": name,
                             "count": 1,
                         },
@@ -226,9 +252,7 @@ def schema_fields(spark: SparkSession, paths: str | list[str]) -> list[tuple[str
                 data = _open_kml_bytes(path, bytes(content))
                 if data is None:
                     continue
-                head = data[:200].decode("utf-8", errors="ignore")
-                m = re.search(r'xmlns="([^"]+)"', head)
-                ns = f"{{{m.group(1)}}}" if m else ""
+                ns = _sniff_ns(data)
                 try:
                     pos = 0
                     for _, elem in ET.iterparse(io.BytesIO(data), events=("end",)):
@@ -348,7 +372,37 @@ def read_placemarks(spark: SparkSession, paths: str | list[str]) -> DataFrame:
                     if kind == "placemark":
                         rows.append(row)
             yield pd.DataFrame(
-                rows, columns=["file", "placemark_id", "name", "count"]
+                rows,
+                columns=["file", "placemark_id", "local_idx",
+                         "default_id", "name", "count"],
             )
 
-    return _read_binary(spark, paths).mapInPandas(gen, PLACEMARKS_SCHEMA)
+    from pyspark.sql import Window
+
+    parsed = persist_tracked(
+        _read_binary(spark, paths).mapInPandas(
+            gen, PLACEMARKS_SCHEMA + ", local_idx int, default_id boolean"
+        )
+    )
+    # default PM_{n} ids are per-file counters: across a multi-file glob
+    # they collide and a downstream groupBy/join on placemark_id merges
+    # unrelated placemarks (exactly the read_pipelines re-key rationale,
+    # review r06/r12).  Re-key the DEFAULT ids densely over (file, local
+    # index) — OBJECTID-derived ids are data and stay verbatim; a single
+    # file keeps PM_1..PM_n unchanged.  The unpartitioned window runs
+    # over lightweight key pairs only, like the pipelines re-key.
+    w = Window.orderBy("file", "local_idx")
+    keys = (
+        parsed.where("default_id").select("file", "local_idx").distinct()
+        .withColumn("_g", F.row_number().over(w))
+    )
+    return (
+        parsed.join(F.broadcast(keys), ["file", "local_idx"], "left")
+        .withColumn(
+            "placemark_id",
+            F.when(
+                F.col("default_id"), F.concat(F.lit("PM_"), F.col("_g"))
+            ).otherwise(F.col("placemark_id")),
+        )
+        .select("file", "placemark_id", "name", "count")
+    )

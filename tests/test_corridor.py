@@ -155,8 +155,62 @@ def test_corridor_across_antimeridian(spark):
         columns=["p1", "p2", "section", "seg1", "seg2", "a_mid_lon",
                  "a_mid_lat", "b_mid_lon", "b_mid_lat", "dist_m"],
     )
-    out = _corridor_group(pdf, 15.0).iloc[0]
+    out = _corridor_group(pdf, 15.0, 5.0).iloc[0]
     # center is AT the line (unwrapped frame: ~180.0005), never ~0
     assert abs(abs(out["center_lon"]) - 180.0) < 0.01
     # bbox spans the ~0.0009 deg of the section, not ~360
     assert out["max_lon"] - out["min_lon"] < 0.01
+
+
+def test_width_floor_and_padding_track_segment_length(spark):
+    """Reference :555-562: width floors at segment_length and the end
+    padding is max(segment_length, 5) — both invisible at the default
+    5 m (max_sep + 10 >= 10 > 5) but binding for larger legal segment
+    lengths (review r12)."""
+    import pandas as pd
+
+    from pipeline_calculator_v3_spark.operators.corridor import (
+        _corridor_group,
+    )
+
+    rows = [(1, 2, 1, i, i, -100.0 + i * 0.0001, 40.0,
+             -100.0 + i * 0.0001, 40.00008, 9.0) for i in range(10)]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["p1", "p2", "section", "seg1", "seg2", "a_mid_lon",
+                 "a_mid_lat", "b_mid_lon", "b_mid_lat", "dist_m"],
+    )
+    default = _corridor_group(pdf, 15.0, 5.0).iloc[0]
+    assert default["oriented_width_m"] == pytest.approx(9.0 + 10.0)
+    wide = _corridor_group(pdf, 100.0, 50.0).iloc[0]
+    # floor binds: max(9 + 10, 50) = 50, under the 200 m clamp
+    assert wide["oriented_width_m"] == pytest.approx(50.0)
+    # padding binds too: the oriented ring extends ~50 m past each end
+    # (~76 m of stations + 2 x 50 m pad along the axis)
+    ring = wide["oriented_polygon"]
+    lons = [pt["lon"] for pt in ring]
+    span_m = (max(lons) - min(lons)) * 111320.0 * 0.766  # cos(40 deg)
+    assert span_m > 76 + 2 * 45
+
+
+def test_oriented_rect_centers_on_mean_offset():
+    """Reference :544/:568-571: the rectangle's lateral center is the
+    centerline's MEAN perpendicular offset, not the first point's —
+    anchoring at s[0] shifts a curved centerline's rectangle sideways
+    and can leave far-offset points outside it (review r12)."""
+    import numpy as np
+
+    from pipeline_calculator_v3_spark.operators.corridor import (
+        _oriented_rect,
+    )
+
+    # L-ish centerline: axis is x (first->last), but most points sit at
+    # a large positive y offset; s[0] = 0 while s_mean ~ 36
+    cl = np.array([[0.0, 0.0], [10.0, 40.0], [50.0, 40.0],
+                   [90.0, 40.0], [100.0, 0.0]])
+    rect = _oriented_rect(cl, half_w=25.0, pad=5.0)
+    ys = rect[:, 1]
+    s_mean = cl[:, 1].mean()
+    assert (ys.min() + ys.max()) / 2.0 == pytest.approx(s_mean)
+    # every centerline point within the lateral band
+    assert all(ys.min() <= y <= ys.max() for y in cl[:, 1])

@@ -243,3 +243,29 @@ def test_text_lines_rejects_files_larger_than_split_size(spark, tmp_path):
     df = read_text_lines(spark, str(p))
     rows = {r.line_no: r.value for r in df.collect()}
     assert rows[1] == "line-0" and rows[2000] == "line-1999"
+
+
+def test_bytes_conf_fractional_units(spark):
+    """Review r12: the unit multiplier must apply before truncation
+    ('1.5g' is 1.5 GiB, not 1 GiB — reachable through unvalidated custom
+    keys; Spark's own byte-conf setter rejects fractions) and the 'p'/'pb'
+    units Spark accepts must parse instead of raising."""
+    from pipeline_calculator_v3_spark.session import scoped_conf
+    from pipeline_calculator_v3_spark.sources.formats import _bytes_conf
+
+    key = "spark.graft.test.bytes"
+    for raw, want in [
+        ("1.5g", int(1.5 * (1 << 30))),
+        ("128mb", 128 << 20),
+        ("2pb", 2 << 50),
+        ("134217728b", 128 << 20),
+        ("4096", 4096),
+    ]:
+        spark.conf.set(key, raw)
+        try:
+            assert _bytes_conf(spark, key) == want, raw
+        finally:
+            spark.conf.unset(key)
+    # the real maxPartitionBytes path still round-trips integer forms
+    with scoped_conf(spark, "spark.sql.files.maxPartitionBytes", "64m"):
+        assert _bytes_conf(spark, "spark.sql.files.maxPartitionBytes") == 64 << 20

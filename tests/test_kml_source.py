@@ -181,3 +181,84 @@ def test_corrupt_kmz_member_skipped_not_fatal(spark, tmp_path):
     bad.write_bytes(bytes(raw))
     pipes = read_pipelines(spark, str(d))
     assert pipes.count() == 45  # the good copy parses; the bad one skips
+
+
+# --- review r12 regressions: OBJECTID precedence, schema sniff, re-key ---
+
+OID_KML = """<?xml version='1.0' encoding='UTF-8'?>
+<kml xmlns='http://www.opengis.net/kml/2.2'>
+<Document>
+  <Schema name='S' id='S'>
+    <SimpleField type='int' name='OBJECTID'></SimpleField>
+    <SimpleField type='double' name='GIS_MILES'></SimpleField>
+  </Schema>
+  <Placemark>
+    <name>Both</name>
+    <ExtendedData>
+      <Data name="OBJECTID"><value> 42 </value></Data>
+      <SchemaData schemaUrl="#S">
+        <SimpleData name="OBJECTID">99</SimpleData>
+      </SchemaData>
+    </ExtendedData>
+    <LineString><coordinates>-100.0,40.0 -101.0,41.0</coordinates></LineString>
+  </Placemark>
+  <Placemark>
+    <name>CaseOnly</name>
+    <ExtendedData><Data name="ObjectId"><value>7</value></Data></ExtendedData>
+    <LineString><coordinates>-100.0,40.5 -101.0,41.5</coordinates></LineString>
+  </Placemark>
+</Document>
+</kml>
+"""
+
+
+@pytest.fixture(scope="module")
+def oid_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("oid") / "oid.kml"
+    p.write_text(OID_KML)
+    return str(p)
+
+
+def test_objectid_reference_precedence(spark, oid_file):
+    """Reference :148-165: Data[@name='OBJECTID']/value wins over
+    SimpleData, the name match is EXACT (not case-folded), and the text
+    is stripped (review r12 — the attrs-map scan inverted all three)."""
+    by_name = {r.name: r for r in read_pipelines(spark, oid_file).collect()}
+    assert by_name["Both"].objectid == "42"          # Data wins, stripped
+    assert by_name["CaseOnly"].objectid == "N/A"     # exact-name only
+
+
+def test_schema_fields_single_quoted_xmlns(spark, oid_file):
+    """schema_fields shares the hardened namespace sniff (review r12: its
+    private 200-byte double-quote regex dropped the typed schema for
+    single-quoted xmlns, the exact r06 bug class)."""
+    from pipeline_calculator_v3_spark.sources.kml import schema_fields
+
+    fields = schema_fields(spark, oid_file)
+    assert [tuple(f) for f in fields] == [
+        ("OBJECTID", "int"), ("GIS_MILES", "double")
+    ]
+
+
+def test_placemark_default_ids_rekeyed_across_files(spark, tmp_path_factory):
+    """Per-file PM_{n} counters collide across a multi-file glob; default
+    ids re-key densely over (file, local index) while OBJECTID-derived
+    ids stay verbatim (the read_pipelines re-key rationale, review r12)."""
+    point = """<?xml version="1.0"?>
+<kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+  <Placemark>{oid}<name>{nm}</name>
+    <Point><coordinates>-100.5,40.2</coordinates></Point>
+  </Placemark>
+</Document></kml>
+"""
+    d = tmp_path_factory.mktemp("multi")
+    (d / "a.kml").write_text(point.format(oid="", nm="m1"))
+    (d / "b.kml").write_text(point.format(
+        oid='<ExtendedData><Data name="OBJECTID"><value>X9</value></Data>'
+            "</ExtendedData>", nm="m2"))
+    (d / "c.kml").write_text(point.format(oid="", nm="m3"))
+    rows = read_placemarks(spark, str(d / "*.kml")).collect()
+    ids = {r.name: r.placemark_id for r in rows}
+    assert ids["m2"] == "X9"
+    assert {ids["m1"], ids["m3"]} == {"PM_1", "PM_2"}  # no collision
+    assert len({r.placemark_id for r in rows}) == 3

@@ -129,3 +129,26 @@ def test_kml_sink_output_survives_our_own_source(results, tmp_path, spark):
     assert len(ring) >= 5
     # the sink writes a CLOSED ring and the parser preserves it verbatim
     assert ring[0] == ring[-1]
+
+
+def test_txt_summary_handles_empty_input(spark, tmp_path):
+    """Review r12: zero valid pipelines leaves the SUM aggregates NULL;
+    the report writes zeros instead of crashing the format spec on None."""
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "pipeline_id bigint, length_m double")
+    totals = empty.agg(
+        F.count(F.lit(1)).alias("n_pipelines"),
+        F.sum("length_m").alias("total_m"),
+        (F.sum("length_m") / 1609.347218694).alias("total_mi"),
+    )
+    summary = empty.agg(
+        F.sum("length_m").alias("effective_m"),
+        F.lit(None).cast("double").alias("savings_pct"),
+    )
+    p = tmp_path / "summary.txt"
+    write_txt_summary({"totals": totals, "summary": summary}, str(p))
+    text = p.read_text()
+    assert "Total pipelines: 0" in text
+    assert "Total length (m): 0.00" in text
+    assert "savings 0.0%" in text
