@@ -123,9 +123,12 @@ def _analyze(args: argparse.Namespace) -> int:
     )
 
     # ops 27-28: the GUI's display tables on stdout
+    # zero valid pipelines leaves the SUM aggregates NULL (the PERMISSIVE
+    # reader returns an empty frame instead of raising) — report zeros,
+    # the write_txt_summary rule (review r12)
     t = results["totals"].collect()[0]
-    print(f"pipelines: {t.n_pipelines}  total: {t.total_m:,.1f} m "
-          f"({t.total_mi:.4f} US survey mi)")
+    print(f"pipelines: {t.n_pipelines}  total: {t.total_m or 0.0:,.1f} m "
+          f"({t.total_mi or 0.0:.4f} US survey mi)")
     sections = results["sections"]
     shown = sections.drop("oriented_polygon", "corridor_polygon").limit(
         args.top
@@ -135,8 +138,9 @@ def _analyze(args: argparse.Namespace) -> int:
               f"{r.bundled_length_mi:.4f} mi over {r.n_hits} stations, "
               f"avg sep {r.average_separation:.2f} m")
     s = results["summary"].collect()[0]
-    print(f"effective: {s.effective_m:,.1f} m of {s.total_m:,.1f} m "
-          f"(savings {s.savings_pct:.1f}%)")
+    print(f"effective: {s.effective_m or 0.0:,.1f} m "
+          f"of {s.total_m or 0.0:,.1f} m "
+          f"(savings {s.savings_pct or 0.0:.1f}%)")
 
     # ops 23-26: exports
     out = args.out_dir
@@ -166,6 +170,7 @@ def _analyze(args: argparse.Namespace) -> int:
 
 
 def _query(args: argparse.Namespace) -> int:
+    from .caching import release_caches
     from .queries import QUERIES
     from .session import get_spark
 
@@ -185,9 +190,7 @@ def _query(args: argparse.Namespace) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     df = QUERIES[args.name](spark, args.sf_dir)
     if args.explain:
-        print(df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        ))
+        df.explain("formatted")  # the public spelling of the same call
         return 0
     # the write/show/count fan-out would otherwise execute the query up
     # to three times (advice r10) — persist once, release at the end
@@ -204,6 +207,10 @@ def _query(args: argparse.Namespace) -> int:
     finally:
         if fanout > 1:
             df.unpersist()
+        # registry queries persist_tracked their internals; nothing this
+        # package pins may outlive the query (caching.py contract — the
+        # _analyze path already released, review r12)
+        release_caches(spark)
     return 0
 
 

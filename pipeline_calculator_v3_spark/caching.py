@@ -24,6 +24,13 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
+import threading
+
+# guards the registry lists: an unsynchronized enumerate-then-del could
+# delete the WRONG handle when another thread mutates the list between
+# the find and the del (review r12)
+_REG_LOCK = threading.Lock()
+
 _TRACKED_DFS: list[DataFrame] = []
 _TRACKED_IDS: list[int] = []
 
@@ -34,7 +41,8 @@ def persist_tracked(
 ) -> DataFrame:
     """``df.persist(level)`` + register the handle for ``release_caches``."""
     df.persist(level)
-    _TRACKED_DFS.append(df)
+    with _REG_LOCK:
+        _TRACKED_DFS.append(df)
     return df
 
 
@@ -46,10 +54,11 @@ def unpersist_tracked(df: DataFrame, blocking: bool = False) -> None:
     its JVM plan references) alive forever — 4 dead handles per
     micro-batch on a continuous stream (review r11)."""
     df.unpersist(blocking)
-    for i, tracked in enumerate(_TRACKED_DFS):
-        if tracked is df:
-            del _TRACKED_DFS[i]
-            break
+    with _REG_LOCK:
+        for i, tracked in enumerate(_TRACKED_DFS):
+            if tracked is df:
+                del _TRACKED_DFS[i]
+                break
 
 
 def _persistent_ids(spark: SparkSession) -> set[int]:
@@ -109,7 +118,9 @@ def release_caches(spark: SparkSession | None = None, blocking: bool = False) ->
     DataFrames built on those caches (checkpointed frames do NOT recompute).
     """
     global _TRACKED_DFS, _TRACKED_IDS
-    for df in _TRACKED_DFS:
+    with _REG_LOCK:
+        dfs, _TRACKED_DFS = _TRACKED_DFS, []
+    for df in dfs:
         try:
             df.unpersist(blocking)
         except Exception:
@@ -121,7 +132,6 @@ def release_caches(spark: SparkSession | None = None, blocking: bool = False) ->
             unpersist_ids(spark, _TRACKED_IDS, blocking)
         except Exception:
             pass
-    _TRACKED_DFS = []
     if spark is not None:
         _TRACKED_IDS = []
     # no active session on THIS thread (getActiveSession is thread-local):

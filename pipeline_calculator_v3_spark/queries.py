@@ -532,7 +532,13 @@ _KEEP_IN_WINDOW = [
 # operators/anonymity.py k-anonymity audit/suppression
 # (tests/test_anonymity.py — null-safe enforcement fixed r12),
 # operators/retention.py cohort retention (tests/test_retention.py),
-# plus any r12-built operator [~2-3 make the window; the rest hold];
+# plus the two r12-staged write/audio capabilities —
+# operators/audiofp.py acoustic fingerprint near-dup
+# (tests/test_audiofp.py, full sample-replay oracle) and
+# dataset.py::optimize_dataset selective compaction
+# (tests/test_optimize_dataset.py; face shape: the q_jsonl_roundtrip
+# write-path pattern) [~2-3 of the eight make the window; the rest
+# hold their pytest oracles];
 # (3) the r09 cohort (48 queries, by then the oldest hash tier) fills
 # the remaining ~34-36 slots — its tail defers to r14.  Run
 # scripts/preflight_window.py before round end.

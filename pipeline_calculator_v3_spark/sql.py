@@ -9,6 +9,8 @@ oracle — dialect-common ANSI SQL, the strongest possible parity statement.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = [
@@ -17,11 +19,24 @@ TABLES = [
 ]
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    for name in TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, only: list[str] | None = None
+) -> None:
+    for name in (only if only is not None else TABLES):
         spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
 
 
 def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    """Register the referenced tables as temp views, then spark.sql.
+
+    Only tables whose name appears in the query text are registered
+    (word-boundary match — a CTE shadowing a table name just registers
+    one unused view): each registration is a parquet footer/file-listing
+    read, and at a million files per table that is real per-query cost
+    for tables the query never touches (review r12); it also kept every
+    q_sql_* face hostage to ALL nine fixture files existing."""
+    referenced = [
+        t for t in TABLES if re.search(rf"\b{t}\b", query, re.IGNORECASE)
+    ]
+    register_views(spark, sf_dir, only=referenced)
     return spark.sql(query)

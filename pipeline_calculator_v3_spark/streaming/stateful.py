@@ -28,7 +28,13 @@ def _update_user(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    if state.exists:
+        n, total, last_us = state.get
+    else:
+        # the seed must be below ANY timestamp: a 0 floor silently pinned
+        # last_ts_us at 0 for pre-1970 (negative epoch-us) events, a
+        # cross-engine divergence from the oracle's plain MAX (review r12)
+        n, total, last_us = 0, 0.0, -(1 << 62)
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
