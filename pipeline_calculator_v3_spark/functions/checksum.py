@@ -32,7 +32,7 @@ RESIDUE_MOD = 1_000_000_007
 # Bump this whenever the byte stream under the md5 changes for ANY input;
 # validate_dataset then degrades to counts-only until a re-stamp instead
 # of flagging every NULL-bearing partition as drifted.
-DIGEST_VERSION = 2
+DIGEST_VERSION = 3
 
 
 def digest_residue(digest_hex: Column) -> Column:
@@ -57,5 +57,19 @@ def row_digest_generic(cols: list[Column]) -> Column:
     render explicitly ({"b":null}), matching the documented claim.
     Compatibility note: manifests written by the pre-pin code under the
     default conf (true) digest NULL-bearing rows differently; datasets
-    with no NULL key columns are unaffected."""
-    return F.md5(F.to_json(F.struct(*cols), {"ignoreNullFields": "false"}))
+    with no NULL key columns are unaffected.
+
+    ``timeZone`` is pinned for the same reason (review r12, verified
+    live): to_json renders TIMESTAMP key columns in the SESSION timezone
+    ("...T04:05:06.000Z" under UTC vs "...T13:05:06.000+09:00" under
+    Asia/Tokyo), so a dataset written on one cluster would flag every
+    partition as drifted when validated on a differently-configured one
+    — the exact run-variance class these pins exist to close.  Datasets
+    whose key_cols contain no TIMESTAMP are unaffected; stale-version
+    manifests re-stamp through the standard restamp_manifest path."""
+    return F.md5(
+        F.to_json(
+            F.struct(*cols),
+            {"ignoreNullFields": "false", "timeZone": "UTC"},
+        )
+    )

@@ -85,5 +85,8 @@ def scrub_sql(expr: str) -> tuple[str, dict[str, str]]:
         counts[name] = (
             f"CAST(len(regexp_extract_all({cur}, '{q}')) AS BIGINT)"
         )
-        cur = f"regexp_replace({cur}, '{q}', '{repl}', 'g')"
+        # the replacement is interpolated into a SQL literal too — an added
+        # rule whose replacement contains a quote must not break (or
+        # inject into) every oracle built from this cascade (review r12)
+        cur = f"regexp_replace({cur}, '{q}', '{_sql_quote(repl)}', 'g')"
     return cur, counts

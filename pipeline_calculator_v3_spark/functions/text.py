@@ -62,7 +62,12 @@ def shingles(text: Column, n: int = 3) -> Column:
     ([0, -1]), it is not empty — unguarded, short docs produce garbage
     positions (and ``slice``/``element_at`` errors)."""
     toks = tokens(normalized_text(text))
-    return F.when(
+    # NULL text stays NULL (review r12): size(NULL) makes the condition
+    # non-true, so the otherwise([]) branch silently mapped unknown text
+    # to the EMPTY shingle set — tokens()/token_count() propagate NULL,
+    # and a []-fingerprinted NULL doc would spuriously collide with every
+    # short doc downstream (simhash votes over zero shingles).
+    return F.when(toks.isNull(), F.lit(None).cast("array<string>")).when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
@@ -82,7 +87,7 @@ def shingles_from_tokens(t: Column, n: int = 3) -> Column:
     materialization contract below.  Same sub-``n`` guard as
     :func:`shingles` (Spark sequence counts DOWN when end < start).
     """
-    return F.when(
+    return F.when(t.isNull(), F.lit(None).cast("array<string>")).when(
         F.size(t) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(t) - (n - 1)),
@@ -99,20 +104,23 @@ def token_hashes(text: Column) -> Column:
 
 
 def shingles_from_token_hashes(th: Column, n: int = 3) -> Column:
-    """Trigram shingle hashes from a MATERIALIZED token-hash column.
+    """N-gram shingle hashes from a MATERIALIZED token-hash column.
 
     IMPORTANT: pass a real column reference, not an inline expression — each
-    of the 3 element_at calls per position re-evaluates its argument, so an
-    inline token-hash expression costs ~(3 x positions x tokens) hashes per
-    row (~40x) instead of (tokens + positions).
+    of the n element_at calls per position re-evaluates its argument, so an
+    inline token-hash expression costs ~(n x positions x tokens) hashes per
+    row (~40x at n=3) instead of (tokens + positions).  (The combiner was
+    trigram-specialized behind a bare assert until review r12 — stripped
+    under python -O, the guard vanished while the body stayed n=3.)
     """
-    assert n == 3, "combiner below is specialized to trigrams"
-    return F.when(
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    return F.when(th.isNull(), F.lit(None).cast("array<bigint>")).when(
         F.size(th) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(th) - (n - 1)),
             lambda i: F.xxhash64(
-                F.element_at(th, i), F.element_at(th, i + 1), F.element_at(th, i + 2)
+                *[F.element_at(th, i + j) for j in range(n)]
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))

@@ -77,12 +77,26 @@ def cosine_sql(a: str, b: str) -> str:
     """DuckDB oracle spelling of :func:`cosine` over already-DOUBLE list
     columns — sequential ``list_sum`` matches the Spark left-fold order
     (the oracle-helper pattern: ONE helper emits the formula both engines
-    run, so a tweak cannot silently fork them)."""
-    return (
+    run, so a tweak cannot silently fork them).
+
+    NULL semantics pinned to the Spark side (review r12, verified live):
+    DuckDB's ``list_sum`` SKIPS NULL elements while Spark's aggregate
+    left-fold propagates them (and ``zip_with`` NULL-pads ragged pairs),
+    so a NULL element or a length mismatch forked the two engines
+    (Spark NULL vs a DuckDB partial sum).  The guard makes the oracle
+    propagate NULL for exactly those rows; NULL-free same-length inputs —
+    every fixture — are value-identical to the unguarded spelling."""
+    dirty = (
+        f"len(list_filter({a}, x -> x IS NULL)) > 0"
+        f" OR len(list_filter({b}, x -> x IS NULL)) > 0"
+        f" OR len({a}) <> len({b})"
+    )
+    core = (
         f"(list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]))"
         f" / NULLIF(sqrt(list_sum(list_transform({a}, x -> x * x)))"
         f" * sqrt(list_sum(list_transform({b}, x -> x * x))), 0.0))"
     )
+    return f"(CASE WHEN {dirty} THEN NULL ELSE {core} END)"
 
 
 def sqdist_sql(a: str, b: str) -> str:
