@@ -92,13 +92,18 @@ def local_checkpoint_tracked(
         new = {out._jdf.queryExecution().analyzed().rdd().id()}
     except Exception:
         new = _persistent_ids(spark) - before
-    (ids_sink if ids_sink is not None else _TRACKED_IDS).extend(new)
+    if ids_sink is not None:
+        ids_sink.extend(new)
+    else:
+        with _REG_LOCK:
+            _TRACKED_IDS.extend(new)
     return out
 
 
 def track_ids(ids: list[int]) -> None:
     """Hand caller-managed checkpoint ids over to ``release_caches``."""
-    _TRACKED_IDS.extend(ids)
+    with _REG_LOCK:
+        _TRACKED_IDS.extend(ids)
 
 
 def unpersist_ids(spark: SparkSession, ids: list[int], blocking: bool = False) -> None:
@@ -127,13 +132,18 @@ def release_caches(spark: SparkSession | None = None, blocking: bool = False) ->
             pass  # session already stopped — nothing to release
     if spark is None:
         spark = SparkSession.getActiveSession()
-    if spark is not None and _TRACKED_IDS:
-        try:
-            unpersist_ids(spark, _TRACKED_IDS, blocking)
-        except Exception:
-            pass
     if spark is not None:
-        _TRACKED_IDS = []
+        # swap the ids list out under the lock, like _TRACKED_DFS above:
+        # an id appended between an unlocked read and an unlocked rebind
+        # would be silently dropped — a leaked checkpoint block, the exact
+        # leak class this registry exists to close (review r12)
+        with _REG_LOCK:
+            ids, _TRACKED_IDS = _TRACKED_IDS, []
+        if ids:
+            try:
+                unpersist_ids(spark, ids, blocking)
+            except Exception:
+                pass
     # no active session on THIS thread (getActiveSession is thread-local):
     # keep the checkpoint ids tracked so a later call from a session-owning
     # thread can still reclaim the blocks — clearing here would orphan them

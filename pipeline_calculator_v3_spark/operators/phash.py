@@ -30,6 +30,31 @@ pigeonhole, 4 bands catch EVERY pair with Hamming distance <= 3
 (4 flipped bits can straddle all four bands); larger thresholds are
 best-effort recall, the documented LSH trade.
 
+Skew is the scale hazard (measured r12): flat image regions saturate
+band keys to 0x0000/0xFFFF, and ONE hot (band, key) bucket held 1663 of
+5715 sf0.1 images — candidate pairs through a hot bucket grow
+QUADRATICALLY, so at 100x corpus that bucket alone is ~10^10 join rows
+through one key, and AQE skew-splitting spreads the sort without
+shrinking the O(n^2) pair generation.  :func:`ahash_pairs` therefore
+runs adaptive multi-index recursion over DISTINCT hashes:
+
+- members collapse to distinct (hi, lo) first, so identical images
+  (multiplicity m) expand to their m*(m-1)/2 Hamming-0 pairs OUTPUT-side
+  instead of inflating every bucket's join input;
+- any (band, key) group larger than ``bucket_cap`` recurses: its
+  members re-band on the 48 not-yet-matched bits split into four
+  sub-bands (12/12/12/12, then 9/9/9/9, ...).  Pigeonhole holds at
+  every level — a pair within Hamming 3 whose flips all lie in the
+  unmatched bits shares at least one of the four sub-bands — so recall
+  at max_hamming <= 3 stays EXACT, not best-effort;
+- recursion terminates structurally: once fewer than 4 unmatched bits
+  remain, a group's members agree on 61+ of 64 bits, so it holds at
+  most 2^3 = 8 distinct hashes and all-pairs within it is trivial.
+  Every pair-generating group is therefore <= bucket_cap members (or
+  <= 8 at the floor) — no single key anywhere produces unbounded pairs;
+- :func:`ahash_pairs_ledger` reports the hot groups per level (the
+  capped-keys observability ledger, the q_zorder_pruned_scan pattern).
+
 Decode runs the REAL stdlib PNG codec (operators/pngcodec.py) through
 one Arrow ``mapInPandas`` pass — hash extraction is a pure map, zero
 shuffles; only (id, two BIGINTs) rows ever reach an exchange.  Staged
@@ -144,70 +169,276 @@ def dhash64(media: DataFrame) -> DataFrame:
     return media.mapInPandas(gen, AHASH_SCHEMA)
 
 
-def ahash_pairs(
-    hashes: DataFrame,
-    id_col: str = "media_id",
-    max_hamming: int = 3,
-) -> DataFrame:
-    """Near-duplicate image pairs by banded aHash matching.
+def _hash_lt(a, b):
+    """Lexicographic (hi, lo) order — the canonical distinct-hash pair
+    orientation (a single 64-bit compare would hit the signed-bit trap
+    the two-halves split exists to avoid)."""
+    return (F.col(f"{a}.ahash_hi") < F.col(f"{b}.ahash_hi")) | (
+        (F.col(f"{a}.ahash_hi") == F.col(f"{b}.ahash_hi"))
+        & (F.col(f"{a}.ahash_lo") < F.col(f"{b}.ahash_lo"))
+    )
 
-    Returns (``id_a``, ``id_b``, ``hamming`` INT) with id_a < id_b and
-    hamming <= ``max_hamming``.  Complete (no missed pairs) for
-    max_hamming <= 3 by pigeonhole over the four 16-bit bands; above
-    that it is LSH-style best-effort.  Invalid rows never match."""
+
+def _grp_pairs(members: DataFrame) -> DataFrame:
+    """All ordered distinct-hash pairs within each ``grp`` bucket."""
+    a, b = members.alias("a"), members.alias("b")
+    return a.join(b, "grp").where(_hash_lt("a", "b")).select(
+        F.col("a.ahash_hi").alias("hi_a"), F.col("a.ahash_lo").alias("lo_a"),
+        F.col("b.ahash_hi").alias("hi_b"), F.col("b.ahash_lo").alias("lo_b"),
+    )
+
+
+def _ahash_pairs_impl(
+    hashes: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    bucket_cap: int,
+):
+    """Shared core: (id-pair DataFrame, hot-group ledger DataFrame).
+
+    Adaptive multi-index recursion over distinct hashes — see the module
+    docstring for the completeness argument and the structural 2^3
+    termination bound.  All recursion frames are metadata-light: rows are
+    (grp STRING, rest BIGINT, hi, lo), and only members of over-cap
+    groups ever enter the next level."""
     if max_hamming < 0:
         raise ValueError("max_hamming must be >= 0")
-    from ..caching import persist_tracked
+    if bucket_cap < 1:
+        raise ValueError("bucket_cap must be >= 1")
+    from ..caching import local_checkpoint_tracked, persist_tracked
 
-    h = persist_tracked(
+    spark = hashes.sparkSession
+    members = persist_tracked(
         hashes.where(F.col("valid")).select(
             F.col(id_col).alias("id"), "ahash_hi", "ahash_lo"
         )
     )
-    mask = F.lit(0xFFFF)
-    banded = h.select(
-        "id", "ahash_hi", "ahash_lo",
+    distinct = members.select("ahash_hi", "ahash_lo").distinct()
+
+    # Level 0: four 16-bit bands over the full 64 bits.  `rest` packs the
+    # three unmatched bands (48 bits) for the recursion; `grp` is the
+    # matched-path key.
+    mask16 = F.lit(0xFFFF)
+    bands = [
+        F.shiftright(
+            F.col("ahash_lo" if k < 2 else "ahash_hi"), 16 * (k % 2)
+        ).bitwiseAND(mask16)
+        for k in range(4)
+    ]
+    level0 = distinct.select(
+        "ahash_hi", "ahash_lo",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(k).alias("band"),
-                        (
-                            F.shiftright(
-                                F.col("ahash_lo" if k < 2 else "ahash_hi"),
-                                16 * (k % 2),
-                            ).bitwiseAND(mask)
-                        ).alias("key"),
+                        F.concat(
+                            F.lit(f"{k}:"), bands[k].cast("string")
+                        ).alias("grp"),
+                        sum(
+                            (
+                                F.shiftleft(bands[j], 16 * pos)
+                                for pos, j in enumerate(
+                                    jj for jj in range(4) if jj != k
+                                )
+                            ),
+                            F.lit(0),
+                        ).alias("rest"),
                     )
                     for k in range(4)
                 ]
             )
         ).alias("_b"),
-    ).select(
-        "id", "ahash_hi", "ahash_lo",
-        F.col("_b.band").alias("band"), F.col("_b.key").alias("key"),
+    ).select("ahash_hi", "ahash_lo", "_b.grp", "_b.rest")
+
+    pair_frames = []
+    ledger_frames = []
+    pending = {48: level0}
+    level0_frame = True
+    while pending:
+        width = max(pending)
+        frame = pending.pop(width)
+        if level0_frame:
+            # Level 0 is one explode away from the persisted distinct set —
+            # cheap to re-derive, and checkpointing it would materialize 4N
+            # banded rows twice.
+            level0_frame = False
+        else:
+            # Lineage cut per recursion level: the frontier is metadata-
+            # light (hot-group members only), but chained explode+union
+            # lineage across levels grows the logical plan super-linearly —
+            # at deep recursion the plan string itself OOMs the driver
+            # before any data does (measured with bucket_cap=1).  An eager
+            # localCheckpoint keeps every level's plan one hop deep.
+            frame = local_checkpoint_tracked(frame)
+            if frame.isEmpty():
+                continue
+        # counts is bounded metadata at EVERY scale: level 0 has at most
+        # 4 x 2^16 rows, deeper levels at most the (small) hot frontier —
+        # persist so the hot set is computed once, not once per consumer.
+        counts = persist_tracked(
+            frame.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+        )
+        hot = counts.where(F.col("n") > bucket_cap)
+        ledger_frames.append(
+            hot.select(
+                F.lit(48 - width).alias("depth"), "grp",
+                F.col("n").alias("n_hashes"),
+            )
+        )
+        cold = frame.join(F.broadcast(hot.select("grp")), "grp", "left_anti")
+        pair_frames.append(_grp_pairs(cold))
+        if hot.isEmpty():
+            continue
+        if width < 4:
+            # Structural floor: members agree on 64-width >= 61 bits, so a
+            # group holds <= 2^3 distinct hashes — all-pairs is trivial
+            # regardless of the cap (the ledger row above records it).
+            hotm = frame.join(
+                F.broadcast(hot.select("grp")), "grp", "left_semi"
+            )
+            pair_frames.append(_grp_pairs(hotm))
+            continue
+        # Recurse: re-band the unmatched `width` bits into four sub-bands
+        # (first gets the remainder).  Matching sub-band m removes its
+        # bits from `rest`; the new width differs for m=0 when width % 4
+        # != 0, so frames merge into `pending` keyed by remaining width.
+        hotm = frame.join(F.broadcast(hot.select("grp")), "grp", "left_semi")
+        base = width // 4
+        widths = [width - 3 * base, base, base, base]
+        offsets = [0, widths[0], widths[0] + base, widths[0] + 2 * base]
+        subs = hotm.select(
+            "ahash_hi", "ahash_lo", "grp",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.shiftright(F.col("rest"), offsets[m])
+                            .bitwiseAND(F.lit((1 << widths[m]) - 1))
+                            .alias("subval"),
+                            (
+                                F.col("rest").bitwiseAND(
+                                    F.lit((1 << offsets[m]) - 1)
+                                )
+                                + F.shiftleft(
+                                    F.shiftright(
+                                        F.col("rest"),
+                                        offsets[m] + widths[m],
+                                    ),
+                                    offsets[m],
+                                )
+                            ).alias("rest"),
+                        )
+                        for m in range(4)
+                    ]
+                )
+            ).alias("_s"),
+        ).select(
+            "ahash_hi", "ahash_lo",
+            F.concat(
+                F.col("grp"), F.lit("/"),
+                F.col("_s.m").cast("string"), F.lit(":"),
+                F.col("_s.subval").cast("string"),
+            ).alias("grp"),
+            F.col("_s.m").alias("m"), F.col("_s.rest").alias("rest"),
+        )
+        for m_sel, new_width in (
+            (F.col("m") == 0, width - widths[0]),
+            (F.col("m") > 0, width - base),
+        ):
+            nxt = subs.where(m_sel).drop("m")
+            if new_width in pending:
+                pending[new_width] = pending[new_width].unionByName(nxt)
+            else:
+                pending[new_width] = nxt
+
+    # Distinct-hash pair verification: dedup at HASH granularity (a pair
+    # can surface from several groups), then the exact Hamming check —
+    # both orders of magnitude smaller than the id-pair space.
+    cand = pair_frames[0]
+    for f in pair_frames[1:]:
+        cand = cand.unionByName(f)
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).alias("hamming")
+    # Hamming filter BEFORE the dedup exchange (the r12 lesson): distinct()
+    # then only shuffles surviving pairs, and `hamming` is functionally
+    # dependent on the hash columns so the dedup key is unchanged.
+    cross = (
+        cand.select("hi_a", "lo_a", "hi_b", "lo_b", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    # Threshold BEFORE the pair dedup: a candidate pair can arrive from up
-    # to 4 shared bands, but the Hamming verify is a cheap map-side
-    # expression while distinct() is an exchange — filtering first shrinks
-    # the dedup shuffle to surviving pairs only (measured 2.1M candidate
-    # rows -> 60k at sf0.1; the degenerate all-dark/all-light band keys
-    # that flat image regions produce make hot buckets the dominant cost,
-    # so nothing row-heavy may follow the join unverified).
-    cand = (
-        a.join(b, ["band", "key"])
+    # Expand hash pairs back to id pairs (multiplicity join), orienting
+    # each id pair; plus the Hamming-0 all-pairs inside identical-hash
+    # groups — output-bound by construction (they ARE true pairs).
+    ma = members.select(
+        F.col("id").alias("_ia"),
+        F.col("ahash_hi").alias("hi_a"), F.col("ahash_lo").alias("lo_a"),
+    )
+    mb = members.select(
+        F.col("id").alias("_ib"),
+        F.col("ahash_hi").alias("hi_b"), F.col("ahash_lo").alias("lo_b"),
+    )
+    expanded = (
+        cross.join(ma, ["hi_a", "lo_a"])
+        .join(mb, ["hi_b", "lo_b"])
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    ident = (
+        members.alias("a")
+        .join(members.alias("b"), ["ahash_hi", "ahash_lo"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            (
-                F.bit_count(
-                    F.col("a.ahash_hi").bitwiseXOR(F.col("b.ahash_hi"))
-                )
-                + F.bit_count(
-                    F.col("a.ahash_lo").bitwiseXOR(F.col("b.ahash_lo"))
-                )
-            ).alias("hamming"),
+            F.lit(0).alias("hamming"),
         )
     )
-    return cand.where(F.col("hamming") <= max_hamming).distinct()
+    pairs = expanded.unionByName(ident)
+    ledger = ledger_frames[0]
+    for f in ledger_frames[1:]:
+        ledger = ledger.unionByName(f)
+    if not ledger_frames:
+        ledger = spark.createDataFrame(
+            [], "depth int, grp string, n_hashes bigint"
+        )
+    return pairs, ledger
+
+
+def ahash_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    bucket_cap: int = 1024,
+) -> DataFrame:
+    """Near-duplicate image pairs by banded aHash matching.
+
+    Returns (``id_a``, ``id_b``, ``hamming`` INT) with id_a < id_b and
+    hamming <= ``max_hamming``.  Complete (no missed pairs) for
+    max_hamming <= 3 by pigeonhole over the four 16-bit bands — and the
+    guarantee SURVIVES skew: groups larger than ``bucket_cap`` recurse
+    through adaptive sub-banding of their unmatched bits instead of
+    joining quadratically (module docstring), so no (band, key) hot
+    bucket ever drives O(n^2) pair generation.  Above Hamming 3 recall
+    is LSH-style best-effort.  Invalid rows never match."""
+    pairs, _ = _ahash_pairs_impl(hashes, id_col, max_hamming, bucket_cap)
+    return pairs
+
+
+def ahash_pairs_ledger(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    bucket_cap: int = 1024,
+) -> DataFrame:
+    """The capped-keys observability ledger for :func:`ahash_pairs`:
+    one row per over-cap group per recursion level — (``depth`` INT,
+    0 = the 16-bit band level; ``grp`` STRING, the matched band path
+    ``band:key/m:subval/...``; ``n_hashes`` BIGINT, distinct hashes in
+    the group).  Empty means no bucket anywhere exceeded the cap."""
+    _, ledger = _ahash_pairs_impl(hashes, id_col, 3, bucket_cap)
+    return ledger

@@ -133,6 +133,91 @@ def test_banding_complete_at_hamming_3(spark):
     assert got[(2, 3)] == 1          # they share 3 bands, differ by 1 bit
 
 
+def _brute_pairs(spark, rows, max_hamming=3):
+    h = spark.createDataFrame(
+        rows, "media_id long, ahash_hi long, ahash_lo long, valid boolean"
+    )
+    got = (
+        h.alias("a")
+        .join(h.alias("b"), F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            (
+                F.bit_count(F.col("a.ahash_hi").bitwiseXOR(F.col("b.ahash_hi")))
+                + F.bit_count(F.col("a.ahash_lo").bitwiseXOR(F.col("b.ahash_lo")))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return {(r.id_a, r.id_b, r.hamming) for r in got.collect()}
+
+
+@pytest.fixture(scope="module")
+def skewed_hashes():
+    # A saturated-band corpus — the measured r12 scale hazard: EVERY row
+    # shares band 3 == 0x0000 (hi < 2^16 not needed: band 3 is hi bits
+    # 16-31, so any hi < 65536 saturates it), most also share band 2, and
+    # hashes repeat (multiplicity) so the distinct-hash collapse and the
+    # identical-hash expansion both engage.  31 rows over 11 distinct
+    # hashes; a run of near-identical run-of-ones lo values plants true
+    # pairs at Hamming 1-3 INSIDE the hot bucket.
+    rows = []
+    mid = 0
+    for i in range(8):
+        lo = (1 << (i + 8)) - 1  # 0xFF, 0x1FF, ..., 0x7FFF: Hamming 1 chain
+        for rep in range((i % 3) + 1):
+            rows.append((mid, 0, lo, True))
+            mid += 1
+    rows += [(mid, 17, 0x0FFF0FFF, True), (mid + 1, 17, 0x0FFF0FFE, True),
+             (mid + 2, 0x13, 0x0FFF0FFF, False)]  # invalid: never matches
+    return rows
+
+
+@pytest.mark.parametrize("cap", [1, 2, 1 << 30])
+def test_recursion_exact_at_any_cap(spark, skewed_hashes, cap):
+    """The hot-bucket recursion is EXACT, not best-effort: with every
+    group over-cap (cap=1 forces recursion to the structural 2^3 floor)
+    the pair set equals brute force at Hamming <= 3."""
+    from pipeline_calculator_v3_spark.caching import release_caches
+
+    h = spark.createDataFrame(
+        skewed_hashes,
+        "media_id long, ahash_hi long, ahash_lo long, valid boolean",
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in ahash_pairs(h, bucket_cap=cap).collect()
+    }
+    want = _brute_pairs(spark, [r for r in skewed_hashes if r[3]])
+    assert got == want and len(want) > 10
+    release_caches(spark)
+
+
+def test_hot_bucket_ledger(spark, skewed_hashes):
+    """The capped-keys observability ledger: over-cap groups surface with
+    their depth and matched-band path; a generous cap yields no rows."""
+    from pipeline_calculator_v3_spark.caching import release_caches
+    from pipeline_calculator_v3_spark.operators.phash import (
+        ahash_pairs_ledger,
+    )
+
+    h = spark.createDataFrame(
+        skewed_hashes,
+        "media_id long, ahash_hi long, ahash_lo long, valid boolean",
+    )
+    led = ahash_pairs_ledger(h, bucket_cap=4).collect()
+    assert led, "saturated bands must surface in the ledger"
+    depth0 = [r for r in led if r.depth == 0]
+    # band 3 (hi bits 16-31) is 0 for every valid row -> over any cap <= n
+    assert any(r.grp == "3:0" for r in depth0)
+    assert all(r.n_hashes > 4 for r in led)
+    # recursion levels appear as matched-band paths under the hot band
+    assert any("/" in r.grp and r.depth > 0 for r in led)
+    assert ahash_pairs_ledger(h, bucket_cap=1 << 30).count() == 0
+    release_caches(spark)
+
+
 def test_malformed_blob_degrades(spark, planted_media):
     bad = spark.createDataFrame(
         [(99, bytearray(b"not a png"))], "media_id long, content binary"
