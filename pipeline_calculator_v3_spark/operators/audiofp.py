@@ -70,6 +70,14 @@ def audio_fingerprint64(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
+                # id conversion OUTSIDE the degrade guard: a NULL media_id
+                # must not make the except handler itself raise and fail
+                # the whole Arrow batch (review r12)
+                try:
+                    mid = int(mid)
+                except (TypeError, ValueError):
+                    rows.append((None, 0, 0, 0, False))
+                    continue
                 try:
                     s, _rate = decode_wav(bytes(content))
                     n = len(s)
@@ -91,9 +99,9 @@ def audio_fingerprint64(media: DataFrame) -> DataFrame:
                     w = 1 << np.arange(32, dtype=np.int64)
                     lo = int(((energy[:-1] > energy[1:]) * w).sum())
                     hi = int(((zc[:-1] > zc[1:]) * w).sum())
-                    rows.append((int(mid), n, hi, lo, True))
+                    rows.append((mid, n, hi, lo, True))
                 except Exception:  # struct.error / ValueError
-                    rows.append((int(mid), 0, 0, 0, False))
+                    rows.append((mid, 0, 0, 0, False))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "n_samples", "fp_hi", "fp_lo", "valid"],

@@ -271,6 +271,38 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_wav_media_shifted(
+    docs: DataFrame, shift: int, rate: int = 16000
+) -> DataFrame:
+    """Transcoded COPIES of :func:`synth_wav_media` blobs: the SAME PCM16
+    samples (still derived from ``doc_id``), but a fresh
+    ``media_id = doc_id + shift`` and a different container sample rate —
+    the re-encoded-duplicate plant byte-exact dedup cannot catch
+    (different bytes, identical acoustics).  The audio sibling of
+    q_phash_image_dedup's shifted-id PNG plant."""
+    from .wavcodec import encode_wav
+
+    ensure_pkg_shipped(docs.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 64
+                k = np.arange(n, dtype=np.int64)
+                s = ((did * 7919 + k * 104729) % 65536 - 32768).astype(
+                    np.int16
+                )
+                ids.append(did + shift)
+                blobs.append(encode_wav(s, rate))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "media_id bigint, content binary"
+    )
+
+
 def decode_wav_features(media: DataFrame) -> DataFrame:
     """Real audio decode over a REAL format: chunk-walked RIFF/PCM16 parse
     (operators/wavcodec.py), then the features an audio-curation pass

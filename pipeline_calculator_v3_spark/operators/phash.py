@@ -94,6 +94,14 @@ def ahash64(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
+                # id conversion OUTSIDE the degrade guard: a NULL media_id
+                # must not make the except handler itself raise and fail
+                # the whole Arrow batch (review r12)
+                try:
+                    mid = int(mid)
+                except (TypeError, ValueError):
+                    rows.append((None, 0, 0, 0, 0, False))
+                    continue
                 try:
                     a = decode_png(bytes(content))
                     if a.ndim == 3:  # luminance = mean over channels,
@@ -109,9 +117,9 @@ def ahash64(media: DataFrame) -> DataFrame:
                     )
                     lo = int((bits[:4] * weights).sum())
                     hi = int((bits[4:] * weights).sum())
-                    rows.append((int(mid), w, h, hi, lo, True))
+                    rows.append((mid, w, h, hi, lo, True))
                 except Exception:  # zlib.error / struct.error / ValueError
-                    rows.append((int(mid), 0, 0, 0, 0, False))
+                    rows.append((mid, 0, 0, 0, 0, False))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "width", "height",
@@ -142,6 +150,14 @@ def dhash64(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
+                # id conversion OUTSIDE the degrade guard: a NULL media_id
+                # must not make the except handler itself raise and fail
+                # the whole Arrow batch (review r12)
+                try:
+                    mid = int(mid)
+                except (TypeError, ValueError):
+                    rows.append((None, 0, 0, 0, 0, False))
+                    continue
                 try:
                     a = decode_png(bytes(content))
                     if a.ndim == 3:
@@ -157,9 +173,9 @@ def dhash64(media: DataFrame) -> DataFrame:
                     )
                     lo = int((bits[:4] * weights).sum())
                     hi = int((bits[4:] * weights).sum())
-                    rows.append((int(mid), w, h, hi, lo, True))
+                    rows.append((mid, w, h, hi, lo, True))
                 except Exception:  # zlib.error / struct.error / ValueError
-                    rows.append((int(mid), 0, 0, 0, 0, False))
+                    rows.append((mid, 0, 0, 0, 0, False))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "width", "height",

@@ -859,3 +859,80 @@ def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["event_type"], tiebreak_col="event_id",
     )
     return out.withColumn("mean_value", F.round("mean_value", 6))
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit + enforcement (r13; operators/anonymity.py staged r11) —
+# the governance face beside q_scrub_pii: scrubbing redacts direct
+# identifiers INSIDE text, k-anonymity bounds what a row's attribute
+# COMBINATION reveals.  Quasi-identifiers: (event_type, props-k decile
+# bucket).  The face runs audit -> drop-mode enforcement -> re-audit, so
+# the hash gates both the class-size profile AND the invariant that
+# enforcement leaves no risky class.
+# ---------------------------------------------------------------------------
+@query(
+    "q_k_anonymity",
+    oracle="""
+WITH q AS (
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket
+    FROM events
+),
+classes AS (
+    SELECT event_type, k_bucket, CAST(count(*) AS BIGINT) AS class_size
+    FROM q GROUP BY 1, 2
+),
+enforced AS (
+    SELECT q.event_type, q.k_bucket
+    FROM q JOIN classes c
+      ON q.event_type IS NOT DISTINCT FROM c.event_type
+     AND q.k_bucket IS NOT DISTINCT FROM c.k_bucket
+    WHERE c.class_size >= 5
+),
+eclasses AS (
+    SELECT event_type, k_bucket, CAST(count(*) AS BIGINT) AS class_size
+    FROM enforced GROUP BY 1, 2
+)
+SELECT 'audit' AS phase, class_size,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       class_size < 5 AS risky
+FROM classes GROUP BY class_size
+UNION ALL
+SELECT 'enforced' AS phase, class_size,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       class_size < 5 AS risky
+FROM eclasses GROUP BY class_size
+""",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity over the events table (Sweeney 2002): class-size
+    profile of the quasi-identifier combinations, then drop-mode
+    suppression of classes below k=5, then the post-enforcement profile
+    (every surviving class must be >= k — the audit-after-enforcement
+    invariant, also pytest-gated in tests/test_anonymity.py).
+
+    Scale shape: audit is ONE hash aggregate with map-side partials plus
+    a <= |distinct-class-size| rollup; enforcement joins the class sizes
+    back on the SAME tuple the aggregate grouped by (null-safe, so NULL
+    quasi patterns stay one class), reusing the shuffle partitioning —
+    nothing row-sized crosses a second exchange."""
+    from .operators.anonymity import k_anonymity_audit, suppress_below_k
+
+    quasi = ["event_type", "k_bucket"]
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.get_json_object("props", "$.k").cast("bigint") / 10
+        ).cast("bigint").alias("k_bucket"),
+    )
+    audit = k_anonymity_audit(ev, quasi, k=5)
+    post = k_anonymity_audit(
+        suppress_below_k(ev, quasi, k=5, mode="drop"), quasi, k=5
+    )
+    return (
+        audit.withColumn("phase", F.lit("audit"))
+        .unionByName(post.withColumn("phase", F.lit("enforced")))
+        .select("phase", "class_size", "n_classes", "n_rows", "risky")
+    )

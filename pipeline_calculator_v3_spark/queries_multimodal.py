@@ -304,3 +304,103 @@ def q_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_pairs(ahash64(media), max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio-modality near-duplicate face (r13; operators/audiofp.py staged r12) —
+# completes the per-modality dedup matrix (text / image / audio).  The
+# corpus plants TRANSCODED copies (every 7th document re-encodes the same
+# PCM16 samples under a shifted id at a different container rate — fresh
+# bytes, identical acoustics), so the face demonstrates what byte-exact
+# dedup cannot: matching recordings, not files.  The oracle re-derives
+# every sample from doc_id (the synth_wav_media contract), recomputes all
+# 64 gradient bits, and brute-forces ALL pairs at Hamming <= 3 — which the
+# banded Spark join must equal EXACTLY (pigeonhole over 4 x 16-bit bands,
+# hot buckets recursing via the shared phash machinery).
+# ---------------------------------------------------------------------------
+_AUDIOFP_CORPUS_CTE = """
+corpus AS (
+    SELECT doc_id AS media_id, doc_id AS src FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS media_id, doc_id AS src
+    FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+_AUDIOFP_HAMMING = (
+    "bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo))"
+)
+
+
+@query(
+    "q_audio_fingerprint_dedup",
+    oracle=f"""
+WITH {_AUDIOFP_CORPUS_CTE},
+m AS (
+    SELECT media_id, src, CAST(64 + src % 64 AS BIGINT) AS n FROM corpus
+),
+s AS (
+    SELECT media_id, n, k,
+           (src * 7919 + k * 104729) % 65536 - 32768 AS v
+    FROM (SELECT media_id, src, n, unnest(range(n)) AS k FROM m)
+),
+fr AS (
+    SELECT media_id, n, k, v, (k * 33) // n AS f,
+           CASE WHEN k > 0 AND (v >= 0) <>
+                     (lag(v) OVER (PARTITION BY media_id ORDER BY k) >= 0)
+                THEN 1 ELSE 0 END AS xing
+    FROM s
+),
+fe AS (
+    SELECT media_id, f, SUM(v * v) AS energy, SUM(xing) AS zc
+    FROM fr GROUP BY 1, 2
+),
+bits AS (
+    SELECT a.media_id, a.f,
+           CASE WHEN a.energy > b.energy THEN 1 ELSE 0 END AS ebit,
+           CASE WHEN a.zc > b.zc THEN 1 ELSE 0 END AS zbit
+    FROM fe a
+    JOIN fe b ON b.media_id = a.media_id AND b.f = a.f + 1
+    WHERE a.f < 32
+),
+h AS (
+    SELECT media_id,
+           CAST(SUM(zbit * (1::BIGINT << f)) AS BIGINT) AS fp_hi,
+           CAST(SUM(ebit * (1::BIGINT << f)) AS BIGINT) AS fp_lo
+    FROM bits GROUP BY media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST({_AUDIOFP_HAMMING} AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE {_AUDIOFP_HAMMING} <= 3
+""",
+)
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup pairs: WAV-encode the corpus (real stdlib RIFF
+    codec), 64-bit chromaprint-style fingerprint each recording (33-frame
+    integer energy/zero-crossing gradients — gain-invariant by
+    construction), match via four 16-bit LSH bands, verify with exact
+    Hamming distance.
+
+    Scale shape: encode + fingerprint are ONE Arrow map pass (zero
+    exchanges — plan-gated in tests/test_audiofp.py); only (id, two
+    BIGINTs) rows reach the band shuffle; hot band buckets recurse through
+    the shared adaptive multi-index join (operators/phash.py) instead of
+    joining quadratically.  At 100 TB of audio the sample bytes never
+    shuffle — the property that makes audio dedup feasible at corpus
+    scale."""
+    from .operators.audiofp import audio_fingerprint64, audio_fp_pairs
+    from .operators.multimodal import (
+        synth_wav_media,
+        synth_wav_media_shifted,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    base = synth_wav_media(_spread(docs, spark))
+    planted = synth_wav_media_shifted(
+        _spread(docs.where(F.col("doc_id") % 7 == 0), spark), 10_000_000
+    )
+    fps = audio_fingerprint64(base.unionByName(planted))
+    return audio_fp_pairs(fps).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )

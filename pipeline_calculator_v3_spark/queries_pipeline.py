@@ -1672,3 +1672,98 @@ def q_padding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.packing import padding_audit
 
     return padding_audit(t(spark, sf_dir, "documents"), seq_len=_PAD_SEQ)
+
+
+# ---------------------------------------------------------------------------
+# Selective compaction face (r13; dataset.py::optimize_dataset staged r12) —
+# the write-path OPTIMIZE story the read-side z-order faces assume: a
+# fragmented dataset (two appends -> up to two small files per lang
+# partition) compacts to one file per partition, big/solo files carry over
+# by hardlink, and content validates against the manifest before the swap.
+# The q_jsonl_roundtrip write-then-verify pattern: deterministic layout by
+# construction (each append coalesces to ONE task, so a lang dir holds
+# exactly one file per half that has rows), so every report metric is
+# SQL-derivable from `documents` alone.
+# ---------------------------------------------------------------------------
+@query(
+    "q_optimize_dataset",
+    oracle="""
+WITH per_lang AS (
+    SELECT lang, CAST(COUNT(DISTINCT doc_id % 2) AS BIGINT) AS nf
+    FROM documents GROUP BY lang
+)
+SELECT 'chars_total' AS metric, CAST(SUM(n_chars) AS BIGINT) AS value
+FROM documents
+UNION ALL
+SELECT 'files_after', CAST(COUNT(*) AS BIGINT) FROM per_lang
+UNION ALL
+SELECT 'files_before', CAST(SUM(nf) AS BIGINT) FROM per_lang
+UNION ALL
+SELECT 'groups_rewritten',
+       CAST(COUNT(CASE WHEN nf >= 2 THEN 1 END) AS BIGINT) FROM per_lang
+UNION ALL
+SELECT 'rewritten_files',
+       CAST(COALESCE(SUM(CASE WHEN nf >= 2 THEN nf END), 0) AS BIGINT)
+FROM per_lang
+UNION ALL
+SELECT 'rows_total', CAST(COUNT(*) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'validation_ok', CAST(1 AS BIGINT)
+""",
+)
+def q_optimize_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents lang-partitioned in two halves (doc_id parity, one
+    file per partition per half), OPTIMIZE with a generous byte target
+    (every multi-file lang group rewrites to one file; lone files
+    hardlink across untouched), and report the plan metrics plus the
+    re-read row/char totals — the hash gates that compaction moved the
+    files WITHOUT moving the data.
+
+    Scale shape (dataset.py docstring): planning is Column arithmetic
+    over the file LISTING (metadata); the rewrite reads exactly the
+    small files, shuffles them once keyed by (partition, group), writes
+    one file per group; carry-over is O(1) hardlinks.  A steady-state
+    table pays for its small-file tail, never a full rewrite."""
+    import os
+    import shutil
+    import tempfile
+
+    from .dataset import optimize_dataset, write_dataset
+
+    d = t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="pcv3_opt_")
+    try:
+        out = os.path.join(work, "ds")
+        halves = [
+            d.where(F.col("doc_id") % 2 == par).coalesce(1)
+            for par in (0, 1)
+        ]
+        write_dataset(
+            halves[0], out, partition_by=["lang"],
+            key_cols=["doc_id", "n_chars"],
+        )
+        write_dataset(
+            halves[1], out, partition_by=["lang"],
+            key_cols=["doc_id", "n_chars"], mode="append",
+        )
+        report = optimize_dataset(spark, out, target_bytes=1 << 30)
+        back = (
+            spark.read.parquet(out)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+                F.sum("n_chars").cast("bigint").alias("chars_total"),
+            )
+            .collect()[0]
+        )
+        rows = [
+            ("chars_total", int(back.chars_total)),
+            ("files_after", int(report["files_after"])),
+            ("files_before", int(report["files_before"])),
+            ("groups_rewritten", int(report["groups_rewritten"])),
+            ("rewritten_files", int(report["rewritten_files"])),
+            ("rows_total", int(back.rows_total)),
+            ("validation_ok", int(bool(report["validation"]["ok"]))),
+        ]
+        return spark.createDataFrame(rows, "metric string, value bigint")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
