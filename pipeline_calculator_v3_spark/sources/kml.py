@@ -387,21 +387,31 @@ def read_placemarks(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     # default PM_{n} ids are per-file counters: across a multi-file glob
     # they collide and a downstream groupBy/join on placemark_id merges
     # unrelated placemarks (exactly the read_pipelines re-key rationale,
-    # review r06/r12).  Re-key the DEFAULT ids densely over (file, local
-    # index) — OBJECTID-derived ids are data and stay verbatim; a single
-    # file keeps PM_1..PM_n unchanged.  The unpartitioned window runs
-    # over lightweight key pairs only, like the pipelines re-key.
-    w = Window.orderBy("file", "local_idx")
-    keys = (
-        parsed.where("default_id").select("file", "local_idx").distinct()
-        .withColumn("_g", F.row_number().over(w))
+    # review r06/r12).  Disambiguate the FILE dimension only: a default
+    # placemark keeps its reference within-file number (local_idx, the
+    # parser's placemark_count — which counts ALL point placemarks, so a
+    # mixed OBJECTID/default file numbers defaults exactly like the
+    # reference's PM_{placemark_count}, review r13) offset by a per-file
+    # base (the total placemark count of preceding files).  A single file
+    # is therefore reference-verbatim, mixed ids included; OBJECTID-derived
+    # ids are data and stay untouched.  The unpartitioned window runs over
+    # ONE lightweight row per file, like the pipelines re-key.
+    wf = Window.orderBy("file").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        parsed.groupBy("file").agg(F.max("local_idx").alias("_n"))
+        .withColumn("_base", F.coalesce(F.sum("_n").over(wf), F.lit(0)))
+        .select("file", "_base")
     )
     return (
-        parsed.join(F.broadcast(keys), ["file", "local_idx"], "left")
+        parsed.join(F.broadcast(bases), ["file"], "left")
         .withColumn(
             "placemark_id",
             F.when(
-                F.col("default_id"), F.concat(F.lit("PM_"), F.col("_g"))
+                F.col("default_id"),
+                F.concat(
+                    F.lit("PM_"),
+                    (F.col("_base") + F.col("local_idx")).cast("string"),
+                ),
             ).otherwise(F.col("placemark_id")),
         )
         .select("file", "placemark_id", "name", "count")

@@ -39,4 +39,20 @@ def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
         t for t in TABLES if re.search(rf"\b{t}\b", query, re.IGNORECASE)
     ]
     register_views(spark, sf_dir, only=referenced)
-    return spark.sql(query)
+    try:
+        return spark.sql(query)
+    except Exception:
+        # the literal-name scan can miss a table reached through a
+        # non-literal spelling (f-string-built name, quoted identifier
+        # variants) and the resulting TABLE_OR_VIEW_NOT_FOUND surfaces far
+        # from the cause (review r12) — register everything and retry once
+        # before letting the error propagate
+        missing = [t for t in TABLES if t not in referenced]
+        if not missing:
+            raise
+        for t in missing:
+            try:
+                register_views(spark, sf_dir, only=[t])
+            except Exception:
+                pass  # fixture absent — keep the q_sql_* faces un-hostaged
+        return spark.sql(query)

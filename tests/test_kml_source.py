@@ -242,8 +242,10 @@ def test_schema_fields_single_quoted_xmlns(spark, oid_file):
 
 def test_placemark_default_ids_rekeyed_across_files(spark, tmp_path_factory):
     """Per-file PM_{n} counters collide across a multi-file glob; default
-    ids re-key densely over (file, local index) while OBJECTID-derived
-    ids stay verbatim (the read_pipelines re-key rationale, review r12)."""
+    ids keep their reference within-file number shifted by a per-file
+    base (total placemarks of preceding files) while OBJECTID-derived
+    ids stay verbatim (the read_pipelines re-key rationale, review
+    r12/r13)."""
     point = """<?xml version="1.0"?>
 <kml xmlns="http://www.opengis.net/kml/2.2"><Document>
   <Placemark>{oid}<name>{nm}</name>
@@ -260,5 +262,33 @@ def test_placemark_default_ids_rekeyed_across_files(spark, tmp_path_factory):
     rows = read_placemarks(spark, str(d / "*.kml")).collect()
     ids = {r.name: r.placemark_id for r in rows}
     assert ids["m2"] == "X9"
-    assert {ids["m1"], ids["m3"]} == {"PM_1", "PM_2"}  # no collision
+    # file a: base 0 -> PM_1; file b: 1 placemark (OBJECTID) so file c's
+    # base is 2 -> PM_3.  No collision, within-file numbering preserved.
+    assert {ids["m1"], ids["m3"]} == {"PM_1", "PM_3"}
     assert len({r.placemark_id for r in rows}) == 3
+
+
+def test_placemark_default_ids_mixed_single_file(spark, tmp_path_factory):
+    """Reference parity in a single file MIXING OBJECTID and default
+    placemarks: the reference's PM_{placemark_count} counter (src :125)
+    counts ALL point placemarks, so the first DEFAULT placemark after an
+    OBJECTID one is PM_2, not PM_1 (ADVICE r12)."""
+    kml = """<?xml version="1.0"?>
+<kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+  <Placemark><ExtendedData><Data name="OBJECTID"><value>X1</value></Data>
+    </ExtendedData><name>first</name>
+    <Point><coordinates>-100.5,40.2</coordinates></Point>
+  </Placemark>
+  <Placemark><name>second</name>
+    <Point><coordinates>-100.6,40.3</coordinates></Point>
+  </Placemark>
+  <Placemark><name>third</name>
+    <Point><coordinates>-100.7,40.4</coordinates></Point>
+  </Placemark>
+</Document></kml>
+"""
+    d = tmp_path_factory.mktemp("mixed")
+    (d / "m.kml").write_text(kml)
+    rows = read_placemarks(spark, str(d / "m.kml")).collect()
+    ids = {r.name: r.placemark_id for r in rows}
+    assert ids == {"first": "X1", "second": "PM_2", "third": "PM_3"}
