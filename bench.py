@@ -126,6 +126,9 @@ HEADLINE = [
     "q_similarity_ann_ivf_pq",    # added r12 (IVF-PQ: coarse lists + ADC codes)
     "q_postings_index",           # added r12 (salted two-phase postings cap)
     "q_winnow_code_dedup",        # added r12 (winnowing fingerprint pairs)
+    "q_audio_fingerprint_dedup",  # added r13 (banded acoustic near-dup)
+    "q_optimize_dataset",         # added r13 (selective small-file compaction)
+    "q_k_anonymity",              # added r13 (QI class-size audit + enforce)
     "q_overlap_e2e",
 ]
 

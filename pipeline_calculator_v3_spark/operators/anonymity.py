@@ -106,3 +106,71 @@ def suppress_below_k(
             for c in df.columns
         ]
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Distinct-l-diversity profile (Machanavajjhala et al., "l-Diversity:
+    Privacy Beyond k-Anonymity", 2006): k-anonymity bounds how many rows
+    share a quasi-identifier combination, but a class where every row has
+    the SAME sensitive value still leaks it outright (the homogeneity
+    attack).  A class is l-diverse iff it contains at least l distinct
+    non-NULL sensitive values.
+
+    Returns one row per distinct DIVERSITY level: ``diversity`` BIGINT
+    (distinct sensitive values in the class; all-NULL classes score 0),
+    ``n_classes`` BIGINT, ``n_rows`` BIGINT, ``risky`` BOOLEAN
+    (diversity < l).  Same single-hash-aggregate shape as
+    :func:`k_anonymity_audit` — one groupBy on the quasi tuple with a
+    count-distinct partial, then a <= |distinct-diversity| rollup."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if l < 2:
+        raise ValueError("l must be >= 2 (l=1 is the no-op policy)")
+    classes = df.groupBy(*quasi_cols).agg(
+        F.countDistinct(sensitive_col).alias("diversity"),
+        F.count(F.lit(1)).alias("class_size"),
+    )
+    return (
+        classes.groupBy("diversity")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            F.col("diversity").cast("bigint").alias("diversity"),
+            "n_classes", "n_rows",
+            (F.col("diversity") < l).alias("risky"),
+        )
+        .orderBy("diversity")
+    )
+
+
+def suppress_below_l(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Enforce distinct-l-diversity: DROP rows whose quasi class carries
+    fewer than l distinct non-NULL sensitive values (nulling the
+    sensitive column would set diversity to 0 — generalization hierarchies
+    are a policy layer above this operator).  Column order and types are
+    preserved.  Null-safe class join, the suppress_below_k rule."""
+    if l < 2:
+        raise ValueError("l must be >= 2 (l=1 is the no-op policy)")
+    classes = df.groupBy(*quasi_cols).agg(
+        F.countDistinct(sensitive_col).alias("_ldiv")
+    )
+    cond = None
+    for c in quasi_cols:
+        eq = df[c].eqNullSafe(classes[c])
+        cond = eq if cond is None else cond & eq
+    joined = df.join(classes, cond, "left").drop(
+        *[classes[c] for c in quasi_cols]
+    )
+    return joined.where(F.col("_ldiv") >= l).select(*df.columns)

@@ -6,6 +6,7 @@ grouping, and arg guards."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from pipeline_calculator_v3_spark.operators.anonymity import (
     k_anonymity_audit,
@@ -141,3 +142,107 @@ def test_single_aggregate_plan(planted):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# l-diversity (staged r13 for an r14 face) — privacy beyond k-anonymity:
+# the homogeneity attack a big-but-uniform class permits.
+# ---------------------------------------------------------------------------
+LDIV_ORACLE = f"""
+WITH q AS (
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS sensitive
+    FROM events
+),
+classes AS (
+    SELECT event_type, k_bucket,
+           CAST(count(DISTINCT sensitive) AS BIGINT) AS diversity,
+           CAST(count(*) AS BIGINT) AS class_size
+    FROM q GROUP BY 1, 2
+)
+SELECT diversity, CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       diversity < 3 AS risky
+FROM classes GROUP BY diversity ORDER BY diversity
+"""
+
+# classes: (a,1) 3 rows 1 distinct sensitive -> diversity 1 (homogeneous!)
+#          (b,1) 5 rows {x,y,z} -> diversity 3
+#          (c,1) 2 rows {x, NULL} -> diversity 1 (NULL doesn't count)
+#          (NULL,1) 2 rows {x,y} -> diversity 2
+LDIV_PLANTED = [
+    ("a", 1, "x"), ("a", 1, "x"), ("a", 1, "x"),
+    ("b", 1, "x"), ("b", 1, "y"), ("b", 1, "z"), ("b", 1, "x"), ("b", 1, "y"),
+    ("c", 1, "x"), ("c", 1, None),
+    (None, 1, "x"), (None, 1, "y"),
+]
+
+
+@pytest.fixture(scope="module")
+def ldiv_planted(spark):
+    return spark.createDataFrame(
+        LDIV_PLANTED, "event_type string, k_bucket long, sensitive string"
+    )
+
+
+def test_ldiv_planted_audit(ldiv_planted):
+    from pipeline_calculator_v3_spark.operators.anonymity import (
+        l_diversity_audit,
+    )
+
+    got = {
+        r.diversity: (r.n_classes, r.n_rows, r.risky)
+        for r in l_diversity_audit(
+            ldiv_planted, QUASI, "sensitive", l=2
+        ).collect()
+    }
+    assert got == {1: (2, 5, True), 2: (1, 2, False), 3: (1, 5, False)}
+
+
+def test_ldiv_suppress_drops_homogeneous_classes(ldiv_planted):
+    from pipeline_calculator_v3_spark.operators.anonymity import (
+        l_diversity_audit,
+        suppress_below_l,
+    )
+
+    kept = suppress_below_l(ldiv_planted, QUASI, "sensitive", l=2)
+    assert kept.count() == 7  # (b,1) x5 + (NULL,1) x2 survive
+    assert kept.columns == ldiv_planted.columns
+    post = l_diversity_audit(kept, QUASI, "sensitive", l=2).collect()
+    assert all(not r.risky for r in post)
+    # the safe NULL-quasi class survives the null-safe join
+    assert kept.where(F.col("event_type").isNull()).count() == 2
+
+
+def test_ldiv_events_oracle(spark, duck, sf_dir):
+    from pipeline_calculator_v3_spark.operators.anonymity import (
+        l_diversity_audit,
+    )
+
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (k / 10).cast("bigint").alias("k_bucket"),
+        (k % 7).alias("sensitive"),
+    )
+    got = [
+        (r.diversity, r.n_classes, r.n_rows, r.risky)
+        for r in l_diversity_audit(ev, QUASI, "sensitive", l=3).collect()
+    ]
+    want = [tuple(r) for r in duck.execute(LDIV_ORACLE).fetchall()]
+    assert got == want and len(got) >= 2
+
+
+def test_ldiv_arg_guards(ldiv_planted):
+    from pipeline_calculator_v3_spark.operators.anonymity import (
+        l_diversity_audit,
+        suppress_below_l,
+    )
+
+    with pytest.raises(ValueError):
+        l_diversity_audit(ldiv_planted, [], "sensitive")
+    with pytest.raises(ValueError):
+        l_diversity_audit(ldiv_planted, QUASI, "sensitive", l=1)
+    with pytest.raises(ValueError):
+        suppress_below_l(ldiv_planted, QUASI, "sensitive", l=0)
