@@ -448,6 +448,47 @@ AUDIT: list[tuple[str, str]] = [
         " bucket is bounded at C(max_df, 2) pairs regardless of corpus"
         " size.",
     ),
+    (
+        "q_phash_image_dedup",
+        "The r13 hot-bucket fix in one plan: banding runs over DISTINCT"
+        " hashes (identical images expand output-side through the"
+        " multiplicity join at the end — their pairs are true Hamming-0"
+        " pairs by definition), the band join is grp-keyed equi only, and"
+        " any over-cap group leaves this plan entirely for the recursion"
+        " frontier (a localCheckpoint side branch) instead of joining"
+        " quadratically.  No key at any corpus size drives more than"
+        " cap^2/2 candidate pairs; recall at Hamming <= 3 stays EXACT"
+        " (pigeonhole holds at every recursion level).",
+    ),
+    (
+        "q_audio_fingerprint_dedup",
+        "Audio near-dup shares the capped banded-Hamming join verbatim:"
+        " WAV encode + fingerprint are one Arrow map pass (zero exchanges"
+        " below the band explode), only (id, two BIGINT words) rows reach"
+        " any shuffle, and the transcoded plants surface as Hamming-0"
+        " pairs through the identical-hash multiplicity join — the sample"
+        " bytes themselves never cross an exchange.",
+    ),
+    (
+        "q_k_anonymity",
+        "Both phases are one hash aggregate each over the quasi tuple"
+        " (map-side partials absorb hot event_type combinations); the"
+        " enforcement join re-keys on the SAME tuple the audit grouped"
+        " by — null-safe so NULL-pattern classes stay one class — and"
+        " only class-size scalars move between stages, never row"
+        " payloads.",
+    ),
+    (
+        "q_optimize_dataset",
+        "Write-path OPTIMIZE: planning is Column arithmetic over the"
+        " file LISTING (one metadata row per file, partition-local"
+        " cumulative windows); the rewrite scan reads EXACTLY the"
+        " small-file set, shuffles it once keyed by (partition, __grp)"
+        " so group boundaries survive task hashing, and writes one file"
+        " per group; untouched files carry over as O(1) hardlinks and"
+        " the validation is aggregate-only (order-independent checksums"
+        " from the manifest).",
+    ),
 ]
 
 # Non-registry plan notes: (title, why, builder(spark) -> DataFrame).
