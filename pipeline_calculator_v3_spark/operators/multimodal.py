@@ -239,11 +239,20 @@ WAV_FEATURES_SCHEMA = (
 )
 
 
+def _wav_samples(did: int) -> "np.ndarray":
+    """The shared doc_id -> PCM16 derivation every WAV face and oracle
+    replays: ``s_k = (doc_id*7919 + k*104729) % 65536 - 32768`` over
+    ``n = 64 + doc_id % 64`` samples.  ONE spelling — the synth and the
+    shifted-plant generators must never desynchronize (review r13)."""
+    n = 64 + did % 64
+    k = np.arange(n, dtype=np.int64)
+    return ((did * 7919 + k * 104729) % 65536 - 32768).astype(np.int16)
+
+
 def synth_wav_media(docs: DataFrame) -> DataFrame:
     """Deterministic REAL-format AUDIO table from `documents`: per doc a
     mono PCM16 WAV (operators/wavcodec.py) whose samples come from pure
-    integer arithmetic — ``s_k = (doc_id*7919 + k*104729) % 65536 - 32768``
-    over ``n = 64 + doc_id % 64`` samples at ``rate = 8000 +
+    integer arithmetic (:func:`_wav_samples`) at ``rate = 8000 +
     (doc_id % 4) * 4000`` — so every downstream feature replays exactly in
     ANSI SQL (the synth_png_media move applied to audio).  Encoded
     executor-side through mapInPandas, like any real transcode."""
@@ -256,14 +265,9 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
             ids, blobs = [], []
             for did in pdf["doc_id"]:
                 did = int(did)
-                n = 64 + did % 64
                 rate = 8000 + (did % 4) * 4000
-                k = np.arange(n, dtype=np.int64)
-                s = ((did * 7919 + k * 104729) % 65536 - 32768).astype(
-                    np.int16
-                )
                 ids.append(did)
-                blobs.append(encode_wav(s, rate))
+                blobs.append(encode_wav(_wav_samples(did), rate))
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     return docs.select("doc_id").mapInPandas(
@@ -272,14 +276,22 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
 
 
 def synth_wav_media_shifted(
-    docs: DataFrame, shift: int, rate: int = 16000
+    docs: DataFrame, shift: int, rate: int = 22050
 ) -> DataFrame:
     """Transcoded COPIES of :func:`synth_wav_media` blobs: the SAME PCM16
-    samples (still derived from ``doc_id``), but a fresh
-    ``media_id = doc_id + shift`` and a different container sample rate —
-    the re-encoded-duplicate plant byte-exact dedup cannot catch
-    (different bytes, identical acoustics).  The audio sibling of
-    q_phash_image_dedup's shifted-id PNG plant."""
+    samples (:func:`_wav_samples`, still derived from ``doc_id``), a
+    fresh ``media_id = doc_id + shift``, and a container sample rate the
+    base generator can never emit (its rates are 8000 + (doc_id%4)*4000,
+    i.e. {8000, 12000, 16000, 20000} — a 16000 default would have made a
+    quarter of the plants byte-IDENTICAL, review r13) — the re-encoded
+    duplicate byte-exact dedup cannot catch (different bytes, identical
+    acoustics).  The audio sibling of q_phash_image_dedup's shifted-id
+    PNG plant."""
+    if rate in {8000, 12000, 16000, 20000}:
+        raise ValueError(
+            f"rate {rate} collides with a synth_wav_media rate — the "
+            "plant would be byte-identical for some doc_ids"
+        )
     from .wavcodec import encode_wav
 
     ensure_pkg_shipped(docs.sparkSession)
@@ -289,13 +301,8 @@ def synth_wav_media_shifted(
             ids, blobs = [], []
             for did in pdf["doc_id"]:
                 did = int(did)
-                n = 64 + did % 64
-                k = np.arange(n, dtype=np.int64)
-                s = ((did * 7919 + k * 104729) % 65536 - 32768).astype(
-                    np.int16
-                )
                 ids.append(did + shift)
-                blobs.append(encode_wav(s, rate))
+                blobs.append(encode_wav(_wav_samples(did), rate))
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     return docs.select("doc_id").mapInPandas(

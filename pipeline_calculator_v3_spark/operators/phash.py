@@ -229,7 +229,9 @@ def _ahash_pairs_impl(
             F.col(id_col).alias("id"), "ahash_hi", "ahash_lo"
         )
     )
-    distinct = members.select("ahash_hi", "ahash_lo").distinct()
+    distinct = persist_tracked(
+        members.select("ahash_hi", "ahash_lo").distinct()
+    )
 
     # Level 0: four 16-bit bands over the full 64 bits.  `rest` packs the
     # three unmatched bands (48 bits) for the recursion; `grp` is the
@@ -274,9 +276,9 @@ def _ahash_pairs_impl(
         width = max(pending)
         frame = pending.pop(width)
         if level0_frame:
-            # Level 0 is one explode away from the persisted distinct set —
-            # cheap to re-derive, and checkpointing it would materialize 4N
-            # banded rows twice.
+            # Level 0 is one explode away from the persisted distinct set
+            # (cheap map-side re-derivation per consumer); checkpointing it
+            # would materialize 4N banded rows twice.
             level0_frame = False
         else:
             # Lineage cut per recursion level: the frontier is metadata-
@@ -397,9 +399,12 @@ def _ahash_pairs_impl(
         F.col("id").alias("_ib"),
         F.col("ahash_hi").alias("hi_b"), F.col("ahash_lo").alias("lo_b"),
     )
+    # the _ia != _ib guard restores the strict id_a < id_b contract when
+    # an id appears under several hashes (duplicate-id inputs; review r13)
     expanded = (
         cross.join(ma, ["hi_a", "lo_a"])
         .join(mb, ["hi_b", "lo_b"])
+        .where(F.col("_ia") != F.col("_ib"))
         .select(
             F.least("_ia", "_ib").alias("id_a"),
             F.greatest("_ia", "_ib").alias("id_b"),
@@ -416,10 +421,11 @@ def _ahash_pairs_impl(
         )
     )
     pairs = expanded.unionByName(ident)
-    ledger = ledger_frames[0]
-    for f in ledger_frames[1:]:
-        ledger = ledger.unionByName(f)
-    if not ledger_frames:
+    if ledger_frames:
+        ledger = ledger_frames[0]
+        for f in ledger_frames[1:]:
+            ledger = ledger.unionByName(f)
+    else:  # empty input short-circuits every level
         ledger = spark.createDataFrame(
             [], "depth int, grp string, n_hashes bigint"
         )

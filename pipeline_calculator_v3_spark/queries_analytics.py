@@ -921,9 +921,13 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.anonymity import k_anonymity_audit, suppress_below_k
 
     quasi = ["event_type", "k_bucket"]
+    # FLOOR division, matching the oracle's BIGINT // 10 — a bare
+    # double-divide cast truncates toward zero and diverges on negative
+    # k values (review r13; fixture k is non-negative today, so values
+    # are unchanged)
     ev = t(spark, sf_dir, "events").select(
         "event_type",
-        (
+        F.floor(
             F.get_json_object("props", "$.k").cast("bigint") / 10
         ).cast("bigint").alias("k_bucket"),
     )

@@ -39,14 +39,20 @@ def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
         t for t in TABLES if re.search(rf"\b{t}\b", query, re.IGNORECASE)
     ]
     register_views(spark, sf_dir, only=referenced)
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.sql(query)
-    except Exception:
+    except AnalysisException as e:
         # the literal-name scan can miss a table reached through a
         # non-literal spelling (f-string-built name, quoted identifier
         # variants) and the resulting TABLE_OR_VIEW_NOT_FOUND surfaces far
-        # from the cause (review r12) — register everything and retry once
-        # before letting the error propagate
+        # from the cause (review r12) — register everything and retry once.
+        # Gated on the missing-relation error class: a syntax/type error
+        # must not pay 8 parquet footer reads and a second plan just to
+        # re-raise identically (review r13).
+        if "TABLE_OR_VIEW_NOT_FOUND" not in str(e):
+            raise
         missing = [t for t in TABLES if t not in referenced]
         if not missing:
             raise

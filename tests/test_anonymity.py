@@ -90,7 +90,7 @@ def test_events_audit_oracle(spark, duck, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_type",
-        (
+        F.floor(
             F.get_json_object("props", "$.k").cast("bigint") / 10
         ).cast("bigint").alias("k_bucket"),
     )
@@ -223,7 +223,7 @@ def test_ldiv_events_oracle(spark, duck, sf_dir):
     k = F.get_json_object("props", "$.k").cast("bigint")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_type",
-        (k / 10).cast("bigint").alias("k_bucket"),
+        F.floor(k / 10).cast("bigint").alias("k_bucket"),
         (k % 7).alias("sensitive"),
     )
     got = [
