@@ -522,8 +522,12 @@ _KEEP_IN_WINDOW = [
 # entropy_profile (tests/test_entropy.py), operators/ngram_lm.py
 # kn_bigram_probs (tests/test_ngram_lm.py), operators/textnorm.py NFC
 # canonicalization (tests/test_textnorm.py), operators/retention.py
-# cohort retention (tests/test_retention.py), plus any r13-staged
-# capability [~2-3 of the five make the window; the rest hold their
+# cohort retention (tests/test_retention.py), plus the three r13-staged
+# capabilities — operators/hilbert.py Hilbert-curve layout
+# (tests/test_hilbert.py), operators/anonymity.py l-diversity
+# (tests/test_anonymity.py), operators/videofp.py video fingerprint
+# near-dup (tests/test_videofp.py, completing the 4-modality dedup
+# matrix) [~2-3 of the eight make the window; the rest hold their
 # pytest oracles]; (3) the r10 cohort (48 queries, by then the oldest
 # hash tier) fills the remaining ~29-31 slots — its tail defers to r15.
 # Run scripts/preflight_window.py before round end.
