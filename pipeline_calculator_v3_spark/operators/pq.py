@@ -35,22 +35,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import elementwise_mean
+from .kmeans import sqdist as _sqdist  # ONE distance spelling for every
+# face the oracles mirror — a private fork would silently diverge from a
+# fold-order fix applied to kmeans.sqdist (review r11 class, closed r13;
+# its per-element double casts are identity no-ops on these arrays)
 
 
 def _sub(vec: Column, i: int, dsub: int) -> Column:
     """The i-th length-``dsub`` subvector (1-based slice), as doubles."""
     return F.transform(
         F.slice(vec, i * dsub + 1, dsub), lambda x: x.cast("double")
-    )
-
-
-def _sqdist(a: Column, b: Column) -> Column:
-    """Squared L2 as the sequential left-fold both engines replay
-    (operators/kmeans.sqdist's spelling over already-double arrays)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
 
 
@@ -84,7 +78,10 @@ def pq_train(
     rows), so each step pins it back to a literal frame — without that,
     iteration i's plan replays all i-1 prior join+aggregate stages and
     the loop goes O(iters^2) in recomputed stages (review r11)."""
-    d = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    first = corpus.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("corpus is empty — nothing to train on")
+    d = first["d"]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
@@ -100,31 +97,40 @@ def pq_train(
             _sub(F.col("v"), i, dsub).alias("cent"),
         )
         parts = p if parts is None else parts.unionByName(p)
-    books = parts
     spark = corpus.sparkSession
     schema = "subspace bigint, code bigint, cent array<double>"
-    if iters > 0:
-        books = spark.createDataFrame(
-            [(r.subspace, r.code, list(r.cent)) for r in parts.collect()],
-            schema,
-        )
+    # pin the seeds to a literal frame UNCONDITIONALLY: the lazy m-branch
+    # union embeds a full-corpus orderBy+limit per branch, and downstream
+    # consumers (_books_row inside encode AND probe plans, _shape_of's two
+    # driver jobs) would re-execute every branch on every action — ~4m
+    # corpus scans for the iters=0 path the shipped face uses (review r13)
+    books = spark.createDataFrame(
+        [(r.subspace, r.code, list(r.cent)) for r in parts.collect()],
+        schema,
+    )
     for _ in range(iters):
+        # ONE corpus pass per Lloyd step: carry the vector through the
+        # assignment so the per-subspace rows posexplode out of the code
+        # word — the previous m-branch union re-ran the full encode AND a
+        # corpus re-join per subspace, an O(m) recompute factor on the
+        # hottest stage (review r13).  Same rows, same means.
         assigned = corpus.crossJoin(F.broadcast(_books_row(books))).select(
-            F.col(id_col), _codes_expr(m, dsub, vec_col).alias("codes")
+            F.col(vec_col), _codes_expr(m, ksub, dsub, vec_col).alias("codes")
         )
-        subvecs = None
-        for i in range(m):
-            p = (
-                assigned.join(
-                    corpus.select(F.col(id_col), F.col(vec_col)), id_col
-                )
-                .select(
-                    F.lit(i).cast("bigint").alias("subspace"),
-                    F.element_at(F.col("codes"), i + 1).alias("code"),
-                    _sub(F.col(vec_col), i, dsub).alias("sv"),
-                )
-            )
-            subvecs = p if subvecs is None else subvecs.unionByName(p)
+        subvecs = assigned.select(
+            F.col(vec_col), F.posexplode("codes").alias("_i", "code")
+        ).select(
+            F.col("_i").cast("bigint").alias("subspace"),
+            F.col("code"),
+            F.transform(
+                F.slice(
+                    F.col(vec_col),
+                    (F.col("_i") * dsub + 1).cast("int"),
+                    F.lit(dsub),
+                ),
+                lambda x: x.cast("double"),
+            ).alias("sv"),
+        )
         means = {
             (r.subspace, r.code): list(r.cent)
             for r in elementwise_mean(
@@ -167,17 +173,20 @@ def _shape_of(codebooks: DataFrame) -> tuple[int, int, int]:
     return int(mk["mm"]) + 1, int(mk["k"]), dsub
 
 
-def _codes_expr(m: int, dsub: int, vec_col: str) -> Column:
+def _codes_expr(m: int, ksub: int, dsub: int, vec_col: str) -> Column:
     """The ARRAY<BIGINT> code word for ``vec_col`` against the broadcast
     ``_cb`` codebook row: per subspace, argmin squared L2 (ties -> lowest
-    code) — one HOF expression, no exchanges, no UDFs."""
+    code) — one HOF expression, no exchanges, no UDFs.  Each subspace
+    block comes off ``_cb`` by POSITION (slice at i*ksub+1): the codebook
+    is (subspace, code)-sorted and dense by the pq_train contract — the
+    same property _lut_expr indexes on — so a per-subspace predicate scan
+    of all m*ksub structs (O(m^2*ksub) per corpus row, review r13) buys
+    nothing."""
     return F.array(
         *[
             F.array_min(
                 F.transform(
-                    F.filter(
-                        F.col("_cb"), lambda c: c["subspace"] == F.lit(i)
-                    ),
+                    F.slice(F.col("_cb"), i * ksub + 1, ksub),
                     lambda c: F.struct(
                         _sqdist(_sub(F.col(vec_col), i, dsub), c["cent"]).alias(
                             "dist"
@@ -203,10 +212,12 @@ def pq_encode(
     Pure map over ``df`` after a one-row codebook broadcast: per row,
     m * ksub small-dim distance evaluations inside one HOF expression —
     zero exchanges, zero UDFs."""
-    m, _ksub, dsub = _shape_of(codebooks)
+    m, ksub, dsub = _shape_of(codebooks)
     return (
         df.crossJoin(F.broadcast(_books_row(codebooks)))
-        .select(F.col(id_col), _codes_expr(m, dsub, vec_col).alias("codes"))
+        .select(
+            F.col(id_col), _codes_expr(m, ksub, dsub, vec_col).alias("codes")
+        )
     )
 
 
@@ -268,9 +279,11 @@ def pq_adc_topk(
 
     Scale shape: the query side (tiny by contract) broadcasts WITH its
     lookup tables; the corpus side streams code arrays through a
-    map-side scoring pass and only (qid, cid, dist) survivor rows reach
-    the per-query top-k — the exact cosine_topk shape with 256 B/vector
-    swapped for m bytes."""
+    map-side scoring pass, and the rank<=k filter plans as
+    WindowGroupLimit (verified in PLANS.md) — each map task forwards at
+    most k rows per query to the window exchange, so the per-query sort
+    never sees the corpus, only k * n_upstream_partitions survivors —
+    the exact cosine_topk shape with 256 B/vector swapped for m bytes."""
     m, ksub, dsub = _shape_of(codebooks)
     q = (
         queries.select(
@@ -448,7 +461,7 @@ def pq_ivf_adc_topk(
         .select(
             F.col(c_id).alias("cid"),
             F.array_min(coarse_sc(vec_col))["list_id"].alias("list_id"),
-            _codes_expr(m, dsub, vec_col).alias("codes"),
+            _codes_expr(m, ksub, dsub, vec_col).alias("codes"),
         )
     )
     probes = (

@@ -10,8 +10,11 @@ grams), which none of the others promise.
 
 Algorithm, per document: hash every token k-gram; slide a window of w
 consecutive gram hashes; record the MINIMUM hash of each window, ties
-to the RIGHTMOST position (the paper's robust-winnowing rule — fewer
-distinct selections on repetitive text).  Cross-document matching is
+to the RIGHTMOST position (the paper's STANDARD winnowing tie rule;
+robust winnowing — re-selecting the previous window's hash to further
+thin repetitive text — is a different variant this operator does not
+implement, so density on highly repetitive text approaches one
+fingerprint per gram rather than the ~2/(w+1) average).  Cross-document matching is
 then an equi-join on fingerprint.
 
 Engine mapping: gram hashes are md5 hex (identical in Spark and DuckDB,
@@ -74,7 +77,16 @@ def winnow_fingerprints(
     )
     staged = (
         docs.select(F.col(id_col), tok.alias("_tok"))
-        .where(F.size("_tok") >= k + w - 1)
+        # lower bound: the paper's t = k + w - 1 guarantee threshold.
+        # Upper bound: positions at or beyond _PAD would emit an 11-char
+        # NEGATIVE pad ('-000000001') that silently corrupts both the
+        # lexicographic tie order and the substring(33,10) decode —
+        # enforce the documented contract instead of leaving it advisory
+        # (review r13; a >= 10^9-gram document is not a document)
+        .where(
+            (F.size("_tok") >= k + w - 1)
+            & (F.size("_tok") - (k - 1) < _PAD)
+        )
         .select(id_col, keys.alias("_keys"))
     )
     selected = F.array_distinct(
