@@ -149,6 +149,10 @@ SCALE_TWINS = [
     "q_dedup_substring_xl",  # added r08 (substring-dedup growth gate)
     "q_dedup_semantic_xl",   # added r08 (SemDeDup growth gate; k scales
                              #  with N so pair work stays linear)
+    "q_phash_image_dedup",        # added r13 (hot-bucket recursion gate:
+                                  #  a quadratic band bucket would blow
+                                  #  the exponent straight past 1.2)
+    "q_audio_fingerprint_dedup",  # added r13 (shares the capped join)
 ]
 SCALE_EXPONENT_MAX = 1.2
 
