@@ -244,10 +244,16 @@ def merge_stream_into_table(
             # partition value must rewrite the row's OLD home too.  Key
             # column + directory-derived partition columns only: the
             # column-pruned stand-in for a record-key index.
+            # NULL-SAFE key match: a plain equi-semi-join never matches a
+            # NULL key, so a NULL-key update that changes its partition
+            # value would strand its stale row in the old partition — the
+            # exact corruption this join exists to prevent (review r13,
+            # the r12 NULL-key class)
+            _bk = batch_df.select(F.col(key).alias("_bk")).distinct()
             moved_from = (
                 current.join(
-                    F.broadcast(batch_df.select(key).distinct()),
-                    on=key,
+                    F.broadcast(_bk),
+                    on=current[key].eqNullSafe(F.col("_bk")),
                     how="left_semi",
                 )
                 .select(*part_str)

@@ -139,18 +139,46 @@ def admit_batch(
     docstring steps 1-5).  Exposed module-level so redelivery can be
     exercised directly: calling this twice with the same (batch_df,
     batch_id) must leave the on-disk index byte-stable."""
+    # a NULL doc_id is untrackable by the index: every band/shingle
+    # equi-join drops it, so it would sail through the gate and append an
+    # exact duplicate on EVERY redelivery (review r13, the NULL-text r11
+    # class).  Dropping it here keeps admission idempotent; identity is
+    # the caller's contract.
+    batch_df = batch_df.where(F.col("doc_id").isNotNull())
     if batch_df.isEmpty():
         return
     base_staged, sig, base_bands = _md5_staged_bands(
         batch_df, "text", "doc_id", num_hashes, bands, shingle_n
     )
+    # every pinned frame goes through this list so the finally below can
+    # release them even when the batch FAILS mid-flight — an exception
+    # before the cleanup used to leak 4 persisted frames per replay
+    # attempt, reopening the r08 unbounded-storage growth on the failure
+    # path (review r13)
+    pinned = [base_staged, sig]
+    try:
+        _admit_batch_body(
+            spark, batch_df, batch_id, work_dir, min_jaccard,
+            base_staged, base_bands, pinned,
+            shingle_n,
+        )
+    finally:
+        for frame in pinned:
+            unpersist_tracked(frame)
+
+
+def _admit_batch_body(
+    spark, batch_df, batch_id, work_dir, min_jaccard,
+    base_staged, base_bands, pinned, shingle_n,
+) -> None:
     short_staged, short_bands = _short_doc_frames(batch_df, shingle_n)
     # the unions WRAP the stager's persisted frames — the bases (not the
-    # wrappers) are what the cleanup loop below must release
+    # wrappers) are what the cleanup loop releases
     staged = base_staged.unionByName(short_staged)
     with_bands = persist_tracked(
         base_bands.select("id", "key").unionByName(short_bands)
     )  # corpus + internal joins
+    pinned.append(with_bands)
     # read ONLY generations b0..b{batch_id}: the seed plus every COMMITTED
     # earlier batch — never this batch's own (possibly partially written)
     # b{batch_id+1} generation (see _gen_paths)
@@ -194,6 +222,7 @@ def admit_batch(
     accepted_ids = persist_tracked(
         batch_df.select("doc_id").join(rejected, "doc_id", "left_anti")
     )  # read by three index writes below
+    pinned.append(accepted_ids)
     acc = F.broadcast(accepted_ids)
     _write_index(
         batch_df.join(acc, "doc_id", "left_semi").select("doc_id", "gen"),
@@ -207,14 +236,9 @@ def admit_batch(
         f"b{batch_id + 1}",
     )
     # batch-scoped caches end with the batch: the next micro-batch reads
-    # the on-disk index, never these frames — without this a continuous
-    # stream pins 4 new RDDs per batch until a global release_caches the
-    # stream never calls (review r08, unbounded executor-storage growth).
-    # unpersist_tracked (not bare unpersist) also DEREGISTERS the driver
-    # handle — the registry otherwise grows 4 dead DataFrame objects per
-    # micro-batch forever (review r11)
-    for frame in (accepted_ids, with_bands, sig, base_staged):
-        unpersist_tracked(frame)
+    # the on-disk index, never these frames — the caller's finally
+    # releases every frame in `pinned` (unpersist_tracked both frees the
+    # blocks and DEREGISTERS the driver handle, review r08/r11/r13).
 
 
 def ingest_stream_dedup(
@@ -235,23 +259,28 @@ def ingest_stream_dedup(
 
     ``base_docs`` and the update files must carry (doc_id, text, gen)."""
     ensure_pkg_shipped(spark)
+    # NULL-id seed docs are as untrackable as NULL-id batch docs (the
+    # admit_batch rule) — an index row with id NULL never equi-joins
+    base_docs = base_docs.where(F.col("doc_id").isNotNull())
     seed_staged, _seed_sig, seed_bands = _md5_staged_bands(
         base_docs, "text", "doc_id", num_hashes, bands, shingle_n
     )
-    # seed-side short docs take the same degenerate path as batches — a
-    # sub-shingle seed doc must be matchable, or its exact copy in any
-    # later batch sails through the gate (review r11)
-    sshort_staged, sshort_bands = _short_doc_frames(base_docs, shingle_n)
-    _write_index(
-        base_docs.select("doc_id", "gen"),
-        seed_bands.select("id", "key").unionByName(sshort_bands),
-        seed_staged.unionByName(sshort_staged),
-        work_dir, "b0",
-    )
-    # same batch-scoped-cache rule as admit_batch: the stream reads the
-    # written b0 index, never these frames
-    unpersist_tracked(_seed_sig)
-    unpersist_tracked(seed_staged)
+    try:
+        # seed-side short docs take the same degenerate path as batches —
+        # a sub-shingle seed doc must be matchable, or its exact copy in
+        # any later batch sails through the gate (review r11)
+        sshort_staged, sshort_bands = _short_doc_frames(base_docs, shingle_n)
+        _write_index(
+            base_docs.select("doc_id", "gen"),
+            seed_bands.select("id", "key").unionByName(sshort_bands),
+            seed_staged.unionByName(sshort_staged),
+            work_dir, "b0",
+        )
+    finally:
+        # same batch-scoped-cache rule as admit_batch, failure path
+        # included: the stream reads the written b0 index, never these
+        unpersist_tracked(_seed_sig)
+        unpersist_tracked(seed_staged)
 
     def _admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         admit_batch(

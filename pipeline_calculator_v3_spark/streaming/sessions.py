@@ -123,7 +123,14 @@ def _session_update(
 
 def session_timeout_totals(events: DataFrame) -> DataFrame:
     """Apply the timeout-closed session operator; ``events`` must be a
-    watermarked stream_events() frame (EventTimeTimeout requires it)."""
+    watermarked stream_events() frame (EventTimeTimeout requires it).
+
+    Contract: event time must be post-1970.  Spark's event-time watermark
+    is floored at zero and timers below it are unarmable, so a
+    negative-epoch session closes at first sight — Spark engine behavior,
+    not a tunable (review r13; the batch oracle's unfloored max(ts)-delay
+    would diverge on such fixtures; every shipped fixture is
+    positive-epoch)."""
     from ..shipping import ensure_pkg_shipped
 
     ensure_pkg_shipped(events.sparkSession)

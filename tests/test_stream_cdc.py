@@ -346,3 +346,22 @@ def test_partitions_immutable_skips_locate_scan(spark, tmp_path):
     }
     assert got[3] == ("a", 2) and got[13] == ("b", 1)
     assert validate_dataset(spark, table)["ok"]
+
+
+def test_null_key_move_leaves_no_stale_row(spark, tmp_path):
+    """A NULL-key row that changes its partition value: the moved-from
+    discovery is a key semi-join, and a plain equi-join never matches
+    NULL — the stale old-partition row survived (review r13).  The
+    null-safe join must rewrite the old home too."""
+    base = _frame(spark, [(None, "a", 1, 0), (5, "a", 1, 0)])
+    u1 = _frame(spark, [(None, "b", 2, 1)])
+    table = str(tmp_path / "table")
+    updates = str(tmp_path / "updates")
+    os.makedirs(updates)
+    write_dataset(base, table, ["status"], ["k", "version"])
+    u1.coalesce(1).write.parquet(os.path.join(updates, "g0"))
+    _run(spark, table, updates)
+    df = _read_raw(spark, table)
+    got = {(r["k"], r["status"], r["version"]) for r in df.collect()}
+    assert got == {(None, "b", 2), (5, "a", 1)}
+    assert df.where(F.col("k").isNull()).count() == 1

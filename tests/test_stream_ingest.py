@@ -215,3 +215,54 @@ def test_unpersist_tracked_deregisters(spark):
     assert any(t is df for t in caching._TRACKED_DFS)
     caching.unpersist_tracked(df)
     assert not any(t is df for t in caching._TRACKED_DFS)
+
+
+def test_null_id_docs_are_never_admitted(spark, tmp_path_factory):
+    """A NULL doc_id is untrackable by the index (every band/shingle
+    equi-join drops it), so before the r13 gate it was ADMITTED on every
+    redelivery — unbounded exact duplicates.  NULL-id docs must be
+    dropped outright, batches and seed alike, and redelivery must stay
+    byte-stable."""
+    work = str(tmp_path_factory.mktemp("ingest_nullid"))
+    base = spark.createDataFrame(
+        [(1, "seed doc with plenty of tokens to shingle", 0),
+         (None, "null id seed doc should vanish entirely", 0)],
+        DOC_SCHEMA,
+    )
+    batch = spark.createDataFrame(
+        [(None, "null id batch doc must not be admitted", 1),
+         (10, "a fresh unique document with many tokens", 1)],
+        DOC_SCHEMA,
+    )
+    updates = os.path.join(work, "updates")
+    os.makedirs(updates)
+    _stage(spark, batch, os.path.join(updates, "g1.parquet"), 1.7e9 + 1)
+    corpus = os.path.join(work, "corpus")
+    ingest_stream_dedup(
+        spark, updates + "/g*.parquet",
+        "doc_id bigint, text string, gen bigint",
+        base, corpus, min_jaccard=0.5,
+    )
+    rows = {r.doc_id: r.gen for r in read_admitted(spark, corpus).collect()}
+    assert rows == {1: 0, 10: 1}
+    # redelivery of the same batch admits nothing new (idempotent)
+    admit_batch(spark, batch, 0, corpus, min_jaccard=0.5)
+    rows2 = {r.doc_id: r.gen for r in read_admitted(spark, corpus).collect()}
+    assert rows2 == rows
+
+
+def test_failed_batch_releases_caches(spark, tmp_path):
+    """review r13: an exception mid-batch used to leak every persisted
+    frame of the attempt — the cleanup now runs in a finally."""
+    from pipeline_calculator_v3_spark.caching import _TRACKED_DFS
+
+    work = str(tmp_path / "corpus_fail")
+    # no index dirs exist -> _gen_paths raises FileNotFoundError inside
+    # the body, AFTER the stager pinned its frames
+    batch = spark.createDataFrame(
+        [(1, "some document text that shingles fine", 1)], DOC_SCHEMA
+    )
+    before = len(_TRACKED_DFS)
+    with pytest.raises(Exception):
+        admit_batch(spark, batch, 0, work, min_jaccard=0.5)
+    assert len(_TRACKED_DFS) == before, "failure path leaked pinned frames"
