@@ -224,10 +224,14 @@ def _ahash_pairs_impl(
     from ..caching import local_checkpoint_tracked, persist_tracked
 
     spark = hashes.sparkSession
+    # distinct: duplicate (id, hash) input rows would multiply both the
+    # expansion joins and the identical-hash self-join below, emitting
+    # duplicated (id_a, id_b, hamming) rows where the contract promises
+    # one (advice r13) — one skinny-row exchange buys the guarantee.
     members = persist_tracked(
         hashes.where(F.col("valid")).select(
             F.col(id_col).alias("id"), "ahash_hi", "ahash_lo"
-        )
+        ).distinct()
     )
     distinct = persist_tracked(
         members.select("ahash_hi", "ahash_lo").distinct()
@@ -288,14 +292,31 @@ def _ahash_pairs_impl(
             # before any data does (measured with bucket_cap=1).  An eager
             # localCheckpoint keeps every level's plan one hop deep.
             frame = local_checkpoint_tracked(frame)
-            if frame.isEmpty():
-                continue
+            # no isEmpty probe here: the per-level stats aggregate below
+            # detects the empty frontier in the same single job
         # counts is bounded metadata at EVERY scale: level 0 has at most
         # 4 x 2^16 rows, deeper levels at most the (small) hot frontier —
         # persist so the hot set is computed once, not once per consumer.
-        counts = persist_tracked(
-            frame.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
-        )
+        # ONE aggregate job decides this level's shape — group count
+        # (empty frame -> skip) and over-cap count fold the previous
+        # frame.isEmpty() / hot.isEmpty() actions into a single pass,
+        # and on the common no-hot path `counts` never persists (the
+        # level-0 aggregate over 4N banded rows was materializing even
+        # when nothing exceeded the cap; r13 clawback) and the
+        # broadcast-anti-join disappears entirely.
+        counts = frame.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+        stats = counts.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.count_if(F.col("n") > bucket_cap).alias("n_hot"),
+        ).first()
+        if stats["n_groups"] == 0:
+            continue
+        if stats["n_hot"] == 0:
+            pair_frames.append(_grp_pairs(frame))
+            continue
+        # hot path: counts feeds the ledger, the anti-join, and the
+        # semi-join — persist so the groupBy computes once, not thrice
+        counts = persist_tracked(counts)
         hot = counts.where(F.col("n") > bucket_cap)
         ledger_frames.append(
             hot.select(
@@ -305,8 +326,6 @@ def _ahash_pairs_impl(
         )
         cold = frame.join(F.broadcast(hot.select("grp")), "grp", "left_anti")
         pair_frames.append(_grp_pairs(cold))
-        if hot.isEmpty():
-            continue
         if width < 4:
             # Structural floor: members agree on 64-width >= 61 bits, so a
             # group holds <= 2^3 distinct hashes — all-pairs is trivial
@@ -447,9 +466,41 @@ def ahash_pairs(
     through adaptive sub-banding of their unmatched bits instead of
     joining quadratically (module docstring), so no (band, key) hot
     bucket ever drives O(n^2) pair generation.  Above Hamming 3 recall
-    is LSH-style best-effort.  Invalid rows never match."""
+    is LSH-style best-effort.  Invalid rows never match.
+
+    Lifetime contract (advice r13): unlike most operators this call
+    executes EAGERLY (one stats job per recursion level, plus
+    localCheckpoint actions on deep frontiers), and the returned
+    DataFrame references persisted/localCheckpoint state that does NOT
+    recompute once ``caching.release_caches`` drops it — materialize the
+    result (collect/write) BEFORE releasing caches, the caching.py
+    contract."""
     pairs, _ = _ahash_pairs_impl(hashes, id_col, max_hamming, bucket_cap)
     return pairs
+
+
+def ahash_groups(hashes: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Identical-hash group representatives — the dedup KEEP-decision
+    surface that skips pair expansion entirely.
+
+    Returns one row per distinct valid hash: (``ahash_hi``, ``ahash_lo``,
+    ``rep_id`` BIGINT — the smallest member id, the deterministic keep
+    candidate, ``n_ids`` BIGINT — member count).  An identical-hash group
+    of m media emits m(m-1)/2 Hamming-0 rows through :func:`ahash_pairs`
+    (the pair contract is inherently output-bound), so consumers that
+    only need "which copies collapse to which representative" — connected
+    components over exact groups, best-copy keeps, storage dedup — read
+    THIS instead: one hash aggregate, linear in the input, no join
+    anywhere.  Keep :func:`ahash_pairs` for the audit faces that need the
+    pairs themselves."""
+    return (
+        hashes.where(F.col("valid"))
+        .groupBy("ahash_hi", "ahash_lo")
+        .agg(
+            F.min(F.col(id_col)).cast("bigint").alias("rep_id"),
+            F.countDistinct(F.col(id_col)).cast("bigint").alias("n_ids"),
+        )
+    )
 
 
 def ahash_pairs_ledger(

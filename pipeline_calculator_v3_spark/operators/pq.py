@@ -104,10 +104,19 @@ def pq_train(
     # consumers (_books_row inside encode AND probe plans, _shape_of's two
     # driver jobs) would re-execute every branch on every action — ~4m
     # corpus scans for the iters=0 path the shipped face uses (review r13)
-    books = spark.createDataFrame(
-        [(r.subspace, r.code, list(r.cent)) for r in parts.collect()],
-        schema,
-    )
+    collected = [(r.subspace, r.code, list(r.cent)) for r in parts.collect()]
+    if len(collected) != m * ksub:
+        # a corpus smaller than ksub seeds fewer codes per subspace, and
+        # the Lloyd loop's positional _codes_expr slice (i*ksub+1, ksub)
+        # would then read the NEXT subspace's centroids — wrong
+        # assignments with no error (advice r13).  The dense-codebook
+        # contract (exactly ksub codes per subspace) is load-bearing for
+        # every positional consumer, so fail loudly instead.
+        raise ValueError(
+            f"corpus has only {len(collected) // m} vectors; pq_train "
+            f"needs >= ksub={ksub} to seed a dense codebook"
+        )
+    books = spark.createDataFrame(collected, schema)
     for _ in range(iters):
         # ONE corpus pass per Lloyd step: carry the vector through the
         # assignment so the per-subspace rows posexplode out of the code

@@ -144,8 +144,8 @@ def video_dup_pairs(
     """Near-duplicate video pairs by temporally-consistent frame matches.
 
     Returns (``id_a``, ``id_b``, ``aligned`` BIGINT, ``offset`` BIGINT)
-    with id_a < id_b: ``aligned`` is the largest number of shared frame
-    hashes agreeing on ONE frame-offset delta (``offset`` =
+    with id_a < id_b: ``aligned`` is the largest number of DISTINCT
+    shared frame hashes agreeing on ONE frame-offset delta (``offset`` =
     frame_index_b - frame_index_a of that best alignment; ties break to
     the smallest delta for determinism), and only pairs with
     ``aligned >= min_aligned`` survive.  Frame hashes in more than
@@ -166,10 +166,19 @@ def video_dup_pairs(
             F.col("a.media_id").alias("id_a"),
             F.col("b.media_id").alias("id_b"),
             (F.col("b.frame_index") - F.col("a.frame_index")).alias("delta"),
+            "fh_hi", "fh_lo",
         )
     )
+    # the vote counts DISTINCT frame-hash values per (pair, delta), not
+    # match rows: a frame repeated within both videos (static scene /
+    # title card that survives the df-cap) otherwise matches the same
+    # delta once per repetition pair, inflating `aligned` quadratically
+    # and letting two unrelated videos pass min_aligned on ONE shared
+    # frame — the false-positive class the vote exists to prevent
+    # (advice r13).  min_aligned now means "distinct shared frame
+    # CONTENTS agreeing on one offset".
     per_delta = matches.groupBy("id_a", "id_b", "delta").agg(
-        F.count(F.lit(1)).alias("n")
+        F.countDistinct("fh_hi", "fh_lo").alias("n")
     )
     best = per_delta.groupBy("id_a", "id_b").agg(
         F.max(F.struct(F.col("n"), (-F.col("delta")).alias("_nd"))).alias(

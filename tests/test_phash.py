@@ -218,6 +218,44 @@ def test_hot_bucket_ledger(spark, skewed_hashes):
     release_caches(spark)
 
 
+def test_groups_representatives(spark, skewed_hashes, duck):
+    """ahash_groups: one row per distinct valid hash, min-id rep, member
+    count — DuckDB replays the aggregate bit-for-bit, the Hamming-0
+    membership ties out against the pair contract, and the plan carries
+    no join (the whole point: keep decisions without pair expansion)."""
+    from pipeline_calculator_v3_spark.operators.phash import ahash_groups
+
+    h = spark.createDataFrame(
+        skewed_hashes,
+        "media_id long, ahash_hi long, ahash_lo long, valid boolean",
+    )
+    got = sorted(
+        (r.ahash_hi, r.ahash_lo, r.rep_id, r.n_ids)
+        for r in ahash_groups(h).collect()
+    )
+    duck.execute("CREATE OR REPLACE TABLE _ag(m BIGINT, hi BIGINT, "
+                 "lo BIGINT, v BOOLEAN)")
+    duck.executemany("INSERT INTO _ag VALUES (?,?,?,?)", skewed_hashes)
+    want = sorted(
+        tuple(r) for r in duck.execute(
+            "SELECT hi, lo, CAST(min(m) AS BIGINT), "
+            "CAST(count(DISTINCT m) AS BIGINT) FROM _ag WHERE v "
+            "GROUP BY 1, 2"
+        ).fetchall()
+    )
+    duck.execute("DROP TABLE _ag")
+    assert got == want and len(got) == 10  # 11 distinct incl. the invalid
+    # every multi-member group's members reappear as Hamming-0 pairs and
+    # vice versa — the two surfaces agree on what "identical copy" means
+    ham0 = {
+        frozenset((r.id_a, r.id_b))
+        for r in ahash_pairs(h).where("hamming = 0").collect()
+    }
+    assert sum(n * (n - 1) // 2 for *_hash, _rep, n in got) == len(ham0)
+    plan = ahash_groups(h)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "HashAggregate" in plan
+
+
 def test_malformed_blob_degrades(spark, planted_media):
     bad = spark.createDataFrame(
         [(99, bytearray(b"not a png"))], "media_id long, content binary"

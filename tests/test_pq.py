@@ -190,6 +190,18 @@ def test_train_guard(emb):
         pq_train(emb, m=7)  # 64 % 7 != 0
 
 
+def test_train_rejects_corpus_smaller_than_ksub(spark):
+    """A corpus with < ksub vectors seeds a SPARSE codebook, and the
+    Lloyd loop's positional _codes_expr slice would silently read the
+    next subspace's centroids (advice r13) — pq_train must refuse."""
+    rows = [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="ksub"):
+        pq_train(df, m=2, ksub=4, iters=1)
+    with pytest.raises(ValueError, match="ksub"):
+        pq_train(df, m=2, ksub=4, iters=0)  # contract holds at iters=0 too
+
+
 def test_lloyd_empty_cluster_keeps_codebook_dense(spark):
     """Duplicate seed vectors tie every assignment to the lower code, so
     the higher code's Lloyd cluster is EMPTY — it must keep its previous

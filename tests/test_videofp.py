@@ -91,6 +91,25 @@ def test_every_k_sampling(planted):
     assert sorted(per[1]) == [0, 2, 4]
 
 
+def test_repeated_frame_votes_once_per_delta(spark):
+    # ONE stock frame repeated at arithmetic positions in two otherwise
+    # unrelated videos: positions {0,2,4} vs {1,3,5} give THREE match
+    # rows at delta=1 — a raw row count would report aligned=3 and pair
+    # them (advice r13); the distinct-hash vote counts the single shared
+    # frame content once, so the pair dies below min_aligned=2.
+    s = _frame(42)
+    f = [_frame(i) for i in range(10)]
+    rows = [
+        (1, _video([s, f[0], s, f[1], s, f[2]])),
+        (2, _video([f[3], s, f[4], s, f[5], s])),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    frames = video_frame_hashes(media)
+    assert video_dup_pairs(frames, min_aligned=2).count() == 0
+    got = video_dup_pairs(frames, min_aligned=1).collect()
+    assert [(r.id_a, r.id_b, r.aligned) for r in got] == [(1, 2, 1)]
+
+
 def test_df_cap_excludes_hot_hash_and_ledger_reports(spark):
     f = [_frame(i) for i in range(6)]
     black = bytes(FRAME)
@@ -200,13 +219,15 @@ cand AS (
       ON fh.fh_hi = counts.fh_hi AND fh.fh_lo = counts.fh_lo
 ),
 matches AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.f - a.f AS delta
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.f - a.f AS delta,
+           a.fh_hi, a.fh_lo
     FROM cand a JOIN cand b
       ON a.fh_hi = b.fh_hi AND a.fh_lo = b.fh_lo
      AND a.doc_id < b.doc_id
 ),
 per_delta AS (
-    SELECT id_a, id_b, delta, CAST(COUNT(*) AS BIGINT) AS n
+    SELECT id_a, id_b, delta,
+           CAST(COUNT(DISTINCT fh_hi || ':' || fh_lo) AS BIGINT) AS n
     FROM matches GROUP BY 1, 2, 3
 ),
 best AS (
