@@ -83,6 +83,48 @@ def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 32) -> Colum
 
 
 
+def jaccard_verify(
+    cand: DataFrame,
+    left_staged: DataFrame,
+    right_staged: DataFrame,
+    left_id: str,
+    right_id: str,
+    min_jaccard: float,
+) -> DataFrame:
+    """Exact-Jaccard verification tail — ONE spelling for every consumer:
+    the LSH self-join (:func:`_verify_candidates`), the bipartite
+    incremental match (:func:`minhash_lsh_match_md5`), and the streaming
+    admission gate (streaming/ingest.py) each re-spelled this predicate
+    until r14; a threshold or NULL-semantics fix landing in one copy
+    silently missed the others (review r13, the r12 shingle-NULL class).
+
+    ``cand`` carries candidate pairs (``left_id``, ``right_id``); the two
+    staged frames carry (``id``, ``sh``) distinct shingle sets.  Returns
+    (``left_id``, ``right_id``, ``jaccard``) at or above the threshold."""
+    scored = (
+        cand.join(
+            left_staged.select(
+                F.col("id").alias(left_id), F.col("sh").alias("sh1")
+            ),
+            left_id,
+        )
+        .join(
+            right_staged.select(
+                F.col("id").alias(right_id), F.col("sh").alias("sh2")
+            ),
+            right_id,
+        )
+    )
+    jac = (
+        F.size(F.array_intersect("sh1", "sh2"))
+        / F.size(F.array_union("sh1", "sh2"))
+    ).alias("jaccard")
+    return (
+        scored.select(left_id, right_id, jac)
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def _verify_candidates(with_bands, staged, join_keys, min_jaccard):
     """Shared LSH tail: band-bucket self-join -> distinct candidate pairs
     -> exact Jaccard on the staged distinct shingle sets -> threshold.
@@ -97,15 +139,7 @@ def _verify_candidates(with_bands, staged, join_keys, min_jaccard):
         .dropDuplicates(["id1", "id2"])
     )
     sh = staged.select("id", "sh")
-    cand_sh = (
-        cand.join(sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
-        .join(sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2")
-    )
-    jac = (
-        F.size(F.array_intersect("sh1", "sh2"))
-        / F.size(F.array_union("sh1", "sh2"))
-    ).alias("jaccard")
-    return cand_sh.select("id1", "id2", jac).where(F.col("jaccard") >= min_jaccard)
+    return jaccard_verify(cand, sh, sh, "id1", "id2", min_jaccard)
 
 
 def minhash_lsh_pairs(
@@ -357,24 +391,8 @@ def minhash_lsh_match_md5(
         .select("batch_id", "corpus_id")
         .dropDuplicates(["batch_id", "corpus_id"])
     )
-    scored = (
-        cand.join(
-            sb.select(F.col("id").alias("batch_id"), F.col("sh").alias("sh1")),
-            "batch_id",
-        )
-        .join(
-            sc.select(F.col("id").alias("corpus_id"), F.col("sh").alias("sh2")),
-            "corpus_id",
-        )
-        .select(
-            "batch_id",
-            "corpus_id",
-            (
-                F.size(F.array_intersect("sh1", "sh2"))
-                / F.size(F.array_union("sh1", "sh2"))
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= min_jaccard)
+    scored = jaccard_verify(
+        cand, sb, sc, "batch_id", "corpus_id", min_jaccard
     )
     # min_by over (-jaccard, corpus_id): max jaccard, exact ties to the
     # LOWEST corpus id — only the (double) score is negated, so the rule

@@ -402,17 +402,9 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _LATE_RUNS[0] += 1
         name = f"pcv3_late_{os.getpid()}_{_LATE_RUNS[0]}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        return spark.table(name)
+        from .streaming.drain import drain_to_memory
+
+        return drain_to_memory(agg, name)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -310,12 +310,10 @@ def merge_stream_into_table(
         os.replace(part, os.path.join(tmp, _COMMIT))  # point of no return
         _apply_merge_commit(table_dir)
 
-    q = (
+    from .drain import drain_query
+
+    drain_query(
         stream.writeStream.foreachBatch(_merge_batch)
         .option("checkpointLocation", table_dir.rstrip("/") + ".__ckpt__")
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()

@@ -36,18 +36,10 @@ def run_dedup_to_memory(spark, events_dir: str, name: str) -> DataFrame:
     # duplicate file replays through cross-batch dedup state
     ev = stream_events(spark, events_dir, max_files_per_trigger=1)
     deduped = dedup_within_watermark(ev, ["event_id"])
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from .drain import drain_to_memory
+
     return (
-        spark.table(name)
+        drain_to_memory(deduped, name)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     )

@@ -48,7 +48,11 @@ from pyspark.sql import functions as F
 
 from ..caching import persist_tracked, unpersist_tracked
 from ..functions.text import normalized_text, tokens
-from ..operators.dedup import _md5_staged_bands, _verify_candidates
+from ..operators.dedup import (
+    _md5_staged_bands,
+    _verify_candidates,
+    jaccard_verify,
+)
 from ..shipping import ensure_pkg_shipped
 
 
@@ -194,22 +198,10 @@ def _admit_batch_body(
         .select("bid", "cid")
         .dropDuplicates(["bid", "cid"])
     )
+    # bipartite batch-vs-corpus verify through the ONE shared Jaccard
+    # spelling (jaccard_verify; review r13 — this was the third hand copy)
     corpus_rejected = (
-        cand.join(
-            staged.select(F.col("id").alias("bid"), F.col("sh").alias("sh1")),
-            "bid",
-        )
-        .join(
-            idx_sh.select(F.col("id").alias("cid"), F.col("sh").alias("sh2")),
-            "cid",
-        )
-        .where(
-            (
-                F.size(F.array_intersect("sh1", "sh2"))
-                / F.size(F.array_union("sh1", "sh2"))
-            )
-            >= min_jaccard
-        )
+        jaccard_verify(cand, staged, idx_sh, "bid", "cid", min_jaccard)
         .select(F.col("bid").alias("doc_id"))
         .distinct()
     )

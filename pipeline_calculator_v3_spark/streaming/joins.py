@@ -112,17 +112,8 @@ def _run_pairs_to_memory(spark, events_dir: str, name: str, join_fn) -> DataFram
     were copies)."""
     from .windows import stream_events
 
+    from .drain import drain_to_memory
+
     left = stream_events(spark, events_dir, watermark="30 minutes")
     right = stream_events(spark, events_dir, watermark="30 minutes")
-    q = (
-        join_fn(left, right)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return drain_to_memory(join_fn(left, right), name)

@@ -152,17 +152,8 @@ def run_sessions_to_memory(spark, events_dir: str, name: str) -> DataFrame:
     sessions span batch boundaries) and return the emitted closed sessions."""
     from .windows import stream_events
 
+    from .drain import drain_to_memory
+
     ev = stream_events(spark, events_dir, watermark="30 minutes",
                        max_files_per_trigger=1)
-    q = (
-        session_timeout_totals(ev)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return drain_to_memory(session_timeout_totals(ev), name)

@@ -89,25 +89,17 @@ def run_stateful_to_memory(spark, events_dir: str, name: str,
     from ..queries import EPOCH_US_EXPR
     from .windows import raw_event_stream
 
+    from .drain import drain_to_memory
+
     raw = raw_event_stream(spark, events_dir, max_files_per_trigger)
     ev = raw.withColumn("ts_us", F.expr(EPOCH_US_EXPR))
-    q = (
-        running_user_totals(ev)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    sunk = drain_to_memory(running_user_totals(ev), name, "update")
     # update mode appends one row per (user, batch); latest batch wins
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
-        spark.table(name)
+        sunk
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .drop("rn")

@@ -113,20 +113,11 @@ def run_stream_to_memory(spark, events_dir: str, transform, name: str) -> DataFr
     """Drive a windowed transform over the event stream into a memory sink
     (complete mode) until all available data is processed; returns the
     result as a batch DataFrame."""
-    q = (
-        transform(stream_events(spark, events_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .start()
+    from .drain import drain_to_memory
+
+    return drain_to_memory(
+        transform(stream_events(spark, events_dir)), name, "complete"
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        # a failing transform must not leak a running query holding the
-        # sink name (review r06; every sibling runner already does this)
-        q.stop()
-    return spark.table(name)
 
 
 OHLC_TUMBLE = "1 hour"
