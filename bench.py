@@ -129,6 +129,13 @@ HEADLINE = [
     "q_audio_fingerprint_dedup",  # added r13 (banded acoustic near-dup)
     "q_optimize_dataset",         # added r13 (selective small-file compaction)
     "q_k_anonymity",              # added r13 (QI class-size audit + enforce)
+    "q_video_fingerprint_dedup",  # added r14 (temporal-alignment video dedup)
+    "q_hilbert_layout",           # added r14 (projection-chain Hilbert keys)
+    "q_l_diversity",              # added r14 (distinct l-diversity audit)
+    "q_entropy_profile",          # added r14 (zero-shuffle entropy fold)
+    "q_kn_bigram_lm",             # added r14 (Kneser-Ney bigram model)
+    "q_textnorm_impact",          # added r14 (NFC dedup-impact report)
+    "q_cohort_retention",         # added r14 (day-cohort retention matrix)
     "q_overlap_e2e",
 ]
 
@@ -153,6 +160,9 @@ SCALE_TWINS = [
                                   #  a quadratic band bucket would blow
                                   #  the exponent straight past 1.2)
     "q_audio_fingerprint_dedup",  # added r13 (shares the capped join)
+    "q_video_fingerprint_dedup",  # added r14 (df-capped frame-hash join:
+                                  #  an uncapped hot frame would go
+                                  #  quadratic in one bucket)
 ]
 SCALE_EXPONENT_MAX = 1.2
 

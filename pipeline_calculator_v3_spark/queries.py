@@ -462,137 +462,141 @@ from . import queries_analytics  # noqa: E402,F401
 # keep-list tail, review r06).
 # ---------------------------------------------------------------------------
 _NEVER_CHECKED_FIRST = [
-    # --- r13 new capability faces (VERDICT r12 #3-#5) ---
-    # Acoustic fingerprint near-dup: completes the text/image/audio
-    # modality-dedup matrix — transcoded copies (same PCM16 samples,
-    # different container bytes) recovered through the shared banded
-    # Hamming join, hot buckets recursing via the r13 phash machinery
-    # (tests/test_audiofp.py full sample-replay oracle, staged r12).
-    "q_audio_fingerprint_dedup",
-    # Selective compaction — the write-path OPTIMIZE face the read-side
-    # z-order faces assume (tests/test_optimize_dataset.py: partial
-    # rewrite by inode, idempotence, validation; staged r12).
-    "q_optimize_dataset",
-    # k-anonymity audit + drop-mode enforcement + re-audit — the
-    # governance face beside q_scrub_pii (tests/test_anonymity.py:
-    # planted classes, NULL-class safety, events replay; staged r11).
-    "q_k_anonymity",
-    # --- r13 refresh: the r08 tail, the oldest verdict anywhere ---
-    # (the r12 slot plan's declared deferrals): seven hash re-earns +
-    # four rows-only clean re-runs.
-    "q_agg_approx_distinct", "q_bm25_rank_xl", "q_contamination_semantic",
-    "q_dedup_semantic_xl", "q_dedup_substring_xl", "q_embed_centroids",
-    "q_kmeans_embed_xl", "q_minhash_sketch_err", "q_multimodal_frames",
-    "q_segmentize", "q_similarity_ann_recall",
-    # --- r13 refresh: the r09 cohort (now the oldest hash tier) ---
-    # 34 of its 48 members; the 14 deferrals to r14 are each family-
-    # covered by an in-window sibling and oracle-gated on every pytest
-    # run: five TPC-H members (q2/q11/q16/q20/q22 — four siblings
-    # q9/q12/q17/q21 in-window), q_window_rank (q_window_time_range in),
-    # q_stream_static_join (q_stream_late_data + q_stream_session_timeout
-    # in), q_embed_project (q_embed_quantize in), q_first_touch_attribution
-    # + q_markov_transitions (q_funnel_conversion + q_retention_cohorts +
-    # q_rfm_segmentation in), q_sample_k_per_key (q_sample_stratified
-    # r12-green), q_dedup_lines + q_dedup_semantic_rep (the dedup family
-    # is r12/r13-green wholesale), q_multimodal_decode_png
-    # (q_multimodal_features r12-green; q_multimodal_frames in-window).
-    "q_agg_stats", "q_anomaly_zscore", "q_array_funcs",
-    "q_boilerplate_spans", "q_data_quality", "q_embed_quantize",
-    "q_ewma_smooth", "q_funnel_conversion", "q_graph_triangles",
-    "q_heavy_hitters", "q_interval_union", "q_join_bloom_pruned",
-    "q_mixture_plan", "q_percentile_gate", "q_pmi_bigrams",
-    "q_profile_table", "q_repetition_filter", "q_resample_ohlc",
-    "q_retention_cohorts", "q_rfm_segmentation", "q_scd2_history",
-    "q_snapshot_diff", "q_source_copy_matrix", "q_sql_recursive_tree",
-    "q_stream_late_data", "q_stream_session_timeout", "q_table_checksum",
-    "q_tpch_q12_shipmode_priority", "q_tpch_q17_small_qty",
-    "q_tpch_q21_waiting_supplier", "q_tpch_q9_product_profit",
-    "q_variant_extract", "q_window_time_range", "q_zipf_profile"
+    # --- r14 new capability faces (VERDICT r13 #1-#2): the seven staged
+    # operators earn their driver hash verdicts, emptying the staged-
+    # unfaced backlog entirely ---
+    # Video fingerprint near-dup: completes the text/image/audio/VIDEO
+    # modality-dedup matrix — head-trimmed copies recovered by temporal
+    # alignment (distinct-frame-hash vote per offset delta; df-capped
+    # frame-hash join; tests/test_videofp.py full byte replay).
+    "q_video_fingerprint_dedup",
+    # Hilbert-curve layout: the unit-step locality upgrade over
+    # q_zorder_layout's Morton tiles (projection-chain xy2d;
+    # tests/test_hilbert.py bijectivity + CTE replay).
+    "q_hilbert_layout",
+    # l-diversity audit + suppression: privacy beyond k-anonymity — the
+    # homogeneity attack a big-but-uniform class permits
+    # (tests/test_anonymity.py planted classes + events replay).
+    "q_l_diversity",
+    # Token-entropy diversity profile: zero-shuffle sorted-run fold
+    # (tests/test_entropy.py).
+    "q_entropy_profile",
+    # Interpolated Kneser-Ney bigram model: continuation-probability
+    # smoothing, sum-to-one gated (tests/test_ngram_lm.py).
+    "q_kn_bigram_lm",
+    # NFC canonicalization impact: the hidden-duplicate mass Unicode
+    # inconsistency hides from exact dedup (tests/test_textnorm.py).
+    "q_textnorm_impact",
+    # Day-cohort retention matrix with sizes/ratios (the weekly
+    # count-only face is q_retention_cohorts; tests/test_retention.py).
+    "q_cohort_retention",
+    # --- r14 refresh: the fourteen r09-cohort deferrals carried from the
+    # r13 slot plan — the oldest hash tier anywhere (VERDICT r13 #3) ---
+    "q_tpch_q2_min_cost_supplier", "q_tpch_q11_important_stock",
+    "q_tpch_q16_supplier_cnt", "q_tpch_q20_excess_supply",
+    "q_tpch_q22_global_sales", "q_window_rank", "q_stream_static_join",
+    "q_embed_project", "q_first_touch_attribution", "q_markov_transitions",
+    "q_sample_k_per_key", "q_dedup_lines", "q_dedup_semantic_rep",
+    "q_multimodal_decode_png",
+    # --- r14 refresh: 27 of the 48-member r10 cohort (now the oldest
+    # tier).  The 21 deferrals to r15 are each family-covered by an
+    # in-window sibling and value-gated by test_oracle_parity on every
+    # pytest run: q_date/json/map/math/string_funcs + q_string_agg +
+    # q_null_semantics (function-surface probes; q_variant_extract
+    # r13-green), q_set_union (set siblings r12-green), q_shard_stats +
+    # q_pack_sequences_xl (q_pack_sequences in), q_sql_lateral_topn +
+    # q_sql_shared_pricing + q_sql_shared_subquery (q_sql_recursive_tree
+    # r13-green), q_stream_outer_join (q_stream_dedup +
+    # q_stream_static_join in), q_text_analysis (the textml family is
+    # r13/r14-fresh wholesale), q_tpch_q5 + q_tpch_q10 (eight TPC-H
+    # members in-window this round), q_udtf_surface (q_segmentize ran the
+    # UDTF path r13), q_unpivot (q_pivot in), q_window_dist +
+    # q_window_lag_lead (q_window_rank in). ---
+    "q_tpch_q1_pricing_summary", "q_tpch_q3_shipping_priority",
+    "q_tpch_q6_forecast_revenue", "q_graph_pagerank", "q_dedup_axes_report",
+    "q_curation_e2e", "q_dedup_minhash_md5", "q_dedup_embedding",
+    "q_contamination", "q_similarity_topk", "q_sort_limit",
+    "q_scan_project", "q_filter_pred", "q_case_dispatch",
+    "q_overlap_sections", "q_spatial_polar_join", "q_multimodal_decode",
+    "q_ohlc_candles", "q_stream_dedup", "q_cube", "q_grouping_sets",
+    "q_pivot", "q_quantile_profile", "q_percentile_gate_approx",
+    "q_sample_hash", "q_pack_sequences", "q_fingerprint",
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length",
     "q_overlap_e2e",
 ]
-# r14 slot plan (write the window BEFORE building new surface — the
+# r15 slot plan (write the window BEFORE building new surface — the
 # never-checked-in-window invariant makes slots the budget): once
-# CORRECTNESS_r13 lands, the 48 entries above rotate out.  Budget math
-# (keepers stay 2): (1) the fourteen r09-cohort deferrals carried from
-# this round (enumerated in the comment above) [14]; (2) faces for the
-# five operators still staged with pytest oracles — operators/entropy.py
-# entropy_profile (tests/test_entropy.py), operators/ngram_lm.py
-# kn_bigram_probs (tests/test_ngram_lm.py), operators/textnorm.py NFC
-# canonicalization (tests/test_textnorm.py), operators/retention.py
-# cohort retention (tests/test_retention.py), plus the three r13-staged
-# capabilities — operators/hilbert.py Hilbert-curve layout
-# (tests/test_hilbert.py), operators/anonymity.py l-diversity
-# (tests/test_anonymity.py), operators/videofp.py video fingerprint
-# near-dup (tests/test_videofp.py, completing the 4-modality dedup
-# matrix) [~2-3 of the eight make the window; the rest hold their
-# pytest oracles]; (3) the r10 cohort (48 queries, by then the oldest
-# hash tier) fills the remaining ~29-31 slots — its tail defers to r15.
-# Run scripts/preflight_window.py before round end.
+# CORRECTNESS_r14 lands, the 48 entries above rotate out.  Budget math
+# (keepers stay 2): (1) the 21 r10-cohort deferrals enumerated in the
+# comment above [21]; (2) the r11 cohort (48 queries, by then the oldest
+# hash tier) fills the remaining ~27 slots — its tail defers to r16.
+# There is no staged-operator backlog after r14.  Run
+# scripts/preflight_window.py before round end.
 _ROTATED_OUT = [
-    # every remaining query is r08+-driver-green on its latest verdict and
-    # (where oracle-backed) value-gated by tests/test_oracle_parity.py on
-    # every pytest run; rows-only members carry operator-level pytest gates
-    # (goldens / planted pairs / invariants) enumerated in
-    # tests/test_registry_order.py.  The whole r12 window went green
-    # (CORRECTNESS_r12: 44 hash + 6 rows-only, zero errors), so its
+    # every remaining query is r11+-driver-green on its latest verdict
+    # and (where oracle-backed) value-gated by tests/test_oracle_parity.py
+    # on every pytest run; rows-only members carry operator-level pytest
+    # gates (goldens / planted pairs / invariants) enumerated in
+    # tests/test_registry_order.py.  The whole r13 window went green
+    # (CORRECTNESS_r13: 42 hash + 8 rows-only, zero errors), so its
     # cohorts rotate here wholesale.
-    "q_agg_distinct", "q_agg_hash", "q_approx_group_buckets",
-    "q_bigram_lm", "q_bm25_rank", "q_bpe_encode", "q_bpe_merges",
-    "q_case_dispatch", "q_cdc_upsert", "q_chunk_documents",
-    "q_chunk_documents_xl", "q_compaction_plan", "q_contamination",
-    "q_contamination_xl", "q_cube", "q_curation_e2e", "q_date_funcs",
-    "q_dedup_axes_report", "q_dedup_best_quality", "q_dedup_clusters",
-    "q_dedup_embedding", "q_dedup_exact", "q_dedup_incremental",
-    "q_dedup_lines", "q_dedup_minhash", "q_dedup_minhash_md5",
-    "q_dedup_minhash_xl", "q_dedup_semantic", "q_dedup_semantic_rep",
-    "q_dedup_simhash", "q_dedup_substring", "q_dense_ids",
-    "q_dsir_weights", "q_effective_length", "q_embed_project",
-    "q_epoch_plan", "q_filter_pred", "q_fingerprint",
-    "q_first_touch_attribution", "q_gap_fill", "q_geodesic_length_exact",
-    "q_gopher_rules", "q_graph_pagerank", "q_grouping_sets",
-    "q_hybrid_rrf", "q_join_asof", "q_join_big_sort_merge",
-    "q_join_inner_hash", "q_join_left_anti", "q_join_left_semi",
-    "q_join_multi_way", "q_join_outer", "q_join_range_binned",
-    "q_join_salted_skew", "q_join_theta_range", "q_json_funcs",
-    "q_jsonl_roundtrip", "q_kmeans_embed", "q_knn_graph", "q_lang_id",
-    "q_lm_perplexity", "q_map_funcs", "q_markov_transitions",
-    "q_math_funcs", "q_multimodal_decode", "q_multimodal_decode_png",
-    "q_multimodal_decode_wav", "q_multimodal_features", "q_ngram_jaccard",
-    "q_null_semantics", "q_ohlc_candles", "q_overlap_rollup",
-    "q_overlap_sections", "q_overlap_summary", "q_pack_sequences",
-    "q_pack_sequences_xl", "q_padding_audit", "q_parallel_overlap",
-    "q_parallel_overlap_xl", "q_percentile_gate_approx",
-    "q_phash_image_dedup", "q_pivot", "q_postings_index", "q_ppl_buckets",
-    "q_quality_classifier", "q_quantile_approx", "q_quantile_profile",
-    "q_rollup", "q_sample_hash", "q_sample_k_per_key",
-    "q_sample_stratified", "q_sample_weighted", "q_scan_project",
-    "q_scrub_pii", "q_sessionize", "q_set_except", "q_set_intersect",
-    "q_set_union", "q_shard_stats", "q_similarity_ann_ivf",
-    "q_similarity_ann_ivf_pq", "q_similarity_ann_ivf_refine",
-    "q_similarity_ann_lsh", "q_similarity_topk", "q_sort_limit",
+    "q_agg_approx_distinct", "q_agg_distinct", "q_agg_hash", "q_agg_stats",
+    "q_anomaly_zscore", "q_approx_group_buckets", "q_array_funcs",
+    "q_audio_fingerprint_dedup", "q_bigram_lm", "q_bm25_rank",
+    "q_bm25_rank_xl", "q_boilerplate_spans", "q_bpe_encode", "q_bpe_merges",
+    "q_cdc_upsert", "q_chunk_documents", "q_chunk_documents_xl",
+    "q_compaction_plan", "q_contamination_semantic", "q_contamination_xl",
+    "q_data_quality", "q_date_funcs", "q_dedup_best_quality",
+    "q_dedup_clusters", "q_dedup_exact", "q_dedup_incremental",
+    "q_dedup_minhash", "q_dedup_minhash_xl", "q_dedup_semantic",
+    "q_dedup_semantic_xl", "q_dedup_simhash", "q_dedup_substring",
+    "q_dedup_substring_xl", "q_dense_ids", "q_dsir_weights",
+    "q_effective_length", "q_embed_centroids", "q_embed_quantize",
+    "q_epoch_plan", "q_ewma_smooth", "q_funnel_conversion", "q_gap_fill",
+    "q_geodesic_length_exact", "q_gopher_rules", "q_graph_triangles",
+    "q_heavy_hitters", "q_hybrid_rrf", "q_interval_union", "q_join_asof",
+    "q_join_big_sort_merge", "q_join_bloom_pruned", "q_join_inner_hash",
+    "q_join_left_anti", "q_join_left_semi", "q_join_multi_way",
+    "q_join_outer", "q_join_range_binned", "q_join_salted_skew",
+    "q_join_theta_range", "q_json_funcs", "q_jsonl_roundtrip",
+    "q_k_anonymity", "q_kmeans_embed", "q_kmeans_embed_xl", "q_knn_graph",
+    "q_lang_id", "q_lm_perplexity", "q_map_funcs", "q_math_funcs",
+    "q_minhash_sketch_err", "q_mixture_plan", "q_multimodal_decode_wav",
+    "q_multimodal_features", "q_multimodal_frames", "q_ngram_jaccard",
+    "q_null_semantics", "q_optimize_dataset", "q_overlap_rollup",
+    "q_overlap_summary", "q_pack_sequences_xl", "q_padding_audit",
+    "q_parallel_overlap", "q_parallel_overlap_xl", "q_percentile_gate",
+    "q_phash_image_dedup", "q_pmi_bigrams", "q_postings_index",
+    "q_ppl_buckets", "q_profile_table", "q_quality_classifier",
+    "q_quantile_approx", "q_repetition_filter", "q_resample_ohlc",
+    "q_retention_cohorts", "q_rfm_segmentation", "q_rollup",
+    "q_sample_stratified", "q_sample_weighted", "q_scd2_history",
+    "q_scrub_pii", "q_segmentize", "q_sessionize", "q_set_except",
+    "q_set_intersect", "q_set_union", "q_shard_stats",
+    "q_similarity_ann_ivf", "q_similarity_ann_ivf_pq",
+    "q_similarity_ann_ivf_refine", "q_similarity_ann_lsh",
+    "q_similarity_ann_recall", "q_snapshot_diff", "q_source_copy_matrix",
     "q_source_report", "q_spatial_distance_join",
-    "q_spatial_distance_join_xl", "q_spatial_polar_join",
-    "q_split_train_eval", "q_sql_lateral_topn", "q_sql_shared_pricing",
-    "q_sql_shared_subquery", "q_stream_cdc_merge", "q_stream_dedup",
-    "q_stream_ingest_dedup", "q_stream_join", "q_stream_outer_join",
-    "q_stream_session", "q_stream_sliding", "q_stream_stateful",
-    "q_stream_static_join", "q_stream_tumbling", "q_string_agg",
-    "q_string_funcs", "q_text_analysis", "q_text_quality", "q_tfidf",
-    "q_token_count", "q_tpch_q10_returned", "q_tpch_q11_important_stock",
+    "q_spatial_distance_join_xl", "q_split_train_eval", "q_sql_lateral_topn",
+    "q_sql_recursive_tree", "q_sql_shared_pricing", "q_sql_shared_subquery",
+    "q_stream_cdc_merge", "q_stream_ingest_dedup", "q_stream_join",
+    "q_stream_late_data", "q_stream_outer_join", "q_stream_session",
+    "q_stream_session_timeout", "q_stream_sliding", "q_stream_stateful",
+    "q_stream_tumbling", "q_string_agg", "q_string_funcs",
+    "q_table_checksum", "q_text_analysis", "q_text_quality", "q_tfidf",
+    "q_token_count", "q_tpch_q10_returned", "q_tpch_q12_shipmode_priority",
     "q_tpch_q13_order_distribution", "q_tpch_q14_promo_share",
-    "q_tpch_q15_top_supplier", "q_tpch_q16_supplier_cnt",
+    "q_tpch_q15_top_supplier", "q_tpch_q17_small_qty",
     "q_tpch_q18_large_orders", "q_tpch_q19_disjunctive",
-    "q_tpch_q1_pricing_summary", "q_tpch_q20_excess_supply",
-    "q_tpch_q22_global_sales", "q_tpch_q2_min_cost_supplier",
-    "q_tpch_q3_shipping_priority", "q_tpch_q4_order_priority",
-    "q_tpch_q5_local_volume", "q_tpch_q6_forecast_revenue",
-    "q_tpch_q7_nation_volume", "q_tpch_q8_market_share", "q_udf_surface",
-    "q_udtf_surface", "q_unpivot", "q_vocab_topk", "q_window_dist",
-    "q_window_frame", "q_window_lag_lead", "q_window_rank",
-    "q_winnow_code_dedup", "q_zorder_layout", "q_zorder_pruned_scan"
+    "q_tpch_q21_waiting_supplier", "q_tpch_q4_order_priority",
+    "q_tpch_q5_local_volume", "q_tpch_q7_nation_volume",
+    "q_tpch_q8_market_share", "q_tpch_q9_product_profit", "q_udf_surface",
+    "q_udtf_surface", "q_unpivot", "q_variant_extract", "q_vocab_topk",
+    "q_window_dist", "q_window_frame", "q_window_lag_lead",
+    "q_window_time_range", "q_winnow_code_dedup", "q_zipf_profile",
+    "q_zorder_layout", "q_zorder_pruned_scan"
 ]
 
 

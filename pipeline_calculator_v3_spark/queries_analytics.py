@@ -940,3 +940,145 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(post.withColumn("phase", F.lit("enforced")))
         .select("phase", "class_size", "n_classes", "n_rows", "risky")
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-cohort retention matrix (operators/retention.py, staged r11 — r14
+# face): the activity-over-time matrix behind every engagement
+# dashboard, at DAY grain with cohort sizes and ratios (the weekly
+# count-only face is q_retention_cohorts in queries_rel.py).
+# ---------------------------------------------------------------------------
+@query(
+    "q_cohort_retention",
+    oracle="""
+WITH active AS (
+    SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+cohorts AS (SELECT u, min(day) AS cohort_day FROM active GROUP BY u),
+sizes AS (
+    SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
+    FROM cohorts GROUP BY 1
+),
+cells AS (
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT)
+               AS day_offset,
+           CAST(count(DISTINCT a.u) AS BIGINT) AS n_active
+    FROM active a JOIN cohorts c USING (u)
+    GROUP BY 1, 2
+)
+SELECT CAST(cells.cohort_day AS VARCHAR) AS cohort_day, day_offset,
+       n_active, sizes.n_cohort,
+       round(CAST(n_active AS DOUBLE) / sizes.n_cohort, 6) AS retention
+FROM cells JOIN sizes USING (cohort_day)
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain cohort retention: users grouped by the date of their
+    first activity; each (cohort_day, day_offset) cell reports distinct
+    active members, cohort size, and the retention ratio (6 dp).  The
+    offset-0 == 1.0 invariant and NULL exclusion are pytest-gated
+    (operators/retention.py, tests/test_retention.py).
+
+    Scale shape: the activity log deduplicates to (user, day) with
+    map-side partials absorbing within-day event bursts; cohort
+    assignment is a MIN over that small frame; the matrix rollup is
+    user-keyed; cohort sizes broadcast back onto the <= days^2 matrix —
+    nothing event-sized crosses more than one exchange."""
+    from .operators.retention import cohort_retention
+
+    from .queries import events_t
+
+    # cohort_day serializes as an ISO string: no registry face returns a
+    # raw DATE column — Spark dates arrive as datetime.date objects and
+    # DuckDB dates as datetime64, which the driver's typed value hash
+    # distinguishes even when every value is the same calendar day
+    return cohort_retention(events_t(spark, sf_dir)).withColumn(
+        "cohort_day", F.col("cohort_day").cast("string")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity (operators/anonymity.py, staged r13 — r14 face): privacy
+# beyond k-anonymity — a big-but-uniform quasi-identifier class still
+# leaks its sensitive value to anyone who can place a person in it (the
+# homogeneity attack; Machanavajjhala et al. 2007).  Same quasi spelling
+# as q_k_anonymity, sensitive attribute = props-k mod 7.
+# ---------------------------------------------------------------------------
+@query(
+    "q_l_diversity",
+    oracle="""
+WITH q AS (
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS sensitive
+    FROM events
+),
+classes AS (
+    SELECT event_type, k_bucket,
+           CAST(count(DISTINCT sensitive) AS BIGINT) AS diversity,
+           CAST(count(*) AS BIGINT) AS class_size
+    FROM q GROUP BY 1, 2
+),
+audit AS (
+    SELECT diversity, CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(class_size) AS BIGINT) AS n_rows,
+           diversity < 3 AS risky
+    FROM classes GROUP BY diversity
+),
+kept AS (
+    SELECT q.* FROM q
+    JOIN (SELECT event_type, k_bucket FROM classes WHERE diversity >= 3) s
+      ON q.event_type IS NOT DISTINCT FROM s.event_type
+     AND q.k_bucket IS NOT DISTINCT FROM s.k_bucket
+),
+eclasses AS (
+    SELECT event_type, k_bucket,
+           CAST(count(DISTINCT sensitive) AS BIGINT) AS diversity,
+           CAST(count(*) AS BIGINT) AS class_size
+    FROM kept GROUP BY 1, 2
+),
+post AS (
+    SELECT diversity, CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(class_size) AS BIGINT) AS n_rows,
+           diversity < 3 AS risky
+    FROM eclasses GROUP BY diversity
+)
+SELECT 'audit' AS phase, * FROM audit
+UNION ALL
+SELECT 'enforced' AS phase, * FROM post
+""",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity over the events table: per-diversity-level
+    profile of the quasi-identifier classes (how many classes expose
+    fewer than l=3 distinct sensitive values), then suppression of
+    under-diverse classes, then the post-enforcement profile — every
+    surviving class must satisfy l (the audit-after-enforcement
+    invariant, pytest-gated in tests/test_anonymity.py).
+
+    Scale shape: audit is ONE hash aggregate per phase (count distinct
+    sensitive within class, then a <= |distinct-diversity| rollup);
+    enforcement joins the class diversities back on the SAME tuple the
+    aggregate grouped by (null-safe, so NULL quasi patterns stay one
+    class), reusing the shuffle partitioning."""
+    from .operators.anonymity import l_diversity_audit, suppress_below_l
+
+    quasi = ["event_type", "k_bucket"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(k / 10).cast("bigint").alias("k_bucket"),
+        (k % 7).alias("sensitive"),
+    )
+    audit = l_diversity_audit(ev, quasi, "sensitive", l=3)
+    post = l_diversity_audit(
+        suppress_below_l(ev, quasi, "sensitive", l=3), quasi, "sensitive",
+        l=3,
+    )
+    return (
+        audit.withColumn("phase", F.lit("audit"))
+        .unionByName(post.withColumn("phase", F.lit("enforced")))
+        .select("phase", "diversity", "n_classes", "n_rows", "risky")
+    )

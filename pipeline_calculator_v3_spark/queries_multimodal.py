@@ -404,3 +404,138 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fp_pairs(fps).select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Video-modality near-duplicate face (r14; operators/videofp.py staged
+# r13) — completes the four-modality dedup matrix (text / image / audio /
+# video).  The corpus plants HEAD-TRIMMED copies (every 5th document's
+# video re-packed minus its first frame under a shifted id — different
+# bytes, different frame count, same footage), so the face demonstrates
+# the property frame-hash equality alone cannot: TEMPORAL alignment.  A
+# copy with k frames trimmed off the head aligns every surviving frame
+# at one consistent delta = -k, while two unrelated videos sharing a
+# stock frame disagree on delta and die below min_aligned.  The oracle
+# re-derives every payload byte from the text hex, every sampled byte,
+# every hash bit, the df-cap, and the distinct-hash alignment vote.
+# ---------------------------------------------------------------------------
+@query(
+    "q_video_fingerprint_dedup",
+    oracle="""
+WITH corpus AS (
+    SELECT doc_id, text, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000, text, n_chars
+    FROM documents WHERE doc_id % 5 = 0
+),
+m AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT)
+           - CASE WHEN doc_id >= 10000000
+                  THEN ((n_chars % 64) + 1) * 8 ELSE 0 END AS n,
+           CAST((n_chars % 64 + 1) * 8 AS BIGINT) AS frame,
+           CASE WHEN doc_id >= 10000000
+                THEN ((n_chars % 64) + 1) * 8 ELSE 0 END AS skip
+    FROM corpus
+),
+bytes AS (
+    SELECT doc_id, n, frame, i,
+           (strpos('0123456789ABCDEF',
+                   substr(h, CAST(2 * (i + skip) + 1 AS INT), 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF',
+                   substr(h, CAST(2 * (i + skip) + 2 AS INT), 1)) - 1) AS b
+    FROM (SELECT doc_id, h, n, frame, skip, unnest(range(n)) AS i FROM m)
+),
+vids AS (SELECT doc_id, frame, n // frame AS nf FROM m WHERE frame > 0),
+fidx AS (SELECT doc_id, frame, unnest(range(nf)) AS f FROM vids),
+samples AS (
+    SELECT fi.doc_id, fi.f, j.j, b.b AS s
+    FROM fidx fi
+    CROSS JOIN (SELECT unnest(range(64)) AS j) j
+    JOIN bytes b ON b.doc_id = fi.doc_id
+              AND b.i = fi.f * fi.frame + (j.j * fi.frame) // 64
+),
+sums AS (SELECT doc_id, f, SUM(s) AS tot FROM samples GROUP BY 1, 2),
+bits AS (
+    SELECT s.doc_id, s.f, s.j,
+           CASE WHEN 64 * s.s > t.tot THEN 1 ELSE 0 END AS bit
+    FROM samples s JOIN sums t ON t.doc_id = s.doc_id AND t.f = s.f
+),
+fh AS (
+    SELECT doc_id, f,
+           CAST(SUM(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+                    ELSE 0 END) AS BIGINT) AS fh_hi,
+           CAST(SUM(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+                    ELSE 0 END) AS BIGINT) AS fh_lo
+    FROM bits GROUP BY 1, 2
+),
+hot AS (
+    SELECT fh_hi, fh_lo FROM fh
+    GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) > 64
+),
+cand AS (
+    SELECT fh.* FROM fh ANTI JOIN hot
+      ON fh.fh_hi = hot.fh_hi AND fh.fh_lo = hot.fh_lo
+),
+matches AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.f - a.f AS delta,
+           a.fh_hi, a.fh_lo
+    FROM cand a JOIN cand b
+      ON a.fh_hi = b.fh_hi AND a.fh_lo = b.fh_lo
+     AND a.doc_id < b.doc_id
+),
+per_delta AS (
+    SELECT id_a, id_b, delta,
+           CAST(COUNT(DISTINCT fh_hi || ':' || fh_lo) AS BIGINT) AS n
+    FROM matches GROUP BY 1, 2, 3
+),
+best AS (
+    SELECT id_a, id_b, n AS aligned, delta AS "offset",
+           row_number() OVER (PARTITION BY id_a, id_b
+                              ORDER BY n DESC, delta ASC) AS rn
+    FROM per_delta
+)
+SELECT id_a, id_b, aligned, "offset" FROM best
+WHERE rn = 1 AND aligned >= 2
+""",
+)
+def q_video_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs by temporally-consistent frame fingerprints:
+    hash every frame of every PCV3 video blob to a 64-bit code (one
+    Arrow map pass — the bytes never shuffle), equi-join shared frame
+    hashes (df-capped so title-card/black-frame hot keys never drive a
+    quadratic bucket), then require >= 2 DISTINCT frame contents to
+    agree on ONE frame-offset delta (operators/videofp.py).
+
+    Scale shape: per-frame rows are (id, index, two BIGINTs); every join
+    bucket is bounded by the df-cap at <= C(64, 2) pairs per hash; the
+    alignment vote is two hash aggregates over (pair, delta).  Nothing
+    anywhere is quadratic in corpus size — the property that makes
+    content-ID matching feasible over a 100 TB video corpus."""
+    from .operators.videofp import video_dup_pairs, video_frame_hashes
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    media = synth_media(docs).select("media_id", "content")
+    trimmed = (
+        media.join(
+            docs.select(F.col("doc_id").alias("media_id"), "n_chars"),
+            "media_id",
+        )
+        .where(F.col("media_id") % 5 == 0)
+        .select(
+            (F.col("media_id") + 10_000_000).alias("media_id"),
+            F.expr(
+                "concat(substring(content, 1, 16), "
+                "substring(content, 17 + ((n_chars % 64) + 1) * 8, "
+                "2147483647))"
+            ).alias("content"),
+        )
+    )
+    frames = video_frame_hashes(
+        _spread(media.unionByName(trimmed), spark)
+    )
+    return video_dup_pairs(frames, min_aligned=2).select(
+        "id_a", "id_b",
+        F.col("aligned").cast("bigint").alias("aligned"),
+        F.col("offset").cast("bigint").alias("offset"),
+    )

@@ -539,3 +539,75 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_matched"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout (operators/hilbert.py, staged r13 — r14 face):
+# the locality upgrade over q_zorder_layout's Morton key.  The Hilbert
+# curve visits every cell by a unit step, so equal-size key ranges are
+# tighter spatial tiles — fewer files overlap a bbox probe and min/max
+# stats prune harder (the "liquid clustering" move).  Same synthetic
+# globe points as the Morton face, so the two layouts are directly
+# comparable; the xy2d transform is a projection CHAIN (a nested Column
+# tree hangs Catalyst near bits=8 — module docstring), mirrored by the
+# oracle's linear CTE chain.
+# ---------------------------------------------------------------------------
+_HBITS = 16
+_HTILE_SHIFT = 2 * _HBITS - 10  # top 10 bits -> up to 1024 coarse tiles
+
+
+def _hilbert_oracle() -> str:
+    from .operators.hilbert import hilbert_sql_ctes
+    from .operators.zorder import quantize_sql
+
+    qlat = quantize_sql("lat", -90.0, 90.0, _HBITS)
+    qlon = quantize_sql("lon", -180.0, 180.0, _HBITS)
+    chain, final = hilbert_sql_ctes(qlon, qlat, _HBITS, "zpts")
+    return f"""
+WITH {_ZPTS_CTE},
+{chain}
+SELECT CAST(hd >> {_HTILE_SHIFT} AS BIGINT) AS tile,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       MIN(hd) AS min_h, MAX(hd) AS max_h,
+       ROUND(MIN(lat), 6) AS lat_lo, ROUND(MAX(lat), 6) AS lat_hi,
+       ROUND(MIN(lon), 6) AS lon_lo, ROUND(MAX(lon), 6) AS lon_hi
+FROM {final}
+GROUP BY tile
+"""
+
+
+@query("q_hilbert_layout", oracle=_hilbert_oracle())
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering keys + per-tile layout statistics: quantize
+    lat/lon to 16-bit cells, run the xy2d projection chain into the
+    BIGINT curve position, roll up per coarse tile (top 10 bits).  The
+    tile rows ARE the min/max file statistics a Hilbert-clustered write
+    produces; vs q_zorder_layout's Morton tiles the same data yields
+    tighter per-tile bboxes (unit-step locality, gated in
+    tests/test_hilbert.py).
+
+    Scale shape: the key is a chain of 16 pure projections inside
+    whole-stage codegen (no UDF, no shuffle — analysis stays linear in
+    bits where the nested-expression spelling is exponential); the
+    rollup is one hash aggregate on a <= 1024-tile key domain."""
+    from .operators.hilbert import with_hilbert_key
+    from .queries import t
+
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderkey").alias("k"),
+        (((F.col("o_orderkey") * 37) % 18000) / 100.0 - 90.0).alias("lat"),
+        (((F.col("o_orderkey") * 101) % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    keyed = with_hilbert_key(pts, "lat", "lon", _HBITS, key_col="hkey")
+    return keyed.groupBy(
+        F.shiftright("hkey", _HTILE_SHIFT).cast("bigint").alias("tile")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.min("hkey").alias("min_h"),
+        F.max("hkey").alias("max_h"),
+        F.round(F.min("lat"), 6).alias("lat_lo"),
+        F.round(F.max("lat"), 6).alias("lat_hi"),
+        F.round(F.min("lon"), 6).alias("lon_lo"),
+        F.round(F.max("lon"), 6).alias("lon_hi"),
+    )

@@ -3933,3 +3933,184 @@ def q_winnow_code_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _spread(docs.unionByName(planted), spark)
     fps = winnow_fingerprints(corpus, k=5, w=4)
     return winnow_match_pairs(fps, max_df=16)
+
+
+# ---------------------------------------------------------------------------
+# Token-entropy diversity profile (operators/entropy.py, staged r11 —
+# r14 face): the curation dashboard that decides where the low-entropy
+# (keyword-stuffing / log-dump / template-spam) filter cut goes.
+# ---------------------------------------------------------------------------
+_ENTROPY_TOK = _TOKENS.replace("text", "coalesce(text, '')")
+
+_ENTROPY_PER_DOC_CTES = f"""
+t AS (SELECT doc_id, lang, {_ENTROPY_TOK} AS tok FROM documents),
+occ AS (SELECT doc_id, unnest(tok) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS c FROM occ GROUP BY 1, 2),
+ent AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+           round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr
+    FROM tf GROUP BY 1
+),
+per_doc AS (
+    SELECT t.doc_id, t.lang,
+           coalesce(e.n_tokens, 0) AS n_tokens,
+           coalesce(e.n_types, 0) AS n_types,
+           e.entropy, e.ttr
+    FROM t LEFT JOIN ent e USING (doc_id)
+)
+"""
+
+
+@query(
+    "q_entropy_profile",
+    oracle=f"""
+WITH {_ENTROPY_PER_DOC_CTES}
+SELECT lang, floor(entropy / 0.5) * 0.5 AS entropy_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(entropy), 6) AS avg_entropy,
+       round(avg(ttr), 6) AS avg_ttr,
+       round(avg(CAST(n_tokens AS DOUBLE)), 6) AS avg_tokens
+FROM per_doc
+GROUP BY 1, 2
+""",
+)
+def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, 0.5-wide entropy bucket) diversity profile of the
+    corpus: Shannon entropy of each document's within-document token
+    distribution (nats), type-token ratio, mean length — the signal that
+    separates prose from keyword stuffing far more robustly than the
+    distinct-token ratio alone (operators/entropy.py).
+
+    Scale shape: the per-document pass is a ZERO-SHUFFLE scan — the
+    token array sorts per document and folds over its equal-token runs
+    with one F.aggregate HOF (no (doc, term) explode-aggregate exchange;
+    plan-gated in tests/test_entropy.py); the profile is ONE hash
+    aggregate over a ~languages x dozens-of-buckets key domain."""
+    from .operators.entropy import entropy_profile
+
+    return entropy_profile(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram model (operators/ngram_lm.py, staged
+# r11 — r14 face): the smoothing perplexity-based quality filters
+# actually ship (CCNet's KenLM scorer is modified KN); backs off to
+# CONTINUATION probability so "Francisco" (frequent, but only ever after
+# "San") stops outranking genuinely versatile words.
+# ---------------------------------------------------------------------------
+_KN_D = 0.75
+
+
+@query(
+    "q_kn_bigram_lm",
+    oracle=f"""
+WITH t AS (
+    SELECT {_TOKENS} AS tok FROM documents
+    WHERE len({_TOKENS}) > 1
+),
+bg AS (
+    SELECT split_part(b, ' ', 1) AS ctx, split_part(b, ' ', 2) AS nxt
+    FROM (SELECT unnest(list_transform(
+                     range(1, greatest(len(tok) - 1, 0) + 1),
+                     i -> tok[i] || ' ' || tok[i + 1])) AS b
+          FROM t)
+),
+counts AS (
+    SELECT ctx, nxt, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+),
+ctx_stats AS (
+    SELECT ctx, CAST(sum(c) AS BIGINT) AS c_ctx,
+           CAST(count(*) AS BIGINT) AS n1p_ctx
+    FROM counts GROUP BY 1
+),
+cont AS (
+    SELECT nxt, CAST(count(*) AS BIGINT) AS n1p_w FROM counts GROUP BY 1
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n1p_all FROM counts)
+SELECT c.ctx, c.nxt, c.c, s.c_ctx, s.n1p_ctx,
+       round(CAST(w.n1p_w AS DOUBLE) / t2.n1p_all, 6) AS p_cont,
+       round(greatest(CAST(c.c AS DOUBLE) - {_KN_D!r}, 0.0) / s.c_ctx
+             + {_KN_D!r} * s.n1p_ctx / s.c_ctx
+               * (CAST(w.n1p_w AS DOUBLE) / t2.n1p_all), 6) AS p_kn
+FROM counts c
+JOIN ctx_stats s USING (ctx)
+JOIN cont w USING (nxt)
+CROSS JOIN total t2
+""",
+)
+def q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interpolated Kneser-Ney bigram model table over the corpus:
+    one row per OBSERVED bigram with its count, context stats,
+    continuation probability, and smoothed P_KN (discount 0.75) —
+    sum-to-one over the full vocabulary pytest-gated in
+    tests/test_ngram_lm.py (operators/ngram_lm.py).
+
+    Scale shape: ONE (ctx, nxt) hash aggregate over the exploded bigrams
+    (map-side partials absorb within-document repetition) feeds a
+    ctx-keyed aggregate, a nxt-keyed aggregate, and a one-row broadcast
+    total; the model table is vocab-pair-bounded, never corpus-bounded."""
+    from .operators.ngram_lm import kn_bigram_probs
+
+    return kn_bigram_probs(
+        t(spark, sf_dir, "documents"), discount=_KN_D
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC canonicalization impact (operators/textnorm.py, staged r11
+# — r14 face): combining-sequence copies ("e" + U+0301 vs the
+# precomposed U+00E9) are byte-distinct but render identically — the
+# hidden-duplicate mass every exact-dedup pass misses until text is
+# canonicalized.
+# ---------------------------------------------------------------------------
+@query(
+    "q_textnorm_impact",
+    oracle=r"""
+WITH n AS (
+    SELECT doc_id, lang, coalesce(text, '') AS raw,
+           nfc_normalize(coalesce(text, '')) AS t2
+    FROM documents
+),
+f AS (
+    SELECT doc_id, lang, raw <> t2 AS changed,
+           md5(lower(trim(regexp_replace(raw, '\s+', ' ', 'g')))) AS fp_raw,
+           md5(lower(trim(regexp_replace(t2, '\s+', ' ', 'g')))) AS fp_nfc
+    FROM n
+),
+dup_raw AS (
+    SELECT lang, CAST(sum(n) AS BIGINT) AS n_dup_docs_raw
+    FROM (SELECT lang, fp_raw, count(*) AS n FROM f GROUP BY 1, 2)
+    WHERE n >= 2 GROUP BY lang
+),
+dup_nfc AS (
+    SELECT lang, CAST(sum(n) AS BIGINT) AS n_dup_docs_nfc
+    FROM (SELECT lang, fp_nfc, count(*) AS n FROM f GROUP BY 1, 2)
+    WHERE n >= 2 GROUP BY lang
+)
+SELECT f.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       coalesce(ANY_VALUE(dr.n_dup_docs_raw), 0) AS n_dup_docs_raw,
+       coalesce(ANY_VALUE(dn.n_dup_docs_nfc), 0) AS n_dup_docs_nfc
+FROM f
+LEFT JOIN dup_raw dr USING (lang)
+LEFT JOIN dup_nfc dn USING (lang)
+GROUP BY f.lang
+""",
+)
+def q_textnorm_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language value-of-NFC report: document counts, how many
+    documents' bytes change under NFC, and the whitespace/case-normalized
+    duplicate mass before vs after canonicalization — the delta is
+    exactly the duplicate volume Unicode inconsistency was hiding
+    (operators/textnorm.py; DuckDB's nfc_normalize is the oracle twin of
+    Python's unicodedata.normalize).
+
+    Scale shape: the NFC pass is one Arrow map (zero exchanges); each
+    duplicate count is a (lang, 16-byte fingerprint) hash aggregate —
+    the exact-dedup shape, run twice, nothing text-sized shuffling past
+    the fingerprint projection."""
+    from .operators.textnorm import nfc_impact_report
+
+    return nfc_impact_report(t(spark, sf_dir, "documents"))
