@@ -529,11 +529,15 @@ _KEEP_IN_WINDOW = [
 # r15 slot plan (write the window BEFORE building new surface — the
 # never-checked-in-window invariant makes slots the budget): once
 # CORRECTNESS_r14 lands, the 48 entries above rotate out.  Budget math
-# (keepers stay 2): (1) the 21 r10-cohort deferrals enumerated in the
-# comment above [21]; (2) the r11 cohort (48 queries, by then the oldest
-# hash tier) fills the remaining ~27 slots — its tail defers to r16.
-# There is no staged-operator backlog after r14.  Run
-# scripts/preflight_window.py before round end.
+# (keepers stay 2): (1) faces for the r14-staged operators —
+# operators/ngram_lm.py::kn_doc_nll (KN-perplexity document scoring,
+# tests/test_ngram_lm.py) and dataset_versions.py (snapshot time travel
+# + COW upsert + diff, tests/test_dataset_versions.py), plus an
+# ahash_groups keep-decision face if slots allow (operator oracled in
+# tests/test_phash.py) [~2-3]; (2) the 21 r10-cohort deferrals
+# enumerated in the comment above [21]; (3) the r11 cohort (48 queries,
+# by then the oldest hash tier) fills the remaining ~24-25 slots — its
+# tail defers to r16.  Run scripts/preflight_window.py before round end.
 _ROTATED_OUT = [
     # every remaining query is r11+-driver-green on its latest verdict
     # and (where oracle-backed) value-gated by tests/test_oracle_parity.py

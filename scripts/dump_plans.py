@@ -489,6 +489,62 @@ AUDIT: list[tuple[str, str]] = [
         " the validation is aggregate-only (order-independent checksums"
         " from the manifest).",
     ),
+    (
+        "q_video_fingerprint_dedup",
+        "Video near-dup: frame hashing is one Arrow map pass (the video"
+        " bytes never reach an exchange — only (id, frame_index, two"
+        " BIGINTs) rows do); the frame-hash equi-join is bounded per"
+        " bucket by the df-cap broadcast anti-join, and the temporal"
+        " vote is two hash aggregates over (pair, delta) counting"
+        " DISTINCT frame hashes — no corpus-quadratic stage anywhere.",
+    ),
+    (
+        "q_hilbert_layout",
+        "The xy2d transform is 16 chained projections of pure integer"
+        " arithmetic inside ONE WholeStageCodegen span — no UDF, no"
+        " exchange below the final <= 1024-tile hash aggregate (the"
+        " nested-Column spelling grows ~5^bits expression nodes and"
+        " hangs Catalyst analysis near bits=8; the chain is linear).",
+    ),
+    (
+        "q_l_diversity",
+        "Audit and post-enforcement audit are one count-distinct hash"
+        " aggregate each over the quasi tuple; suppression joins class"
+        " diversities back on the SAME null-safe tuple, reusing the"
+        " shuffle partitioning; only (class, diversity) scalars move"
+        " between stages.",
+    ),
+    (
+        "q_entropy_profile",
+        "The per-document entropy is a zero-Exchange scan: array_sort +"
+        " one F.aggregate run-fold per row inside codegen (no (doc,"
+        " term) explode exchange — the shuffle that dominates naive"
+        " TF entropy at corpus scale); the profile aggregate's key"
+        " domain is languages x ~dozens of buckets.",
+    ),
+    (
+        "q_kn_bigram_lm",
+        "One (ctx, nxt) hash aggregate over the exploded bigrams (map-"
+        " side partials absorb within-doc repetition) is persisted and"
+        " feeds three bounded derivations; the model joins are equi-"
+        " joins over the vocab-pair-bounded table and the distinct-"
+        " bigram total rides a one-row broadcast.",
+    ),
+    (
+        "q_textnorm_impact",
+        "NFC is a pure Arrow map (MapInPandas, zero exchanges below"
+        " it); each duplicate-mass branch shuffles only (lang, 16-byte"
+        " md5) pairs — the raw text never crosses an exchange after"
+        " the fingerprint projection.",
+    ),
+    (
+        "q_cohort_retention",
+        "The event stream collapses to distinct (user, day) with map-"
+        " side combine; cohort MIN and the matrix rollup both key on"
+        " user (shared partitioning); cohort sizes come back via"
+        " BroadcastHashJoin onto the <= days^2 matrix — nothing event-"
+        " sized crosses a second exchange.",
+    ),
 ]
 
 # Non-registry plan notes: (title, why, builder(spark) -> DataFrame).

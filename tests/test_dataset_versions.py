@@ -1,0 +1,183 @@
+"""dataset_versions.py — versioned snapshots / time travel (staged r14
+for an r15 face): commit/read round trips, copy-on-write upsert with
+hardlink carry (inode-verified), moved-row partition handling, manifest
+diff between versions, crash-orphan invisibility, and vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_calculator_v3_spark.dataset_versions import (
+    commit_version,
+    diff_versions,
+    latest_version,
+    list_versions,
+    read_version,
+    upsert_version,
+    vacuum_versions,
+)
+
+V1 = [
+    # (id, part, payload, seq)
+    (1, "a", "one", 1), (2, "a", "two", 1),
+    (3, "b", "three", 1), (4, "c", "four", 1),
+]
+SCHEMA = "id long, part string, payload string, seq long"
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    out = str(tmp_path / "versioned")
+    # checksums hash the full row (key_cols = all non-partition columns)
+    # so diff_versions sees payload-only changes, not just key churn
+    commit_version(
+        spark, spark.createDataFrame(V1, SCHEMA), out, ["part"],
+        ["id", "payload", "seq"],
+    )
+    return out
+
+
+def _rows(spark, out, version=None):
+    return {
+        (r.id, r.part, r.payload, r.seq)
+        for r in read_version(spark, out, version).collect()
+    }
+
+
+def test_commit_and_read_round_trip(spark, store):
+    assert latest_version(store) == 1
+    assert _rows(spark, store) == set(V1)
+    vs = list_versions(store)
+    assert [v["version"] for v in vs] == [1]
+    assert vs[0]["n_rows"] == 4 and vs[0]["n_partitions"] == 3
+
+
+def test_upsert_creates_new_version_old_readable(spark, store):
+    updates = spark.createDataFrame(
+        [(2, "a", "two-v2", 2), (5, "b", "five", 2)], SCHEMA
+    )
+    n = upsert_version(spark, updates, store, "id", "seq", "seq")
+    assert n == 2 and latest_version(store) == 2
+    assert _rows(spark, store, 2) == {
+        (1, "a", "one", 1), (2, "a", "two-v2", 2),
+        (3, "b", "three", 1), (5, "b", "five", 2), (4, "c", "four", 1),
+    }
+    # time travel: version 1 is byte-frozen
+    assert _rows(spark, store, 1) == set(V1)
+
+
+def test_untouched_partition_is_hardlinked_not_copied(spark, store):
+    updates = spark.createDataFrame([(2, "a", "two-v2", 2)], SCHEMA)
+    upsert_version(spark, updates, store, "id", "seq", "seq")
+    v1c = os.path.join(store, "v1", "part=c")
+    v2c = os.path.join(store, "v2", "part=c")
+    f1 = sorted(f for f in os.listdir(v1c) if f.endswith(".parquet"))
+    f2 = sorted(f for f in os.listdir(v2c) if f.endswith(".parquet"))
+    assert f1 == f2 and f1
+    for fn in f1:
+        assert os.path.samefile(
+            os.path.join(v1c, fn), os.path.join(v2c, fn)
+        ), "untouched partition must carry over as hardlinks"
+    # the touched partition was rewritten: distinct inodes
+    v2a = os.path.join(store, "v2", "part=a")
+    v1a = os.path.join(store, "v1", "part=a")
+    inodes1 = {os.stat(os.path.join(v1a, f)).st_ino
+               for f in os.listdir(v1a) if f.endswith(".parquet")}
+    inodes2 = {os.stat(os.path.join(v2a, f)).st_ino
+               for f in os.listdir(v2a) if f.endswith(".parquet")}
+    assert not (inodes1 & inodes2)
+
+
+def test_moved_row_vanishes_from_old_partition(spark, store):
+    # id 4 moves c -> a: partition c must be rewritten (to empty), not
+    # hardlink-carried with the stale row
+    updates = spark.createDataFrame([(4, "a", "four-moved", 2)], SCHEMA)
+    upsert_version(spark, updates, store, "id", "seq", "seq")
+    got = _rows(spark, store)
+    assert (4, "a", "four-moved", 2) in got
+    assert all(not (r[0] == 4 and r[1] == "c") for r in got)
+    assert len(got) == 4
+    # and the manifest agrees: partition c gone or empty
+    meta = json.load(open(os.path.join(store, "_versions", "2.json")))
+    parts = {
+        e["partition"]["part"]: e["n_rows"]
+        for e in meta["manifest"]["partitions"]
+    }
+    assert parts.get("c", 0) == 0
+
+
+def test_diff_versions_flags_only_touched(spark, store):
+    updates = spark.createDataFrame([(2, "a", "two-v2", 2)], SCHEMA)
+    upsert_version(spark, updates, store, "id", "seq", "seq")
+    d = diff_versions(store, 1, 2)
+    changed = {e["partition"]["part"] for e in d["changed"]}
+    unchanged = {p["part"] for p in d["unchanged"]}
+    assert changed == {"a"} and unchanged == {"b", "c"}
+    assert not d["added"] and not d["removed"]
+
+
+def test_null_key_updates_dropped(spark, store):
+    updates = spark.createDataFrame(
+        [(None, "a", "ghost", 9), (2, "a", "two-v2", 2)], SCHEMA
+    )
+    upsert_version(spark, updates, store, "id", "seq", "seq")
+    got = _rows(spark, store)
+    assert all(r[0] is not None for r in got)
+    assert (2, "a", "two-v2", 2) in got and len(got) == 4
+
+
+def test_orphan_vdir_is_invisible_and_vacuumed(spark, store):
+    # simulate a crash: data dir exists, no _versions json, stale _latest
+    os.makedirs(os.path.join(store, "v9", "part=a"))
+    assert latest_version(store) == 1
+    assert [v["version"] for v in list_versions(store)] == [1]
+    with pytest.raises(ValueError, match="does not exist"):
+        read_version(spark, store, 9)
+    removed = vacuum_versions(store, keep_last=5)
+    assert removed == [9] and not os.path.exists(os.path.join(store, "v9"))
+
+
+def test_vacuum_keeps_last_and_hardlinks_survive(spark, store):
+    for seq in (2, 3):
+        upsert_version(
+            spark,
+            spark.createDataFrame([(2, "a", f"two-v{seq}", seq)], SCHEMA),
+            store, "id", "seq", "seq",
+        )
+    removed = vacuum_versions(store, keep_last=2)
+    assert removed == [1]
+    assert [v["version"] for v in list_versions(store)] == [2, 3]
+    with pytest.raises(ValueError):
+        read_version(spark, store, 1)
+    # v2/v3 still fully readable: their hardlinked carries survive v1's
+    # deletion (link count, not path, keeps the bytes alive)
+    assert (2, "a", "two-v3", 3) in _rows(spark, store, 3)
+    assert (3, "b", "three", 1) in _rows(spark, store, 2)
+
+
+def test_commit_rejects_spelling_drift(spark, store):
+    df = spark.createDataFrame(V1, SCHEMA)
+    with pytest.raises(ValueError, match="must match"):
+        commit_version(spark, df, store, ["payload"], ["id"])
+    with pytest.raises(ValueError, match="needs an existing"):
+        upsert_version(
+            spark, df, str(store) + "_nowhere", "id", "seq", "seq"
+        )
+
+
+def test_upsert_is_partition_pruned_scan(spark, store):
+    # the rewrite reads the merged frame filtered to touched partitions;
+    # prove the written tree only re-materialized partition a (b/c file
+    # names identical to v1's)
+    updates = spark.createDataFrame([(1, "a", "one-v2", 2)], SCHEMA)
+    upsert_version(spark, updates, store, "id", "seq", "seq")
+    for part in ("b", "c"):
+        f1 = set(os.listdir(os.path.join(store, "v1", f"part={part}")))
+        f2 = set(os.listdir(os.path.join(store, "v2", f"part={part}")))
+        assert {f for f in f1 if f.endswith(".parquet")} == {
+            f for f in f2 if f.endswith(".parquet")
+        }
