@@ -153,8 +153,17 @@ def commit_version(
     entries = _manifest_entries(
         _read_raw(spark, vdir), partition_by, key_cols
     )
+    # partition values live ONLY in directory names, so their types must
+    # be recorded here: hive inference is lossy ("01" re-infers as int 1)
+    # and read_version restores the declared type by cast instead
+    types = {
+        f.name: f.dataType.simpleString()
+        for f in df.schema.fields
+        if f.name in partition_by
+    }
     manifest = {
         "partition_by": partition_by,
+        "partition_types": types,
         "key_cols": key_cols,
         "digest_version": DIGEST_VERSION,
         "n_partitions": len(entries),
@@ -168,14 +177,21 @@ def read_version(
     spark: SparkSession, out_dir: str, version: int | None = None
 ) -> DataFrame:
     """The frozen tree of ``version`` (default: latest) as a DataFrame —
-    a plain partition-discovering parquet scan, so filters on partition
-    columns prune directories exactly as on a live table."""
+    a partition-pruned parquet scan.  Partition columns read as the
+    LITERAL directory strings (inference off — "01" must not re-infer as
+    int 1) and then cast to the types the committing DataFrame declared,
+    so values round-trip losslessly through the dir names."""
     n = latest_version(out_dir) if version is None else version
     if n is None:
         raise ValueError(f"no committed versions under {out_dir}")
     if not os.path.exists(_vjson(out_dir, n)):
         raise ValueError(f"version {n} does not exist (or was vacuumed)")
-    return spark.read.parquet(_vdir(out_dir, n))
+    meta = _load_meta(out_dir, n)
+    df = _read_raw(spark, _vdir(out_dir, n))
+    for c, typ in meta["manifest"].get("partition_types", {}).items():
+        if typ != "string":
+            df = df.withColumn(c, F.col(c).cast(typ))
+    return df
 
 
 def _partition_tuple_col(partition_by: list[str]):
@@ -209,7 +225,17 @@ def upsert_version(
     partition_by = manifest["partition_by"]
     key_cols = manifest["key_cols"]
     updates = updates.where(F.col(key).isNotNull())
-    base = read_version(spark, out_dir, parent)
+    # inference OFF for the internal base read (the _read_raw rule):
+    # with inference ON a zero-padded numeric partition value (month=01)
+    # reads back as int 1, so the touched set desyncs from _decode_rel's
+    # literal dir strings (carry/rewrite decisions go to the wrong
+    # partitions) AND the rewrite renames the directory to month=1 —
+    # silent divergence.  The string-typed partition column round-trips
+    # through dir names only, so user-facing read_version still infers
+    # the original type.
+    if not os.path.exists(_vjson(out_dir, parent)):
+        raise ValueError(f"version {parent} does not exist")
+    base = _read_raw(spark, _vdir(out_dir, parent))
 
     pt = _partition_tuple_col(partition_by)
     upd_keys = updates.select(key).distinct()
@@ -306,6 +332,7 @@ def upsert_version(
     entries.sort(key=lambda e: json.dumps(e["partition"], sort_keys=True))
     new_manifest = {
         "partition_by": partition_by,
+        "partition_types": manifest.get("partition_types", {}),
         "key_cols": key_cols,
         "digest_version": DIGEST_VERSION,
         "n_partitions": len(entries),

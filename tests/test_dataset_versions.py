@@ -181,3 +181,59 @@ def test_upsert_is_partition_pruned_scan(spark, store):
         assert {f for f in f1 if f.endswith(".parquet")} == {
             f for f in f2 if f.endswith(".parquet")
         }
+
+
+def test_zero_padded_partition_values_survive_upsert(spark, tmp_path):
+    """month=01 must stay month=01: the internal base read runs with
+    partition-type inference OFF, else the value reads back as int 1,
+    the touched set desyncs from the literal dir names, and the rewrite
+    renames the directory (found in r14 self-review, fails pre-fix)."""
+    out = str(tmp_path / "padded")
+    rows = [(1, "01", "jan", 1), (2, "02", "feb", 1)]
+    schema = "id long, month string, payload string, seq long"
+    commit_version(
+        spark, spark.createDataFrame(rows, schema), out, ["month"],
+        ["id", "payload", "seq"],
+    )
+    upsert_version(
+        spark,
+        spark.createDataFrame([(1, "01", "jan-v2", 2)], schema),
+        out, "id", "seq", "seq",
+    )
+    v2 = os.path.join(out, "v2")
+    assert sorted(
+        d for d in os.listdir(v2) if d.startswith("month=")
+    ) == ["month=01", "month=02"]
+    got = {
+        (r.id, r.month, r.payload)
+        for r in read_version(spark, out).collect()
+    }
+    assert got == {(1, "01", "jan-v2"), (2, "02", "feb")}
+    # untouched month=02 carried as hardlinks
+    for fn in os.listdir(os.path.join(out, "v1", "month=02")):
+        if fn.endswith(".parquet"):
+            assert os.path.samefile(
+                os.path.join(out, "v1", "month=02", fn),
+                os.path.join(v2, "month=02", fn),
+            )
+
+
+def test_typed_partition_column_round_trips(spark, tmp_path):
+    # an int-typed partition column reads back as int (the recorded-type
+    # cast), not as the literal dir string
+    out = str(tmp_path / "typed")
+    rows = [(1, 7, "x", 1), (2, 11, "y", 1)]
+    schema = "id long, bucket bigint, payload string, seq long"
+    commit_version(
+        spark, spark.createDataFrame(rows, schema), out, ["bucket"],
+        ["id", "payload", "seq"],
+    )
+    upsert_version(
+        spark, spark.createDataFrame([(1, 7, "x2", 2)], schema),
+        out, "id", "seq", "seq",
+    )
+    kinds = dict(read_version(spark, out).dtypes)
+    assert kinds["bucket"] == "bigint"
+    got = {(r.id, r.bucket, r.payload)
+           for r in read_version(spark, out).collect()}
+    assert got == {(1, 7, "x2"), (2, 11, "y")}
