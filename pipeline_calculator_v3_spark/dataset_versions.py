@@ -233,8 +233,6 @@ def upsert_version(
     # silent divergence.  The string-typed partition column round-trips
     # through dir names only, so user-facing read_version still infers
     # the original type.
-    if not os.path.exists(_vjson(out_dir, parent)):
-        raise ValueError(f"version {parent} does not exist")
     base = _read_raw(spark, _vdir(out_dir, parent))
 
     pt = _partition_tuple_col(partition_by)

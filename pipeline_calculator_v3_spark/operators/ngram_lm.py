@@ -174,11 +174,12 @@ def kn_doc_nll(
         / F.col("c_ctx").cast("double")
         * (F.col("_n1p_w").cast("double") / F.col("_n1p_all").cast("double"))
     )
-    scored = (
-        bigrams.join(model, ["ctx", "nxt"])
-        .join(n1p_w, "nxt")
-        .crossJoin(F.broadcast(cont))
-    )
+    # fold the continuation pieces into the vocab-bounded model table
+    # BEFORE touching the corpus-sized bigram stream: joining them after
+    # would shuffle the stream twice (once on (ctx, nxt), again on nxt);
+    # this way the stream crosses exactly one exchange
+    full_model = model.join(n1p_w, "nxt").crossJoin(F.broadcast(cont))
+    scored = bigrams.join(full_model, ["ctx", "nxt"])
     per_doc = scored.select(
         id_col, (-F.log(p)).alias("_nll")
     ).groupBy(id_col).agg(

@@ -531,10 +531,16 @@ _KEEP_IN_WINDOW = [
 # CORRECTNESS_r14 lands, the 48 entries above rotate out.  Budget math
 # (keepers stay 2): (1) faces for the r14-staged operators —
 # operators/ngram_lm.py::kn_doc_nll (KN-perplexity document scoring,
-# tests/test_ngram_lm.py) and dataset_versions.py (snapshot time travel
-# + COW upsert + diff, tests/test_dataset_versions.py), plus an
+# tests/test_ngram_lm.py), dataset_versions.py (snapshot time travel
+# + COW upsert + diff, tests/test_dataset_versions.py), and
+# operators/anonymity.py::t_closeness_audit (skewness-attack audit
+# completing the k/l/t privacy triad; integer-exact TVD fractions +
+# the ordered-EMD numeric twin, tests/test_anonymity.py), and
+# operators/sampling.py::split_leakage_audit (group-keyed split proof
+# over documents x minhash clusters, tests/test_sampling.py), plus an
 # ahash_groups keep-decision face if slots allow (operator oracled in
-# tests/test_phash.py) [~2-3]; (2) the 21 r10-cohort deferrals
+# tests/test_phash.py) [~3-5];
+# (2) the 21 r10-cohort deferrals
 # enumerated in the comment above [21]; (3) the r11 cohort (48 queries,
 # by then the oldest hash tier) fills the remaining ~24-25 slots — its
 # tail defers to r16.  Run scripts/preflight_window.py before round end.
