@@ -537,7 +537,9 @@ _KEEP_IN_WINDOW = [
 # completing the k/l/t privacy triad; integer-exact TVD fractions +
 # the ordered-EMD numeric twin, tests/test_anonymity.py), and
 # operators/sampling.py::split_leakage_audit (group-keyed split proof
-# over documents x minhash clusters, tests/test_sampling.py), plus an
+# over documents x minhash clusters, tests/test_sampling.py), and
+# operators/mixture.py::temperature_mixture_plan (n^(1/T) rebalancing
+# with closed-form waterfilling, tests/test_mixture.py), plus an
 # ahash_groups keep-decision face if slots allow (operator oracled in
 # tests/test_phash.py) [~3-5];
 # (2) the 21 r10-cohort deferrals
