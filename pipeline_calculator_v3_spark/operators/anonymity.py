@@ -366,9 +366,19 @@ def t_closeness_audit_ordered(
         )
     )
     # m = 1 leaves no _i < _m rows at all — re-admit those classes with
-    # distance 0 (their distribution IS the global one)
+    # distance 0 (their distribution IS the global one).  Null-SAFE
+    # anti join: on-names is null-unsafe, so a NULL-quasi class would
+    # fail to match its own per_class row and show up TWICE (found by
+    # the hypothesis brute-force gate, fails pre-fix)
+    pc_keys = per_class.select(
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(quasi_cols)]
+    )
+    anti = None
+    for i, c in enumerate(quasi_cols):
+        eq = sizes[c].eqNullSafe(F.col(f"_k{i}"))
+        anti = eq if anti is None else anti & eq
     degenerate = (
-        sizes.join(per_class.select(*quasi_cols), quasi_cols, "left_anti")
+        sizes.join(pc_keys, anti, "left_anti")
         .select(
             *quasi_cols,
             F.col("_csz").alias("class_size"),

@@ -573,3 +573,99 @@ def test_tclo_ordered_events_oracle(spark, duck, sf_dir):
         for r in duck.execute(TCLO_ORD_ORACLE).fetchall()
     }
     assert got == want and len(got) > 3
+
+
+# ---------------------------------------------------------------------------
+# property gates: the folded/cumulative integer fractions equal the
+# brute-force distance over the EXPLICIT domain on random small corpora.
+# ---------------------------------------------------------------------------
+from fractions import Fraction  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ROW = st.tuples(
+    st.sampled_from(["a", "b", "c", None]),          # quasi
+    st.sampled_from(["x", "y", "z", "w", None]),     # sensitive
+)
+
+
+def _brute_tvd(rows):
+    """Exact-Fraction TVD per quasi class over the full global domain
+    (NULL sensitive = its own category, mirroring the operator)."""
+    from collections import Counter
+
+    glob = Counter(s for _, s in rows)
+    n_tot = sum(glob.values())
+    out = {}
+    for q in {q for q, _ in rows}:
+        cls = Counter(s for qq, s in rows if qq == q)
+        n = sum(cls.values())
+        tvd = sum(
+            abs(Fraction(cls.get(v, 0), n) - Fraction(g, n_tot))
+            for v, g in glob.items()
+        ) / 2
+        out[q] = (n, tvd)
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_ROW, min_size=1, max_size=30))
+def test_tvd_fraction_matches_brute_force(spark, rows):
+    df = spark.createDataFrame(
+        [(q, 1, s) for q, s in rows],
+        "event_type string, k_bucket long, sensitive string",
+    )
+    want = _brute_tvd(rows)
+    got = t_closeness_audit(df, QUASI, "sensitive", t=0.2).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n, tvd = want[r.event_type]
+        assert r.class_size == n
+        assert Fraction(int(r.tvd_num), int(r.tvd_den)) == tvd, (
+            r.event_type, rows
+        )
+
+
+def _brute_emd(rows):
+    """Exact-Fraction ordered EMD per class (NULL sensitive excluded)."""
+    from collections import Counter
+
+    alive = [(q, s) for q, s in rows if s is not None]
+    glob = Counter(s for _, s in alive)
+    domain = sorted(glob)
+    n_tot = sum(glob.values())
+    m = len(domain)
+    out = {}
+    for q in {q for q, _ in alive}:
+        cls = Counter(s for qq, s in alive if qq == q)
+        n = sum(cls.values())
+        if m <= 1:
+            out[q] = (n, Fraction(0))
+            continue
+        cum, acc = Fraction(0), []
+        for v in domain:
+            cum += Fraction(cls.get(v, 0), n) - Fraction(glob[v], n_tot)
+            acc.append(abs(cum))
+        out[q] = (n, sum(acc[:-1]) / (m - 1))
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_ROW, min_size=1, max_size=30))
+def test_emd_fraction_matches_brute_force(spark, rows):
+    df = spark.createDataFrame(
+        [(q, 1, s) for q, s in rows],
+        "event_type string, k_bucket long, sensitive string",
+    )
+    want = _brute_emd(rows)
+    got = t_closeness_audit_ordered(df, QUASI, "sensitive", t=0.2).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n, emd = want[r.event_type]
+        assert r.class_size == n
+        assert Fraction(int(r.emd_num), int(r.emd_den)) == emd, (
+            r.event_type, rows
+        )

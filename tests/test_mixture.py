@@ -198,3 +198,39 @@ def test_documents_oracle_replay(spark, duck, sf_dir):
         assert got[k][3] == want[k][3]
         for i in (1, 2, 4):
             assert got[k][i] == pytest.approx(want[k][i], rel=1e-6), k
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ns=st.lists(st.integers(min_value=1, max_value=10_000),
+                min_size=1, max_size=8),
+    budget_frac=st.floats(min_value=0.05, max_value=1.0,
+                          allow_nan=False, allow_infinity=False),
+    temperature=st.floats(min_value=0.25, max_value=10.0,
+                          allow_nan=False, allow_infinity=False),
+)
+def test_waterfill_property(spark, ns, budget_frac, temperature):
+    """Random corpora: closed-form plan == brute-force iterative
+    waterfill; rates in (0, 1]; budget conserved to rounding grain."""
+    names = [f"s{i}" for i in range(len(ns))]
+    shares_un = {k: v ** (1.0 / temperature)
+                 for k, v in zip(names, ns)}
+    z = sum(shares_un.values())
+    shares = {k: v / z for k, v in shares_un.items()}
+    nd = dict(zip(names, ns))
+    want = _brute_waterfill(nd, shares, budget_frac * sum(ns))
+    got = _plan(spark, list(nd.items()),
+                budget_frac=budget_frac, temperature=temperature)
+    for k in nd:
+        assert 0.0 < got[k].rate <= 1.0
+        assert got[k].expected_tokens == pytest.approx(
+            want[k], abs=5e-4, rel=1e-6
+        ), (k, nd, budget_frac, temperature)
+    assert sum(g.expected_tokens for g in got.values()) == pytest.approx(
+        min(budget_frac * sum(ns), sum(ns)), abs=1e-2, rel=1e-6
+    )
