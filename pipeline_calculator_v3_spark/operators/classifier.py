@@ -211,6 +211,30 @@ def percentile_cut_per_group(
     )
 
 
+def _nullsafe_broadcast_back(
+    scored: DataFrame, per_group: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Join a groupBy-derived per-group table back onto its source rows
+    with NULL-SAFE key equality.  groupBy buckets NULL keys into a real
+    group, but an on-names equi-join never matches them — with an inner
+    join the NULL-group rows (e.g. documents with NULL lang) silently
+    VANISH from the output even though a threshold was computed for
+    exactly those rows (found by the r14 null-unsafe-join audit; the
+    suppress_below_k bug class).  eqNullSafe keys stay hash-joinable,
+    so the broadcast hash join is preserved."""
+    renamed = per_group.select(
+        *[F.col(c).alias(f"_g{i}") for i, c in enumerate(group_cols)],
+        *[c for c in per_group.columns if c not in group_cols],
+    )
+    cond = None
+    for i, c in enumerate(group_cols):
+        eq = scored[c].eqNullSafe(F.col(f"_g{i}"))
+        cond = eq if cond is None else cond & eq
+    return scored.join(F.broadcast(renamed), cond).drop(
+        *[f"_g{i}" for i in range(len(group_cols))]
+    )
+
+
 def percentile_gate_approx(
     scored: DataFrame,
     group_cols: list[str],
@@ -255,7 +279,9 @@ def percentile_gate_approx(
             F.col(score_col), F.lit(1.0 - keep_frac), F.lit(accuracy)
         ).alias("threshold")
     )
-    return scored.join(F.broadcast(thresholds), group_cols).withColumn(
+    return _nullsafe_broadcast_back(
+        scored, thresholds, group_cols
+    ).withColumn(
         "keep",
         F.coalesce(F.col(score_col) >= F.col("threshold"), F.lit(False)),
     )
@@ -318,7 +344,7 @@ def approx_group_buckets(
         + F.when(F.col(score_col) > t, F.lit(1)).otherwise(F.lit(0)),
     )
     return (
-        scored.join(F.broadcast(thresholds), group_cols)
+        _nullsafe_broadcast_back(scored, thresholds, group_cols)
         .withColumn(
             "bucket",
             F.when(F.col(score_col).isNotNull(), bucket),

@@ -123,9 +123,26 @@ def nfc_impact_report(
             "n_changed"
         ),
     )
+    # null-SAFE group joins: groupBy buckets NULL-lang documents into a
+    # real group, but an on-names left join never matches that key — the
+    # NULL group's duplicate mass would coalesce to 0 and the report
+    # would claim Unicode inconsistency hides nothing there (r14
+    # null-unsafe-join audit; regression-tested with a planted NULL
+    # group)
+    def nullsafe_left(left: DataFrame, right: DataFrame) -> DataFrame:
+        r = right.select(
+            F.col(group_col).alias("_g"),
+            *[c for c in right.columns if c != group_col],
+        )
+        return left.join(
+            r, left[group_col].eqNullSafe(F.col("_g")), "left"
+        ).drop("_g")
+
     return (
-        base.join(dup_docs("fp_raw", "n_dup_docs_raw"), group_col, "left")
-        .join(dup_docs("fp_nfc", "n_dup_docs_nfc"), group_col, "left")
+        nullsafe_left(
+            nullsafe_left(base, dup_docs("fp_raw", "n_dup_docs_raw")),
+            dup_docs("fp_nfc", "n_dup_docs_nfc"),
+        )
         .select(
             group_col, "n_docs", "n_changed",
             F.coalesce("n_dup_docs_raw", F.lit(0)).cast("bigint").alias(

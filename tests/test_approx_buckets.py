@@ -151,3 +151,19 @@ def test_bucket_sizes_match_ntile(spark, xs):
     n = len(xs)
     expect = [n // 3 + (1 if i < n % 3 else 0) for i in range(3)]
     assert sizes == expect, (sorted(xs), sizes, expect)
+
+
+def test_null_group_rows_survive(spark):
+    """NULL-group rows must keep their rows AND get buckets from their
+    own group's thresholds (r14 null-unsafe-join audit; fails pre-fix)."""
+    from pipeline_calculator_v3_spark.operators.classifier import (
+        approx_group_buckets,
+    )
+
+    rows = [(1, "en", 1.0), (2, "en", 2.0), (3, "en", 3.0),
+            (4, None, 10.0), (5, None, 20.0), (6, None, 30.0)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+    out = approx_group_buckets(df, ["lang"], "s", n_buckets=3)
+    assert out.count() == len(rows)
+    got = {r.doc_id: r.bucket for r in out.collect()}
+    assert got[4] == 1 and got[6] == 3

@@ -169,3 +169,22 @@ def test_approx_null_scores_quarantine_false(spark):
            percentile_gate_approx(df, ["source"], "score", 0.5).collect()}
     assert out[3] is False
     assert out[0] is True and all(k is not None for k in out.values())
+
+
+def test_approx_null_group_rows_survive(spark):
+    """A NULL group key gets its own threshold from groupBy, but the
+    old on-names join-back never matched it — NULL-lang rows VANISHED
+    from the gate's output (r14 null-unsafe-join audit; fails pre-fix)."""
+    from pipeline_calculator_v3_spark.operators.classifier import (
+        percentile_gate_approx,
+    )
+
+    rows = [(1, "en", 0.9), (2, "en", 0.1), (3, None, 0.8),
+            (4, None, 0.2), (5, None, 0.5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+    out = percentile_gate_approx(df, ["lang"], "s", keep_frac=0.5)
+    assert out.count() == len(rows)
+    got = {r.doc_id: r.keep for r in out.collect()}
+    # NULL-lang group thresholds against ITS OWN distribution: the
+    # p=0.5 cut of {0.8, 0.2, 0.5} is 0.5, so 0.2 drops and 0.8 keeps
+    assert got[3] is True and got[4] is False

@@ -118,3 +118,23 @@ def test_per_doc_pass_is_pure_map(planted):
     )
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_null_group_duplicate_mass_is_reported(spark):
+    """Documents with a NULL group key form a real group under groupBy;
+    the on-names left join never matched it, so the NULL group's
+    duplicate counts silently coalesced to 0 (r14 null-unsafe-join
+    audit; fails pre-fix)."""
+    from pipeline_calculator_v3_spark.operators.textnorm import (
+        nfc_impact_report,
+    )
+
+    rows = [
+        (1, None, "same text"), (2, None, "same text"),
+        (3, "en", "other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.lang: r for r in nfc_impact_report(df).collect()}
+    assert got[None].n_docs == 2
+    assert got[None].n_dup_docs_raw == 2
+    assert got["en"].n_dup_docs_raw == 0
