@@ -419,3 +419,89 @@ def suppress_above_t(
         eq = df[c].eqNullSafe(classes[c])
         cond = eq if cond is None else cond & eq
     return df.join(classes, cond, "left_semi")
+
+
+def laplace_noise_sql(key_sql: str, scale: float, seed: str) -> str:
+    """Seeded Laplace(scale) noise as engine-portable SQL text — the
+    inverse-CDF transform of a deterministic md5-uniform:
+
+        u = (md5_prefix(key || seed) + 0.5) / 2^32   in (0, 1)
+        noise = -scale * sign(u - 0.5) * ln(1 - 2*|u - 0.5|)
+
+    The +0.5 offset keeps u strictly inside (0, 1) and off 0.5 exactly
+    (an integer prefix can never equal 2^31 - 0.5), so the log argument
+    lives in [2^-32, 1] — noise is finite and bounded by ~22.2*scale.
+    One spelling for both engines (the weighted_key_sql pattern): Spark
+    runs this text via F.expr and the oracle embeds it verbatim, so the
+    noise stream cannot drift.  Seeded determinism is a REPRODUCIBILITY
+    contract, not a privacy strengthening: re-releasing with a new seed
+    spends fresh epsilon, and publishing the seed voids the guarantee —
+    the caller owns the privacy accounting."""
+    if scale <= 0.0:
+        raise ValueError("scale must be positive")
+    from .chunking import md5_prefix_sql
+
+    lit_seed = seed.replace("'", "''")
+    seeded = f"CONCAT({key_sql}, '␟', '{lit_seed}')"
+    u = (
+        f"((CAST({md5_prefix_sql(seeded)} AS DOUBLE)"
+        f" + 0.5) / 4294967296.0)"
+    )
+    return (
+        f"(-({scale!r}) * SIGN({u} - 0.5)"
+        f" * LN(1.0 - 2.0 * ABS({u} - 0.5)))"
+    )
+
+
+def group_key_sql(group_cols: list[str]) -> str:
+    """The group tuple as one collision-safe portable string: each column
+    null-marked (CONCAT_WS silently DROPS NULLs, making ('a', NULL) and
+    ('a',) collide) and unit-separator-joined."""
+    # STRING, not VARCHAR: Spark rejects bare VARCHAR (needs a length),
+    # and STRING is a VARCHAR alias in DuckDB — the one spelling both parse
+    parts = ", ".join(
+        f"COALESCE(CAST({c} AS STRING), '␀')" for c in group_cols
+    )
+    return f"CONCAT_WS('␟', {parts})"
+
+
+def dp_group_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: str = "dp-release-1",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Differentially-private group-count release — the publishing step
+    after the k/l/t audits: counts-by-group with Laplace(1/epsilon)
+    noise satisfy epsilon-DP for add/remove-one-row neighbors (count
+    sensitivity 1, Dwork et al. 2006), so the release no longer depends
+    on any single contributor the way an exact count does.
+
+    Returns one row per group: the quasi columns + ``noisy_count``
+    DOUBLE (6 dp).  The TRUE count never appears in the output.
+    ``threshold`` optionally suppresses groups whose noisy count falls
+    below it (the publish-floor rule — note the surviving-group SET then
+    leaks one noisy bit per group, standard for thresholded releases).
+
+    Noise is the seeded deterministic stream of :func:`laplace_noise_sql`
+    keyed on the group tuple — identical on every run/partitioning/
+    engine, so the release is reproducible AND oracle-checkable; see
+    that docstring for what seeding does (and does not) mean for the
+    privacy accounting.  Scale shape: ONE hash aggregate on the group
+    tuple, then scan-side noise arithmetic — nothing else."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if epsilon <= 0.0:
+        raise ValueError("epsilon must be positive")
+    counts = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    noise = laplace_noise_sql(group_key_sql(group_cols), 1.0 / epsilon, seed)
+    out = counts.select(
+        *group_cols,
+        F.round(F.col("_n") + F.expr(noise), 6).alias("noisy_count"),
+    )
+    if threshold is not None:
+        out = out.where(F.col("noisy_count") >= threshold)
+    return out

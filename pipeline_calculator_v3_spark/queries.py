@@ -535,7 +535,8 @@ _KEEP_IN_WINDOW = [
 # + COW upsert + diff, tests/test_dataset_versions.py), and
 # operators/anonymity.py::t_closeness_audit (skewness-attack audit
 # completing the k/l/t privacy triad; integer-exact TVD fractions +
-# the ordered-EMD numeric twin, tests/test_anonymity.py), and
+# the ordered-EMD numeric twin + dp_group_counts seeded-Laplace
+# release, tests/test_anonymity.py), and
 # operators/sampling.py::split_leakage_audit (group-keyed split proof
 # over documents x minhash clusters, tests/test_sampling.py), and
 # operators/mixture.py::temperature_mixture_plan (n^(1/T) rebalancing

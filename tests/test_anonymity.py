@@ -669,3 +669,110 @@ def test_emd_fraction_matches_brute_force(spark, rows):
         assert Fraction(int(r.emd_num), int(r.emd_den)) == emd, (
             r.event_type, rows
         )
+
+
+# ---------------------------------------------------------------------------
+# seeded DP group-count release (staged r14) — the publishing step after
+# the k/l/t audits; noise stream shared verbatim with the SQL oracle.
+# ---------------------------------------------------------------------------
+from pipeline_calculator_v3_spark.operators.anonymity import (  # noqa: E402
+    dp_group_counts,
+    group_key_sql,
+    laplace_noise_sql,
+)
+
+
+def _dp_oracle(epsilon: float, seed: str) -> str:
+    key = group_key_sql(["event_type", "k_bucket"])
+    noise = laplace_noise_sql(key, 1.0 / epsilon, seed)
+    return f"""
+WITH q AS (
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket
+    FROM events
+),
+c AS (
+    SELECT event_type, k_bucket, CAST(count(*) AS BIGINT) AS _n
+    FROM q GROUP BY 1, 2
+)
+SELECT event_type, k_bucket, round(_n + {noise}, 6) AS noisy_count
+FROM c
+"""
+
+
+@pytest.fixture(scope="module")
+def dp_events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(
+            F.get_json_object("props", "$.k").cast("bigint") / 10
+        ).cast("bigint").alias("k_bucket"),
+    )
+
+
+def test_dp_deterministic_and_partitioning_invariant(dp_events):
+    a = dp_group_counts(dp_events, QUASI, epsilon=0.5, seed="s1").collect()
+    b = dp_group_counts(
+        dp_events.repartition(7), QUASI, epsilon=0.5, seed="s1"
+    ).collect()
+    ka = {(r.event_type, r.k_bucket): r.noisy_count for r in a}
+    kb = {(r.event_type, r.k_bucket): r.noisy_count for r in b}
+    assert ka == kb and len(ka) > 3
+
+
+def test_dp_seed_changes_noise_but_not_groups(dp_events):
+    a = {(r.event_type, r.k_bucket): r.noisy_count
+         for r in dp_group_counts(dp_events, QUASI, seed="s1").collect()}
+    b = {(r.event_type, r.k_bucket): r.noisy_count
+         for r in dp_group_counts(dp_events, QUASI, seed="s2").collect()}
+    assert set(a) == set(b)
+    assert any(a[k] != b[k] for k in a)
+
+
+def test_dp_noise_bounded_and_centered(dp_events):
+    eps = 1.0
+    true = {(r.event_type, r.k_bucket): r.n for r in
+            dp_events.groupBy(*QUASI).agg(
+                F.count(F.lit(1)).alias("n")).collect()}
+    noisy = {(r.event_type, r.k_bucket): r.noisy_count for r in
+             dp_group_counts(dp_events, QUASI, epsilon=eps).collect()}
+    devs = [noisy[k] - true[k] for k in true]
+    # md5-uniform through the inverse CDF: |noise| <= ~ln(2^32)/eps
+    assert all(abs(d) <= 22.2 / eps for d in devs)
+    # not all on one side (a sign bug would shift every group)
+    assert any(d > 0 for d in devs) and any(d < 0 for d in devs)
+
+
+def test_dp_true_count_never_in_output(dp_events):
+    out = dp_group_counts(dp_events, QUASI)
+    assert set(out.columns) == {"event_type", "k_bucket", "noisy_count"}
+
+
+def test_dp_threshold_suppresses(dp_events):
+    full = dp_group_counts(dp_events, QUASI, epsilon=1.0, seed="s1")
+    kept = dp_group_counts(
+        dp_events, QUASI, epsilon=1.0, seed="s1", threshold=50.0
+    )
+    n_full, n_kept = full.count(), kept.count()
+    assert n_kept < n_full
+    assert kept.where(F.col("noisy_count") < 50.0).count() == 0
+
+
+def test_dp_oracle_replay(spark, duck, dp_events):
+    got = {(r.event_type, r.k_bucket): r.noisy_count for r in
+           dp_group_counts(dp_events, QUASI, epsilon=0.5,
+                           seed="pub-7").collect()}
+    want = {(r[0], r[1]): r[2]
+            for r in duck.execute(_dp_oracle(0.5, "pub-7")).fetchall()}
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-6), k
+
+
+def test_dp_arg_guards(dp_events):
+    with pytest.raises(ValueError):
+        dp_group_counts(dp_events, [], epsilon=1.0)
+    with pytest.raises(ValueError):
+        dp_group_counts(dp_events, QUASI, epsilon=0.0)
+    with pytest.raises(ValueError):
+        laplace_noise_sql("x", 0.0, "s")
