@@ -193,3 +193,49 @@ def video_dup_pairs(
         )
         .where(F.col("aligned") >= min_aligned)
     )
+
+
+def video_exact_groups(frames: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Exact-content video groups by full frame-hash SEQUENCE digest —
+    the blind-spot closer for :func:`video_dup_pairs`'s df-cap: m > cap
+    byte-identical copies of one video push EVERY shared frame hash over
+    ``hash_df_cap``, so the pair join excludes them all and the copies
+    produce zero pairs (only the ledger hints).  Identical copies don't
+    need temporal alignment at all — their ordered frame-hash sequences
+    are equal, so ONE linear aggregate groups them: digest = md5 of the
+    frame hashes joined in frame order (array_sort over collected
+    (index, hi, lo) structs — collect_list order is partition-dependent,
+    the sort restores determinism), then a digest groupBy.
+
+    Returns one row per distinct sequence digest: ``seq_digest`` STRING,
+    ``rep_id`` BIGINT (smallest member id — the keep candidate),
+    ``n_ids`` BIGINT, ``n_frames`` BIGINT.  The ahash_groups contract
+    (operators/phash.py) for the video modality; near-dup (trimmed /
+    re-encoded) copies still go through video_dup_pairs.  Two hash
+    aggregates, linear in the frame table, no join anywhere."""
+    seq = frames.groupBy(id_col).agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("frame_index", "fh_hi", "fh_lo")
+                        )
+                    ),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["frame_index"].cast("string"),
+                        s["fh_hi"].cast("string"),
+                        s["fh_lo"].cast("string"),
+                    ),
+                ),
+            )
+        ).alias("seq_digest"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+    )
+    return seq.groupBy("seq_digest").agg(
+        F.min(F.col(id_col)).cast("bigint").alias("rep_id"),
+        F.countDistinct(F.col(id_col)).cast("bigint").alias("n_ids"),
+        F.max("n_frames").cast("bigint").alias("n_frames"),
+    )

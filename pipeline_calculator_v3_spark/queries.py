@@ -542,7 +542,8 @@ _KEEP_IN_WINDOW = [
 # operators/mixture.py::temperature_mixture_plan (n^(1/T) rebalancing
 # with closed-form waterfilling, tests/test_mixture.py), plus an
 # ahash_groups keep-decision face if slots allow (operator oracled in
-# tests/test_phash.py) [~3-5];
+# tests/test_phash.py; video_exact_groups is its video-modality twin,
+# tests/test_videofp.py) [~3-5];
 # (2) the 21 r10-cohort deferrals
 # enumerated in the comment above [21]; (3) the r11 cohort (48 queries,
 # by then the oldest hash tier) fills the remaining ~24-25 slots — its
