@@ -237,3 +237,70 @@ def test_typed_partition_column_round_trips(spark, tmp_path):
     got = {(r.id, r.bucket, r.payload)
            for r in read_version(spark, out).collect()}
     assert got == {(1, 7, "x2"), (2, 11, "y")}
+
+
+def test_randomized_upsert_sequence_matches_reference_model(spark, tmp_path):
+    """Model-based gate: a seeded random sequence of upsert batches
+    (cross-partition key moves, stale updates, NULL partition values)
+    must leave every intermediate snapshot equal to a plain-Python
+    latest-wins reference.  This is the strongest de-risk for the COW
+    touched-partition logic — any partition the rewrite wrongly carries
+    or strands shows up as a row diff."""
+    import random
+
+    rng = random.Random(14)
+    months = ["01", "02", "10", None]
+    out = str(tmp_path / "model")
+    schema = "id long, month string, payload string, seq long"
+
+    def rand_rows(n, seq_start):
+        return [
+            (
+                rng.randrange(8),
+                rng.choice(months),
+                f"p{rng.randrange(1000)}",
+                seq_start + i,
+            )
+            for i in range(n)
+        ]
+
+    seq = 1
+    init = rand_rows(12, seq)
+    seq += len(init)
+    commit_version(
+        spark, spark.createDataFrame(init, schema), out,
+        ["month"], ["id", "payload", "seq"],
+    )
+    # reference: latest-wins per id (seqs are unique, so no tie logic)
+    model = {}
+    for r in init:
+        if model.get(r[0], (None, None, -1))[2] < r[3] or r[0] not in model:
+            model[r[0]] = (r[1], r[2], r[3])
+
+    for _ in range(5):
+        n = rng.randrange(1, 7)
+        batch = rand_rows(n, seq)
+        seq += n
+        # make a third of the rows STALE (lower seq than anything live);
+        # stale seqs stay UNIQUE (-s) — two stale rows sharing a key and
+        # an equal seq would full-tie inside one batch, where the winner
+        # is legitimately arbitrary and the model could not predict it
+        batch = [
+            (i, m, p, -s if rng.random() < 0.33 else s)
+            for (i, m, p, s) in batch
+        ]
+        upsert_version(
+            spark, spark.createDataFrame(batch, schema), out,
+            "id", "seq", "seq",
+        )
+        for (i, m, p, s) in batch:
+            cur = model.get(i)
+            # updates win full ties (seq == cur seq); stale seq 0 loses
+            # to any live row but seeds absent keys
+            if cur is None or s >= cur[2]:
+                model[i] = (m, p, s)
+        got = {
+            r.id: (r.month, r.payload, r.seq)
+            for r in read_version(spark, out).collect()
+        }
+        assert got == model, f"diverged at version {latest_version(out)}"

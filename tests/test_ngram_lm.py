@@ -245,3 +245,74 @@ def test_doc_nll_plan_lints(spark):
 
     df = spark.createDataFrame(PLANTED, "doc_id long, text string")
     assert_no_plan_antipatterns(kn_doc_nll(df))
+
+
+# ---------------------------------------------------------------------------
+# property gate: kn_doc_nll against a pure-Python interpolated-KN
+# reference on random small corpora (simple space-separated words so the
+# tokenizer is trivially the reference's split()).
+# ---------------------------------------------------------------------------
+import math  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORD = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_DOC = st.lists(_WORD, min_size=0, max_size=12).map(" ".join)
+
+
+def _brute_kn_nll(texts, discount=0.75):
+    from collections import Counter, defaultdict
+
+    big = Counter()
+    for t in texts:
+        toks = t.split()
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] += 1
+    if not big:
+        return {}
+    c_ctx, succ, pred = Counter(), defaultdict(set), defaultdict(set)
+    for (a, b), c in big.items():
+        c_ctx[a] += c
+        succ[a].add(b)
+        pred[b].add(a)
+    n1p_all = len(big)
+
+    def p(a, b):
+        return (
+            max(big[(a, b)] - discount, 0.0) / c_ctx[a]
+            + discount * len(succ[a]) / c_ctx[a]
+            * (len(pred[b]) / n1p_all)
+        )
+
+    out = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        bgs = list(zip(toks, toks[1:]))
+        if bgs:
+            out[i] = (
+                len(bgs),
+                sum(-math.log(p(a, b)) for a, b in bgs) / len(bgs),
+            )
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_DOC, min_size=1, max_size=10))
+def test_kn_doc_nll_matches_brute_force(spark, texts):
+    from pipeline_calculator_v3_spark.operators.ngram_lm import kn_doc_nll
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = _brute_kn_nll(texts)
+    got = {r.doc_id: (r.n_bigrams, r.nll_nats)
+           for r in kn_doc_nll(df).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        # operator rounds to 6 dp; summation order may differ at the ulp
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6), (
+            k, texts
+        )
