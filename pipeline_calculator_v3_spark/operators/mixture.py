@@ -65,6 +65,10 @@ def temperature_mixture_plan(
     if temperature <= 0.0:
         raise ValueError("temperature must be positive")
     inv_t = 1.0 / float(temperature)
+    # a non-positive source carries no tokens to sample: it gets share 0
+    # by definition, and keeping it would put 0 in the capacity-per-share
+    # and level denominators (ANSI DIVIDE_BY_ZERO — the try_divide class)
+    src_tokens = src_tokens.where(F.col(tokens_col) > 0)
     n = F.col(tokens_col).cast("double")
     tot = src_tokens.agg(
         F.sum(n).alias("_N"),

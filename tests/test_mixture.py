@@ -234,3 +234,16 @@ def test_waterfill_property(spark, ns, budget_frac, temperature):
     assert sum(g.expected_tokens for g in got.values()) == pytest.approx(
         min(budget_frac * sum(ns), sum(ns)), abs=1e-2, rel=1e-6
     )
+
+
+def test_zero_token_source_dropped_not_crashed(spark):
+    """A zero-token source has nothing to sample: it must drop out of
+    the plan (share 0 by definition) rather than put 0 in the
+    capacity-per-share denominator — ANSI mode throws DIVIDE_BY_ZERO
+    pre-fix."""
+    got = _plan(spark, [("a", 100), ("empty", 0), ("b", 50)],
+                budget_frac=0.5, temperature=2.0)
+    assert set(got) == {"a", "b"}
+    assert sum(g.expected_tokens for g in got.values()) == pytest.approx(
+        75.0, abs=1e-2
+    )
