@@ -234,3 +234,45 @@ def read_parquet_evolving(
     if schema is not None:
         return spark.read.schema(schema).parquet(path)
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """XML record scan via Spark 4's NATIVE xml datasource (the spark-xml
+    package merged upstream — no external jar): one row per ``row_tag``
+    element, nested elements as structs/arrays, attributes as
+    ``_attrname`` columns.  Pass ``schema`` to skip inference (the
+    explicit-schema rule: inference reads every file TWICE — fatal at
+    millions of files — and a production feed's shape is a contract, not
+    a discovery).
+
+    Complements sources/kml.py, which stays the KML path on purpose: the
+    reference's parser semantics (namespace inference, Item_{n}
+    defaulting, Data-over-SimpleData precedence, archive dispatch) are
+    reference-parity behavior a generic XML scan cannot spell.  This
+    reader is for everything else the lake holds in XML (feeds, sitemap
+    dumps, export formats)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str, root_tag: str = "rows"
+) -> None:
+    """Distributed XML write (native datasource): each row becomes one
+    ``row_tag`` element under ``root_tag`` per part file.  NULL fields
+    are omitted (the datasource's contract) — round-trip tests pin
+    that asymmetry so schema-contract readers aren't surprised."""
+    (
+        df.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )

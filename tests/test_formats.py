@@ -269,3 +269,53 @@ def test_bytes_conf_fractional_units(spark):
     # the real maxPartitionBytes path still round-trips integer forms
     with scoped_conf(spark, "spark.sql.files.maxPartitionBytes", "64m"):
         assert _bytes_conf(spark, "spark.sql.files.maxPartitionBytes") == 64 << 20
+
+
+# ---------------------------------------------------------------------------
+# native XML datasource (Spark 4 merged spark-xml upstream) — staged r14.
+# ---------------------------------------------------------------------------
+def test_xml_round_trip(spark, tmp_path):
+    from pipeline_calculator_v3_spark.sources.formats import (
+        read_xml,
+        write_xml,
+    )
+
+    rows = [(1, "alpha", 1.5), (2, "beta", None), (3, "gam<ma>", 0.25)]
+    df = spark.createDataFrame(rows, "id long, name string, score double")
+    out = str(tmp_path / "xml_rt")
+    write_xml(df, out, row_tag="doc")
+    back = read_xml(spark, out, row_tag="doc",
+                    schema="id long, name string, score double")
+    got = {(r.id, r.name, r.score) for r in back.collect()}
+    # NULL fields are OMITTED on write and read back as NULL under the
+    # explicit schema — the documented asymmetry; markup in values must
+    # be escaped and restored exactly
+    assert got == set(rows)
+
+
+def test_xml_attributes_and_nesting(spark, tmp_path):
+    from pipeline_calculator_v3_spark.sources.formats import read_xml
+
+    p = tmp_path / "feed.xml"
+    p.write_text(
+        "<feed>"
+        "<entry lang=\"en\"><id>1</id><meta><src>a</src></meta></entry>"
+        "<entry lang=\"de\"><id>2</id><meta><src>b</src></meta></entry>"
+        "</feed>"
+    )
+    df = read_xml(spark, str(p), row_tag="entry")
+    got = {(r._lang, r.id, r.meta.src) for r in df.collect()}
+    assert got == {("en", 1, "a"), ("de", 2, "b")}
+
+
+def test_xml_explicit_schema_skips_inference(spark, tmp_path):
+    from pipeline_calculator_v3_spark.sources.formats import read_xml
+
+    p = tmp_path / "typed.xml"
+    p.write_text("<rows><r><k>007</k></r><r><k>011</k></r></rows>")
+    # inference would re-type zero-padded strings as bigint; the declared
+    # schema is the contract
+    df = read_xml(spark, str(p), row_tag="r", schema="k string")
+    assert {r.k for r in df.collect()} == {"007", "011"}
+    inferred = read_xml(spark, str(p), row_tag="r")
+    assert dict(inferred.dtypes)["k"] == "bigint"
