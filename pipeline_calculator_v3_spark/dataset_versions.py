@@ -392,3 +392,87 @@ def vacuum_versions(out_dir: str, keep_last: int = 2) -> list[int]:
             shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
             cut.append(int(name[1:]))
     return sorted(cut)
+
+
+def diff_rows(
+    spark: SparkSession, out_dir: str, a: int, b: int, key: str
+) -> DataFrame:
+    """Row-level change feed between two snapshots — what a Delta/Iceberg
+    CDF read gives you, reconstructed from the version trees WITHOUT any
+    logged change data: one row per ``key`` whose content differs between
+    version ``a`` and version ``b``, ``change`` in
+    {'added', 'removed', 'changed'}, plus each side's row count for the
+    key (the store does not enforce key uniqueness — multiplicity changes
+    are content changes).
+
+    The 100 TB property is the MANIFEST PRUNING: partitions whose
+    (n_rows, checksum) entries match between the two manifests provably
+    hold identical content (the checksum is an order-independent digest
+    over the key columns), so neither side's scan reads them — the a-side
+    reads only changed+removed partitions, the b-side only changed+added,
+    and both predicates prune hive directories at the source (the
+    upsert_version rule; gated by a test that corrupts an unchanged
+    partition's files on disk and diffs anyway).  Cost scales with the
+    CHANGE, not the table.
+
+    Content equality per key is the md5 of the sorted multiset of
+    whole-row JSON digests (schema equality across versions is the store
+    contract, so field order is fixed); NULL keys are excluded (the
+    upsert_version rule — they identify nothing)."""
+    meta_a = _load_meta(out_dir, a)["manifest"]
+    partition_by = meta_a["partition_by"]
+    d = diff_versions(out_dir, a, b)
+    changed = [m["partition"] for m in d["changed"]]
+    side_a_parts = changed + d["removed"]
+    side_b_parts = changed + d["added"]
+
+    def _pred(parts: list[dict]):
+        pred = F.lit(False)
+        for p in parts:
+            tp = F.lit(True)
+            for c in partition_by:
+                col = F.col(c).cast("string")
+                v = p[c]
+                tp = tp & (col.isNull() if v is None else (col == F.lit(str(v))))
+            pred = pred | tp
+        return pred
+
+    def _keyed(version: int, parts: list[dict]) -> DataFrame:
+        raw = _read_raw(spark, _vdir(out_dir, version))
+        rows = raw.where(_pred(parts)).where(F.col(key).isNotNull())
+        dig = F.md5(
+            F.to_json(F.struct(*[F.col(c) for c in sorted(raw.columns)]))
+        )
+        return rows.select(F.col(key).alias("_k"), dig.alias("_d")).groupBy(
+            "_k"
+        ).agg(
+            F.md5(F.concat_ws(",", F.array_sort(F.collect_list("_d")))).alias(
+                "_sig"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+        )
+    ka = _keyed(a, side_a_parts)
+    kb = _keyed(b, side_b_parts)
+    j = ka.select(
+        F.col("_k").alias("_ka"), F.col("_sig").alias("_sa"),
+        F.col("_n").alias("n_rows_a"),
+    ).join(
+        kb.select(
+            F.col("_k").alias("_kb"), F.col("_sig").alias("_sb"),
+            F.col("_n").alias("n_rows_b"),
+        ),
+        F.col("_ka") == F.col("_kb"),
+        "full_outer",
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("_ka"), F.col("_kb")).alias(key),
+            F.when(F.col("_ka").isNull(), F.lit("added"))
+            .when(F.col("_kb").isNull(), F.lit("removed"))
+            .when(F.col("_sa") != F.col("_sb"), F.lit("changed"))
+            .alias("change"),
+            F.coalesce("n_rows_a", F.lit(0)).alias("n_rows_a"),
+            F.coalesce("n_rows_b", F.lit(0)).alias("n_rows_b"),
+        )
+        .where(F.col("change").isNotNull())
+    )
