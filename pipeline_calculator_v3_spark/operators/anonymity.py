@@ -505,3 +505,90 @@ def dp_group_counts(
     if threshold is not None:
         out = out.where(F.col("noisy_count") >= threshold)
     return out
+
+
+def generalize_to_k(
+    df: DataFrame,
+    quasi_cols: list[str],
+    numeric_col: str,
+    k: int = 5,
+    base_width: float = 1.0,
+    max_doublings: int = 40,
+) -> tuple[DataFrame, float]:
+    """Numeric generalization — the classical k-anonymity mechanism the
+    suppression operators defer to (Sweeney 2002's domain-generalization
+    hierarchy, numeric case): coarsen ``numeric_col`` to width-w buckets
+    (``floor(x / w) * w``), doubling w from ``base_width`` until every
+    equivalence class over (quasi_cols, bucket) reaches size k, then
+    DROP the rows in classes no width can fix (NULL-numeric classes and
+    rare non-numeric quasi combinations — widening cannot merge those).
+
+    Returns ``(generalized_df, width)``: the input columns with
+    ``numeric_col`` replaced by its bucket floor (original column order
+    kept), and the chosen width.  If even the widest bucketing leaves
+    risky classes, the remainder is suppressed and the returned width is
+    the widest tried — the audit-after-enforcement invariant holds
+    either way (pytest-gated).
+
+    Scale shape: ONE corpus aggregate builds the finest-grain histogram
+    ((quasi, base bucket) counts); the width search then runs entirely
+    over that HISTOGRAM (width 2w class sizes are sums of width-w sizes,
+    so each candidate is one small re-aggregate + a first()) — the
+    corpus is never rescanned while searching.  The final application is
+    map-side arithmetic plus one suppress_below_k enforcement pass.
+    Widths are powers-of-two multiples of base_width, so bucket edges
+    at every level align with coarser levels (floor(floor(x/w)*w / 2w)
+    = floor(x / 2w) for w > 0) — the histogram re-aggregation is exact,
+    not approximate."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 is the no-op policy)")
+    if base_width <= 0.0:
+        raise ValueError("base_width must be positive")
+    if max_doublings < 0:
+        raise ValueError("max_doublings must be >= 0")
+    from ..caching import persist_tracked, unpersist_tracked
+
+    x = F.col(numeric_col).cast("double")
+    hist = persist_tracked(
+        df.where(x.isNotNull())
+        .groupBy(
+            *quasi_cols,
+            (F.floor(x / F.lit(float(base_width)))).alias("_b0"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    try:
+        width = float(base_width)
+        for j in range(max_doublings + 1):
+            scale = 1 << j
+            worst = (
+                hist.groupBy(
+                    *quasi_cols,
+                    F.floor(F.col("_b0") / F.lit(scale)).alias("_bj"),
+                )
+                .agg(F.sum("_n").alias("_cn"))
+                .agg(F.min("_cn").alias("_worst"))
+                .first()["_worst"]
+            )
+            width = float(base_width) * scale
+            if worst is None or worst >= k:
+                break
+    finally:
+        unpersist_tracked(hist)
+    typ = dict(df.dtypes)[numeric_col]
+    bucket = (F.floor(x / F.lit(width)) * F.lit(width)).cast(typ)
+    generalized = df.select(
+        *[
+            bucket.alias(c) if c == numeric_col else F.col(c)
+            for c in df.columns
+        ]
+    )
+    # the equivalence class is (quasi_cols, BUCKETED numeric) — passing
+    # quasi_cols alone would enforce k over coarser classes than the
+    # width search measured
+    return (
+        suppress_below_k(
+            generalized, [*quasi_cols, numeric_col], k=k, mode="drop"
+        ),
+        width,
+    )

@@ -776,3 +776,103 @@ def test_dp_arg_guards(dp_events):
         dp_group_counts(dp_events, QUASI, epsilon=0.0)
     with pytest.raises(ValueError):
         laplace_noise_sql("x", 0.0, "s")
+
+
+# ---------------------------------------------------------------------------
+# numeric generalization to k (staged r14) — the classical mechanism the
+# suppression operators defer to.
+# ---------------------------------------------------------------------------
+from pipeline_calculator_v3_spark.operators.anonymity import (  # noqa: E402
+    generalize_to_k,
+)
+
+
+def test_generalize_widens_until_k(spark):
+    # ages 30..37, one row each, one quasi group: width 1 -> classes of
+    # 1; doubling reaches width 8 where all 8 rows share bucket 24..31?
+    # floor(30/8)=3 for 30/31, floor(32/8)=4 ... values 30..37 span two
+    # width-8 buckets (3: 30-31, 4: 32-37 -> sizes 2 and 6) -> k=4 NOT
+    # met at 8 for bucket 3 -> width 16: floor -> {1: 30-31, 2: 32-37}?
+    # floor(30/16)=1, floor(37/16)=2 -> still split (2, 6).  width 32:
+    # floor(30/32)=0, floor(32/32)=1 -> split (2, 6). width 64: all 0 ->
+    # 8 rows -> k=4 met at width 64.
+    rows = [("g", 30 + i, i) for i in range(8)]
+    df = spark.createDataFrame(rows, "grp string, age long, payload long")
+    out, width = generalize_to_k(
+        df, ["grp"], "age", k=4, base_width=1.0, max_doublings=10
+    )
+    assert width == 64.0
+    got = out.collect()
+    assert len(got) == 8 and all(r.age == 0 for r in got)
+    assert {r.payload for r in got} == set(range(8))
+
+
+def test_generalize_suppresses_what_width_cannot_fix(spark):
+    # the rare quasi combo ("solo") has 1 row at ANY width; NULL ages
+    # cannot merge either — both must drop, the k-reachable group stays
+    rows = [("g", 10, 1), ("g", 11, 2), ("g", 12, 3),
+            ("solo", 10, 4), ("g", None, 5)]
+    df = spark.createDataFrame(rows, "grp string, age long, payload long")
+    out, width = generalize_to_k(
+        df, ["grp"], "age", k=3, base_width=1.0, max_doublings=6
+    )
+    got = {r.payload for r in out.collect()}
+    assert got == {1, 2, 3}
+    # and the survivors are k-anonymous over (grp, bucketed age)
+    audit = k_anonymity_audit(out, ["grp", "age"], k=3).collect()
+    assert all(not r.risky for r in audit)
+
+
+def test_generalize_keeps_types_and_column_order(spark):
+    rows = [("g", 30 + i, float(i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "grp string, age long, score double")
+    out, _ = generalize_to_k(df, ["grp"], "age", k=4)
+    assert out.columns == df.columns
+    assert dict(out.dtypes)["age"] == "bigint"
+
+
+def test_generalize_zero_doublings_is_base_width_suppression(spark):
+    rows = [("g", 1, 1), ("g", 1, 2), ("g", 5, 3)]
+    df = spark.createDataFrame(rows, "grp string, age long, payload long")
+    out, width = generalize_to_k(
+        df, ["grp"], "age", k=2, base_width=1.0, max_doublings=0
+    )
+    assert width == 1.0
+    assert {r.payload for r in out.collect()} == {1, 2}
+
+
+def test_generalize_arg_guards(spark):
+    df = spark.createDataFrame([("g", 1, 1)],
+                               "grp string, age long, payload long")
+    with pytest.raises(ValueError):
+        generalize_to_k(df, ["grp"], "age", k=1)
+    with pytest.raises(ValueError):
+        generalize_to_k(df, ["grp"], "age", base_width=0.0)
+    with pytest.raises(ValueError):
+        generalize_to_k(df, ["grp"], "age", max_doublings=-1)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),
+              st.one_of(st.none(), st.integers(0, 100))),
+    min_size=1, max_size=25,
+))
+def test_generalize_result_is_always_k_anonymous(spark, rows):
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)],
+        "grp string, age long, payload long",
+    )
+    out, width = generalize_to_k(
+        df, ["grp"], "age", k=3, base_width=1.0, max_doublings=8
+    )
+    got = out.collect()
+    if got:
+        audit = k_anonymity_audit(out, ["grp", "age"], k=3).collect()
+        assert all(not r.risky for r in audit), (rows, width)
+    # every surviving age is its bucket floor
+    assert all(
+        r.age is not None and r.age == int(r.age // width * width)
+        for r in got
+    ), (rows, width)
