@@ -1,5 +1,6 @@
-"""k-anonymity / l-diversity / t-closeness auditing and enforcement —
-the re-identification check a
+"""The privacy ladder: k-anonymity / l-diversity / t-closeness audits,
+suppression and numeric generalization enforcement, and a seeded DP
+count release — the re-identification checks and mechanisms a
 training corpus with user-derived rows needs before release (Sweeney,
 "k-Anonymity: A Model for Protecting Privacy", 2002): a row is k-anonymous
 iff at least k rows share its full quasi-identifier combination, so an

@@ -536,7 +536,9 @@ _KEEP_IN_WINDOW = [
 # operators/anonymity.py::t_closeness_audit (skewness-attack audit
 # completing the k/l/t privacy triad; integer-exact TVD fractions +
 # the ordered-EMD numeric twin + dp_group_counts seeded-Laplace
-# release, tests/test_anonymity.py), and
+# release + generalize_to_k numeric generalization,
+# tests/test_anonymity.py; dataset_versions also gained the
+# manifest-pruned diff_rows change feed — fold into its face), and
 # operators/sampling.py::split_leakage_audit (group-keyed split proof
 # over documents x minhash clusters, tests/test_sampling.py), and
 # operators/mixture.py::temperature_mixture_plan (n^(1/T) rebalancing
