@@ -419,6 +419,9 @@ def diff_rows(
     whole-row JSON digests (schema equality across versions is the store
     contract, so field order is fixed); NULL keys are excluded (the
     upsert_version rule — they identify nothing)."""
+    for n in (a, b):
+        if not os.path.exists(_vjson(out_dir, n)):
+            raise ValueError(f"version {n} does not exist (or was vacuumed)")
     meta_a = _load_meta(out_dir, a)["manifest"]
     partition_by = meta_a["partition_by"]
     d = diff_versions(out_dir, a, b)

@@ -388,3 +388,11 @@ def test_diff_rows_multiplicity_is_content(spark, tmp_path):
     got = {r.id: (r.change, r.n_rows_a, r.n_rows_b)
            for r in diff_rows(spark, out, 1, 2, "id").collect()}
     assert got == {1: ("changed", 1, 2)}
+
+
+def test_diff_rows_vacuumed_version_raises_cleanly(spark, tmp_path):
+    from pipeline_calculator_v3_spark.dataset_versions import diff_rows
+
+    out, _ = _store_with_two_versions(spark, tmp_path)
+    with pytest.raises(ValueError, match="does not exist"):
+        diff_rows(spark, out, 1, 7, "id")
