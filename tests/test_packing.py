@@ -72,3 +72,57 @@ def test_empty_docs_excluded_and_bad_args_raise(spark):
         pack_sequences(docs, budget=0)
     with pytest.raises(ValueError):
         pack_sequences(docs, n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# property gate: pack_sequences against a pure-Python reference packer
+# (exact md5 shard + prefix-sum/budget example assignment).
+# ---------------------------------------------------------------------------
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _ref_pack(doc_toks, budget, n_shards):
+    """doc_toks: {doc_id: n_tokens>0}; returns {(shard, example_id):
+    (n_docs, n_tokens, first_doc, last_doc)}."""
+    shards = {}
+    for d in sorted(doc_toks):
+        s = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % n_shards
+        shards.setdefault(s, []).append(d)
+    out = {}
+    for s, ds in shards.items():
+        start = 0
+        for d in ds:
+            ex = start // budget
+            key = (s, ex)
+            nd, nt, fd, ld = out.get(key, (0, 0, d, d))
+            out[key] = (nd + 1, nt + doc_toks[d], min(fd, d), max(ld, d))
+            start += doc_toks[d]
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=9),
+                  min_size=1, max_size=30),
+    budget=st.integers(min_value=1, max_value=12),
+    n_shards=st.integers(min_value=1, max_value=4),
+)
+def test_pack_matches_reference(spark, lens, budget, n_shards):
+    from pipeline_calculator_v3_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * n)) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.shard, r.example_id): (r.n_docs, r.n_tokens, r.first_doc,
+                                  r.last_doc)
+        for r in pack_sequences(df, budget=budget, n_shards=n_shards)
+        .collect()
+    }
+    want = _ref_pack(
+        {i: n for i, n in enumerate(lens) if n > 0}, budget, n_shards
+    )
+    assert got == want, (lens, budget, n_shards)

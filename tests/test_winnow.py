@@ -165,3 +165,62 @@ def test_arg_guards(planted):
         winnow_fingerprints(planted, k=0)
     with pytest.raises(ValueError):
         winnow_match_pairs(winnow_fingerprints(planted), max_df=1)
+
+
+# ---------------------------------------------------------------------------
+# property gate: the Spark winnower against a pure-Python reference
+# (exact md5 + rightmost-tie spelling) on random corpora, plus the
+# paper's coverage guarantee asserted independently.
+# ---------------------------------------------------------------------------
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PAD = 1_000_000_000
+_WORDS = st.sampled_from(["aa", "bb", "cc"])  # tiny alphabet forces ties
+
+
+def _brute_winnow(toks, k, w):
+    if len(toks) < k + w - 1:
+        return set()
+    keys = [
+        hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+        + "%010d" % (_PAD - (i + 1))
+        for i in range(len(toks) - k + 1)
+    ]
+    sel = {min(keys[j:j + w]) for j in range(len(keys) - w + 1)}
+    return {(s[:32], _PAD - int(s[32:42])) for s in sel}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(_WORDS, min_size=0, max_size=20).map(" ".join),
+                min_size=1, max_size=6))
+def test_winnow_matches_reference_and_covers_every_window(spark, texts):
+    from pipeline_calculator_v3_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    k, w = 2, 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp, r.pos))
+    want = {
+        i: _brute_winnow(t.split(), k, w)
+        for i, t in enumerate(texts)
+        if _brute_winnow(t.split(), k, w)
+    }
+    assert got == want, texts
+    # the paper's guarantee, asserted from the OUTPUT alone: every
+    # w-window of gram positions contains a selected position
+    for i, t in enumerate(texts):
+        n_grams = max(0, len(t.split()) - k + 1)
+        if len(t.split()) < k + w - 1:
+            continue
+        poss = {p for _, p in got.get(i, set())}
+        for j in range(1, n_grams - w + 2):
+            assert poss & set(range(j, j + w)), (t, j)
