@@ -480,4 +480,141 @@ def staged_queries() -> dict:
         ),
         "q_generalize_k": (q_generalize_k, GENERALIZE_K_ORACLE),
         "q_dataset_diff_rows": (q_dataset_diff_rows, DATASET_DIFF_ROWS_ORACLE),
+        "q_ahash_groups": (q_ahash_groups, _ahash_groups_oracle()),
+        "q_video_exact_groups": (
+            q_video_exact_groups, VIDEO_EXACT_GROUPS_ORACLE,
+        ),
     }
+
+
+# ---------------------------------------------------------------------------
+# q_ahash_groups — identical-hash image group representatives (the
+# m(m-1)/2 pair expansion skipped; operators/phash.py::ahash_groups) on
+# the SAME planted corpus as q_phash_image_dedup.
+# ---------------------------------------------------------------------------
+def q_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.phash import ahash64, ahash_groups
+    from .queries_multimodal import _spread, synth_png_media
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    planted = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "n_chars"
+    )
+    media = synth_png_media(_spread(docs.unionByName(planted), spark))
+    return ahash_groups(ahash64(media))
+
+
+def _ahash_groups_oracle() -> str:
+    from .queries_multimodal import _PHASH_CORPUS_CTE, _payload_bytes_cte
+
+    return f"""
+WITH {_PHASH_CORPUS_CTE},
+{_payload_bytes_cte("corpus")},
+dims AS (SELECT doc_id, n, frame // 8 AS w FROM m),
+cells AS (
+    SELECT d.doc_id, r.r, j.j,
+           (r.r * d.w + (j.j * d.w) // 8) AS idx
+    FROM dims d
+    CROSS JOIN (SELECT unnest(range(8)) AS r) r
+    CROSS JOIN (SELECT unnest(range(8)) AS j) j
+),
+sampled AS (
+    SELECT c.doc_id, c.r, c.j, COALESCE(b.b, 0) AS s
+    FROM cells c
+    LEFT JOIN bytes b ON b.doc_id = c.doc_id AND b.i = c.idx
+),
+bits AS (
+    SELECT doc_id, r, j,
+           CASE WHEN 64 * s > SUM(s) OVER (PARTITION BY doc_id)
+                THEN 1 ELSE 0 END AS bit
+    FROM sampled
+),
+h AS (
+    SELECT doc_id AS media_id,
+           CAST(SUM(CASE WHEN r >= 4 THEN bit * (1::BIGINT << ((r - 4) * 8 + j))
+                    ELSE 0 END) AS BIGINT) AS hi,
+           CAST(SUM(CASE WHEN r < 4 THEN bit * (1::BIGINT << (r * 8 + j))
+                    ELSE 0 END) AS BIGINT) AS lo
+    FROM bits GROUP BY doc_id
+)
+SELECT hi AS ahash_hi, lo AS ahash_lo,
+       CAST(min(media_id) AS BIGINT) AS rep_id,
+       CAST(count(DISTINCT media_id) AS BIGINT) AS n_ids
+FROM h GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_video_exact_groups — byte-identical video copies collapsed by the
+# ordered frame-hash sequence digest (the df-cap blind-spot closer);
+# every 9th document's video is re-planted VERBATIM under a shifted id.
+# ---------------------------------------------------------------------------
+def q_video_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.videofp import video_exact_groups, video_frame_hashes
+    from .queries_multimodal import _spread, synth_media
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    media = synth_media(docs).select("media_id", "content")
+    copies = media.where(F.col("media_id") % 9 == 0).select(
+        (F.col("media_id") + 10_000_000).alias("media_id"), "content"
+    )
+    frames = video_frame_hashes(_spread(media.unionByName(copies), spark))
+    return video_exact_groups(frames)
+
+
+VIDEO_EXACT_GROUPS_ORACLE = """
+WITH corpus AS (
+    SELECT doc_id, text, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000, text, n_chars
+    FROM documents WHERE doc_id % 9 = 0
+),
+m AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n,
+           CAST((n_chars % 64 + 1) * 8 AS BIGINT) AS frame
+    FROM corpus
+),
+bytes AS (
+    SELECT doc_id, n, frame, i,
+           (strpos('0123456789ABCDEF', substr(h, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substr(h, CAST(2 * i + 2 AS INT), 1)) - 1) AS b
+    FROM (SELECT doc_id, h, n, frame, unnest(range(n)) AS i FROM m)
+),
+vids AS (SELECT doc_id, frame, n // frame AS nf FROM m WHERE frame > 0),
+fidx AS (SELECT doc_id, frame, unnest(range(nf)) AS f FROM vids),
+samples AS (
+    SELECT fi.doc_id, fi.f, j.j, b.b AS s
+    FROM fidx fi
+    CROSS JOIN (SELECT unnest(range(64)) AS j) j
+    JOIN bytes b ON b.doc_id = fi.doc_id
+              AND b.i = fi.f * fi.frame + (j.j * fi.frame) // 64
+),
+sums AS (SELECT doc_id, f, SUM(s) AS tot FROM samples GROUP BY 1, 2),
+bits AS (
+    SELECT s.doc_id, s.f, s.j,
+           CASE WHEN 64 * s.s > t.tot THEN 1 ELSE 0 END AS bit
+    FROM samples s JOIN sums t ON t.doc_id = s.doc_id AND t.f = s.f
+),
+fh AS (
+    SELECT doc_id, f,
+           CAST(SUM(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+                    ELSE 0 END) AS BIGINT) AS fh_hi,
+           CAST(SUM(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+                    ELSE 0 END) AS BIGINT) AS fh_lo
+    FROM bits GROUP BY 1, 2
+),
+seq AS (
+    SELECT doc_id,
+           md5(string_agg(
+               CAST(f AS STRING) || ':' ||
+               CAST(fh_hi AS STRING) || ':' || CAST(fh_lo AS STRING),
+               ',' ORDER BY f)) AS seq_digest,
+           CAST(count(*) AS BIGINT) AS n_frames
+    FROM fh GROUP BY doc_id
+)
+SELECT seq_digest, CAST(min(doc_id) AS BIGINT) AS rep_id,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+       CAST(max(n_frames) AS BIGINT) AS n_frames
+FROM seq GROUP BY seq_digest
+"""
