@@ -528,7 +528,22 @@ _KEEP_IN_WINDOW = [
 ]
 # r15 slot plan (write the window BEFORE building new surface — the
 # never-checked-in-window invariant makes slots the budget): once
-# CORRECTNESS_r14 lands, the 48 entries above rotate out.  Budget math
+# CORRECTNESS_r14 lands, the 48 entries above rotate out.
+#
+# >>> r15 SHORTCUT: queries_staged.py already carries TEN face
+# candidates as (fn, oracle_sql) pairs in the exact registry shapes —
+# q_kn_doc_ppl, q_t_closeness, q_t_closeness_ordered, q_dp_release,
+# q_split_leakage, q_temperature_mixture, q_generalize_k,
+# q_dataset_diff_rows, q_ahash_groups, q_video_exact_groups — each
+# already DRIVER-GRADE green against its DuckDB oracle at sf0.001 AND
+# sf0.01 (tests/test_staged_faces.py, the driver's own comparison).
+# Registering them is mechanical: move fn + oracle under @query, add
+# the name to _NEVER_CHECKED_FIRST, delete the staged entry, keep the
+# registry-exclusion test's set in sync.  Budget: 2 keepers + 10
+# pre-verified faces + the 21 r10 deferrals = 33, leaving ~17 slots
+# for the r11 cohort (48) — its tail defers to r16. <<<
+#
+# Original budget math
 # (keepers stay 2): (1) faces for the r14-staged operators —
 # operators/ngram_lm.py::kn_doc_nll (KN-perplexity document scoring,
 # tests/test_ngram_lm.py), dataset_versions.py (snapshot time travel
