@@ -521,8 +521,10 @@ def generalize_to_k(
     hierarchy, numeric case): coarsen ``numeric_col`` to width-w buckets
     (``floor(x / w) * w``), doubling w from ``base_width`` until every
     equivalence class over (quasi_cols, bucket) reaches size k, then
-    DROP the rows in classes no width can fix (NULL-numeric classes and
-    rare non-numeric quasi combinations — widening cannot merge those).
+    DROP the rows in classes still below k at the final width —
+    widening cannot merge NULL-numeric classes or rare non-numeric
+    quasi combinations, so those survive only if already >= k on their
+    own (k mutually-indistinguishable NULL rows ARE k-anonymous).
 
     Returns ``(generalized_df, width)``: the input columns with
     ``numeric_col`` replaced by its bucket floor (original column order

@@ -871,8 +871,12 @@ def test_generalize_result_is_always_k_anonymous(spark, rows):
     if got:
         audit = k_anonymity_audit(out, ["grp", "age"], k=3).collect()
         assert all(not r.risky for r in audit), (rows, width)
-    # every surviving age is its bucket floor
+    # every surviving non-NULL age is its bucket floor; NULL ages
+    # legitimately survive when their class reaches k (three NULL-age
+    # rows at k=3 ARE mutually indistinguishable — the first full-suite
+    # hypothesis run found exactly that case and this assertion wrongly
+    # demanded non-NULL)
     assert all(
-        r.age is not None and r.age == int(r.age // width * width)
-        for r in got
+        r.age == int(r.age // width * width)
+        for r in got if r.age is not None
     ), (rows, width)
