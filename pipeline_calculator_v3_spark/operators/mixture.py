@@ -54,7 +54,10 @@ def temperature_mixture_plan(
     ``src_tokens`` holds one row per source (``source_col``,
     ``tokens_col`` > 0).  Returns one row per source: ``source_col``,
     ``n_tokens`` BIGINT, ``share`` DOUBLE (the temperature-flattened
-    target, 9 dp), ``rate`` DOUBLE in (0, 1] (9 dp), ``clamped``
+    target, 9 dp), ``rate`` DOUBLE in [0, 1] (9 dp — a true rate below
+    5e-10, extreme share skew under low temperature, rounds to 0.0:
+    sub-grain demand is not representable at the output precision, and
+    the budget error that drops is below the conservation grain), ``clamped``
     BOOLEAN (source fully consumed), ``expected_tokens`` DOUBLE (3 dp);
     sum(expected_tokens) = min(budget, corpus) by construction.
 

@@ -67,6 +67,11 @@ def get_spark(app_name: str = "pipeline_calculator_v3_spark",
         # 30 min — longer than the entire bench; 2 min bounds the garbage
         # window at negligible GC cost.
         .config("spark.cleaner.periodicGC.interval", "2min")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (driver/bench runs); profiling scripts flip it
+        # on to scrape per-stage metrics from the REST API
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+        )
     )
     return builder.getOrCreate()
