@@ -55,10 +55,23 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b")),
         ids_sink=e_ids,
     )
+    # Pin ONE hash-partitioning family across all rounds (the pagerank
+    # move, guide §2.4): sym by its join side ``b``, labels by ``id``,
+    # same EXPLICIT partition count — localCheckpoint's LogicalRDD
+    # preserves physical partitioning, so the per-round neighbor-min join
+    # reads BOTH sides exchange-free instead of re-shuffling the
+    # edge-scale sym table every round (the distinct() used to leave sym
+    # partitioned by [a, b], which satisfies no join below).  The
+    # pointer-jump join still shuffles by label value (irreducible — the
+    # key changes every round); new labels are re-pinned to (id, P) each
+    # round, trading that one vertex-scale exchange for the two
+    # labels-side exchanges it removes.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sym_ids: list[int] = []
     sym = local_checkpoint_tracked(
         e0.unionAll(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct(),
+        .distinct()
+        .repartition(n_parts, "b"),
         ids_sink=sym_ids,
     )
     unpersist_ids(spark, e_ids)
@@ -66,7 +79,8 @@ def connected_components(
     labels = local_checkpoint_tracked(
         sym.select(F.col("a").alias("id"))
         .distinct()
-        .withColumn("component", F.col("id")),
+        .withColumn("component", F.col("id"))
+        .repartition(n_parts, "id"),
         ids_sink=labels_ids,
     )
     rounds = 0
@@ -97,7 +111,11 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("lcomp", F.col("component"))
                 ).alias("component"),
-            ),
+            )
+            # re-pin (id, P): the jump join re-keyed by component, so the
+            # next round's joins (and the convergence diff) would re-shuffle
+            # both label tables without this
+            .repartition(n_parts, "id"),
             ids_sink=new_ids,
         )
         # convergence check every 2nd round (and on the last): halves the

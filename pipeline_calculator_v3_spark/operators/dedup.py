@@ -509,12 +509,25 @@ def simhash64_md5_pairs(
             F.array_distinct(shingles_from_tokens(F.col("t"), shingle_n))
         ).alias("s"),
     ).select("id", F.md5("s").alias("h"))
-    # one conv per nibble, referenced by 4 bit-sums each — inlining the conv
-    # into every sum would run it 4x per row
-    nibs = hashed.select(
+    # nibble extraction: TWO conv calls over the 8-char digest halves, then
+    # shift/mask arithmetic per nibble — bit-identical to the previous
+    # conv-per-nibble spelling (conv('a',16,10)=10 == (conv('..a.',16,10)
+    # >> shift) & 15) but 2 string parses per shingle row instead of 16
+    # (r14: the 16 conv+substring calls sat in the kernel's one 35.6
+    # task-s stage).  Halves live in their own projection so the multi-ref
+    # aliases are not re-inlined per nibble.
+    halves = hashed.select(
+        "id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("lo"),
+    )
+    nibs = halves.select(
         "id",
         *[
-            F.conv(F.substring("h", q + 1, 1), 16, 10).cast("int").alias(f"n{q}")
+            F.shiftright(F.col("hi" if q < 8 else "lo"), (7 - q % 8) * 4)
+            .bitwiseAND(F.lit(15))
+            .cast("int")
+            .alias(f"n{q}")
             for q in range(16)
         ],
     )

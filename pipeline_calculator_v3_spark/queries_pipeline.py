@@ -567,7 +567,7 @@ def q_chunk_documents_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.chunking import chunk_tokens
     from .queries_textml import _synth_docs_from_lineitem
 
-    docs = _synth_docs_from_lineitem(t(spark, sf_dir, "lineitem"))
+    docs = _synth_docs_from_lineitem(t(spark, sf_dir, "lineitem"), spread=True)
     chunks = chunk_tokens(docs, max_len=32, stride=16)
     return (
         chunks.groupBy(F.pmod("doc_id", F.lit(16)).alias("bucket"))
@@ -929,7 +929,7 @@ def q_pack_sequences_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.packing import pack_sequences
     from .queries_textml import _synth_docs_from_lineitem
 
-    docs = _synth_docs_from_lineitem(t(spark, sf_dir, "lineitem"))
+    docs = _synth_docs_from_lineitem(t(spark, sf_dir, "lineitem"), spread=True)
     packed = pack_sequences(docs, budget=512, n_shards=64)
     return packed.groupBy("shard").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_examples"),

@@ -14,6 +14,7 @@ from .functions.text import (
     EN_STOPWORDS,
     fingerprint_md5,
     normalized_text,
+    shingles_from_token_hashes,
     shingles_from_tokens,
     tokens,
 )
@@ -345,8 +346,8 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     completing the dedup family (exact / lexical-minhash / simhash /
     semantic / substring).
 
-    Scale shape: spans explode to (doc_id, position, md5) rows — ~1 row
-    per token, 16-byte keys; ONE groupBy-h exchange finds duplicated
+    Scale shape: spans explode to (doc_id, position, xxhash64) rows — ~1
+    row per token, 8-byte keys; ONE groupBy-h exchange finds duplicated
     spans (map-side partial counts); the cover join is a shuffle join on
     h (the dup set is corpus-scale, never broadcast); the interval union
     is the q_interval_union gaps-and-islands family — one doc_id exchange
@@ -362,18 +363,32 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _substring_dup_stats(base: DataFrame, span_n: int = 8) -> DataFrame:
     """(doc_id, ntok, dup_tokens, dup_frac) over a tokenized corpus
     ``base = (doc_id, t)`` — the substring-dedup pipeline shared by the
-    documents-table query above and the growing-corpus scale twin."""
+    documents-table query above and the growing-corpus scale twin.
+
+    Span identity is xxhash64 over the window's token hashes (8-byte
+    BIGINT), not md5 over a rebuilt span string: the hash only decides
+    group membership (it never reaches the output, and the oracle is
+    value-compared), so the cheaper injective-in-practice key computes the
+    same result while skipping the concat_ws string build + md5 per span
+    and shrinking every h-keyed exchange ~4x (r14 profile: the md5
+    spelling cost 93.6 task-s to build spans and 162.6 MB on the dup-count
+    exchange at sf0.1)."""
+    hashed = base.select(
+        "doc_id",
+        "t",
+        F.transform(F.col("t"), lambda x: F.xxhash64(x)).alias("th"),
+    )
     spans = persist_tracked(
-        base.select(
+        hashed.select(
             "doc_id",
             F.posexplode(
-                shingles_from_tokens(F.col("t"), span_n)
+                shingles_from_token_hashes(F.col("th"), span_n)
             ).alias("p", "sp"),
         ).select(
             "doc_id",
             (F.col("p") + 1).alias("s"),
             (F.col("p") + span_n).alias("e"),
-            F.md5("sp").alias("h"),
+            F.col("sp").alias("h"),
         )
     )
     dups = (
@@ -1696,7 +1711,9 @@ def q_dedup_minhash_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, num_hashes=16, bands=4, min_jaccard=0.8)
 
 
-def _synth_docs_from_lineitem(lineitem, as_tokens: bool = False) -> DataFrame:
+def _synth_docs_from_lineitem(
+    lineitem, as_tokens: bool = False, spread: bool = False
+) -> DataFrame:
     """One ~40-token synthetic doc per order — the growing-corpus generator
     shared by the xl dedup/decontamination stress queries.  Aggregates keys
     BEFORE synthesizing text: one (partkey, suppkey) survivor struct per
@@ -1708,10 +1725,27 @@ def _synth_docs_from_lineitem(lineitem, as_tokens: bool = False) -> DataFrame:
     consumers that tokenize anyway (decontamination) skip the
     concat_ws->split round-trip (measured 5.3 s -> sub-second staging at
     sf0.1), and the groupBy has already distributed the rows so no
-    re-partition is needed."""
+    re-partition is needed.
+
+    ``spread=True`` round-robins the aggregated KEY rows (doc_id + 16-byte
+    struct — never the synthesized text) to the session's default
+    parallelism before the projection.  Consumers whose next stage is
+    per-row compute directly over this frame need it: the groupBy output is
+    a few MB at bench scale, so AQE's byte-based coalescing shrinks the
+    post-shuffle stage to 1-3 partitions (minPartitionSize=1m,
+    parallelismFirst notwithstanding) and the tokenizer fan-out runs on 2
+    of 32 cores (measured: q_chunk_documents_xl stage = 12.7 task-s on 2
+    tasks).  The extra exchange moves keys only, and the partition count
+    tracks ``defaultParallelism`` — cluster-adaptive, not a local constant.
+    Consumers that re-shuffle anyway (minhash bands, bm25 postings) must
+    NOT pay it."""
     keys = lineitem.groupBy(F.col("l_orderkey").alias("doc_id")).agg(
         F.min(F.struct("l_partkey", "l_suppkey")).alias("ps")
     )
+    if spread:
+        keys = keys.repartition(
+            lineitem.sparkSession.sparkContext.defaultParallelism
+        )
     toks = F.transform(
         F.sequence(F.lit(1), F.lit(40)),
         lambda i: F.concat(
