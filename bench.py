@@ -404,7 +404,7 @@ def main() -> None:
         "suspect_stragglers": suspect_stragglers,
         "sf": sf,
     }
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
     # The driver's capture of the line above can lose its head when the
     # tail is truncated (VERDICT r08 #4 — r07 AND r08 cross-round tables
     # had to be reconstructed from partial data).  Persist the complete
@@ -414,6 +414,26 @@ def main() -> None:
     with open(local, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
+    # Truncation-proof trailer (VERDICT r14 #1/#9, additions-only): a
+    # fixed-size line carrying the totals a 2000-char tail capture can
+    # never lose — BENCH_r13's summary line lost its HEAD to the capture,
+    # zeroing the whole round-over-round comparison (prev_bench_ok:
+    # false).  Deliberately NOT a bare JSON line and NOT the contract
+    # keys ("metric"/"value"/"queries"), so no driver-side line scanner
+    # can mistake it for the one-line summary above.
+    print(
+        "BENCH_SUMMARY "
+        + json.dumps(
+            {
+                "bench_total_sec": total,
+                "n_queries": len(timings),
+                "sf": sf,
+                "scaling_violations": len(violations),
+                "full_record": os.path.basename(local),
+            }
+        ),
+        flush=True,
+    )
     spark.stop()
     if violations:
         raise AssertionError("; ".join(violations))

@@ -26,18 +26,25 @@ from ..caching import local_checkpoint_tracked, track_ids, unpersist_ids
 _SIZE_SUFFIX = {
     "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
     "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
 }
 
 
 def _size_bytes(conf_value: str) -> int:
     """Bytes from a Spark size-conf string — plain numbers and the
-    "10485760b" / "10m" / "10MB" spellings a session may carry (-1 =
-    broadcast disabled)."""
+    "10485760b" / "10m" / "10MB" spellings (every suffix Spark's own
+    byte-string parser accepts, petabytes included — ADVICE r14) a
+    session may carry (-1 = broadcast disabled).  An unparseable value
+    returns -1 — degrade to the co-partitioned (no-broadcast) plan,
+    which is always correct, instead of failing the query at plan time."""
     s = conf_value.strip().lower()
-    for suffix in sorted(_SIZE_SUFFIX, key=len, reverse=True):
-        if s.endswith(suffix):
-            return int(s[: -len(suffix)]) * _SIZE_SUFFIX[suffix]
-    return int(s)
+    try:
+        for suffix in sorted(_SIZE_SUFFIX, key=len, reverse=True):
+            if s.endswith(suffix):
+                return int(s[: -len(suffix)]) * _SIZE_SUFFIX[suffix]
+        return int(s)
+    except ValueError:
+        return -1
 
 
 def pagerank(
@@ -118,7 +125,12 @@ def pagerank(
     # with ZERO exchange (both sides hash-partitioned and pre-sorted on
     # the key), so the edge table is never re-shuffled per round either
     # way; only the dst aggregation shuffles.
-    bcast_ranks = n * 24 < _size_bytes(
+    # 72 B/vertex: the raw row is ~24 B (id + dangling + rank) but Spark's
+    # broadcast HashedRelation costs 2-4x that per row in executor memory
+    # (ADVICE r14) — gate on the conservative end so graphs near the
+    # threshold never broadcast a relation far above the configured limit
+    # `iterations` times over.
+    bcast_ranks = n * 72 < _size_bytes(
         edges.sparkSession.conf.get(
             "spark.sql.autoBroadcastJoinThreshold", "10485760"
         )

@@ -691,12 +691,22 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         updates_dir = os.path.join(work, "updates")
         os.makedirs(updates_dir)
-        for i in (1, 2):
-            _stage_batch_file(
-                docs.where(F.col("gen") == i),
-                os.path.join(updates_dir, f"g{i}.parquet"),
-                mtime=1_700_000_000.0 + i,
-            )
+        # the two replay files are independent writes over disjoint
+        # slices — stage them as concurrent jobs (guide §2.6), same as
+        # the index writes inside the stream's foreachBatch
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [
+                pool.submit(
+                    _stage_batch_file,
+                    docs.where(F.col("gen") == i),
+                    os.path.join(updates_dir, f"g{i}.parquet"),
+                    1_700_000_000.0 + i,
+                )
+                for i in (1, 2)
+            ]:
+                f.result()
         ingest_stream_dedup(
             spark,
             updates_dir + "/g*.parquet",
@@ -713,7 +723,11 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the stream wrote (never collected); this driver-side copy exists
         # because the harness result must outlive the tempdir, and it is
         # membership rows (doc_id, gen), not text or pair counts.  At
-        # 100 TB a caller reads the written dataset instead.
-        return spark.createDataFrame(out.collect(), out.schema)
+        # 100 TB a caller reads the written dataset instead.  Arrow both
+        # ways (toPandas + createDataFrame(pdf)): the collect()/Row-list
+        # spelling re-pickles every row through 32 Python tasks when the
+        # local frame is next materialized (~1.8 s at sf0.1); the Arrow
+        # local relation costs ~0.06 s (guide §6, Arrow driver transfers).
+        return spark.createDataFrame(out.toPandas(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)

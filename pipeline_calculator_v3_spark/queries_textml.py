@@ -372,7 +372,16 @@ def _substring_dup_stats(base: DataFrame, span_n: int = 8) -> DataFrame:
     same result while skipping the concat_ws string build + md5 per span
     and shrinking every h-keyed exchange ~4x (r14 profile: the md5
     spelling cost 93.6 task-s to build spans and 162.6 MB on the dup-count
-    exchange at sf0.1)."""
+    exchange at sf0.1).
+
+    Scale bound (ADVICE r14): a 64-bit key makes the Lee-et-al "exact"
+    span dedup probabilistic — birthday collisions mark two DISTINCT
+    spans as duplicates with probability ~n^2/2^65, negligible through
+    ~1e8 spans (<3e-3) but approaching certainty past ~1e9.  A corpus in
+    that regime must widen the key (a second independently-seeded
+    xxhash64 column in the groupBy, doubling key bytes but still 4x under
+    md5, or the md5 spelling itself); the bench corpora sit at ~5e6 spans
+    (collision odds ~1e-6), where the 8-byte key is the right trade."""
     hashed = base.select(
         "doc_id",
         "t",

@@ -151,3 +151,77 @@ def test_centroids_sink_and_keep_vec_contract(spark, sf_dir):
         )
         assert r["cid"] == best[1]
         assert r["sqd"] == pytest.approx(best[0])
+
+
+def test_arrow_assign_bit_identical_to_hof(spark, sf_dir):
+    """r15 Arrow-kernel gate: the numpy assignment (_assign) must be
+    BIT-identical to the interpreted HOF fold (_assign_hof) — same sqd
+    bits, same cid under the (asc sqd, asc cid) tie rule — on clean
+    float32 data, exact ties, dirty rows (NULL vector, NULL element,
+    ragged, empty, NaN) and overflow-to-inf rows; and the dirty-CENTROID
+    case must take the HOF fallback with identical output."""
+    from pipeline_calculator_v3_spark.operators.kmeans import (
+        _assign,
+        _assign_hof,
+    )
+
+    def assert_same(vecs, cents, tag):
+        a = {
+            r.vid: (r.cid, r.sqd)
+            for r in _assign(vecs, cents, "vec_id", "embedding").collect()
+        }
+        b = {
+            r.vid: (r.cid, r.sqd)
+            for r in _assign_hof(vecs, cents, "vec_id", "embedding").collect()
+        }
+        assert set(a) == set(b), tag
+        for k in a:
+            (c1, s1), (c2, s2) = a[k], b[k]
+            assert c1 == c2, (tag, k, a[k], b[k])
+            if s1 is None or s2 is None:
+                assert s1 is None and s2 is None, (tag, k, a[k], b[k])
+            elif s1 != s1 or s2 != s2:  # NaN
+                assert s1 != s1 and s2 != s2, (tag, k, a[k], b[k])
+            else:
+                assert s1.hex() == s2.hex(), (tag, k, s1.hex(), s2.hex())
+
+    nan = float("nan")
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, [1.0, None]),
+            (3, [1.0]),
+            (4, []),
+            (5, [nan, 2.0]),
+            (6, [1.0, 2.0, 3.0]),
+            (7, None),
+            (8, [1e308, -1e308]),  # sqd overflows to inf on every centroid
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (20, [1.0, 2.0])], "cid long, cvec array<double>"
+    )
+    assert_same(vecs, cents, "dirty-rows")
+
+    # exact tie: identical centroids, different cids -> lowest cid wins
+    tie = spark.createDataFrame(
+        [(30, [1.0, 2.0]), (20, [1.0, 2.0]), (10, [9.0, 9.0])],
+        "cid long, cvec array<double>",
+    )
+    assert_same(vecs.where("vec_id = 1"), tie, "tie")
+
+    # dirty centroid (ragged) -> HOF fallback, still identical
+    dirty_c = spark.createDataFrame(
+        [(10, [0.0]), (20, [1.0, 2.0])], "cid long, cvec array<double>"
+    )
+    assert_same(vecs.where("vec_id in (1, 5)"), dirty_c, "fallback")
+
+    # real float32 embeddings, k=8 seed centroids
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    assert_same(emb, seeds, "float32-corpus")
