@@ -110,3 +110,111 @@ def test_xl_twin_planted_recall(spark, sf_dir):
     # planted = every 20th base id (the %20==0 subset of the %4==0 corpus)
     assert row.n_dropped > 0
     assert row.n_clusters == n_base
+
+
+def test_arrow_pair_kernel_matches_salted_join(spark):
+    """r15 Arrow pair-stage gate: _pairs_cosine_arrow must produce the
+    IDENTICAL pair set as the salted self-join + HOF cosine spelling it
+    replaced, with bit-identical cos_sim doubles — across threshold
+    boundaries, zero norms, NaN/overflow inputs, NULL elements, NULL
+    vectors, NULL ids and ragged lengths.  (A NaN cosine is kept on both
+    paths; its exported value is NULL on the Arrow path — the documented
+    pandas->Arrow coercion — so NaN-old may read NULL-new.)"""
+    from pyspark.sql import functions as F
+
+    from pipeline_calculator_v3_spark.functions.vectors import dot, norm
+    from pipeline_calculator_v3_spark.operators.joins import salted_self_pairs
+    from pipeline_calculator_v3_spark.operators.similarity import (
+        _pairs_cosine_arrow,
+    )
+
+    def old_pairs(labeled, thr, G):
+        pairs = salted_self_pairs(labeled, "blk", "vid", n_groups=G).where(
+            F.col("a_vid") < F.col("b_vid")
+        )
+        cos = dot(F.col("a_v"), F.col("b_v")) / F.nullif(
+            F.col("a_nrm") * F.col("b_nrm"), F.lit(0.0)
+        )
+        return pairs.select(
+            F.col("a_vid").alias("id1"),
+            F.col("b_vid").alias("id2"),
+            F.col("a_blk").alias("cluster_id"),
+            cos.alias("cos_sim"),
+        ).where(F.col("cos_sim") >= thr)
+
+    def check(labeled, thr, G, tag):
+        a = {
+            (r.id1, r.id2): (r.cluster_id,
+                             None if r.cos_sim is None else r.cos_sim.hex())
+            for r in _pairs_cosine_arrow(labeled, thr, G, "cluster_id").collect()
+        }
+        b = {
+            (r.id1, r.id2): (r.cluster_id,
+                             None if r.cos_sim is None else r.cos_sim.hex())
+            for r in old_pairs(labeled, thr, G).collect()
+        }
+        assert set(a) == set(b), (tag, set(a) ^ set(b))
+        for k in a:
+            assert a[k][0] == b[k][0], (tag, k, a[k], b[k])
+            if b[k][1] == "nan":
+                assert a[k][1] in (None, "nan"), (tag, k, a[k], b[k])
+            else:
+                assert a[k][1] == b[k][1], (tag, k, a[k], b[k])
+
+    nan = float("nan")
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [1.0, 1e-7], 0), (3, [0.99, 0.14], 0),
+        (4, [0.0, 0.0], 0),      # zero norm -> never pairs
+        (5, [nan, 1.0], 0),      # NaN -> pairs with every nonzero partner
+        (6, [1.0, None], 0),     # NULL element -> never pairs
+        (7, [1.0], 0),           # ragged -> pairs only with same length
+        (8, [1.0], 0),
+        (9, None, 0),            # NULL vector
+        (10, [0.6, 0.8], 1), (11, [0.6000001, 0.7999999], 1),
+        (12, [-0.6, -0.8], 1),
+        (13, [1e308, 1e308], 1),  # dot overflows to inf
+        (None, [1.0, 0.0], 1),    # NULL id -> never pairs
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, blk int")
+    labeled = df.select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("v"),
+        F.col("blk").alias("blk"), norm(F.col("embedding")).alias("nrm"),
+    )
+    check(labeled, 0.99, 4, "edge-cases")
+    check(labeled, -2.0, 4, "keep-all")
+
+    # hash-random 16-dim corpus, thresholds inside the cosine distribution
+    big = spark.range(0, 800).select(
+        F.col("id").alias("vid"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda d: (
+                F.pmod(F.xxhash64(F.col("id"), d), F.lit(1000003))
+                .cast("double") / 1000003.0
+            ) * 2.0 - 1.0,
+        ).alias("v"),
+        F.pmod(F.col("id"), F.lit(3)).cast("int").alias("blk"),
+    ).withColumn("nrm", norm(F.col("v")))
+    check(big, 0.5, 4, "random-thr0.5")
+    check(big, 0.0, 4, "random-thr0.0")
+
+
+def test_pair_kernel_dispatch_identical(spark, sf_dir):
+    """Both pair_kernel paths of semantic_dedup_pairs produce the same
+    pair set on the real corpus (and "auto" resolves by k without
+    error)."""
+    from pipeline_calculator_v3_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {}
+    for kernel in ("join", "arrow"):
+        got[kernel] = {
+            (r.id1, r.id2, r.cluster_id)
+            for r in semantic_dedup_pairs(
+                emb, k=8, iters=1, min_cosine=0.1, pair_kernel=kernel
+            ).collect()
+        }
+    assert got["join"] == got["arrow"]
+    assert len(got["join"]) > 0  # the planted corpus has near-dups
