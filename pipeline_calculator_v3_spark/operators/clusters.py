@@ -71,7 +71,12 @@ def connected_components(
     sym = local_checkpoint_tracked(
         e0.unionAll(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .repartition(n_parts, "b"),
+        .repartition(n_parts, "b")
+        # sorted once on the join key, like pagerank's links: the
+        # checkpoint preserves ordering, so every round's sym-side SMJ
+        # sort collapses to a no-op instead of re-sorting the edge-scale
+        # table per pointer-jump round (VERDICT r14 #8)
+        .sortWithinPartitions("b"),
         ids_sink=sym_ids,
     )
     unpersist_ids(spark, e_ids)

@@ -95,8 +95,24 @@ def pagerank(
     # irreducible shuffle.  (r14 profile: the old shape ran 108 jobs /
     # 10.3 s wall for 11.2 s task time — exchange-and-replan latency, not
     # compute.)
-    n_parts = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    # Scale-adaptive partition count for the pinned family (guide §2:
+    # derive partitioning from input size, not a constant tuned for one
+    # deployment): the session's shuffle.partitions is the CEILING (the
+    # cluster operator's sizing), but a measured-small graph takes only
+    # as many partitions as its vertex count justifies — at sf0.1 the
+    # 16k-vertex graph ran 32 tasks per round whose fixed cost dominated
+    # (119 task-s at 32 cores vs 27.8 for identical work at 8 — pure
+    # per-task overhead; plans/r15/iterative_family_jobs_{8,32}c.txt).
+    # ~64k vertices per partition keeps per-task real work in the
+    # hundreds of ms; rank values stay inside the 6-dp output grain
+    # across partition counts (the 8- vs 32-partition parity runs pin
+    # that empirically every round).
+    n_parts = max(
+        1,
+        min(
+            int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            -(-n // 65536),
+        ),
     )
     links_ids: list[int] = []
     links = local_checkpoint_tracked(

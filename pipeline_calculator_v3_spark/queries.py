@@ -462,172 +462,102 @@ from . import queries_analytics  # noqa: E402,F401
 # keep-list tail, review r06).
 # ---------------------------------------------------------------------------
 _NEVER_CHECKED_FIRST = [
-    # --- r14 new capability faces (VERDICT r13 #1-#2): the seven staged
-    # operators earn their driver hash verdicts, emptying the staged-
-    # unfaced backlog entirely ---
-    # Video fingerprint near-dup: completes the text/image/audio/VIDEO
-    # modality-dedup matrix — head-trimmed copies recovered by temporal
-    # alignment (distinct-frame-hash vote per offset delta; df-capped
-    # frame-hash join; tests/test_videofp.py full byte replay).
-    "q_video_fingerprint_dedup",
-    # Hilbert-curve layout: the unit-step locality upgrade over
-    # q_zorder_layout's Morton tiles (projection-chain xy2d;
-    # tests/test_hilbert.py bijectivity + CTE replay).
-    "q_hilbert_layout",
-    # l-diversity audit + suppression: privacy beyond k-anonymity — the
-    # homogeneity attack a big-but-uniform class permits
-    # (tests/test_anonymity.py planted classes + events replay).
-    "q_l_diversity",
-    # Token-entropy diversity profile: zero-shuffle sorted-run fold
-    # (tests/test_entropy.py).
-    "q_entropy_profile",
-    # Interpolated Kneser-Ney bigram model: continuation-probability
-    # smoothing, sum-to-one gated (tests/test_ngram_lm.py).
-    "q_kn_bigram_lm",
-    # NFC canonicalization impact: the hidden-duplicate mass Unicode
-    # inconsistency hides from exact dedup (tests/test_textnorm.py).
-    "q_textnorm_impact",
-    # Day-cohort retention matrix with sizes/ratios (the weekly
-    # count-only face is q_retention_cohorts; tests/test_retention.py).
-    "q_cohort_retention",
-    # --- r14 refresh: the fourteen r09-cohort deferrals carried from the
-    # r13 slot plan — the oldest hash tier anywhere (VERDICT r13 #3) ---
-    "q_tpch_q2_min_cost_supplier", "q_tpch_q11_important_stock",
-    "q_tpch_q16_supplier_cnt", "q_tpch_q20_excess_supply",
-    "q_tpch_q22_global_sales", "q_window_rank", "q_stream_static_join",
-    "q_embed_project", "q_first_touch_attribution", "q_markov_transitions",
-    "q_sample_k_per_key", "q_dedup_lines", "q_dedup_semantic_rep",
-    "q_multimodal_decode_png",
-    # --- r14 refresh: 27 of the 48-member r10 cohort (now the oldest
-    # tier).  The 21 deferrals to r15 are each family-covered by an
-    # in-window sibling and value-gated by test_oracle_parity on every
-    # pytest run: q_date/json/map/math/string_funcs + q_string_agg +
-    # q_null_semantics (function-surface probes; q_variant_extract
-    # r13-green), q_set_union (set siblings r12-green), q_shard_stats +
-    # q_pack_sequences_xl (q_pack_sequences in), q_sql_lateral_topn +
-    # q_sql_shared_pricing + q_sql_shared_subquery (q_sql_recursive_tree
-    # r13-green), q_stream_outer_join (q_stream_dedup +
-    # q_stream_static_join in), q_text_analysis (the textml family is
-    # r13/r14-fresh wholesale), q_tpch_q5 + q_tpch_q10 (eight TPC-H
-    # members in-window this round), q_udtf_surface (q_segmentize ran the
-    # UDTF path r13), q_unpivot (q_pivot in), q_window_dist +
-    # q_window_lag_lead (q_window_rank in). ---
-    "q_tpch_q1_pricing_summary", "q_tpch_q3_shipping_priority",
-    "q_tpch_q6_forecast_revenue", "q_graph_pagerank", "q_dedup_axes_report",
-    "q_curation_e2e", "q_dedup_minhash_md5", "q_dedup_embedding",
-    "q_contamination", "q_similarity_topk", "q_sort_limit",
-    "q_scan_project", "q_filter_pred", "q_case_dispatch",
-    "q_overlap_sections", "q_spatial_polar_join", "q_multimodal_decode",
-    "q_ohlc_candles", "q_stream_dedup", "q_cube", "q_grouping_sets",
-    "q_pivot", "q_quantile_profile", "q_percentile_gate_approx",
-    "q_sample_hash", "q_pack_sequences", "q_fingerprint",
+    # --- r15 must-recheck (VERDICT r14 #1/#2): every query whose operator
+    # internals were touched in r14 (xxhash64 span keys, simhash nibble
+    # rewrite, chunk/pack spread, CC pinning) or r15 (streaming-ingest
+    # write overlap, Arrow k-means assignment, Arrow SemDeDup pair
+    # kernel, CC sym pre-sort, pagerank adaptive partitioning + gate).
+    # The three rows-only xl twins earn driver rows-ran verdicts; their
+    # oracle-backed siblings in this window carry the value hashes. ---
+    "q_dedup_substring", "q_dedup_substring_xl", "q_dedup_simhash",
+    "q_chunk_documents_xl", "q_pack_sequences_xl", "q_dedup_clusters",
+    "q_stream_ingest_dedup", "q_stream_dedup", "q_graph_pagerank",
+    "q_kmeans_embed", "q_dedup_semantic", "q_dedup_semantic_rep",
+    "q_dedup_best_quality",
+    # --- the ENTIRE r10 verdict tier (21 queries counting
+    # q_pack_sequences_xl above) — the oldest driver hashes anywhere,
+    # deferred since the r13 slot plan; this empties that tier. ---
+    "q_date_funcs", "q_json_funcs", "q_map_funcs", "q_math_funcs",
+    "q_null_semantics", "q_set_union", "q_shard_stats", "q_sql_lateral_topn",
+    "q_sql_shared_pricing", "q_sql_shared_subquery", "q_stream_outer_join",
+    "q_string_agg", "q_string_funcs", "q_text_analysis",
+    "q_tpch_q10_returned", "q_tpch_q5_local_volume", "q_udtf_surface",
+    "q_unpivot", "q_window_dist", "q_window_lag_lead",
+    # --- 15 of the r11 tier (next-oldest), preferring operator families
+    # this round touched (similarity/vector kernels, chunking siblings,
+    # the exact-geodesic flagship) — the 33-member tail defers to the
+    # next window with per-pytest oracle gates unchanged. ---
+    "q_similarity_ann_ivf_refine", "q_vocab_topk", "q_bm25_rank",
+    "q_bpe_merges", "q_chunk_documents", "q_dedup_exact",
+    "q_effective_length", "q_geodesic_length_exact", "q_sessionize",
+    "q_stream_tumbling", "q_join_big_sort_merge", "q_scrub_pii",
+    "q_sample_weighted", "q_multimodal_decode_wav", "q_overlap_rollup",
 ]
 _KEEP_IN_WINDOW = [
     "q_geodesic_length",
     "q_overlap_e2e",
 ]
-# r15 slot plan (write the window BEFORE building new surface — the
-# never-checked-in-window invariant makes slots the budget): once
-# CORRECTNESS_r14 lands, the 48 entries above rotate out.
-#
-# >>> r15 SHORTCUT: queries_staged.py already carries TEN face
-# candidates as (fn, oracle_sql) pairs in the exact registry shapes —
-# q_kn_doc_ppl, q_t_closeness, q_t_closeness_ordered, q_dp_release,
-# q_split_leakage, q_temperature_mixture, q_generalize_k,
-# q_dataset_diff_rows, q_ahash_groups, q_video_exact_groups — each
-# already DRIVER-GRADE green against its DuckDB oracle at sf0.001 AND
-# sf0.01 (tests/test_staged_faces.py, the driver's own comparison).
-# Registering them is mechanical: move fn + oracle under @query, add
-# the name to _NEVER_CHECKED_FIRST, delete the staged entry, keep the
-# registry-exclusion test's set in sync.  Budget: 2 keepers + 10
-# pre-verified faces + the 21 r10 deferrals = 33, leaving ~17 slots
-# for the r11 cohort (48) — its tail defers to r16. <<<
-#
-# Original budget math
-# (keepers stay 2): (1) faces for the r14-staged operators —
-# operators/ngram_lm.py::kn_doc_nll (KN-perplexity document scoring,
-# tests/test_ngram_lm.py), dataset_versions.py (snapshot time travel
-# + COW upsert + diff, tests/test_dataset_versions.py), and
-# operators/anonymity.py::t_closeness_audit (skewness-attack audit
-# completing the k/l/t privacy triad; integer-exact TVD fractions +
-# the ordered-EMD numeric twin + dp_group_counts seeded-Laplace
-# release + generalize_to_k numeric generalization,
-# tests/test_anonymity.py; dataset_versions also gained the
-# manifest-pruned diff_rows change feed — fold into its face), and
-# operators/sampling.py::split_leakage_audit (group-keyed split proof
-# over documents x minhash clusters, tests/test_sampling.py), and
-# operators/mixture.py::temperature_mixture_plan (n^(1/T) rebalancing
-# with closed-form waterfilling, tests/test_mixture.py), plus an
-# ahash_groups keep-decision face if slots allow (operator oracled in
-# tests/test_phash.py; video_exact_groups is its video-modality twin,
-# tests/test_videofp.py) [~3-5];
-# (2) the 21 r10-cohort deferrals
-# enumerated in the comment above [21]; (3) the r11 cohort (48 queries,
-# by then the oldest hash tier) fills the remaining ~24-25 slots — its
-# tail defers to r16.  Run scripts/preflight_window.py before round end.
 _ROTATED_OUT = [
     # every remaining query is r11+-driver-green on its latest verdict
     # and (where oracle-backed) value-gated by tests/test_oracle_parity.py
     # on every pytest run; rows-only members carry operator-level pytest
     # gates (goldens / planted pairs / invariants) enumerated in
-    # tests/test_registry_order.py.  The whole r13 window went green
-    # (CORRECTNESS_r13: 42 hash + 8 rows-only, zero errors), so its
-    # cohorts rotate here wholesale.
+    # tests/test_registry_order.py.
     "q_agg_approx_distinct", "q_agg_distinct", "q_agg_hash", "q_agg_stats",
     "q_anomaly_zscore", "q_approx_group_buckets", "q_array_funcs",
-    "q_audio_fingerprint_dedup", "q_bigram_lm", "q_bm25_rank",
-    "q_bm25_rank_xl", "q_boilerplate_spans", "q_bpe_encode", "q_bpe_merges",
-    "q_cdc_upsert", "q_chunk_documents", "q_chunk_documents_xl",
-    "q_compaction_plan", "q_contamination_semantic", "q_contamination_xl",
-    "q_data_quality", "q_date_funcs", "q_dedup_best_quality",
-    "q_dedup_clusters", "q_dedup_exact", "q_dedup_incremental",
-    "q_dedup_minhash", "q_dedup_minhash_xl", "q_dedup_semantic",
-    "q_dedup_semantic_xl", "q_dedup_simhash", "q_dedup_substring",
-    "q_dedup_substring_xl", "q_dense_ids", "q_dsir_weights",
-    "q_effective_length", "q_embed_centroids", "q_embed_quantize",
-    "q_epoch_plan", "q_ewma_smooth", "q_funnel_conversion", "q_gap_fill",
-    "q_geodesic_length_exact", "q_gopher_rules", "q_graph_triangles",
-    "q_heavy_hitters", "q_hybrid_rrf", "q_interval_union", "q_join_asof",
-    "q_join_big_sort_merge", "q_join_bloom_pruned", "q_join_inner_hash",
+    "q_audio_fingerprint_dedup", "q_bigram_lm", "q_bm25_rank_xl",
+    "q_boilerplate_spans", "q_bpe_encode", "q_case_dispatch", "q_cdc_upsert",
+    "q_cohort_retention", "q_compaction_plan", "q_contamination",
+    "q_contamination_semantic", "q_contamination_xl", "q_cube",
+    "q_curation_e2e", "q_data_quality", "q_dedup_axes_report",
+    "q_dedup_embedding", "q_dedup_incremental", "q_dedup_lines",
+    "q_dedup_minhash", "q_dedup_minhash_md5", "q_dedup_minhash_xl",
+    "q_dedup_semantic_xl", "q_dense_ids", "q_dsir_weights",
+    "q_embed_centroids", "q_embed_project", "q_embed_quantize",
+    "q_entropy_profile", "q_epoch_plan", "q_ewma_smooth", "q_filter_pred",
+    "q_fingerprint", "q_first_touch_attribution", "q_funnel_conversion",
+    "q_gap_fill", "q_gopher_rules", "q_graph_triangles", "q_grouping_sets",
+    "q_heavy_hitters", "q_hilbert_layout", "q_hybrid_rrf", "q_interval_union",
+    "q_join_asof", "q_join_bloom_pruned", "q_join_inner_hash",
     "q_join_left_anti", "q_join_left_semi", "q_join_multi_way",
     "q_join_outer", "q_join_range_binned", "q_join_salted_skew",
-    "q_join_theta_range", "q_json_funcs", "q_jsonl_roundtrip",
-    "q_k_anonymity", "q_kmeans_embed", "q_kmeans_embed_xl", "q_knn_graph",
-    "q_lang_id", "q_lm_perplexity", "q_map_funcs", "q_math_funcs",
-    "q_minhash_sketch_err", "q_mixture_plan", "q_multimodal_decode_wav",
-    "q_multimodal_features", "q_multimodal_frames", "q_ngram_jaccard",
-    "q_null_semantics", "q_optimize_dataset", "q_overlap_rollup",
-    "q_overlap_summary", "q_pack_sequences_xl", "q_padding_audit",
-    "q_parallel_overlap", "q_parallel_overlap_xl", "q_percentile_gate",
-    "q_phash_image_dedup", "q_pmi_bigrams", "q_postings_index",
-    "q_ppl_buckets", "q_profile_table", "q_quality_classifier",
-    "q_quantile_approx", "q_repetition_filter", "q_resample_ohlc",
-    "q_retention_cohorts", "q_rfm_segmentation", "q_rollup",
-    "q_sample_stratified", "q_sample_weighted", "q_scd2_history",
-    "q_scrub_pii", "q_segmentize", "q_sessionize", "q_set_except",
-    "q_set_intersect", "q_set_union", "q_shard_stats",
-    "q_similarity_ann_ivf", "q_similarity_ann_ivf_pq",
-    "q_similarity_ann_ivf_refine", "q_similarity_ann_lsh",
-    "q_similarity_ann_recall", "q_snapshot_diff", "q_source_copy_matrix",
-    "q_source_report", "q_spatial_distance_join",
-    "q_spatial_distance_join_xl", "q_split_train_eval", "q_sql_lateral_topn",
-    "q_sql_recursive_tree", "q_sql_shared_pricing", "q_sql_shared_subquery",
-    "q_stream_cdc_merge", "q_stream_ingest_dedup", "q_stream_join",
-    "q_stream_late_data", "q_stream_outer_join", "q_stream_session",
-    "q_stream_session_timeout", "q_stream_sliding", "q_stream_stateful",
-    "q_stream_tumbling", "q_string_agg", "q_string_funcs",
-    "q_table_checksum", "q_text_analysis", "q_text_quality", "q_tfidf",
-    "q_token_count", "q_tpch_q10_returned", "q_tpch_q12_shipmode_priority",
+    "q_join_theta_range", "q_jsonl_roundtrip", "q_k_anonymity",
+    "q_kmeans_embed_xl", "q_kn_bigram_lm", "q_knn_graph", "q_l_diversity",
+    "q_lang_id", "q_lm_perplexity", "q_markov_transitions",
+    "q_minhash_sketch_err", "q_mixture_plan", "q_multimodal_decode",
+    "q_multimodal_decode_png", "q_multimodal_features", "q_multimodal_frames",
+    "q_ngram_jaccard", "q_ohlc_candles", "q_optimize_dataset",
+    "q_overlap_sections", "q_overlap_summary", "q_pack_sequences",
+    "q_padding_audit", "q_parallel_overlap", "q_parallel_overlap_xl",
+    "q_percentile_gate", "q_percentile_gate_approx", "q_phash_image_dedup",
+    "q_pivot", "q_pmi_bigrams", "q_postings_index", "q_ppl_buckets",
+    "q_profile_table", "q_quality_classifier", "q_quantile_approx",
+    "q_quantile_profile", "q_repetition_filter", "q_resample_ohlc",
+    "q_retention_cohorts", "q_rfm_segmentation", "q_rollup", "q_sample_hash",
+    "q_sample_k_per_key", "q_sample_stratified", "q_scan_project",
+    "q_scd2_history", "q_segmentize", "q_set_except", "q_set_intersect",
+    "q_similarity_ann_ivf", "q_similarity_ann_ivf_pq", "q_similarity_ann_lsh",
+    "q_similarity_ann_recall", "q_similarity_topk", "q_snapshot_diff",
+    "q_sort_limit", "q_source_copy_matrix", "q_source_report",
+    "q_spatial_distance_join", "q_spatial_distance_join_xl",
+    "q_spatial_polar_join", "q_split_train_eval", "q_sql_recursive_tree",
+    "q_stream_cdc_merge", "q_stream_join", "q_stream_late_data",
+    "q_stream_session", "q_stream_session_timeout", "q_stream_sliding",
+    "q_stream_stateful", "q_stream_static_join", "q_table_checksum",
+    "q_text_quality", "q_textnorm_impact", "q_tfidf", "q_token_count",
+    "q_tpch_q11_important_stock", "q_tpch_q12_shipmode_priority",
     "q_tpch_q13_order_distribution", "q_tpch_q14_promo_share",
-    "q_tpch_q15_top_supplier", "q_tpch_q17_small_qty",
-    "q_tpch_q18_large_orders", "q_tpch_q19_disjunctive",
-    "q_tpch_q21_waiting_supplier", "q_tpch_q4_order_priority",
-    "q_tpch_q5_local_volume", "q_tpch_q7_nation_volume",
+    "q_tpch_q15_top_supplier", "q_tpch_q16_supplier_cnt",
+    "q_tpch_q17_small_qty", "q_tpch_q18_large_orders",
+    "q_tpch_q19_disjunctive", "q_tpch_q1_pricing_summary",
+    "q_tpch_q20_excess_supply", "q_tpch_q21_waiting_supplier",
+    "q_tpch_q22_global_sales", "q_tpch_q2_min_cost_supplier",
+    "q_tpch_q3_shipping_priority", "q_tpch_q4_order_priority",
+    "q_tpch_q6_forecast_revenue", "q_tpch_q7_nation_volume",
     "q_tpch_q8_market_share", "q_tpch_q9_product_profit", "q_udf_surface",
-    "q_udtf_surface", "q_unpivot", "q_variant_extract", "q_vocab_topk",
-    "q_window_dist", "q_window_frame", "q_window_lag_lead",
-    "q_window_time_range", "q_winnow_code_dedup", "q_zipf_profile",
-    "q_zorder_layout", "q_zorder_pruned_scan"
+    "q_variant_extract", "q_video_fingerprint_dedup", "q_window_frame",
+    "q_window_rank", "q_window_time_range", "q_winnow_code_dedup",
+    "q_zipf_profile", "q_zorder_layout", "q_zorder_pruned_scan",
 ]
 
 

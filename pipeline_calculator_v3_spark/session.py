@@ -47,6 +47,27 @@ def get_spark(app_name: str = "pipeline_calculator_v3_spark",
         # AQE: runtime partition coalescing, skew-join handling, plan re-opt.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Floor for AQE's coalesced partition size (Spark default 1m).
+        # With parallelismFirst (default on) the coalesce target is
+        # max(stageBytes / defaultParallelism, THIS), so on a CPU-heavy
+        # stage whose bytes are small — synthesized-text fan-outs,
+        # per-row kernels after a keyed aggregate — the 1m floor is what
+        # collapses the stage to 2-3 tasks and idles the rest of the
+        # cluster (the r14 chunk/pack failure mode, fixed locally there;
+        # this is the session-wide lever, VERDICT r14 #5).  256k chosen
+        # by a 3-point registry-wide sweep (r15, isolated min-of-2):
+        # 64k captured the most win (chunk/pack xl 0.42x) but REALLY
+        # regressed small-shuffle queries 1.2-1.7x (bm25, embedding
+        # pairs, dsir — extra tiny tasks); 256k keeps most of the win
+        # (chunk_xl 4.59 -> 2.46 s, ingest 11.0 -> 9.9 s) with zero
+        # measured regression.  A bytes-per-partition floor, not a core
+        # count — the parallelismFirst term dominates at real data
+        # volumes, so production behavior only changes on the same
+        # CPU-heavy-small-bytes stages this targets.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "256k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow batches for every pandas UDF / toPandas boundary.
