@@ -297,6 +297,14 @@ def kmeans_assign(
                 F.coalesce(F.col("u.cvec"), F.col("p.cvec")).alias("cvec"),
             )
         )
+        # truncate the centroid lineage to its k literal rows after every
+        # Lloyd pass (r15): left lazy, iteration i+1's centroid collect
+        # (and any centroids_sink consumer) re-executes iteration i's
+        # whole assignment+mean subplan — with iters=2 the first pass ran
+        # twice.  k rows of doubles round-trip the driver exactly.
+        cents = vecs.sparkSession.createDataFrame(
+            cents.collect(), cents.schema
+        )
     if centroids_sink is not None:
         centroids_sink.append(cents)
     out = _assign(vecs, cents, id_col, vec_col)

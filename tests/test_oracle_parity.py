@@ -13,10 +13,6 @@ full matrix (what this repo's own pre-commit gating uses);
 
 from __future__ import annotations
 
-import hashlib
-import os
-import re
-
 import pytest
 
 from pipeline_calculator_v3_spark.queries import ORACLE_SQL, QUERIES
@@ -27,35 +23,10 @@ from .compare import (
     assert_no_plan_antipatterns,
     assert_scalar_output_schema,
 )
+from .sharding import skip_unless_shard as _skip_out_of_shard
 
 ORACLE_NAMES = sorted(ORACLE_SQL)
 ROWS_ONLY_NAMES = sorted(set(QUERIES) - set(ORACLE_SQL))
-
-_SHARD_MODE = os.environ.get("TEST_PARITY_SHARD", "auto")
-
-
-def _this_round() -> int:
-    """1 + the highest driver-recorded round (bench.py's convention)."""
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    ns = [
-        int(m.group(1))
-        for p in os.listdir(repo)
-        if (m := re.match(r"BENCH_r(\d+)\.json$", p))
-    ]
-    return (max(ns) + 1) if ns else 1
-
-
-def _skip_out_of_shard(name: str) -> None:
-    if _SHARD_MODE == "all":
-        return
-    want = (
-        int(_SHARD_MODE) if _SHARD_MODE in ("0", "1") else _this_round() % 2
-    )
-    if int(hashlib.md5(name.encode()).hexdigest(), 16) % 2 != want:
-        pytest.skip(
-            f"parity shard {1 - want} runs next round (round-robin full "
-            "coverage; TEST_PARITY_SHARD=all forces the full matrix)"
-        )
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
