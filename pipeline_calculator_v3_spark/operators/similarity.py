@@ -474,6 +474,11 @@ def embedding_dedup_pairs(
     )
 
 
+# cosine-matrix chunk budget for _pairs_cosine_arrow, in doubles (~64 MB);
+# module-level so the bit-identity test can shrink it to force multi-chunk
+_PAIR_CHUNK_DOUBLES = 8 << 20
+
+
 def _pairs_cosine_arrow(
     labeled: DataFrame,
     min_cosine: float,
@@ -519,6 +524,7 @@ def _pairs_cosine_arrow(
     ensure_pkg_shipped(labeled.sparkSession)
     thr = float(min_cosine)
     G = int(n_groups)
+    chunk_doubles = _PAIR_CHUNK_DOUBLES  # captured by value into the kernel
     id_t = labeled.schema["vid"].dataType.simpleString()
     blk_t = labeled.schema["blk"].dataType.simpleString()
     out_cols = ["id1", "id2"] + ([block_out] if block_out else []) + ["cos_sim"]
@@ -600,25 +606,33 @@ def _pairs_cosine_arrow(
             )
             va = np.asarray([a_vids[i] for i in ai])
             vb = va if g1 == g2 else np.asarray([b_vids[i] for i in bi])
-            with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
-                acc = np.zeros((len(ai), len(bi)), dtype=np.float64)
-                for d in range(int(L)):
-                    acc += VA[:, d, None] * VB[None, :, d]
-                denom = na[:, None] * nb[None, :]
-                cos = acc / denom
-                keep = ((cos >= thr) | np.isnan(cos)) & (denom != 0.0)
-            if g1 == g2:
-                keep &= va[:, None] < vb[None, :]
-            ii, jj = np.nonzero(keep)
-            if not len(ii):
-                continue
-            lo = np.minimum(va[ii], vb[jj])
-            hi = np.maximum(va[ii], vb[jj])
-            out["id1"].extend(lo.tolist())
-            out["id2"].extend(hi.tolist())
-            if block_out:
-                out[block_out].extend([blk] * len(ii))
-            out["cos_sim"].extend(cos[ii, jj].tolist())
+            # chunk the A side so the cosine matrix stays ~8M doubles:
+            # the join spelling STREAMED its pair rows, so a pathological
+            # giant cluster must not become an |A| x |B| allocation here
+            step = max(1, chunk_doubles // max(len(bi), 1))
+            for alo in range(0, len(ai), step):
+                ahi = min(alo + step, len(ai))
+                with np.errstate(
+                    over="ignore", invalid="ignore", divide="ignore"
+                ):
+                    acc = np.zeros((ahi - alo, len(bi)), dtype=np.float64)
+                    for d in range(int(L)):
+                        acc += VA[alo:ahi, d, None] * VB[None, :, d]
+                    denom = na[alo:ahi, None] * nb[None, :]
+                    cos = acc / denom
+                    keep = ((cos >= thr) | np.isnan(cos)) & (denom != 0.0)
+                if g1 == g2:
+                    keep &= va[alo:ahi, None] < vb[None, :]
+                ii, jj = np.nonzero(keep)
+                if not len(ii):
+                    continue
+                lo = np.minimum(va[alo:ahi][ii], vb[jj])
+                hi = np.maximum(va[alo:ahi][ii], vb[jj])
+                out["id1"].extend(lo.tolist())
+                out["id2"].extend(hi.tolist())
+                if block_out:
+                    out[block_out].extend([blk] * len(ii))
+                out["cos_sim"].extend(cos[ii, jj].tolist())
         return pd.DataFrame(out, columns=out_cols)
 
     return rep.groupBy("blk", "__g1", "__g2").applyInPandas(emit, out_ddl)

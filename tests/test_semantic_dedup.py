@@ -218,3 +218,40 @@ def test_pair_kernel_dispatch_identical(spark, sf_dir):
         }
     assert got["join"] == got["arrow"]
     assert len(got["join"]) > 0  # the planted corpus has near-dups
+
+
+def test_arrow_pair_kernel_chunked_path(spark):
+    """The A-side chunking (memory bound for pathological giant clusters)
+    must not change the pair set: force multi-chunk with a tiny budget
+    and compare against the single-chunk result."""
+    from pyspark.sql import functions as F
+
+    from pipeline_calculator_v3_spark.functions.vectors import norm
+    from pipeline_calculator_v3_spark.operators import similarity as sim
+
+    big = spark.range(0, 400).select(
+        F.col("id").alias("vid"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda d: (
+                F.pmod(F.xxhash64(F.col("id"), d), F.lit(1000003))
+                .cast("double") / 1000003.0
+            ) * 2.0 - 1.0,
+        ).alias("v"),
+        F.lit(0).alias("blk"),  # ONE block: maximal per-task pair matrix
+    ).withColumn("nrm", norm(F.col("v")))
+
+    def pairs():
+        return {
+            (r.id1, r.id2, r.cos_sim.hex())
+            for r in sim._pairs_cosine_arrow(big, 0.2, 2, "cluster_id").collect()
+        }
+
+    whole = pairs()
+    orig = sim._PAIR_CHUNK_DOUBLES
+    sim._PAIR_CHUNK_DOUBLES = 64  # step = 64 // |B| -> 1-row chunks
+    try:
+        chunked = pairs()
+    finally:
+        sim._PAIR_CHUNK_DOUBLES = orig
+    assert whole == chunked and len(whole) > 0
